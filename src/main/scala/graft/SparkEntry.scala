@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the union of the per-domain suites; every entry with a
+  * DuckDB-expressible oracle also appears in `oracleSql` with IDENTICAL
+  * output column names (the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  private lazy val suites: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
+    queries_relational
+
+  private def queries_relational = graft.queries.Relational.all
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    suites.map { case (k, (f, _)) => k -> f }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    suites.collect { case (k, (_, Some(sql))) => k -> sql.trim }
+
+  /** Headline subset run by Bench (sf0.1). */
+  def benchQueries: Seq[String] = Seq(
+    "q01_pricing_summary", "q03_top_revenue_orders", "q05_local_supplier_volume",
+    "q06_forecast_revenue", "q08_top_orders_per_customer", "q09_running_user_spend",
+    "q16_events_daily")
 }
