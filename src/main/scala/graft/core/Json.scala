@@ -1,0 +1,16 @@
+package graft.core
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+/** Jackson-based JSON codec for timeline metadata (case classes only). */
+object Json {
+  private val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+  def write(v: Any): String = mapper.writeValueAsString(v)
+  def read[T](s: String, clazz: Class[T]): T = mapper.readValue(s, clazz)
+}

@@ -1,0 +1,93 @@
+package graft.core
+
+/** Core data model of the graft table format.
+  *
+  * Mirrors the reference's timeline/file-group abstractions
+  * (reference: hudi-common/src/main/java/org/apache/hudi/common/model/
+  * HoodieKey.java:30, HoodieFileGroup.java:34, FileSlice.java:32,
+  * table/timeline/HoodieInstant.java:63) re-expressed for an
+  * all-Parquet, Spark-native engine: mutation "logs" are delta Parquet
+  * files, and snapshot state is derived purely from commit metadata —
+  * no filesystem listing is ever needed to resolve a snapshot, which
+  * keeps driver cost O(#instants) at 100 TB.
+  */
+object Action {
+  val Commit = "commit"               // COW write
+  val DeltaCommit = "deltacommit"     // MOR write
+  val ReplaceCommit = "replacecommit" // clustering / insert_overwrite / delete_partition
+  val Compaction = "compaction"       // MOR compaction (completes as a commit-like instant)
+  val Clean = "clean"
+  val Rollback = "rollback"
+  val Savepoint = "savepoint"
+  val Restore = "restore"
+
+  /** Actions whose completed instants contribute data files. */
+  val dataActions: Set[String] = Set(Commit, DeltaCommit, ReplaceCommit, Compaction)
+}
+
+object State {
+  val Requested = "requested"
+  val Inflight = "inflight"
+  val Completed = "completed"
+}
+
+/** One timeline event. `time` is a 17-digit yyyyMMddHHmmssSSS string;
+  * lexicographic order == temporal order. */
+case class Instant(time: String, action: String, state: String) {
+  def isCompleted: Boolean = state == State.Completed
+  def fileName: String = state match {
+    case State.Completed => s"$time.$action"
+    case s               => s"$time.$action.$s"
+  }
+}
+
+/** Per-written-file accounting, stored in commit metadata. This is the
+  * engine's only source of truth for table state (reference analog:
+  * model/HoodieWriteStat.java:40). */
+case class WriteStat(
+    partition: String,
+    fileId: String,
+    path: String,            // relative to table base
+    isDelta: Boolean = false,
+    rows: Long = 0L,
+    bytes: Long = 0L,
+    minKey: String = "",
+    maxKey: String = "",
+    columnStats: Map[String, ColStat] = Map.empty)
+
+/** Per-file column statistics powering min/max data skipping
+  * (reference analog: index/zorder/ZOrderingIndexHelper.java:233). */
+case class ColStat(min: String, max: String, nullCount: Long)
+
+/** Completed-instant payload (reference analog:
+  * model/HoodieCommitMetadata.java:47). */
+case class CommitMetadata(
+    operation: String,
+    schemaJson: String = "",
+    stats: Seq[WriteStat] = Nil,
+    /** partition -> fileIds whose groups this instant logically replaces */
+    replaced: Map[String, Seq[String]] = Map.empty,
+    /** e.g. rollback target, streaming checkpoints */
+    extra: Map[String, String] = Map.empty)
+
+/** Table-level immutable configuration, stored at .graft/table.json
+  * (reference analog: common/table/HoodieTableConfig.java:60). */
+case class TableConfig(
+    name: String,
+    tableType: String,                // "COW" | "MOR"
+    keyFields: Seq[String],
+    partitionFields: Seq[String] = Nil,
+    orderingField: String = "",      // empty -> arrival order (latest write wins)
+    mergeStrategy: String = "overwrite_latest", // | "event_time"
+    version: Int = 1)
+
+object TableType { val COW = "COW"; val MOR = "MOR" }
+
+/** A file group's state at an instant: newest base file + newer deltas. */
+case class FileSlice(
+    partition: String,
+    fileId: String,
+    baseFile: Option[WriteStat],
+    deltas: Seq[WriteStat]) {
+  def allFiles: Seq[WriteStat] = baseFile.toSeq ++ deltas
+}
