@@ -79,6 +79,13 @@ case class TableConfig(
     partitionFields: Seq[String] = Nil,
     orderingField: String = "",      // empty -> arrival order (latest write wins)
     mergeStrategy: String = "overwrite_latest", // | "event_time"
+    /** target rows per base file; sizes insert buckets (reference analog:
+      * hoodie.parquet.max.file.size, byte-based; rows keep the planner
+      * free of size estimation) */
+    targetFileRows: Long = 4000000L,
+    /** true -> key unique table-wide; updates may move partitions
+      * (reference analog: GLOBAL_SIMPLE index) */
+    globalIndex: Boolean = false,
     version: Int = 1)
 
 object TableType { val COW = "COW"; val MOR = "MOR" }

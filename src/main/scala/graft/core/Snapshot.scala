@@ -1,0 +1,78 @@
+package graft.core
+
+/** A resolved view of the table at an instant: for every live file group,
+  * its newest base file and the delta files stacked on top of it.
+  *
+  * Derived purely from commit metadata — no data-directory listing, so
+  * driver cost is O(#instants × #files-per-commit), independent of table
+  * size (reference analog: table/view/AbstractTableFileSystemView.java:77,
+  * built instead from FS listings + timeline).
+  */
+case class Snapshot(
+    config: TableConfig,
+    asOf: String,
+    slices: Seq[FileSlice],
+    /** completed data instants (time asc) visible at `asOf` */
+    instants: Seq[Instant]) {
+
+  def latestCommitTime: Option[String] = instants.lastOption.map(_.time)
+
+  def basePaths: Seq[String] = slices.flatMap(_.baseFile).map(_.path)
+
+  def isEmpty: Boolean = slices.isEmpty
+}
+
+object Snapshot {
+
+  /** File-group accumulator state during timeline replay. */
+  private final case class GroupState(
+      partition: String,
+      fileId: String,
+      base: Option[(String, WriteStat)],       // (commitTime, stat)
+      deltas: Vector[(String, WriteStat)]) {
+    def toSlice: FileSlice =
+      FileSlice(partition, fileId, base.map(_._2), deltas.map(_._2))
+  }
+
+  /** Replay completed data instants in time order up to (and including)
+    * `asOf`; a new base file for a group folds all earlier deltas; a
+    * replacecommit kills the listed groups. */
+  def resolve(timeline: Timeline, asOf: Option[String] = None): Snapshot = {
+    val config = timeline.config
+    val all = timeline.completed().filter(i => Action.dataActions(i.action))
+    val visible = asOf match {
+      case Some(t) => all.filter(_.time <= t)
+      case None    => all
+    }
+    var groups = Map.empty[(String, String), GroupState]
+    visible.foreach { inst =>
+      val meta = timeline.metadataOf(inst)
+      meta.stats.foreach { st =>
+        val k = (st.partition, st.fileId)
+        val g = groups.getOrElse(k, GroupState(st.partition, st.fileId, None, Vector.empty))
+        val g2 =
+          if (st.isDelta) g.copy(deltas = g.deltas :+ (inst.time, st))
+          else GroupState(st.partition, st.fileId, Some((inst.time, st)), Vector.empty)
+        groups += k -> g2
+      }
+      meta.replaced.foreach { case (partition, fileIds) =>
+        fileIds.foreach(fid => groups -= ((partition, fid)))
+      }
+    }
+    Snapshot(
+      config,
+      asOf.orElse(visible.lastOption.map(_.time)).getOrElse(""),
+      groups.values.map(_.toSlice).toSeq.sortBy(s => (s.partition, s.fileId)),
+      visible)
+  }
+
+  /** The (instantTime -> files written) view needed by incremental reads:
+    * data instants with time in (begin, end], paired with their stats. */
+  def commitsInRange(
+      timeline: Timeline,
+      begin: String,
+      end: String): Seq[(Instant, CommitMetadata)] =
+    timeline.completed()
+      .filter(i => Action.dataActions(i.action) && i.time > begin && i.time <= end)
+      .map(i => (i, timeline.metadataOf(i)))
+}

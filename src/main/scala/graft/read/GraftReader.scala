@@ -1,0 +1,119 @@
+package graft.read
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.core._
+import graft.write.{GraftTable, Meta}
+
+/** Read-side operators over a graft table (reference analog: the
+  * DefaultSource relation zoo, DefaultSource.scala:72-137 — snapshot /
+  * read_optimized / incremental / time-travel / point lookup).
+  *
+  * Scale posture: file lists come from commit metadata (never a data
+  * listing); delta-bearing file groups are merged with a window that
+  * shuffles ONLY those groups' rows — delta-free groups stream straight
+  * from Parquet with full pushdown. Partition pruning happens before any
+  * file is opened by filtering slices on the partition-path column.
+  */
+class GraftReader(table: GraftTable) {
+  import Meta._
+
+  private def spark: SparkSession = table.spark
+  private def timeline: Timeline = table.timeline
+  private def abs(st: WriteStat): String = s"${table.basePath}/${st.path}"
+
+  private def emptyWith(schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      if (schema.isEmpty) StructType(Nil) else schema)
+
+  private def readFiles(schema: StructType, paths: Seq[String]): DataFrame =
+    if (paths.isEmpty) emptyWith(schema)
+    else spark.read.schema(schema).parquet(paths: _*)
+
+  /** Snapshot at `asOf` (None = latest). `partitionFilter` prunes file
+    * groups before any IO — pass e.g. `Some(Set("p1","p2"))`. */
+  def snapshot(
+      asOf: Option[String] = None,
+      partitions: Option[Set[String]] = None): DataFrame = {
+    val snap = Snapshot.resolve(timeline, asOf)
+    val schema = table.readSchema(snap)
+    if (snap.isEmpty || schema.isEmpty) return emptyWith(schema)
+    val slices = partitions match {
+      case Some(ps) => snap.slices.filter(s => ps.contains(s.partition))
+      case None     => snap.slices
+    }
+    val (dirty, clean) = slices.partition(_.deltas.nonEmpty)
+    val cleanDf = readFiles(schema, clean.flatMap(_.baseFile).map(abs))
+    val merged =
+      if (dirty.isEmpty) cleanDf
+      else {
+        val dirtyDf = readFiles(schema, dirty.flatMap(_.allFiles).map(abs))
+        cleanDf.unionByName(table.mergeLatest(dirtyDf))
+      }
+    merged.filter(!col(Deleted))
+  }
+
+  /** Read-optimized view: base files only, ignoring pending deltas
+    * (reference analog: read_optimized query type). */
+  def readOptimized(asOf: Option[String] = None): DataFrame = {
+    val snap = Snapshot.resolve(timeline, asOf)
+    val schema = table.readSchema(snap)
+    if (snap.isEmpty || schema.isEmpty) return emptyWith(schema)
+    readFiles(schema, snap.slices.flatMap(_.baseFile).map(abs)).filter(!col(Deleted))
+  }
+
+  /** Change stream: latest state of every record changed in
+    * `(begin, end]` (reference analog: IncrementalRelation.scala:101 —
+    * touched file groups from commit metadata, then a commit-time row
+    * filter; replaced groups excluded by snapshot resolution). `begin=""`
+    * reads from the table's origin. */
+  def incremental(begin: String, end: Option[String] = None): DataFrame = {
+    val snap = Snapshot.resolve(timeline, end)
+    val schema = table.readSchema(snap)
+    if (snap.isEmpty || schema.isEmpty) return emptyWith(schema)
+    val endT = snap.asOf
+    val touched = Snapshot.commitsInRange(timeline, begin, endT)
+      .flatMap(_._2.stats).map(s => (s.partition, s.fileId)).toSet
+    val slices = snap.slices.filter(s => touched.contains((s.partition, s.fileId)))
+    val (dirty, cleanSlices) = slices.partition(_.deltas.nonEmpty)
+    val cleanDf = readFiles(schema, cleanSlices.flatMap(_.baseFile).map(abs))
+    val all =
+      if (dirty.isEmpty) cleanDf
+      else cleanDf.unionByName(table.mergeLatest(readFiles(schema, dirty.flatMap(_.allFiles).map(abs))))
+    all.filter(col(CommitTime) > begin && col(CommitTime) <= endT && !col(Deleted))
+  }
+
+  /** Point lookup by record key: slices pruned by per-file [minKey,maxKey]
+    * ranges from commit metadata before any IO (reference analog:
+    * HoodieReadClient.readROView :173 + bloom key-range pruning). */
+  def pointLookup(keys: Seq[String], asOf: Option[String] = None): DataFrame = {
+    val snap = Snapshot.resolve(timeline, asOf)
+    val schema = table.readSchema(snap)
+    if (snap.isEmpty || schema.isEmpty || keys.isEmpty) return emptyWith(schema)
+    val ks = keys.sorted
+    def mayContain(st: WriteStat): Boolean =
+      st.minKey.isEmpty || ks.exists(k => k >= st.minKey && k <= st.maxKey)
+    val slices = snap.slices.filter(s =>
+      s.baseFile.exists(mayContain) || s.deltas.exists(mayContain))
+    val (dirty, clean) = slices.partition(_.deltas.nonEmpty)
+    val cleanDf = readFiles(schema, clean.flatMap(_.baseFile).map(abs))
+      .filter(col(Key).isin(ks: _*))
+    val all =
+      if (dirty.isEmpty) cleanDf
+      else cleanDf.unionByName(
+        table.mergeLatest(
+          readFiles(schema, dirty.flatMap(_.allFiles).map(abs))
+            .filter(col(Key).isin(ks: _*))))
+    all.filter(!col(Deleted))
+  }
+
+  /** Data columns only (drop engine meta columns). */
+  def dataOnly(df: DataFrame): DataFrame =
+    df.drop(Meta.all: _*)
+}
+
+object GraftReader {
+  def apply(table: GraftTable): GraftReader = new GraftReader(table)
+}

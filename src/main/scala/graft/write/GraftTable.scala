@@ -1,0 +1,453 @@
+package graft.write
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.core._
+
+/** Meta columns stamped onto every stored row (reference analog: the five
+  * `_hoodie_*` columns, model/HoodieRecord.java:37-56). They enable
+  * incremental queries, record lineage and merge-on-read without any
+  * row-format sidecar. */
+object Meta {
+  val CommitTime = "_g_commit_time"
+  val Seqno = "_g_seqno"
+  val Key = "_g_key"
+  val Partition = "_g_partition"
+  val File = "_g_file"
+  val Deleted = "_g_deleted"
+  val all: Seq[String] = Seq(CommitTime, Seqno, Key, Partition, File, Deleted)
+  /** staging-only duplicates used for partitionBy (partitionBy strips its
+    * columns from file contents; we want them stored too) */
+  val GP = "_gp"
+  val GF = "_gf"
+  /** sentinel staging dir value for the empty (non-partitioned) path —
+    * Spark writes empty-string partition values to the default-partition
+    * dir, so we substitute a printable token and decode on publish */
+  val RootPartition = "__ROOT__"
+}
+
+/** A graft table: Parquet file groups + a JSON instant timeline, managed
+  * Spark-first. All dataflow is DataFrame-declarative (Catalyst plans the
+  * shuffles); only the commit protocol and file-group bookkeeping are ours.
+  *
+  * Write-path shape (reference analog: SparkRDDWriteClient.java:154 →
+  * BaseSparkCommitActionExecutor.java:146, re-expressed without the
+  * RDD/Avro IR): prepare (key/partition exprs + intra-batch dedup) →
+  * tag via key-index join → bucket assignment → window-merge per file
+  * group → staged parquet write → atomic commit publish.
+  */
+class GraftTable private (
+    val spark: SparkSession,
+    val basePath: String,
+    val timeline: Timeline) {
+
+  import Meta._
+
+  lazy val config: TableConfig = timeline.config
+  private def isMor: Boolean = config.tableType == TableType.MOR
+  private def fs = timeline.fileSystem
+
+  // =========================================================================
+  // prepare: stamp key / partition / meta columns
+  // =========================================================================
+
+  private def keyExpr: Column =
+    if (config.keyFields.size == 1) col(config.keyFields.head).cast("string")
+    else concat_ws(":", config.keyFields.map(f => col(f).cast("string")): _*)
+
+  private def partitionExpr: Column =
+    if (config.partitionFields.isEmpty) lit("")
+    else concat_ws("/", config.partitionFields.map(f =>
+      regexp_replace(col(f).cast("string"), "[/\\\\:*?\"<>|%\\x00-\\x1f]", "_")): _*)
+
+  private def orderingCol(df: DataFrame): Column =
+    if (config.orderingField.nonEmpty && df.columns.contains(config.orderingField))
+      col(config.orderingField)
+    else lit(0)
+
+  /** Stamp meta columns for a new write at `commitTime`. */
+  private def prepare(df: DataFrame, commitTime: String, deleted: Boolean = false): DataFrame = {
+    val base = df
+      .withColumn(Key, keyExpr)
+      .withColumn(Partition, partitionExpr)
+      .withColumn(CommitTime, lit(commitTime))
+      .withColumn(Seqno, concat(lit(commitTime), lit("_"),
+        lpad(monotonically_increasing_id().cast("string"), 19, "0")))
+      .withColumn(Deleted, lit(deleted))
+    base
+  }
+
+  /** Intra-batch dedup — keep the winning row per key within one incoming
+    * batch (reference analog: preCombine, commit/SparkWriteHelper.java:63). */
+  private def precombine(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(Key), col(Partition))
+      .orderBy(orderingCol(df).desc_nulls_last, col(Seqno).desc)
+    df.withColumn("_g_rn", row_number().over(w)).filter(col("_g_rn") === 1).drop("_g_rn")
+  }
+
+  /** Cross-version merge: latest row per key across base + delta + incoming.
+    * Strategy semantics (reference analog §1.1 payloads):
+    *  - overwrite_latest: higher ordering wins; ties → newer commit wins
+    *    (OverwriteWithLatestAvroPayload)
+    *  - event_time: higher ordering wins; ties → stored (older commit) row
+    *    kept (DefaultHoodieRecordPayload.needUpdatingPersistedRecord >=)
+    * Null ordering sorts first so tombstones without an event time always
+    * win (EmptyHoodieRecordPayload: delete regardless of ordering). */
+  private[graft] def mergeLatest(df: DataFrame): DataFrame = {
+    val ord = orderingCol(df)
+    val tiebreak = config.mergeStrategy match {
+      case "event_time" => Seq(col(CommitTime).asc, col(Seqno).asc)
+      case _            => Seq(col(CommitTime).desc, col(Seqno).desc)
+    }
+    val w = Window.partitionBy(col(Key), col(Partition))
+      .orderBy(ord.desc_nulls_first +: tiebreak: _*)
+    df.withColumn("_g_rn", row_number().over(w)).filter(col("_g_rn") === 1).drop("_g_rn")
+  }
+
+  // =========================================================================
+  // physical write: stage → stats → publish
+  // =========================================================================
+
+  /** Write `df` (which must carry all meta columns incl. `_g_file`) into
+    * the table layout: staged `partitionBy(partition, fileGroup)` parquet
+    * write, one file per group (rows are co-located by the repartition),
+    * then rename into `<partition>/<fileId>_<commit>[.delta].parquet`.
+    * Returns per-file WriteStats. */
+  private def stageAndPublish(
+      df: DataFrame,
+      commitTime: String,
+      delta: Boolean = false): Seq[WriteStat] = {
+    val stagingDir = new Path(basePath, s"${Timeline.MetaDir}/.tmp/$commitTime")
+    val staged = df
+      .withColumn(GP, when(col(Partition) === "", lit(RootPartition)).otherwise(col(Partition)))
+      .withColumn(GF, col(File))
+      .repartition(col(GP), col(GF))
+      .sortWithinPartitions(col(GP), col(GF), col(Key))
+    staged.write.mode("overwrite").partitionBy(GP, GF).parquet(stagingDir.toString)
+
+    // per-group stats from the staged output (one cheap metadata-friendly
+    // aggregate; reference analog: HoodieWriteStat accounting)
+    val stagedDf = spark.read.parquet(stagingDir.toString)
+    val stats = stagedDf.groupBy(col(GP), col(GF))
+      .agg(count(lit(1)).as("rows"), min(col(Key)).as("minKey"), max(col(Key)).as("maxKey"))
+      .collect()
+      .map { r =>
+        val part = if (r.getString(0) == RootPartition) "" else r.getString(0)
+        (part, r.getString(1), r.getLong(2), r.getString(3), r.getString(4))
+      }
+
+    val suffix = if (delta) s"_$commitTime.delta.parquet" else s"_$commitTime.parquet"
+    val out = stats.toSeq.map { case (part, fileId, rows, minKey, maxKey) =>
+      val encPart = escapePath(if (part == "") RootPartition else part)
+      val srcDir = new Path(stagingDir, s"$GP=$encPart/$GF=${escapePath(fileId)}")
+      val parts = fs.globStatus(new Path(srcDir, "part-*")).toSeq
+      require(parts.size == 1, s"expected 1 staged file per group, got ${parts.size} in $srcDir")
+      val destDir = if (part == "") new Path(basePath) else new Path(basePath, part)
+      fs.mkdirs(destDir)
+      val dest = new Path(destDir, s"$fileId$suffix")
+      if (!fs.rename(parts.head.getPath, dest))
+        throw new IllegalStateException(s"publish rename failed: $dest")
+      val bytes = fs.getFileStatus(dest).getLen
+      val rel = if (part == "") dest.getName else s"$part/${dest.getName}"
+      WriteStat(part, fileId, rel, isDelta = delta, rows = rows, bytes = bytes,
+        minKey = Option(minKey).getOrElse(""), maxKey = Option(maxKey).getOrElse(""))
+    }
+    fs.delete(stagingDir, true)
+    out
+  }
+
+  /** Match Spark's partition-dir escaping so staged dirs resolve. */
+  private def escapePath(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s)
+
+  // =========================================================================
+  // bucket assignment for inserts
+  // =========================================================================
+
+  /** Assign rows without an existing file group to new groups, sized by
+    * `targetFileRows` per partition (reference analog:
+    * UpsertPartitioner.assignInserts, UpsertPartitioner.java:157 — the
+    * plan is computed from a small per-partition aggregate and joined
+    * back broadcast-style, never collected per row). */
+  private def assignNewGroups(df: DataFrame, commitTime: String): DataFrame = {
+    val target = math.max(1L, config.targetFileRows)
+    val counts = df.groupBy(col(Partition)).agg(count(lit(1)).as("_g_cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var offset = 0
+    val plan = counts.map { case (part, cnt) =>
+      val buckets = math.max(1L, (cnt + target - 1) / target).toInt
+      val row = (part, buckets, offset)
+      offset += buckets
+      row
+    }.toSeq
+    val planDf = broadcast(
+      spark.createDataFrame(plan).toDF(Partition + "_p", "_g_buckets", "_g_off"))
+    df.join(planDf, col(Partition) === col(Partition + "_p"), "left")
+      .withColumn(File, concat(lit("g" + commitTime + "-"),
+        (col("_g_off") + pmod(xxhash64(col(Key)), col("_g_buckets"))).cast("string")))
+      .drop(Partition + "_p", "_g_buckets", "_g_off")
+  }
+
+  // =========================================================================
+  // key index (tagging)
+  // =========================================================================
+
+  /** (key, partition, fileId) projection of the live slices — the SIMPLE
+    * index (reference analog: index/simple/HoodieSimpleIndex.java:114;
+    * bloom/range pruning is replaced by Parquet column pruning: only the
+    * key columns are read). Restricted to `partitions` when the incoming
+    * batch touches a subset. */
+  private def keyIndex(snap: Snapshot, partitions: Option[Set[String]]): DataFrame = {
+    val slices = partitions match {
+      case Some(ps) => snap.slices.filter(s => ps.contains(s.partition))
+      case None     => snap.slices
+    }
+    val paths = slices.flatMap(_.allFiles).map(abs)
+    if (paths.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField(Key, org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(Partition, org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(File, org.apache.spark.sql.types.StringType))))
+    // A key lives in exactly one file group; for groups with deltas the
+    // delta rows repeat the same (key,file), so distinct is cheap.
+    spark.read.parquet(paths: _*)
+      .select(col(Key), col(Partition), col(File))
+      .distinct()
+  }
+
+  private def abs(st: WriteStat): String = s"$basePath/${st.path}"
+
+  // =========================================================================
+  // public write operations
+  // =========================================================================
+
+  /** Initial/large load: no index lookup, no merge, straight sized write
+    * (reference analog: SparkRDDWriteClient.bulkInsert :227; row-writer
+    * path HoodieSparkSqlWriter.bulkInsertAsRow :415 — which is simply a
+    * DataFrame write, our default everywhere). sortMode: "global" |
+    * "partition" | "none". */
+  def bulkInsert(df: DataFrame, sortMode: String = "partition"): String = {
+    val t = timeline.start(Action.Commit)
+    val prepared = assignNewGroups(prepare(df, t), t)
+    val sorted = sortMode match {
+      case "global" => prepared.orderBy(col(Partition), col(Key))
+      case _        => prepared
+    }
+    val stats = stageAndPublish(sorted, t)
+    timeline.complete(t, Action.Commit,
+      CommitMetadata("bulk_insert", schemaJson(prepared), stats))
+    t
+  }
+
+  /** Insert with intra-batch dedup but no merge against storage. */
+  def insert(df: DataFrame): String = {
+    val t = timeline.start(Action.Commit)
+    val prepared = assignNewGroups(precombine(prepare(df, t)), t)
+    val stats = stageAndPublish(prepared, t)
+    timeline.complete(t, Action.Commit, CommitMetadata("insert", schemaJson(prepared), stats))
+    t
+  }
+
+  /** Upsert: tag each record against the key index, merge-rewrite affected
+    * file groups (COW) or append delta files (MOR), route new keys to new
+    * groups. */
+  def upsert(df: DataFrame): String = {
+    val action = if (isMor) Action.DeltaCommit else Action.Commit
+    val t = timeline.start(action)
+    val snap = Snapshot.resolve(timeline)
+    val prepared = precombine(prepare(df, t))
+
+    val touched: Option[Set[String]] =
+      if (config.partitionFields.isEmpty || config.globalIndex) None
+      else Some(prepared.select(Partition).distinct().collect().map(_.getString(0)).toSet)
+    val idx = keyIndex(snap, touched)
+      .withColumnRenamed(Key, "_g_idx_key")
+      .withColumnRenamed(File, "_g_loc")
+      .withColumnRenamed(Partition, "_g_loc_part")
+    val joinCond =
+      if (config.globalIndex) col(Key) === col("_g_idx_key")
+      else col(Key) === col("_g_idx_key") && col(Partition) === col("_g_loc_part")
+    val tagged = prepared.join(idx, joinCond, "left").drop("_g_idx_key")
+
+    val updates = tagged.filter(col("_g_loc").isNotNull)
+      .withColumn(File, col("_g_loc"))
+      .withColumn(Partition,
+        if (config.globalIndex) col("_g_loc_part") else col(Partition))
+      .drop("_g_loc", "_g_loc_part")
+    val inserts = assignNewGroups(
+      tagged.filter(col("_g_loc").isNull).drop("_g_loc", "_g_loc_part"), t)
+
+    val stats =
+      if (isMor) {
+        // MOR: updates land as delta files on their group; no base read.
+        val deltaStats = stageAndPublish(updates, t, delta = true)
+        val baseStats = stageAndPublish(inserts, t)
+        deltaStats ++ baseStats
+      } else {
+        // COW: rewrite each affected group = old slice ∪ incoming → latest-wins.
+        val affected = updates.select(File).distinct().collect().map(_.getString(0)).toSet
+        val oldPaths = snap.slices.filter(s => affected.contains(s.fileId)).flatMap(_.allFiles).map(abs)
+        val old = if (oldPaths.isEmpty) spark.emptyDataFrame else
+          spark.read.schema(readSchema(snap)).parquet(oldPaths: _*)
+        val merged =
+          if (oldPaths.isEmpty) updates
+          else mergeLatest(old.unionByName(updates, allowMissingColumns = true))
+        stageAndPublish(merged.filter(!col(Deleted)).unionByName(inserts), t)
+      }
+    timeline.complete(t, action, CommitMetadata("upsert", schemaJson(prepared), stats))
+    t
+  }
+
+  /** Delete by key: `keys` must contain the key fields (+ partition fields
+    * for a non-global index). COW: anti-join rewrite of affected groups;
+    * MOR: tombstone delta rows (reference analog:
+    * SparkRDDWriteClient.delete :252 + EmptyHoodieRecordPayload). */
+  def delete(keys: DataFrame): String = {
+    val action = if (isMor) Action.DeltaCommit else Action.Commit
+    val t = timeline.start(action)
+    val snap = Snapshot.resolve(timeline)
+    val prepared = precombine(prepare(keys, t, deleted = true))
+      .select(col(CommitTime), col(Seqno), col(Key), col(Partition), col(Deleted))
+
+    val touched: Option[Set[String]] =
+      if (config.partitionFields.isEmpty || config.globalIndex) None
+      else Some(prepared.select(Partition).distinct().collect().map(_.getString(0)).toSet)
+    val idx = keyIndex(snap, touched)
+      .withColumnRenamed(Key, "_g_idx_key")
+      .withColumnRenamed(File, "_g_loc")
+      .withColumnRenamed(Partition, "_g_loc_part")
+    val joinCond =
+      if (config.globalIndex) col(Key) === col("_g_idx_key")
+      else col(Key) === col("_g_idx_key") && col(Partition) === col("_g_loc_part")
+    // records that don't exist are dropped (nothing to delete)
+    val tagged = prepared.join(idx, joinCond, "inner").drop("_g_idx_key")
+      .withColumn(File, col("_g_loc"))
+      .withColumn(Partition,
+        if (config.globalIndex) col("_g_loc_part") else col(Partition))
+      .drop("_g_loc", "_g_loc_part")
+
+    val (stats, replaced) =
+      if (isMor) (stageAndPublish(tagged, t, delta = true), Map.empty[String, Seq[String]])
+      else {
+        val affected = tagged.select(Partition, File).distinct().collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        if (affected.isEmpty) (Nil, Map.empty[String, Seq[String]])
+        else {
+          val affectedIds = affected.map(_._2).toSet
+          val slices = snap.slices.filter(s => affectedIds.contains(s.fileId))
+          val old = spark.read.schema(readSchema(snap))
+            .parquet(slices.flatMap(_.allFiles).map(abs): _*)
+          val remaining = old.join(
+            tagged.select(col(Key).as("_dk"), col(File).as("_df")),
+            old(Key) === col("_dk") && old(File) === col("_df"), "left_anti")
+          val stats = stageAndPublish(remaining, t)
+          // groups emptied by the delete produce no staged file → replace them
+          val written = stats.map(_.fileId).toSet
+          val gone = affected.filterNot { case (_, f) => written.contains(f) }
+            .groupBy(_._1).map { case (p, fs) => p -> fs.map(_._2).toSeq.distinct }
+          (stats, gone)
+        }
+      }
+    timeline.complete(t, action, CommitMetadata("delete", "", stats, replaced))
+    t
+  }
+
+  /** Replace the file groups of every partition touched by `df`
+    * (reference analog: insert_overwrite, SparkRDDWriteClient.java:203). */
+  def insertOverwrite(df: DataFrame): String = {
+    val t = timeline.start(Action.ReplaceCommit)
+    val snap = Snapshot.resolve(timeline)
+    val prepared = assignNewGroups(precombine(prepare(df, t)), t)
+    val parts = prepared.select(Partition).distinct().collect().map(_.getString(0)).toSet
+    val stats = stageAndPublish(prepared, t)
+    val replaced = snap.slices.filter(s => parts.contains(s.partition))
+      .groupBy(_.partition).map { case (p, ss) => p -> ss.map(_.fileId).toSeq }
+    timeline.complete(t, Action.ReplaceCommit,
+      CommitMetadata("insert_overwrite", schemaJson(prepared), stats, replaced))
+    t
+  }
+
+  /** Replace the entire table's file groups. */
+  def insertOverwriteTable(df: DataFrame): String = {
+    val t = timeline.start(Action.ReplaceCommit)
+    val snap = Snapshot.resolve(timeline)
+    val prepared = assignNewGroups(precombine(prepare(df, t)), t)
+    val stats = stageAndPublish(prepared, t)
+    val replaced = snap.slices.groupBy(_.partition)
+      .map { case (p, ss) => p -> ss.map(_.fileId).toSeq }
+    timeline.complete(t, Action.ReplaceCommit,
+      CommitMetadata("insert_overwrite_table", schemaJson(prepared), stats, replaced))
+    t
+  }
+
+  /** Logically drop whole partitions via replacecommit; physical files are
+    * removed later by clean (reference analog:
+    * SparkDeletePartitionCommitActionExecutor.java:42). */
+  def deletePartitions(partitions: Seq[String]): String = {
+    val t = timeline.start(Action.ReplaceCommit)
+    val snap = Snapshot.resolve(timeline)
+    val ps = partitions.toSet
+    val replaced = snap.slices.filter(s => ps.contains(s.partition))
+      .groupBy(_.partition).map { case (p, ss) => p -> ss.map(_.fileId).toSeq }
+    timeline.complete(t, Action.ReplaceCommit,
+      CommitMetadata("delete_partition", "", Nil, replaced))
+    t
+  }
+
+  // =========================================================================
+  // schema plumbing
+  // =========================================================================
+
+  private def schemaJson(prepared: DataFrame): String = {
+    import org.apache.spark.sql.types._
+    val metaFields = Seq(
+      StructField(CommitTime, StringType), StructField(Seqno, StringType),
+      StructField(Key, StringType), StructField(Partition, StringType),
+      StructField(File, StringType), StructField(Deleted, BooleanType))
+    val dataCols = prepared.schema.fields.filterNot(f =>
+      Meta.all.contains(f.name) || f.name == GP || f.name == GF)
+    StructType(metaFields ++ dataCols).json
+  }
+
+  /** Latest stored schema (meta + data columns) visible in `snap`. */
+  private[graft] def readSchema(snap: Snapshot): StructType = {
+    val js = snap.instants.reverseIterator
+      .map(timeline.metadataOf(_).schemaJson)
+      .find(_.nonEmpty)
+    js.map(DataTypeJson.parse).getOrElse(StructType(Nil))
+  }
+}
+
+/** StructType JSON round-trip helper (kept out of the hot path). */
+object DataTypeJson {
+  def parse(json: String): StructType =
+    org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType]
+}
+
+object GraftTable {
+  def create(spark: SparkSession, path: String, config: TableConfig): GraftTable = {
+    val tl = new Timeline(path, spark.sessionState.newHadoopConf())
+    require(!tl.exists, s"table already exists at $path")
+    tl.initTable(config)
+    new GraftTable(spark, path, tl)
+  }
+
+  def load(spark: SparkSession, path: String): GraftTable = {
+    val tl = new Timeline(path, spark.sessionState.newHadoopConf())
+    require(tl.exists, s"no graft table at $path")
+    new GraftTable(spark, path, tl)
+  }
+
+  def createOrLoad(spark: SparkSession, path: String, config: TableConfig): GraftTable = {
+    val tl = new Timeline(path, spark.sessionState.newHadoopConf())
+    if (!tl.exists) tl.initTable(config)
+    new GraftTable(spark, path, tl)
+  }
+}

@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.core._
+import graft.read.GraftReader
+import graft.write.{GraftTable, Meta}
+
+class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Tables.configure(SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  def tmp(): String = Files.createTempDirectory("graft-test").toString
+
+  def orders: DataFrame = spark.read.parquet(s"$sf/orders.parquet")
+
+  /** batch1: keys with k%4 in {0,1,2}; batch2: k%4 in {2,3}, price+1000 */
+  def batch1: DataFrame = orders.filter(col("o_orderkey") % 4 < 3)
+  def batch2: DataFrame = orders.filter(col("o_orderkey") % 4 >= 2)
+    .withColumn("o_totalprice", col("o_totalprice") + 1000)
+
+  /** expected state after bulkInsert(batch1) + upsert(batch2) */
+  def expectedMerged: DataFrame = orders.withColumn("o_totalprice",
+    when(col("o_orderkey") % 4 >= 2, col("o_totalprice") + 1000)
+      .otherwise(col("o_totalprice")))
+
+  def assertSameRows(got: DataFrame, want: DataFrame, hint: String): Unit = {
+    val g = got.select(want.columns.map(col): _*)
+    val extra = g.exceptAll(want).count()
+    val missing = want.exceptAll(g).count()
+    assert(extra == 0 && missing == 0,
+      s"$hint: extra=$extra missing=$missing (got=${g.count()}, want=${want.count()})")
+  }
+
+  def cfg(tt: String): TableConfig = TableConfig(
+    name = "orders", tableType = tt, keyFields = Seq("o_orderkey"),
+    partitionFields = Seq("o_orderpriority"), orderingField = "o_orderdate",
+    targetFileRows = 500)
+
+  test("COW: bulk_insert + upsert + snapshot") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.COW))
+    val t1 = tbl.bulkInsert(batch1)
+    val r = GraftReader(tbl)
+    assertSameRows(r.dataOnly(r.snapshot()), batch1, "after bulk_insert")
+    val t2 = tbl.upsert(batch2)
+    assert(t2 > t1)
+    assertSameRows(r.dataOnly(r.snapshot()), expectedMerged, "after upsert")
+    // time travel back to t1
+    assertSameRows(r.dataOnly(r.snapshot(asOf = Some(t1))), batch1, "time travel t1")
+    // incremental (t1, t2] = exactly the upserted records
+    val inc = r.incremental(t1)
+    assertSameRows(r.dataOnly(inc), batch2, "incremental t1->t2")
+    // meta columns: updated rows carry t2, untouched carry t1
+    val byCommit = r.snapshot().groupBy(Meta.CommitTime).count()
+      .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(byCommit(t2) == batch2.count())
+    assert(byCommit(t1) == expectedMerged.count() - batch2.count())
+  }
+
+  test("COW: delete + point lookup") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.COW))
+    tbl.bulkInsert(batch1)
+    val delKeys = batch1.filter(col("o_orderkey") % 10 === 0)
+      .select("o_orderkey", "o_orderpriority")
+    tbl.delete(delKeys)
+    val r = GraftReader(tbl)
+    val want = batch1.filter(col("o_orderkey") % 10 =!= 0)
+    assertSameRows(r.dataOnly(r.snapshot()), want, "after delete")
+    // point lookup
+    val someKeys = want.limit(3).collect().map(_.getLong(0).toString).toSeq
+    val found = r.pointLookup(someKeys)
+    assert(found.count() == someKeys.size)
+    val missing = r.pointLookup(Seq("99999999"))
+    assert(missing.count() == 0)
+  }
+
+  test("COW: insert_overwrite partition + delete_partition") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.COW))
+    tbl.bulkInsert(orders)
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    tbl.insertOverwrite(urgent)
+    val r = GraftReader(tbl)
+    val want = orders.filter(col("o_orderpriority") =!= "1-URGENT").unionByName(urgent)
+    assertSameRows(r.dataOnly(r.snapshot()), want, "after insert_overwrite")
+    tbl.deletePartitions(Seq("5-LOW"))
+    val want2 = want.filter(col("o_orderpriority") =!= "5-LOW")
+    assertSameRows(r.dataOnly(r.snapshot()), want2, "after delete_partition")
+  }
+
+  test("MOR: upsert writes deltas, snapshot merges, RO view skips them") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.MOR))
+    val t1 = tbl.bulkInsert(batch1)
+    val t2 = tbl.upsert(batch2)
+    val snap = Snapshot.resolve(tbl.timeline)
+    assert(snap.slices.exists(_.deltas.nonEmpty), "expected delta files")
+    val r = GraftReader(tbl)
+    assertSameRows(r.dataOnly(r.snapshot()), expectedMerged, "MOR snapshot")
+    // read-optimized = base files only: updated rows (k%4==2) show OLD
+    // values, rows inserted by the upsert (k%4==3) DO appear with new
+    // values (they went to new base files)
+    val ro = r.dataOnly(r.readOptimized())
+    val wantRo = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") % 4 === 3, col("o_totalprice") + 1000)
+        .otherwise(col("o_totalprice")))
+    assertSameRows(ro, wantRo, "MOR read-optimized")
+    // incremental
+    assertSameRows(r.dataOnly(r.incremental(t1)), batch2, "MOR incremental")
+  }
+
+  test("MOR: delete via tombstone delta") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.MOR))
+    tbl.bulkInsert(batch1)
+    tbl.delete(batch1.filter(col("o_orderkey") % 10 === 0)
+      .select("o_orderkey", "o_orderpriority"))
+    val r = GraftReader(tbl)
+    assertSameRows(r.dataOnly(r.snapshot()),
+      batch1.filter(col("o_orderkey") % 10 =!= 0), "MOR delete")
+  }
+
+  test("event_time merge: stale update does not overwrite") {
+    val dir = tmp()
+    val conf = cfg(TableType.COW).copy(mergeStrategy = "event_time")
+    val tbl = GraftTable.create(spark, dir, conf)
+    tbl.bulkInsert(batch1)
+    // replay the SAME rows but with an OLDER ordering value and changed price
+    val stale = batch1
+      .withColumn("o_orderdate", col("o_orderdate") - expr("INTERVAL 1000 DAYS"))
+      .withColumn("o_totalprice", lit(-1.0))
+    tbl.upsert(stale)
+    val r = GraftReader(tbl)
+    assertSameRows(r.dataOnly(r.snapshot()), batch1, "stale upsert ignored")
+    // equal ordering value also keeps the stored row (the >= nuance,
+    // DefaultHoodieRecordPayload.java:110)
+    val tie = batch1.withColumn("o_totalprice", lit(-2.0))
+    tbl.upsert(tie)
+    assertSameRows(r.dataOnly(r.snapshot()), batch1, "tie keeps stored")
+  }
+
+  test("non-partitioned + global-ish behavior") {
+    val dir = tmp()
+    val conf = TableConfig(name = "o", tableType = TableType.COW,
+      keyFields = Seq("o_orderkey"), orderingField = "o_orderdate",
+      targetFileRows = 500)
+    val tbl = GraftTable.create(spark, dir, conf)
+    tbl.bulkInsert(batch1)
+    tbl.upsert(batch2)
+    val r = GraftReader(tbl)
+    assertSameRows(r.dataOnly(r.snapshot()), expectedMerged, "non-partitioned")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+}
