@@ -76,8 +76,12 @@ class GraftTable private (
       .withColumn(Key, keyExpr)
       .withColumn(Partition, partitionExpr)
       .withColumn(CommitTime, lit(commitTime))
+      // deterministic tiebreaker: stable across task retries/recomputation
+      // (monotonically_increasing_id is not); identical duplicate rows
+      // collide, but then either copy is the same winner
       .withColumn(Seqno, concat(lit(commitTime), lit("_"),
-        lpad(monotonically_increasing_id().cast("string"), 19, "0")))
+        lpad(org.apache.spark.sql.functions.abs(
+          xxhash64(df.columns.toSeq.map(c => col(c)): _*)).cast("string"), 20, "0")))
       .withColumn(Deleted, lit(deleted))
     base
   }
@@ -91,22 +95,34 @@ class GraftTable private (
   }
 
   /** Cross-version merge: latest row per key across base + delta + incoming.
-    * Strategy semantics (reference analog §1.1 payloads):
+    *
+    * Tombstones first: a delete always removes every version committed at
+    * or before it (EmptyHoodieRecordPayload: delete regardless of
+    * ordering), while rows committed AFTER the latest tombstone survive —
+    * so a re-insert after a delete wins. This emulates the reference's
+    * sequential log application (HoodieMergedLogRecordScanner) without a
+    * per-key map.
+    *
+    * Then, among surviving data rows, strategy semantics
+    * (reference analog §1.1 payloads):
     *  - overwrite_latest: higher ordering wins; ties → newer commit wins
     *    (OverwriteWithLatestAvroPayload)
     *  - event_time: higher ordering wins; ties → stored (older commit) row
     *    kept (DefaultHoodieRecordPayload.needUpdatingPersistedRecord >=)
-    * Null ordering sorts first so tombstones without an event time always
-    * win (EmptyHoodieRecordPayload: delete regardless of ordering). */
+    * Null ordering sorts LAST: a data row with no event time never beats a
+    * stored row that has one. */
   private[graft] def mergeLatest(df: DataFrame): DataFrame = {
     val ord = orderingCol(df)
     val tiebreak = config.mergeStrategy match {
       case "event_time" => Seq(col(CommitTime).asc, col(Seqno).asc)
       case _            => Seq(col(CommitTime).desc, col(Seqno).desc)
     }
-    val w = Window.partitionBy(col(Key), col(Partition))
-      .orderBy(ord.desc_nulls_first +: tiebreak: _*)
-    df.withColumn("_g_rn", row_number().over(w)).filter(col("_g_rn") === 1).drop("_g_rn")
+    val keyW = Window.partitionBy(col(Key), col(Partition))
+    val rnW = keyW.orderBy(ord.desc_nulls_last +: tiebreak: _*)
+    df.withColumn("_g_tomb", max(when(col(Deleted), col(CommitTime))).over(keyW))
+      .filter(col("_g_tomb").isNull || col(CommitTime) > col("_g_tomb"))
+      .withColumn("_g_rn", row_number().over(rnW)).filter(col("_g_rn") === 1)
+      .drop("_g_rn", "_g_tomb")
   }
 
   // =========================================================================
@@ -130,9 +146,26 @@ class GraftTable private (
       .sortWithinPartitions(col(GP), col(GF), col(Key))
     staged.write.mode("overwrite").partitionBy(GP, GF).parquet(stagingDir.toString)
 
+    // empty input leaves only _SUCCESS behind; nothing to publish
+    if (fs.globStatus(new Path(stagingDir, s"$GP=*")).isEmpty) {
+      fs.delete(stagingDir, true)
+      return Nil
+    }
+
     // per-group stats from the staged output (one cheap metadata-friendly
-    // aggregate; reference analog: HoodieWriteStat accounting)
-    val stagedDf = spark.read.parquet(stagingDir.toString)
+    // aggregate; reference analog: HoodieWriteStat accounting).
+    // Partition-column type inference must stay OFF for this read: numeric
+    // or date-like partition values would come back typed (getString
+    // throws) or normalized (leading zeros dropped → rename lookup fails).
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prevInfer = spark.conf.getOption(inferKey)
+    spark.conf.set(inferKey, "false")
+    val stagedDf =
+      try spark.read.parquet(stagingDir.toString)
+      finally prevInfer match {
+        case Some(v) => spark.conf.set(inferKey, v)
+        case None    => spark.conf.unset(inferKey)
+      }
     val stats = stagedDf.groupBy(col(GP), col(GF))
       .agg(count(lit(1)).as("rows"), min(col(Key)).as("minKey"), max(col(Key)).as("maxKey"))
       .collect()
@@ -299,7 +332,9 @@ class GraftTable private (
         val merged =
           if (oldPaths.isEmpty) updates
           else mergeLatest(old.unionByName(updates, allowMissingColumns = true))
-        stageAndPublish(merged.filter(!col(Deleted)).unionByName(inserts), t)
+        stageAndPublish(
+          merged.filter(!col(Deleted))
+            .unionByName(inserts, allowMissingColumns = true), t)
       }
     timeline.complete(t, action, CommitMetadata("upsert", schemaJson(prepared), stats))
     t

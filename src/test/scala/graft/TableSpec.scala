@@ -165,5 +165,88 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSameRows(r.dataOnly(r.snapshot()), expectedMerged, "non-partitioned")
   }
 
+  test("MOR: pure-insert and pure-update upserts (empty-branch staging)") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.MOR))
+    tbl.bulkInsert(batch1)
+    val r = GraftReader(tbl)
+    // pure update: every key already exists -> inserts branch is empty
+    val bump = batch1.withColumn("o_totalprice", col("o_totalprice") + 5)
+    tbl.upsert(bump)
+    assertSameRows(r.dataOnly(r.snapshot()), bump, "pure-update upsert")
+    // pure insert: no key exists -> updates branch is empty
+    val fresh = orders.filter(col("o_orderkey") % 4 === 3)
+    tbl.upsert(fresh)
+    assertSameRows(r.dataOnly(r.snapshot()), bump.unionByName(fresh), "pure-insert upsert")
+  }
+
+  test("delete with no matching keys is a no-op (COW and MOR)") {
+    for (tt <- Seq(TableType.COW, TableType.MOR)) {
+      val dir = tmp()
+      val tbl = GraftTable.create(spark, dir, cfg(tt))
+      tbl.bulkInsert(batch1)
+      val ghost = spark.range(1).select(
+        lit(987654321L).as("o_orderkey"), lit("1-URGENT").as("o_orderpriority"))
+      tbl.delete(ghost)
+      val r = GraftReader(tbl)
+      assertSameRows(r.dataOnly(r.snapshot()), batch1, s"$tt no-match delete")
+    }
+  }
+
+  test("numeric partition values round-trip exactly (no type inference)") {
+    val dir = tmp()
+    val conf = TableConfig(name = "o", tableType = TableType.COW,
+      keyFields = Seq("o_orderkey"), partitionFields = Seq("o_bucket"),
+      orderingField = "o_orderdate", targetFileRows = 500)
+    val tbl = GraftTable.create(spark, dir, conf)
+    def bucketed(df: DataFrame): DataFrame =
+      df.withColumn("o_bucket", (col("o_custkey") % 5).cast("int"))
+    tbl.bulkInsert(bucketed(batch1))
+    tbl.upsert(bucketed(batch2))
+    val r = GraftReader(tbl)
+    assertSameRows(r.dataOnly(r.snapshot()), bucketed(expectedMerged), "int-partitioned table")
+  }
+
+  test("upsert row with null event time loses to stored row (event_time)") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir,
+      cfg(TableType.COW).copy(mergeStrategy = "event_time"))
+    tbl.bulkInsert(batch1)
+    val nullTs = batch1
+      .withColumn("o_orderdate", lit(null).cast("timestamp_ntz"))
+      .withColumn("o_totalprice", lit(-3.0))
+    tbl.upsert(nullTs)
+    val r = GraftReader(tbl)
+    assertSameRows(r.dataOnly(r.snapshot()), batch1, "null event time ignored")
+  }
+
+  test("re-insert after delete wins (MOR tombstone does not stick)") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.MOR))
+    tbl.bulkInsert(batch1)
+    val victims = batch1.filter(col("o_orderkey") % 10 === 0)
+    tbl.delete(victims.select("o_orderkey", "o_orderpriority"))
+    val revived = victims.withColumn("o_totalprice", col("o_totalprice") + 7)
+    tbl.upsert(revived)
+    val r = GraftReader(tbl)
+    val want = batch1.filter(col("o_orderkey") % 10 =!= 0).unionByName(revived)
+    assertSameRows(r.dataOnly(r.snapshot()), want, "re-insert after delete")
+  }
+
+  test("COW upsert with evolved schema (added column)") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.COW))
+    tbl.bulkInsert(batch1)
+    val widened = batch2.withColumn("o_note", concat(lit("n"), col("o_orderkey")))
+    tbl.upsert(widened)
+    val r = GraftReader(tbl)
+    val got = r.dataOnly(r.snapshot())
+    assert(got.columns.contains("o_note"), "evolved column visible")
+    val want = expectedMerged.join(
+      widened.select(col("o_orderkey").as("k"), col("o_note")),
+      col("o_orderkey") === col("k"), "left").drop("k")
+    assertSameRows(got, want, "schema evolution upsert")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
