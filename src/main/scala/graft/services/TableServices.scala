@@ -1,0 +1,176 @@
+package graft.services
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.write.{GraftTable, Meta}
+
+/** Self-managing table services over a graft table: compaction (MOR),
+  * cleaning, rollback, restore, savepoints (reference analog: the
+  * table/action executors under hudi-client-common — compact/
+  * CleanActionExecutor.java:58, BaseRollbackActionExecutor.java:53,
+  * BaseRestoreActionExecutor.java:51, SavepointActionExecutor.java:48).
+  *
+  * All planning happens on the driver from commit metadata (O(#instants),
+  * never a data listing); all data movement is a DataFrame job, so at
+  * 100 TB compaction parallelism = #file-groups being rewritten.
+  */
+class TableServices(table: GraftTable) {
+  import Meta._
+
+  private def spark = table.spark
+  private def timeline: Timeline = table.timeline
+  private def fs = timeline.fileSystem
+  private def abs(st: WriteStat): Path = new Path(table.basePath, st.path)
+
+  // =========================================================================
+  // compaction (MOR): fold delta files into a new base file per group
+  // =========================================================================
+
+  /** Pick file groups to compact, most delta bytes first (reference
+    * analog: LogFileSizeBasedCompactionStrategy.java:37 under an IO bound
+    * like BoundedIOCompactionStrategy.java:34). */
+  def planCompaction(maxGroups: Int = Int.MaxValue,
+                     maxDeltaBytes: Long = Long.MaxValue): Seq[FileSlice] = {
+    val snap = Snapshot.resolve(timeline)
+    val withDeltas = snap.slices.filter(_.deltas.nonEmpty)
+      .sortBy(s => -s.deltas.map(_.bytes).sum)
+    var budget = maxDeltaBytes
+    withDeltas.take(maxGroups).takeWhile { s =>
+      val b = s.deltas.map(_.bytes).sum
+      val ok = budget > 0
+      budget -= b
+      ok
+    }
+  }
+
+  /** Compact the planned slices: per group, merge base ∪ deltas into a new
+    * base file keeping the same fileId (so group lineage continues), then
+    * publish one `compaction` instant. Groups whose merge comes out empty
+    * (everything deleted) are replaced instead. Returns the instant, or
+    * None when there is nothing to compact (reference analog:
+    * HoodieCompactor.java:99). */
+  def compact(maxGroups: Int = Int.MaxValue): Option[String] = {
+    val plan = planCompaction(maxGroups)
+    if (plan.isEmpty) return None
+    val snap = Snapshot.resolve(timeline)
+    val t = timeline.start(Action.Compaction)
+    val schema = table.readSchema(snap)
+    val paths = plan.flatMap(_.allFiles).map(st => s"${table.basePath}/${st.path}")
+    // one DataFrame job across every planned group: merge shuffles only on
+    // (key, partition); stageAndPublish re-clusters by (partition, fileId)
+    val merged = table.mergeLatest(spark.read.schema(schema).parquet(paths: _*))
+    val stats = table.stageAndPublish(merged, t)
+    val written = stats.map(s => (s.partition, s.fileId)).toSet
+    val emptied = plan.filterNot(s => written.contains((s.partition, s.fileId)))
+      .groupBy(_.partition).map { case (p, ss) => p -> ss.map(_.fileId) }
+    timeline.complete(t, Action.Compaction,
+      CommitMetadata("compact", "", stats, emptied))
+    Some(t)
+  }
+
+  // =========================================================================
+  // cleaning: physically delete file slices no retained snapshot can see
+  // =========================================================================
+
+  /** KEEP_LATEST_COMMITS policy (reference analog: CleanPlanner.java:125,
+    * default 10 commits retained, savepoint-aware): every file referenced
+    * by the snapshot at any of the last `retainCommits` data instants, or
+    * at a savepointed instant, survives; all other published files are
+    * deleted. Returns the clean instant, or None if nothing to do. */
+  def clean(retainCommits: Int = 10): Option[String] = {
+    val dataInstants = timeline.completed().filter(i => Action.dataActions(i.action))
+    if (dataInstants.size <= retainCommits) return None
+    val retained = dataInstants.takeRight(retainCommits).map(_.time) ++ savepointTargets
+    val live: Set[String] = retained.toSet.flatMap { (at: String) =>
+      Snapshot.resolve(timeline, Some(at)).slices.flatMap(_.allFiles).map(_.path)
+    }
+    val everWritten = dataInstants
+      .flatMap(i => timeline.metadataOf(i).stats).map(_.path).distinct
+    val alreadyCleaned = timeline.completed().filter(_.action == Action.Clean)
+      .flatMap(i => Json.read(
+        timeline.metadataOf(i).extra.getOrElse("deleted", "[]"), classOf[Array[String]]))
+      .toSet
+    val doomed = everWritten.filterNot(p => live.contains(p) || alreadyCleaned.contains(p))
+    if (doomed.isEmpty) return None
+    val t = timeline.start(Action.Clean)
+    doomed.foreach(p => fs.delete(new Path(table.basePath, p), false))
+    timeline.complete(t, Action.Clean, CommitMetadata("clean",
+      extra = Map(
+        "deleted" -> Json.write(doomed.toArray),
+        "earliestRetained" -> dataInstants.takeRight(retainCommits).head.time)))
+    Some(t)
+  }
+
+  /** Earliest instant time-travel can still resolve after cleaning. */
+  def earliestRetainedInstant: Option[String] =
+    timeline.completed().filter(_.action == Action.Clean).lastOption
+      .flatMap(i => timeline.metadataOf(i).extra.get("earliestRetained"))
+
+  // =========================================================================
+  // rollback / restore / savepoint
+  // =========================================================================
+
+  /** Undo the LATEST data instant (or a pending one): delete the files it
+    * wrote, drop its timeline entry, record a `rollback` instant
+    * (reference analog: BaseRollbackActionExecutor.java:53). */
+  def rollback(time: String): String = {
+    val all = timeline.instants().filter(i => Action.dataActions(i.action))
+    val target = all.find(_.time == time)
+      .getOrElse(throw new IllegalArgumentException(s"no instant $time"))
+    if (target.isCompleted) {
+      require(all.filter(_.isCompleted).lastOption.exists(_.time == time),
+        s"can only roll back the latest completed instant; use restore for $time")
+      val meta = timeline.metadataOf(target)
+      meta.stats.foreach(st => fs.delete(abs(st), false))
+      timeline.deleteCompleted(target)
+    } else {
+      timeline.deletePending(target.time, target.action)
+      fs.delete(new Path(table.basePath, s"${Timeline.MetaDir}/.tmp/${target.time}"), true)
+    }
+    val t = timeline.start(Action.Rollback)
+    timeline.complete(t, Action.Rollback,
+      CommitMetadata("rollback", extra = Map("target" -> time)))
+    t
+  }
+
+  /** Roll the table back TO `time`: undo every data instant after it,
+    * newest first (reference analog: BaseRestoreActionExecutor.java:51). */
+  def restoreTo(time: String): String = {
+    val doomed = timeline.completed()
+      .filter(i => Action.dataActions(i.action) && i.time > time)
+      .reverse
+    doomed.foreach { inst =>
+      timeline.metadataOf(inst).stats.foreach(st => fs.delete(abs(st), false))
+      timeline.deleteCompleted(inst)
+    }
+    val t = timeline.start(Action.Restore)
+    timeline.complete(t, Action.Restore,
+      CommitMetadata("restore", extra = Map("target" -> time)))
+    t
+  }
+
+  /** Pin the snapshot at `time` against cleaning (reference analog:
+    * SavepointActionExecutor.java:48). */
+  def savepoint(time: String): String = {
+    val t = timeline.start(Action.Savepoint)
+    timeline.complete(t, Action.Savepoint,
+      CommitMetadata("savepoint", extra = Map("target" -> time)))
+    t
+  }
+
+  def deleteSavepoint(time: String): Unit =
+    timeline.completed().filter(_.action == Action.Savepoint)
+      .filter(i => timeline.metadataOf(i).extra.get("target").contains(time))
+      .foreach(timeline.deleteCompleted)
+
+  private def savepointTargets: Seq[String] =
+    timeline.completed().filter(_.action == Action.Savepoint)
+      .flatMap(i => timeline.metadataOf(i).extra.get("target"))
+}
+
+object TableServices {
+  def apply(table: GraftTable): TableServices = new TableServices(table)
+}

@@ -134,7 +134,7 @@ class GraftTable private (
     * write, one file per group (rows are co-located by the repartition),
     * then rename into `<partition>/<fileId>_<commit>[.delta].parquet`.
     * Returns per-file WriteStats. */
-  private def stageAndPublish(
+  private[graft] def stageAndPublish(
       df: DataFrame,
       commitTime: String,
       delta: Boolean = false): Seq[WriteStat] = {

@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.core._
+import graft.read.GraftReader
+import graft.services.TableServices
+import graft.write.GraftTable
+
+class ServicesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Tables.configure(SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+  def tmp(): String = Files.createTempDirectory("graft-svc").toString
+  def orders: DataFrame = spark.read.parquet(s"$sf/orders.parquet")
+
+  def cfg(tt: String): TableConfig = TableConfig(
+    name = "orders", tableType = tt, keyFields = Seq("o_orderkey"),
+    partitionFields = Seq("o_orderpriority"), orderingField = "o_orderdate",
+    targetFileRows = 500)
+
+  def assertSameRows(got: DataFrame, want: DataFrame, hint: String): Unit = {
+    val g = got.select(want.columns.map(col): _*)
+    val extra = g.exceptAll(want).count()
+    val missing = want.exceptAll(g).count()
+    assert(extra == 0 && missing == 0,
+      s"$hint: extra=$extra missing=$missing (got=${g.count()}, want=${want.count()})")
+  }
+
+  test("MOR compaction folds deltas; snapshot unchanged; RO catches up") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.MOR))
+    val b1 = orders.filter(col("o_orderkey") % 3 === 0)
+    val b2 = orders.filter(col("o_orderkey") % 3 === 1)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val upd = b1.withColumn("o_totalprice", col("o_totalprice") + 50)
+    tbl.bulkInsert(b1)
+    tbl.upsert(b2)   // inserts → new groups
+    tbl.upsert(upd)  // updates → delta files
+    val r = GraftReader(tbl)
+    val before = r.dataOnly(r.snapshot())
+
+    val svc = TableServices(tbl)
+    assert(Snapshot.resolve(tbl.timeline).slices.exists(_.deltas.nonEmpty),
+      "precondition: deltas exist")
+    val t = svc.compact()
+    assert(t.isDefined, "compaction ran")
+    val snapAfter = Snapshot.resolve(tbl.timeline)
+    assert(snapAfter.slices.forall(_.deltas.isEmpty), "all deltas folded")
+    assertSameRows(r.dataOnly(r.snapshot()), before, "snapshot stable across compaction")
+    assertSameRows(r.dataOnly(r.readOptimized()), before, "RO == snapshot post-compaction")
+    assert(svc.compact().isEmpty, "second compaction is a no-op")
+  }
+
+  test("compaction replaces groups emptied by deletes") {
+    val dir = tmp()
+    val conf = cfg(TableType.MOR).copy(partitionFields = Nil, targetFileRows = 100)
+    val tbl = GraftTable.create(spark, dir, conf)
+    val few = orders.limit(150)
+    tbl.bulkInsert(few)
+    tbl.delete(few.select("o_orderkey")) // tombstone every key in every group
+    val svc = TableServices(tbl)
+    svc.compact()
+    val snap = Snapshot.resolve(tbl.timeline)
+    assert(snap.slices.isEmpty, s"all groups replaced, got ${snap.slices}")
+    val r = GraftReader(tbl)
+    assert(r.snapshot().count() == 0)
+  }
+
+  test("clean removes unreferenced files, keeps retained window readable") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.COW))
+    tbl.bulkInsert(orders)
+    // 3 successive rewrites of the same groups → stale versions pile up
+    var latest = orders
+    for (i <- 1 to 3) {
+      latest = orders.withColumn("o_totalprice", col("o_totalprice") + i * 100)
+      tbl.upsert(latest)
+    }
+    val r = GraftReader(tbl)
+    val svc = TableServices(tbl)
+    val dataTimes = tbl.timeline.completed().filter(i => Action.dataActions(i.action)).map(_.time)
+    val cleaned = svc.clean(retainCommits = 2)
+    assert(cleaned.isDefined, "clean ran")
+    assertSameRows(r.dataOnly(r.snapshot()), latest, "latest snapshot survives clean")
+    // files of the retained window still resolve
+    val retainedAt = dataTimes.takeRight(2).head
+    assert(r.snapshot(asOf = Some(retainedAt)).count() > 0)
+    // second clean is a no-op
+    assert(svc.clean(retainCommits = 2).isEmpty)
+    assert(svc.earliestRetainedInstant.contains(retainedAt))
+  }
+
+  test("savepoint pins an old snapshot against clean") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.COW))
+    val t0 = tbl.bulkInsert(orders)
+    var latest = orders
+    for (i <- 1 to 3) {
+      latest = orders.withColumn("o_totalprice", col("o_totalprice") + i)
+      tbl.upsert(latest)
+    }
+    val svc = TableServices(tbl)
+    svc.savepoint(t0)
+    svc.clean(retainCommits = 1)
+    val r = GraftReader(tbl)
+    assertSameRows(r.dataOnly(r.snapshot(asOf = Some(t0))), orders, "savepointed snapshot intact")
+    assertSameRows(r.dataOnly(r.snapshot()), latest, "latest intact")
+  }
+
+  test("rollback undoes the latest commit; restore rewinds further") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.COW))
+    val t1 = tbl.bulkInsert(orders)
+    val up1 = orders.withColumn("o_totalprice", col("o_totalprice") + 1)
+    val t2 = tbl.upsert(up1)
+    val up2 = orders.withColumn("o_totalprice", col("o_totalprice") + 2)
+    val t3 = tbl.upsert(up2)
+    val r = GraftReader(tbl)
+    val svc = TableServices(tbl)
+
+    svc.rollback(t3)
+    assertSameRows(r.dataOnly(r.snapshot()), up1, "state back to t2 after rollback")
+    intercept[IllegalArgumentException](svc.rollback("0"))
+
+    svc.restoreTo(t1)
+    assertSameRows(r.dataOnly(r.snapshot()), orders, "state back to t1 after restore")
+    // table still writable after restore
+    tbl.upsert(up2)
+    assertSameRows(r.dataOnly(r.snapshot()), up2, "write after restore")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+}
