@@ -86,6 +86,10 @@ case class TableConfig(
     /** true -> key unique table-wide; updates may move partitions
       * (reference analog: GLOBAL_SIMPLE index) */
     globalIndex: Boolean = false,
+    /** data columns whose per-file min/max/nullCount are recorded in every
+      * WriteStat, powering read-side data skipping (reference analog: the
+      * .zindex column-stats table, ZOrderingIndexHelper.java:233) */
+    statsColumns: Seq[String] = Nil,
     version: Int = 1)
 
 object TableType { val COW = "COW"; val MOR = "MOR" }

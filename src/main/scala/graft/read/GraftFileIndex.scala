@@ -1,0 +1,195 @@
+package graft.read
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types._
+
+import graft.core.{ColStat, WriteStat}
+import graft.write.Meta
+
+/** The one custom Spark-API class the read path needs (reference analog:
+  * HoodieFileIndex.scala:74): a [[FileIndex]] whose file list comes from
+  * commit metadata — never a storage listing — and which prunes files
+  * against per-file stats (record-key range + configured column
+  * min/max/nullCount) when Catalyst hands down data filters.
+  *
+  * Partition schema is empty on purpose: partition values are stored IN
+  * the files (so schema evolution and repartitioning stay trivial), and
+  * predicates on the partition column arrive as data filters, pruned here
+  * via the per-file stats instead of directory layout.
+  */
+class GraftFileIndex(
+    basePath: String,
+    files: Seq[WriteStat],
+    schema: StructType) extends FileIndex {
+
+  private val entries: Seq[(FileStatus, WriteStat)] = files.map { st =>
+    // FileStatus built from metadata: no driver FS round-trip per file
+    (new FileStatus(st.bytes, false, 1, 128L * 1024 * 1024, 0L,
+      new Path(basePath, st.path)), st)
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(basePath))
+  override def partitionSchema: StructType = new StructType()
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val filters = partitionFilters ++ dataFilters
+    val kept = entries.filter { case (_, st) =>
+      filters.forall(f => StatsSkipping.mayMatch(f, st, schema))
+    }
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
+  }
+
+  override def inputFiles: Array[String] =
+    entries.map(_._1.getPath.toString).toArray
+  override def refresh(): Unit = ()
+  override def sizeInBytes: Long = files.map(_.bytes).sum
+}
+
+object GraftFileIndex {
+  /** DataFrame over `files` with stats-pruning + full Catalyst pushdown. */
+  def relation(
+      spark: SparkSession,
+      basePath: String,
+      files: Seq[WriteStat],
+      schema: StructType): DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val idx = new GraftFileIndex(basePath, files, schema)
+    val rel = HadoopFsRelation(
+      idx, new StructType(), schema, None, new ParquetFileFormat, Map.empty[String, String])(cs)
+    cs.baseRelationToDataFrame(rel)
+  }
+}
+
+/** Conservative file-level predicate evaluation over WriteStat
+  * (reference analog: sql/hudi/DataSkippingUtils.scala:49 — filters are
+  * rewritten into min/max interval checks; anything unrecognized keeps
+  * the file). `mayMatch == false` means the file PROVABLY holds no
+  * matching row. */
+object StatsSkipping {
+
+  def mayMatch(e: Expression, st: WriteStat, schema: StructType): Boolean = e match {
+    case And(l, r) => mayMatch(l, st, schema) && mayMatch(r, st, schema)
+    case Or(l, r)  => mayMatch(l, st, schema) || mayMatch(r, st, schema)
+
+    case EqualTo(a, Literal(v, _)) => rangeContains(a, v, st, schema)
+    case EqualTo(Literal(v, _), a) => rangeContains(a, v, st, schema)
+    case EqualNullSafe(a, Literal(v, _)) if v != null => rangeContains(a, v, st, schema)
+    case EqualNullSafe(Literal(v, _), a) if v != null => rangeContains(a, v, st, schema)
+
+    case LessThan(a, Literal(v, _))           => cmpMin(a, v, st, schema).forall(_ < 0)
+    case LessThanOrEqual(a, Literal(v, _))    => cmpMin(a, v, st, schema).forall(_ <= 0)
+    case GreaterThan(a, Literal(v, _))        => cmpMax(a, v, st, schema).forall(_ > 0)
+    case GreaterThanOrEqual(a, Literal(v, _)) => cmpMax(a, v, st, schema).forall(_ >= 0)
+    // literal-first orientations mirror
+    case LessThan(Literal(v, _), a)           => cmpMax(a, v, st, schema).forall(_ > 0)
+    case LessThanOrEqual(Literal(v, _), a)    => cmpMax(a, v, st, schema).forall(_ >= 0)
+    case GreaterThan(Literal(v, _), a)        => cmpMin(a, v, st, schema).forall(_ < 0)
+    case GreaterThanOrEqual(Literal(v, _), a) => cmpMin(a, v, st, schema).forall(_ <= 0)
+
+    case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists { case Literal(v, _) => rangeContains(a, v, st, schema) }
+    case InSet(a, vs) =>
+      vs.exists(v => rangeContains(a, v, st, schema))
+
+    case IsNull(a) =>
+      statOf(a, st) match {
+        case Some(cs) => cs.nullCount > 0
+        case None     => true
+      }
+    case IsNotNull(a) =>
+      statOf(a, st) match {
+        case Some(cs) => cs.nullCount < st.rows || cs.min != null
+        case None     => true
+      }
+
+    case StartsWith(a, Literal(p, StringType)) if p != null =>
+      statOf(a, st) match {
+        case Some(cs) if cs.min != null =>
+          val pre = p.toString
+          cs.max >= pre && cs.min.take(pre.length) <= pre
+        case _ => true
+      }
+
+    case _ => true // unrecognized shape: keep the file
+  }
+
+  /** Column name behind an attribute in either resolved or parsed form. */
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: AttributeReference  => Some(a.name)
+    case u: UnresolvedAttribute => Some(u.name)
+    case _                      => None
+  }
+
+  /** The [min,max,nulls] stat for the referenced column, if tracked. */
+  private def statOf(e: Expression, st: WriteStat): Option[ColStat] =
+    attrName(e).flatMap {
+      case Meta.Key => Some(ColStat(
+        if (st.minKey.isEmpty) null else st.minKey,
+        if (st.maxKey.isEmpty) null else st.maxKey, 0L))
+      case Meta.Partition => Some(ColStat(st.partition, st.partition, 0L))
+      case c => st.columnStats.get(c)
+    }
+
+  private def rangeContains(a: Expression, v: Any, st: WriteStat, schema: StructType): Boolean =
+    if (v == null) false
+    else (cmpMin(a, v, st, schema), cmpMax(a, v, st, schema)) match {
+      case (Some(lo), Some(hi)) => lo <= 0 && hi >= 0
+      case _                    => true
+    }
+
+  /** sign of (file min - literal); None = unknown (don't skip). A file
+    * whose tracked column is entirely null can't match any comparison. */
+  private def cmpMin(a: Expression, v: Any, st: WriteStat, schema: StructType): Option[Int] =
+    boundCmp(a, v, st, schema, isMin = true)
+  private def cmpMax(a: Expression, v: Any, st: WriteStat, schema: StructType): Option[Int] =
+    boundCmp(a, v, st, schema, isMin = false)
+
+  private def boundCmp(
+      a: Expression, v: Any, st: WriteStat, schema: StructType,
+      isMin: Boolean): Option[Int] = {
+    val name = attrName(a).getOrElse(return None)
+    val cs = statOf(a, st).getOrElse(return None)
+    val bound = if (isMin) cs.min else cs.max
+    if (bound == null) return Some(if (isMin) 1 else -1) // all-null: empty range
+    val dt: DataType = name match {
+      case Meta.Key | Meta.Partition => StringType
+      case _ => schema.fields.find(_.name == name).map(_.dataType).getOrElse(return None)
+    }
+    compare(dt, bound, v)
+  }
+
+  /** Typed compare of a string-encoded stat bound against a Catalyst
+    * literal's internal value. None when the type isn't comparable here. */
+  private[read] def compare(dt: DataType, statStr: String, lit: Any): Option[Int] =
+    try dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+           _: FloatType | _: DoubleType | _: DecimalType =>
+        val l = lit match {
+          case d: Decimal => d.toBigDecimal
+          case o          => BigDecimal(o.toString)
+        }
+        Some(BigDecimal(statStr).compare(l))
+      case StringType =>
+        Some(statStr.compareTo(lit.toString))
+      case _: TimestampType | _: TimestampNTZType =>
+        // stat: session-formatted "yyyy-MM-dd HH:mm:ss[.f]"; literal: micros
+        val ldt = java.time.LocalDateTime.parse(statStr.replace(' ', 'T'))
+        val micros = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L
+        Some(java.lang.Long.compare(micros, lit.asInstanceOf[Long]))
+      case DateType =>
+        val days = java.time.LocalDate.parse(statStr).toEpochDay
+        Some(java.lang.Long.compare(days, lit.asInstanceOf[Int].toLong))
+      case BooleanType =>
+        Some(java.lang.Boolean.compare(statStr.toBoolean, lit.asInstanceOf[Boolean]))
+      case _ => None
+    } catch { case _: Exception => None }
+}

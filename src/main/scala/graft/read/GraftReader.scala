@@ -32,6 +32,12 @@ class GraftReader(table: GraftTable) {
     if (paths.isEmpty) emptyWith(schema)
     else spark.read.schema(schema).parquet(paths: _*)
 
+  /** Delta-free files go through [[GraftFileIndex]]: stats-pruned file
+    * list + full Catalyst pushdown, no storage listing. */
+  private def readBase(schema: StructType, stats: Seq[WriteStat]): DataFrame =
+    if (stats.isEmpty) emptyWith(schema)
+    else GraftFileIndex.relation(spark, table.basePath, stats, schema)
+
   /** Snapshot at `asOf` (None = latest). `partitionFilter` prunes file
     * groups before any IO — pass e.g. `Some(Set("p1","p2"))`. */
   def snapshot(
@@ -45,7 +51,7 @@ class GraftReader(table: GraftTable) {
       case None     => snap.slices
     }
     val (dirty, clean) = slices.partition(_.deltas.nonEmpty)
-    val cleanDf = readFiles(schema, clean.flatMap(_.baseFile).map(abs))
+    val cleanDf = readBase(schema, clean.flatMap(_.baseFile))
     val merged =
       if (dirty.isEmpty) cleanDf
       else {
@@ -61,7 +67,7 @@ class GraftReader(table: GraftTable) {
     val snap = Snapshot.resolve(timeline, asOf)
     val schema = table.readSchema(snap)
     if (snap.isEmpty || schema.isEmpty) return emptyWith(schema)
-    readFiles(schema, snap.slices.flatMap(_.baseFile).map(abs)).filter(!col(Deleted))
+    readBase(schema, snap.slices.flatMap(_.baseFile)).filter(!col(Deleted))
   }
 
   /** Change stream: latest state of every record changed in
@@ -78,7 +84,7 @@ class GraftReader(table: GraftTable) {
       .flatMap(_._2.stats).map(s => (s.partition, s.fileId)).toSet
     val slices = snap.slices.filter(s => touched.contains((s.partition, s.fileId)))
     val (dirty, cleanSlices) = slices.partition(_.deltas.nonEmpty)
-    val cleanDf = readFiles(schema, cleanSlices.flatMap(_.baseFile).map(abs))
+    val cleanDf = readBase(schema, cleanSlices.flatMap(_.baseFile))
     val all =
       if (dirty.isEmpty) cleanDf
       else cleanDf.unionByName(table.mergeLatest(readFiles(schema, dirty.flatMap(_.allFiles).map(abs))))
@@ -98,7 +104,7 @@ class GraftReader(table: GraftTable) {
     val slices = snap.slices.filter(s =>
       s.baseFile.exists(mayContain) || s.deltas.exists(mayContain))
     val (dirty, clean) = slices.partition(_.deltas.nonEmpty)
-    val cleanDf = readFiles(schema, clean.flatMap(_.baseFile).map(abs))
+    val cleanDf = readBase(schema, clean.flatMap(_.baseFile))
       .filter(col(Key).isin(ks: _*))
     val all =
       if (dirty.isEmpty) cleanDf

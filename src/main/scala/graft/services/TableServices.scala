@@ -72,6 +72,122 @@ class TableServices(table: GraftTable) {
   }
 
   // =========================================================================
+  // clustering: rewrite file groups into target-sized, layout-sorted files
+  // =========================================================================
+
+  /** Rewrite delta-free file groups smaller than `smallFileRows` into
+    * target-sized groups, range-clustered on `sortCols` either linearly
+    * or along a space-filling curve, via one replacecommit (reference
+    * analog: SparkSizeBasedClusteringPlanStrategy.java:53 +
+    * MultipleSparkJobExecutionStrategy.java:68).
+    *
+    * layout: "linear" | "zorder" | "hilbert"; rankMode (curves only):
+    * "map" scales each column by its global min/max, "sample" ranks by
+    * distributed quantile boundaries. MOR groups with pending deltas are
+    * skipped — compact first.
+    *
+    * Scale shape: rank prep is one metadata fold (or one agg job), the
+    * rewrite is a single repartitionByRange job whose parallelism is the
+    * output file count; file assignment = range partition id, so no
+    * per-row driver work. */
+  def cluster(
+      sortCols: Seq[String],
+      layout: String = "linear",
+      rankMode: String = "map",
+      targetFileRows: Long = 0L,
+      smallFileRows: Long = Long.MaxValue): Option[String] = {
+    require(Seq("linear", "zorder", "hilbert").contains(layout), s"bad layout $layout")
+    val snap = Snapshot.resolve(timeline)
+    val candidates = snap.slices.filter(s =>
+      s.deltas.isEmpty && s.baseFile.exists(_.rows < smallFileRows))
+    if (candidates.isEmpty || (layout == "linear" && sortCols.isEmpty)) return None
+
+    val t = timeline.start(Action.ReplaceCommit)
+    val schema = table.readSchema(snap)
+    val stats = candidates.flatMap(_.baseFile)
+    val df = spark.read.schema(schema)
+      .parquet(stats.map(st => s"${table.basePath}/${st.path}"): _*)
+
+    val target = if (targetFileRows > 0) targetFileRows else table.config.targetFileRows
+    val totalRows = stats.map(_.rows).sum
+    val nb = math.max(1L, (totalRows + target - 1) / target).toInt
+
+    val (keyed, rankCols) = layout match {
+      case "linear" => (df, Nil)
+      case curve =>
+        graft.functions.SpatialCurves.register(spark)
+        val bits = if (rankMode == "sample") 8 else math.min(16, 63 / sortCols.size)
+        val buckets = 1 << bits
+        val withRanks = addRanks(df, stats, sortCols, rankMode, buckets)
+        val rankNames = sortCols.indices.map(i => s"`_g_r_$i`")
+        val fn = if (curve == "hilbert") "hilbert_value" else "z_value"
+        if (curve == "hilbert")
+          require(sortCols.size == 2, "hilbert layout needs exactly 2 sort columns")
+        (withRanks.withColumn("_g_sort", expr(s"$fn(${rankNames.mkString(",")})")),
+          sortCols.indices.map(i => s"_g_r_$i") :+ "_g_sort")
+    }
+    val rangeCols = layout match {
+      case "linear" => col(Partition) +: sortCols.map(col)
+      case _        => Seq(col(Partition), col("_g_sort"))
+    }
+    val assigned = keyed
+      .repartitionByRange(nb, rangeCols: _*)
+      .withColumn(File, concat(lit(s"c$t-"), spark_partition_id().cast("string")))
+      .drop(rankCols: _*)
+
+    val written = table.stageAndPublish(assigned, t)
+    val replaced = candidates.groupBy(_.partition)
+      .map { case (p, ss) => p -> ss.map(_.fileId) }
+    timeline.complete(t, Action.ReplaceCommit,
+      CommitMetadata("cluster", "", written, replaced))
+    Some(t)
+  }
+
+  /** Long-typed curve cell ranks `_g_r_i` for each sort column. "map":
+    * global min/max scaling (metadata-only when column stats exist);
+    * "sample": quantile boundaries + a codegen'd boundary count. */
+  private def addRanks(
+      df: DataFrame, stats: Seq[WriteStat], sortCols: Seq[String],
+      rankMode: String, buckets: Int): DataFrame =
+    if (rankMode == "sample") {
+      val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+      sortCols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+        val bounds = df.stat.approxQuantile(c, probs, 0.001).distinct
+        acc.withColumn(s"_g_r_$i",
+          aggregate(
+            lit(bounds),
+            lit(0L),
+            (a, b) => a + when(col(c).cast("double") >= b, 1L).otherwise(0L)))
+      }
+    } else {
+      val haveStats = sortCols.forall(c => stats.forall(_.columnStats.contains(c)))
+      val ranges: Map[String, (Double, Double)] =
+        if (haveStats && stats.nonEmpty)
+          sortCols.map { c =>
+            val mins = stats.flatMap(s => Option(s.columnStats(c).min)).map(_.toDouble)
+            val maxs = stats.flatMap(s => Option(s.columnStats(c).max)).map(_.toDouble)
+            c -> (if (mins.isEmpty) (0.0, 0.0) else (mins.min, maxs.max))
+          }.toMap
+        else {
+          val aggs = sortCols.flatMap(c =>
+            Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+          val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+          sortCols.zipWithIndex.map { case (c, i) =>
+            c -> (Option(row.get(i * 2)).fold(0.0)(_.asInstanceOf[Double]),
+              Option(row.get(i * 2 + 1)).fold(0.0)(_.asInstanceOf[Double]))
+          }.toMap
+        }
+      sortCols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+        val (lo, hi) = ranges(c)
+        val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+        acc.withColumn(s"_g_r_$i",
+          least(
+            floor(((col(c).cast("double") - lit(lo)) / lit(span)) * lit(buckets - 1)),
+            lit((buckets - 1).toLong)).cast("long"))
+      }
+    }
+
+  // =========================================================================
   // cleaning: physically delete file slices no retained snapshot can see
   // =========================================================================
 

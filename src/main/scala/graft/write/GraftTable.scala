@@ -166,16 +166,28 @@ class GraftTable private (
         case Some(v) => spark.conf.set(inferKey, v)
         case None    => spark.conf.unset(inferKey)
       }
+    // data-skipping stats for configured columns ride the same aggregate
+    val statsCols = config.statsColumns.filter(stagedDf.columns.contains)
+    val colAggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string"), max(col(c)).cast("string"),
+      sum(when(col(c).isNull, 1L).otherwise(0L))))
+    val baseAggs = Seq(
+      count(lit(1)).as("rows"), min(col(Key)).as("minKey"), max(col(Key)).as("maxKey"))
+    val aggs = baseAggs ++ colAggs
     val stats = stagedDf.groupBy(col(GP), col(GF))
-      .agg(count(lit(1)).as("rows"), min(col(Key)).as("minKey"), max(col(Key)).as("maxKey"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
         val part = if (r.getString(0) == RootPartition) "" else r.getString(0)
-        (part, r.getString(1), r.getLong(2), r.getString(3), r.getString(4))
+        val cstats = statsCols.zipWithIndex.map { case (c, i) =>
+          val off = 5 + i * 3
+          c -> ColStat(r.getString(off), r.getString(off + 1), r.getLong(off + 2))
+        }.toMap
+        (part, r.getString(1), r.getLong(2), r.getString(3), r.getString(4), cstats)
       }
 
     val suffix = if (delta) s"_$commitTime.delta.parquet" else s"_$commitTime.parquet"
-    val out = stats.toSeq.map { case (part, fileId, rows, minKey, maxKey) =>
+    val out = stats.toSeq.map { case (part, fileId, rows, minKey, maxKey, cstats) =>
       val encPart = escapePath(if (part == "") RootPartition else part)
       val srcDir = new Path(stagingDir, s"$GP=$encPart/$GF=${escapePath(fileId)}")
       val parts = fs.globStatus(new Path(srcDir, "part-*")).toSeq
@@ -188,7 +200,8 @@ class GraftTable private (
       val bytes = fs.getFileStatus(dest).getLen
       val rel = if (part == "") dest.getName else s"$part/${dest.getName}"
       WriteStat(part, fileId, rel, isDelta = delta, rows = rows, bytes = bytes,
-        minKey = Option(minKey).getOrElse(""), maxKey = Option(maxKey).getOrElse(""))
+        minKey = Option(minKey).getOrElse(""), maxKey = Option(maxKey).getOrElse(""),
+        columnStats = cstats)
     }
     fs.delete(stagingDir, true)
     out
