@@ -15,9 +15,10 @@ object SparkEntry {
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   private lazy val suites: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
-    queries_relational
+    queries_relational ++ queries_llm
 
   private def queries_relational = graft.queries.Relational.all
+  private def queries_llm = graft.queries.Llm.all
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,185 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/** Corpus deduplication operators for training-data pipelines.
+  *
+  * Scale posture (the part that matters at 100 TB):
+  *  - NOTHING here cross-joins the corpus. Exact dedup is one
+  *    hash-groupBy; fuzzy dedup goes through inverted-index joins
+  *    (shingle → doc) or LSH bucket joins whose fan-out is bounded by
+  *    bucket size, so the shuffle volume is O(docs × signature), not
+  *    O(docs²).
+  *  - `maxShingleDocFreq` drops stop-shingles before the pair join —
+  *    the standard skew guard: a shingle shared by k docs produces k²
+  *    candidate pairs, so frequency capping bounds worst-case skew.
+  *  - All hashes are md5-derived (see [[TextFunctions.hash60]]) so every
+  *    stage is reproducible across engines and across Spark retries.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical normalized text, keep the smallest id
+    * as canonical (reference-style hash-groupBy; one shuffle). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(
+        min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Distinct (doc, shingle) inverted index, optionally dropping
+    * shingles that occur in more than `maxDocFreq` docs (skew guard —
+    * hot shingles explode the candidate join quadratically). */
+  def shingleIndex(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(wsTokens(col(textCol)), n)).as("s"))
+      .distinct()
+    maxDocFreq match {
+      case None => sh
+      case Some(cap) =>
+        // windowless filter: count per shingle, keep the cold ones
+        val freq = sh.groupBy("s").agg(count(lit(1)).as("_df")).filter(col("_df") <= cap)
+        sh.join(freq.select("s"), "s")
+    }
+  }
+
+  /** N-gram Jaccard near-dup pairs: inverted-index self-join on shingles
+    * → common counts → |A∩B| / |A∪B| ≥ threshold. Exact (not
+    * probabilistic); preferred when the corpus-per-shingle fan-out is
+    * tame, else use [[minhashLsh]]. */
+  def jaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
+  }
+
+  /** MinHash signatures: for each of `k` hash functions
+    * h_i(s) = hash60(i || ':' || s), the min over the doc's shingles.
+    * Returns (doc_id, sig array[k] ordered by i). */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol, n)
+    sh.select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("i"), col("s"))
+      .select(col("doc_id"), col("i"),
+        hash60(concat(col("i").cast("string"), lit(":"), col("s"))).as("h"))
+      .groupBy("doc_id", "i").agg(min(col("h")).as("mh"))
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+        x => x.getField("mh")).as("sig"))
+  }
+
+  /** MinHash + LSH banding: signatures split into `bands` bands of
+    * k/bands rows; docs sharing any full band land in the same bucket
+    * and become candidates; candidates are scored by fraction of
+    * matching minhashes (an unbiased Jaccard estimate) and kept at
+    * `minEst`. The bucket join replaces the all-pairs comparison — the
+    * 100 TB path. */
+  def minhashLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 4,
+      minEst: Double = 0.5): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val rows = k / bands
+    val sig = minhashSignatures(df, idCol, textCol, n, k).cache()
+    val banded = sig.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("b"))
+      .withColumn("bucket",
+        concat_ws(",", (0 until rows).map(r =>
+          element_at(col("sig"), col("b") * rows + lit(r + 1)).cast("string")): _*))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val matches = (1 to k).map(i =>
+      when(element_at(col("sa"), i) === element_at(col("sb"), i), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+      .withColumn("n_match", matches.cast("long"))
+      .withColumn("est_jaccard", col("n_match") / lit(k.toDouble))
+      .filter(col("est_jaccard") >= minEst)
+      .select(col("doc_a"), col("doc_b"), col("n_match"), col("est_jaccard"))
+  }
+
+  /** SimHash (48-bit): per distinct token, a 48-bit hash weighted by the
+    * token's count; each bit position sums ±weight; the sign vector is
+    * the fingerprint. Near-dups = small Hamming distance. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tw = df
+      .select(col(idCol).as("doc_id"), explode(wsTokens(col(textCol))).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", hash48(concat(lit("sh:"), col("w"))))
+    tw.select(col("doc_id"), col("cnt"), col("h"),
+        explode(sequence(lit(0), lit(47))).as("j"))
+      .withColumn("bit", call_function("shiftright", col("h"), col("j")).bitwiseAND(lit(1L)))
+      .groupBy("doc_id", "j")
+      .agg(sum(col("cnt") * (col("bit") * 2 - 1)).as("v"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("v") > 0,
+        call_function("shiftleft", lit(1L), col("j"))).otherwise(0L)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs at Hamming distance ≤ maxHamming.
+    *
+    * The pair join here is all-pairs over *fingerprints* (8 bytes/doc —
+    * tiny relative to the corpus); at larger corpus sizes, band the 48
+    * bits into (maxHamming+1) segments and bucket-join on segment
+    * equality (pigeonhole: any pair within distance d shares at least
+    * one of d+1 segments) — same trick as [[minhashLsh]]. */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val sh = simhash(df, idCol, textCol)
+    sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        call_function("bit_count",
+          col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash pairs with the pigeonhole bucket join (the scale path):
+    * split 48 bits into `segments` equal segments; any pair with
+    * Hamming ≤ segments-1 must agree on ≥1 whole segment, so the
+    * bucket join finds all of them without an all-pairs comparison. */
+  def simhashPairsBanded(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val segments = maxHamming + 1
+    val segBits = 48 / segments
+    val sh = simhash(df, idCol, textCol).cache()
+    val seg = sh.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(segments - 1))).as("g"))
+      .withColumn("piece",
+        call_function("shiftright", col("simhash"), col("g") * segBits)
+          .bitwiseAND(lit((1L << segBits) - 1)))
+    seg.as("a").join(seg.as("b"),
+        col("a.g") === col("b.g") && col("a.piece") === col("b.piece") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        call_function("bit_count",
+          col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

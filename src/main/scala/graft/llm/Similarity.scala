@@ -1,0 +1,124 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextFunctions.hash60
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * All float math is promoted to IEEE double and folded strictly
+  * left-to-right (functions.aggregate), so scores are bit-identical
+  * across engines — the DuckDB oracles reproduce them exactly.
+  *
+  * Scale posture: [[bruteForceTopK]] broadcasts the (small) query set
+  * against the corpus — one corpus scan, no corpus shuffle. [[lshAnn]]
+  * is the 100 TB path: a signature bucket join bounds the candidate set
+  * per query, so cost tracks bucket occupancy instead of corpus size.
+  */
+object Similarity {
+
+  /** Left-fold dot product in double. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm in double (same fold order). */
+  def normD(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosineD(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dotD(a, b) / (normA * normB)
+
+  /** Exact top-k cosine neighbors for each query row. `queries` is
+    * expected to be small (it is broadcast); the corpus is scanned once.
+    * Ties broken by neighbor id for determinism. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("cvec"))
+      .withColumn("cnrm", normD(col("cvec")))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qvec"))
+      .withColumn("qnrm", normD(col("qvec")))
+    val scored = c.join(broadcast(q), col("n_id") =!= col("q_id"))
+      .withColumn("cos", cosineD(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"), col("cos"))
+  }
+
+  /** All near-duplicate pairs with cosine ≥ threshold. All-pairs — only
+    * for modest corpora or within LSH buckets; the scale path routes
+    * through [[lshAnn]]-style bucketing first. */
+  def nearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", normD(col("vec")))
+    c.as("a").join(c.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosineD(col("a.vec"), col("b.vec"), col("a.nrm"), col("b.nrm")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * dim i): an integer in [-1000, 1000] derived from md5 — identical
+    * in any engine, no RNG state. */
+  private def planeComponent(p: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$i".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % 2001 - 1000).toDouble
+  }
+
+  /** Random-hyperplane LSH signature: bit p = sign(v · g_p) for
+    * `planes` fixed pseudo-random hyperplanes. Returns bit array. */
+  def lshSignature(vec: Column, planes: Int, dims: Int): Seq[Column] =
+    (0 until planes).map { p =>
+      val comps = (1 to dims).map(i => planeComponent(p, i))
+      // left fold in index order, double throughout (oracle-identical)
+      val dot = aggregate(
+        zip_with(vec, lit(comps.toArray), (x, g) => x.cast("double") * g),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, 1).otherwise(0)
+    }
+
+  /** Approximate top-k: candidates = corpus rows sharing at least one
+    * LSH band with the query, then exact cosine over candidates only.
+    * bands × bitsPerBand = planes. The bucket join is the whole point:
+    * per-query work is bucket occupancy, not corpus size. */
+  def lshAnn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      planes: Int = 16, bands: Int = 4, dims: Int = 64): DataFrame = {
+    val bitsPerBand = planes / bands
+    def withBands(df: DataFrame, id: String): DataFrame = {
+      val sig = lshSignature(col(vecCol), planes, dims)
+      val bandCols = (0 until bands).map { b =>
+        concat_ws("", (0 until bitsPerBand).map(r => sig(b * bitsPerBand + r).cast("string")): _*)
+      }
+      df.select(col(idCol).as(id), col(vecCol).as(s"${id}_vec"),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("b"), bandCols(b).as("bucket"))): _*)).as("bb"))
+        .select(col(id), col(s"${id}_vec"),
+          col("bb.b").as(s"${id}_b"), col("bb.bucket").as(s"${id}_bucket"))
+    }
+    val qb = withBands(queries, "q_id")
+    val cb = withBands(corpus, "n_id")
+    val cand = cb.join(broadcast(qb),
+        col("n_id_b") === col("q_id_b") && col("n_id_bucket") === col("q_id_bucket") &&
+          col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), col("q_id_vec"), col("n_id_vec"))
+      .distinct()
+    val scored = cand.withColumn("cos",
+      cosineD(col("q_id_vec"), col("n_id_vec"),
+        normD(col("q_id_vec")), normD(col("n_id_vec"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"), col("cos"))
+  }
+}

@@ -1,0 +1,305 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextFunctions => TF}
+
+/** Training-data pipeline query suite over `documents` / `embeddings`
+  * (the LLM-pipeline operators: text analysis, dedup family, similarity
+  * search, multimodal plumbing).
+  *
+  * Every oracle mirrors the Spark arithmetic exactly: md5-derived
+  * hashes, double math in fixed left-fold order (see
+  * [[graft.llm.TextFunctions]]) — results hash-match bit-for-bit.
+  */
+object Llm {
+  import graft.Tables.t
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val Stopwords = Seq("the", "a")
+
+  val all: Map[String, (QFn, Option[String])] = Map(
+
+    // ---- text analysis: token counts + quality scoring
+    "q20_text_stats" -> ((
+      (s: SparkSession, d: String) => {
+        val toks = TF.wsTokens(col("text"))
+        t(s, d, "documents").select(
+            col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            size(array_distinct(toks)).cast("long").as("n_distinct"),
+            size(filter(toks, x => x.isin(Stopwords.map(lit(_)): _*)))
+              .cast("long").as("n_stop"))
+          .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+          .withColumn("quality",
+            (col("n_distinct").cast("double") / col("n_tokens")) * (lit(1.0) - col("stop_ratio")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        SELECT doc_id,
+               len(tk) AS n_tokens,
+               len(list_distinct(tk)) AS n_distinct,
+               len(list_filter(tk, x -> x IN ('the', 'a'))) AS n_stop,
+               CAST(len(list_filter(tk, x -> x IN ('the', 'a'))) AS DOUBLE) / len(tk) AS stop_ratio,
+               (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk))
+                 * (1.0 - CAST(len(list_filter(tk, x -> x IN ('the', 'a'))) AS DOUBLE) / len(tk)) AS quality
+        FROM toks ORDER BY doc_id"""))),
+
+    // ---- language ID (stopword-profile heuristic) vs labeled lang
+    "q21_lang_id" -> ((
+      (s: SparkSession, d: String) => {
+        val toks = TF.wsTokens(col("text"))
+        t(s, d, "documents")
+          .select(col("lang"), TF.langId(toks).as("predicted"))
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("predicted"))
+      },
+      Some("""
+        WITH scored AS (
+          SELECT lang,
+                 len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','is'))) AS s_en,
+                 len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))) AS s_de,
+                 len(list_filter(string_split(text,' '), x -> x IN ('el','la','los','y','es'))) AS s_es,
+                 len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est'))) AS s_fr
+          FROM documents
+        ), pred AS (
+          SELECT lang,
+                 CASE WHEN greatest(s_en,s_de,s_es,s_fr) = 0 THEN 'und'
+                      WHEN s_en = greatest(s_en,s_de,s_es,s_fr) THEN 'en'
+                      WHEN s_de = greatest(s_en,s_de,s_es,s_fr) THEN 'de'
+                      WHEN s_es = greatest(s_en,s_de,s_es,s_fr) THEN 'es'
+                      ELSE 'fr' END AS predicted
+          FROM scored)
+        SELECT lang, predicted, count(*) AS n FROM pred
+        GROUP BY lang, predicted ORDER BY lang, predicted"""))),
+
+    // ---- BPE-ish token counting (regex pre-tokenizer)
+    "q22_token_counts" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents").select(
+            col("doc_id"),
+            size(TF.wsTokens(col("text"))).cast("long").as("n_ws"),
+            size(TF.bpeTokens(col("text"))).cast("long").as("n_bpe"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws,
+               len(regexp_extract_all(text, '${TF.BpePattern}')) AS n_bpe
+        FROM documents ORDER BY doc_id"""))),
+
+    // ---- rolling-hash document fingerprint (1-function MinHash)
+    "q23_fingerprint" -> ((
+      (s: SparkSession, d: String) => {
+        val toks = TF.wsTokens(col("text"))
+        t(s, d, "documents").select(
+            col("doc_id"),
+            size(TF.shingles(toks, 5)).cast("long").as("n_shingles"),
+            TF.fingerprintMin(toks, 5).as("fp_min"),
+            TF.fingerprintMax(toks, 5).as("fp_max"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        sh AS (SELECT doc_id, list_transform(range(1, len(tk)-3),
+                 i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]) AS ss
+               FROM toks)
+        SELECT doc_id, len(ss) AS n_shingles,
+               list_min(list_transform(ss, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT))) AS fp_min,
+               list_max(list_transform(ss, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT))) AS fp_max
+        FROM sh ORDER BY doc_id"""))),
+
+    // ---- exact dedup over a simulated re-crawl (each doc appears twice)
+    "q24_dedup_exact" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val recrawl = docs.withColumn("doc_id", col("doc_id") + 100000)
+        Dedup.exact(docs.unionByName(recrawl), "doc_id", "text")
+          .orderBy(col("canonical_id"))
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 100000, text FROM documents)
+        SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+               count(*) AS n_copies
+        FROM corpus GROUP BY md5(text) ORDER BY canonical_id"""))),
+
+    // ---- exact n-gram Jaccard near-dup pairs (inverted-index join)
+    "q25_dedup_jaccard" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.7)
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        sh AS (SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+            i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])) AS s FROM toks)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, common,
+               CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+        FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.7
+        ORDER BY doc_a, doc_b"""))),
+
+    // ---- MinHash + LSH banding (the sub-quadratic scale path)
+    "q26_dedup_minhash" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text",
+            n = 3, k = 16, bands = 4, minEst = 0.5)
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        sh AS (SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+            i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])) AS s FROM toks)),
+        mh AS (
+          SELECT doc_id, i,
+                 min(CAST('0x'||substr(md5(CAST(i AS VARCHAR)||':'||s),1,15) AS BIGINT)) AS h
+          FROM sh, range(0, 16) r(i) GROUP BY doc_id, i),
+        sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, b,
+                 CAST(sig[b*4+1] AS VARCHAR)||','||CAST(sig[b*4+2] AS VARCHAR)||','||
+                 CAST(sig[b*4+3] AS VARCHAR)||','||CAST(sig[b*4+4] AS VARCHAR) AS bucket
+          FROM sig, range(0, 4) r(b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_filter(range(1,17), i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS n_match,
+               len(list_filter(range(1,17), i -> sa.sig[i] = sb.sig[i])) / 16.0 AS est_jaccard
+        FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
+        WHERE len(list_filter(range(1,17), i -> sa.sig[i] = sb.sig[i])) >= 8
+        ORDER BY doc_a, doc_b"""))),
+
+    // ---- SimHash near-dup pairs (48-bit, Hamming ≤ 2)
+    "q27_dedup_simhash" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 2)
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some("""
+        WITH tw AS (
+          SELECT doc_id, w, count(*) AS cnt,
+                 CAST('0x'||substr(md5('sh:'||w),1,12) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+          GROUP BY doc_id, w),
+        bits AS (
+          SELECT doc_id, j, sum(cnt * (2 * ((h >> CAST(j AS INTEGER)) & 1) - 1)) AS v
+          FROM tw, range(0, 48) r(j) GROUP BY doc_id, j),
+        sh AS (
+          SELECT doc_id,
+                 sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS simhash
+          FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        ORDER BY doc_a, doc_b"""))),
+
+    // ---- exact cosine top-k (brute force baseline; queries broadcast)
+    "q28_embed_topk" -> ((
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 5)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some("""
+        WITH nrm AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+          FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                 list_sum(list_transform(range(1,65),
+                   i -> CAST(q.embedding[i] AS DOUBLE) * c.embedding[i])) / (q.nrm * c.nrm) AS cos
+          FROM nrm q JOIN nrm c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        SELECT q_id, rnk, n_id, cos FROM (
+          SELECT q_id, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5 ORDER BY q_id, rnk"""))),
+
+    // ---- embedding near-dup pairs (cosine threshold)
+    "q29_embed_neardup" -> ((
+      (s: SparkSession, d: String) =>
+        Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.45)
+          .orderBy(col("id_a"), col("id_b")),
+      Some("""
+        WITH nrm AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+          FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(range(1,65),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) AS cos
+        FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(range(1,65),
+                i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) >= 0.45
+        ORDER BY id_a, id_b"""))),
+
+    // ---- LSH-bucketed approximate NN (the 100 TB similarity path)
+    "q30_ann_lsh" -> ((
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.lshAnn(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 3)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT p, list_transform(range(1, 65),
+            i -> CAST(CAST('0x'||substr(md5(CAST(p AS VARCHAR)||':'||CAST(i AS VARCHAR)),1,15) AS BIGINT) % 2001 - 1000 AS DOUBLE)) AS plane
+          FROM range(0, 16) r(p)),
+        sigbits AS (
+          SELECT e.vec_id, g.p,
+                 CASE WHEN list_sum(list_transform(range(1, 65),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * g.plane[i])) > 0 THEN 1 ELSE 0 END AS bit
+          FROM embeddings e, g),
+        sig AS (SELECT vec_id, list(bit ORDER BY p) AS bits FROM sigbits GROUP BY vec_id),
+        bands AS (
+          SELECT vec_id, b,
+                 CAST(bits[b*4+1] AS VARCHAR)||CAST(bits[b*4+2] AS VARCHAR)||
+                 CAST(bits[b*4+3] AS VARCHAR)||CAST(bits[b*4+4] AS VARCHAR) AS bucket
+          FROM sig, range(0, 4) r(b)),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS q_id, x.vec_id AS n_id
+          FROM bands q JOIN bands x
+            ON q.b = x.b AND q.bucket = x.bucket AND q.vec_id < 5 AND x.vec_id <> q.vec_id),
+        nrm AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+          FROM embeddings),
+        scored AS (
+          SELECT c.q_id, c.n_id,
+                 list_sum(list_transform(range(1,65),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) AS cos
+          FROM cand c JOIN nrm a ON a.vec_id = c.q_id JOIN nrm b ON b.vec_id = c.n_id)
+        SELECT q_id, rnk, n_id, cos FROM (
+          SELECT q_id, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 3 ORDER BY q_id, rnk"""))),
+
+    // ---- multimodal: binary payload pipeline (stub decode; real plumbing)
+    "q31_multimodal_features" -> ((
+      (s: SparkSession, d: String) =>
+        Multimodal.featurePipeline(s, t(s, d, "documents")),
+      Some("""
+        SELECT CASE CAST(doc_id % 3 AS INTEGER)
+                 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+               count(*) AS n_media,
+               sum(octet_length(encode(text))) AS total_bytes,
+               count(*) * 10 AS total_feature_dims
+        FROM documents GROUP BY 1 ORDER BY 1""")))
+  )
+}

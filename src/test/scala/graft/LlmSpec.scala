@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm._
+
+class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = Tables.configure(
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("llm-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+      (3L, "completely different content about query engines and columnar storage systems"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank today") // exact dup of 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical text and keeps the min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("canonical_id").collect()
+    assert(out.length == 3)
+    val dup = out.find(_.getAs[Long]("canonical_id") == 1L).get
+    assert(dup.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("jaccard pairs find near-dups and exact dups but not distinct docs") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH candidates cover the true near-dup pairs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 16, bands = 4, minEst = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: all bands collide
+    assert(pairs.contains((1L, 2L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: exact dup at distance 0; banded variant agrees with all-pairs") {
+    val all = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(all.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0L))
+    val banded = Dedup.simhashPairsBanded(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == all) // pigeonhole banding loses nothing within distance d
+  }
+
+  test("shingle doc-frequency cap drops hot shingles") {
+    val uncapped = Dedup.shingleIndex(docs, "doc_id", "text", 3).count()
+    val capped = Dedup.shingleIndex(docs, "doc_id", "text", 3, maxDocFreq = Some(2)).count()
+    assert(capped < uncapped) // the 3x-repeated doc's shingles are dropped
+  }
+
+  test("trigram language ID identifies real multilingual sentences") {
+    import spark.implicits._
+    val samples = Seq(
+      ("en", "the cat sat on the mat and looked out of the window"),
+      ("de", "der hund lief durch den wald und suchte einen schattigen platz"),
+      ("es", "el perro corre por el parque y la casa es bonita de verdad"),
+      ("fr", "le chien et le chat sont dans le jardin de la maison")
+    ).toDF("expected", "text")
+    val out = samples.withColumn("got", TextFunctions.langIdTrigram(col("text")))
+      .collect().map(r => (r.getString(0), r.getString(2)))
+    out.foreach { case (exp, got) => assert(got == exp, s"expected $exp got $got") }
+  }
+
+  test("stopword language ID returns und for text with no profile hits") {
+    import spark.implicits._
+    val out = Seq("zzz qqq xxx").toDF("text")
+      .select(TextFunctions.langId(TextFunctions.wsTokens(col("text"))))
+      .head().getString(0)
+    assert(out == "und")
+  }
+
+  test("brute-force top-k is exact and deterministic") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f)), // closest to 0
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(0f, 0.9f, 0.1f)) // closest to 2
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 1)
+      .collect()
+    assert(out.length == 1 && out.head.getAs[Long]("n_id") == 1L)
+  }
+
+  test("LSH ANN returns ranked candidates with exact cosine scores") {
+    import spark.implicits._
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(64)(d => math.sin(i * 64 + d).toFloat))
+    }
+    val vecs = base.toDF("vec_id", "embedding")
+    val out = Similarity.lshAnn(vecs, vecs.filter(col("vec_id") < 2),
+      "vec_id", "embedding", k = 3)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // ranks are 1..k per query, cosine non-increasing
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq == (1L to sorted.length))
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("multimodal pipeline: schema, batching, frame sampling") {
+    import spark.implicits._
+    val d = docs.withColumnRenamed("doc_id", "doc_id") // documents-shaped
+    val media = Multimodal.packDocuments(d)
+    assert(media.schema.fieldNames.toSet ==
+      Set("media_id", "modality", "payload", "width", "height", "format"))
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.decodeStub(media, batchSize = 2).collect()
+    assert(feats.length == 4)
+    assert(feats.forall(_.features.length == 10))
+    // histogram bins are normalized frequencies
+    assert(feats.forall(f => math.abs(f.features.take(8).sum - 1.0) < 1e-5))
+    val frames = Multimodal.frameSample(media, frames = 4).collect()
+    assert(frames.nonEmpty)
+    val byId = frames.groupBy(_.media_id)
+    byId.values.foreach(fs =>
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until fs.length)))
+    // frames reassemble a prefix of the payload (chunking is lossless up to len/n rounding)
+    val m = media.filter(_.modality == "video").head()
+    val rejoined = byId(m.media_id).sortBy(_.frame_idx).flatMap(_.frame_bytes)
+    assert(rejoined.sameElements(m.payload.take(rejoined.length)))
+  }
+}
