@@ -279,7 +279,8 @@ class GraftTable private (
     * path HoodieSparkSqlWriter.bulkInsertAsRow :415 — which is simply a
     * DataFrame write, our default everywhere). sortMode: "global" |
     * "partition" | "none". */
-  def bulkInsert(df: DataFrame, sortMode: String = "partition"): String = {
+  def bulkInsert(df: DataFrame, sortMode: String = "partition",
+      extra: Map[String, String] = Map.empty): String = {
     val t = timeline.start(Action.Commit)
     val prepared = assignNewGroups(prepare(df, t), t)
     val sorted = sortMode match {
@@ -288,23 +289,24 @@ class GraftTable private (
     }
     val stats = stageAndPublish(sorted, t)
     timeline.complete(t, Action.Commit,
-      CommitMetadata("bulk_insert", schemaJson(prepared), stats))
+      CommitMetadata("bulk_insert", schemaJson(prepared), stats, extra = extra))
     t
   }
 
   /** Insert with intra-batch dedup but no merge against storage. */
-  def insert(df: DataFrame): String = {
+  def insert(df: DataFrame, extra: Map[String, String] = Map.empty): String = {
     val t = timeline.start(Action.Commit)
     val prepared = assignNewGroups(precombine(prepare(df, t)), t)
     val stats = stageAndPublish(prepared, t)
-    timeline.complete(t, Action.Commit, CommitMetadata("insert", schemaJson(prepared), stats))
+    timeline.complete(t, Action.Commit,
+      CommitMetadata("insert", schemaJson(prepared), stats, extra = extra))
     t
   }
 
   /** Upsert: tag each record against the key index, merge-rewrite affected
     * file groups (COW) or append delta files (MOR), route new keys to new
     * groups. */
-  def upsert(df: DataFrame): String = {
+  def upsert(df: DataFrame, extra: Map[String, String] = Map.empty): String = {
     val action = if (isMor) Action.DeltaCommit else Action.Commit
     val t = timeline.start(action)
     val snap = Snapshot.resolve(timeline)
@@ -349,7 +351,8 @@ class GraftTable private (
           merged.filter(!col(Deleted))
             .unionByName(inserts, allowMissingColumns = true), t)
       }
-    timeline.complete(t, action, CommitMetadata("upsert", schemaJson(prepared), stats))
+    timeline.complete(t, action,
+      CommitMetadata("upsert", schemaJson(prepared), stats, extra = extra))
     t
   }
 
@@ -465,7 +468,7 @@ class GraftTable private (
   }
 
   /** Latest stored schema (meta + data columns) visible in `snap`. */
-  private[graft] def readSchema(snap: Snapshot): StructType = {
+  def readSchema(snap: Snapshot): StructType = {
     val js = snap.instants.reverseIterator
       .map(timeline.metadataOf(_).schemaJson)
       .find(_.nonEmpty)

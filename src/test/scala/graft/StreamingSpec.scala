@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.read.GraftReader
+import graft.streaming._
+import graft.write.GraftTable
+import org.apache.spark.sql.graft.streaming.GraftStreamProvider
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Tables.configure(SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  def tmp(): String = Files.createTempDirectory("graft-stream").toString
+
+  def cfg(name: String): TableConfig = TableConfig(
+    name = name, tableType = TableType.COW, keyFields = Seq("id"),
+    orderingField = "ts", targetFileRows = 1000)
+
+  test("foreachBatch sink writes micro-batches with batchId idempotency") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg("sink"))
+
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = mem.toDF().toDF("id", "v", "ts")
+      .writeStream
+      .foreachBatch(GraftStreamSink(tbl, queryId = "q1"))
+      .option("checkpointLocation", tmp())
+      .start()
+    mem.addData((1L, "a", 1L), (2L, "b", 1L))
+    q.processAllAvailable()
+    mem.addData((2L, "b2", 2L), (3L, "c", 2L))
+    q.processAllAvailable()
+    q.stop()
+
+    val r = GraftReader(tbl)
+    val got = r.dataOnly(r.snapshot()).as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a", 1L), (2L, "b2", 2L), (3L, "c", 2L)))
+    assert(GraftStreamSink.lastCommittedBatch(tbl, "q1").contains(1L))
+
+    // replaying an already-committed batch is a no-op
+    val commitsBefore = tbl.timeline.completed().size
+    GraftStreamSink.writeBatch(tbl, "q1", "upsert",
+      Seq((9L, "dup", 9L)).toDF("id", "v", "ts"), batchId = 1L)
+    assert(tbl.timeline.completed().size == commitsBefore)
+    // a NEW batch id goes through
+    GraftStreamSink.writeBatch(tbl, "q1", "upsert",
+      Seq((9L, "new", 9L)).toDF("id", "v", "ts"), batchId = 2L)
+    assert(r.dataOnly(r.snapshot()).count() == 4)
+  }
+
+  test("stream source: offsets = instants, batches = incremental pulls") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg("src"))
+    tbl.bulkInsert(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ts"))
+
+    val stream = spark.readStream
+      .format(classOf[GraftStreamProvider].getName)
+      .option("path", dir)
+      .load()
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("graft_src")
+      .outputMode("append")
+      .option("checkpointLocation", tmp())
+      .start()
+    q.processAllAvailable()
+    val after1 = spark.table("graft_src").select("id", "v").as[(Long, String)]
+      .collect().sortBy(_._1)
+    assert(after1.toSeq == Seq((1L, "a"), (2L, "b")))
+
+    // a new commit becomes the next micro-batch (only the delta rows)
+    tbl.upsert(Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("id", "v", "ts"))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("graft_src").select("id", "v").as[(Long, String)]
+      .collect().sorted
+    // append-mode memory sink accumulates the change stream
+    assert(all.toSeq == Seq((1L, "a"), (2L, "b"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("continuous ingest: checkpoint-in-commit recovery, parquet dir source") {
+    import spark.implicits._
+    val dir = tmp()
+    val srcDir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg("ingest"))
+    val ingest = new ContinuousIngest(tbl, new ParquetDirSource(spark, srcDir),
+      transform = df => df.withColumn("v", upper(col("v"))))
+
+    // round 1: two files land
+    Seq((1L, "a", 1L)).toDF("id", "v", "ts")
+      .write.parquet(s"$srcDir/f1.parquet.dir") // dir won't match *.parquet filter
+    Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/stage")
+    val fs = new org.apache.hadoop.fs.Path(srcDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val staged = fs.globStatus(new org.apache.hadoop.fs.Path(s"$srcDir/stage/part-*")).head.getPath
+    fs.rename(staged, new org.apache.hadoop.fs.Path(s"$srcDir/000001.parquet"))
+
+    assert(ingest.syncOnce().isDefined)
+    assert(ingest.checkpoint.contains(s"file:$srcDir/000001.parquet")
+      || ingest.checkpoint.contains(s"$srcDir/000001.parquet"))
+    assert(ingest.syncOnce().isEmpty) // caught up
+
+    // round 2: another file; transform applied; checkpoint advances
+    Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("id", "v", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/stage")
+    val staged2 = fs.globStatus(new org.apache.hadoop.fs.Path(s"$srcDir/stage/part-*")).head.getPath
+    fs.rename(staged2, new org.apache.hadoop.fs.Path(s"$srcDir/000002.parquet"))
+    assert(ingest.syncOnce().isDefined)
+
+    val r = GraftReader(tbl)
+    val got = r.dataOnly(r.snapshot()).as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "A", 1L), (2L, "B2", 2L), (3L, "C", 2L)))
+  }
+
+  test("graft-to-graft incremental chaining (table as ingest source)") {
+    import spark.implicits._
+    val upstream = tmp(); val downstream = tmp()
+    val up = GraftTable.create(spark, upstream, cfg("up"))
+    val down = GraftTable.create(spark, downstream, cfg("down"))
+    up.bulkInsert(Seq((1L, "a", 1L)).toDF("id", "v", "ts"))
+
+    val ingest = new ContinuousIngest(down,
+      new GraftIncrSource(spark, upstream),
+      transform = df => df.drop(graft.write.Meta.all: _*))
+    assert(ingest.syncOnce().isDefined)
+    assert(ingest.syncOnce().isEmpty)
+
+    up.upsert(Seq((1L, "a2", 2L), (2L, "b", 2L)).toDF("id", "v", "ts"))
+    assert(ingest.syncOnce().isDefined)
+
+    val r = GraftReader(down)
+    val got = r.dataOnly(r.snapshot()).as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a2", 2L), (2L, "b", 2L)))
+  }
+}
