@@ -1,0 +1,183 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructField
+
+import graft.read.GraftReader
+import graft.write.{GraftTable, Meta}
+
+/** SQL-DML semantics over a graft table, Catalyst-native (reference
+  * analog: the command layer under hudi-spark —
+  * UpdateHoodieTableCommand.scala:39, DeleteHoodieTableCommand.scala:33,
+  * MergeIntoHoodieTableCommand.scala:63 + ExpressionPayload.scala:56).
+  *
+  * Where the reference serializes Catalyst expressions into write config
+  * and re-evaluates them per record over joined Avro payloads, here the
+  * WHEN-clause logic IS the DataFrame plan: one action-resolution
+  * projection over a source⋈target join, then the normal upsert path.
+  * Whole-stage codegen covers everything; no per-record interpreter.
+  */
+class GraftDml(table: GraftTable) {
+
+  private def reader = GraftReader(table)
+  private def dataColumns: Seq[String] =
+    reader.snapshot().columns.filterNot(Meta.all.contains).toSeq
+
+  /** UPDATE t SET assignments WHERE condition. Only matching rows are
+    * routed into the upsert (their file groups get rewritten/appended;
+    * untouched groups are not read). Assignments may not target key
+    * fields (reference rule: HoodieAnalysis.scala:240). */
+  def update(condition: Column, assignments: Map[String, Column]): Option[String] = {
+    val bad = assignments.keySet.intersect(table.config.keyFields.toSet)
+    require(bad.isEmpty, s"UPDATE may not modify key fields: ${bad.mkString(",")}")
+    val cols = dataColumns
+    val unknown = assignments.keySet.diff(cols.toSet)
+    require(unknown.isEmpty, s"unknown columns in SET: ${unknown.mkString(",")}")
+    val affected = reader.dataOnly(reader.snapshot().filter(condition))
+    if (affected.isEmpty) return None
+    val updated = affected.select(cols.map(c =>
+      assignments.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+    Some(table.upsert(updated))
+  }
+
+  /** DELETE FROM t WHERE condition. */
+  def deleteWhere(condition: Column): Option[String] = {
+    val affected = reader.dataOnly(reader.snapshot().filter(condition))
+    if (affected.isEmpty) None
+    else Some(table.delete(affected))
+  }
+
+  /** MERGE INTO t USING source ON cond — builder, Delta-style (the
+    * idiomatic Spark surface for programmatic merge). Inside conditions
+    * and assignments, reference the source as `s.col` and the target as
+    * `t.col`. */
+  def merge(source: DataFrame, on: Column): GraftMergeBuilder =
+    new GraftMergeBuilder(table, reader, source, on)
+}
+
+private[sql] sealed trait MergeAction {
+  def condition: Option[Column]
+}
+private[sql] case class MatchedUpdate(condition: Option[Column],
+    assignments: Map[String, Column]) extends MergeAction
+private[sql] case class MatchedDelete(condition: Option[Column]) extends MergeAction
+private[sql] case class NotMatchedInsert(condition: Option[Column],
+    assignments: Map[String, Column]) extends MergeAction
+
+/** WHEN-clause collection + single-commit execution.
+  *
+  * Semantics mirror the reference (ExpressionPayload.scala:94-205):
+  * clauses are evaluated in declaration order, the FIRST matching WHEN
+  * wins, rows matching no clause are untouched (matched) or dropped
+  * (not matched). Updates and deletes land in ONE commit: deletes ride
+  * the same upsert as tombstone rows (`_g_deleted`), exactly like the
+  * reference's EmptyHoodieRecordPayload path. */
+class GraftMergeBuilder(
+    table: GraftTable,
+    reader: => GraftReader,
+    source: DataFrame,
+    on: Column) {
+
+  private var matchedActions: Vector[MergeAction] = Vector.empty
+  private var notMatchedActions: Vector[NotMatchedInsert] = Vector.empty
+
+  def whenMatchedUpdate(set: Map[String, Column], condition: Option[Column] = None): this.type = {
+    val bad = set.keySet.intersect(table.config.keyFields.toSet)
+    require(bad.isEmpty, s"MERGE update may not modify key fields: ${bad.mkString(",")}")
+    matchedActions :+= MatchedUpdate(condition, set); this
+  }
+
+  /** UPDATE SET * — every target column from the same-named source column. */
+  def whenMatchedUpdateAll(condition: Option[Column] = None): this.type = {
+    matchedActions :+= MatchedUpdate(condition, Map.empty); this
+  }
+
+  def whenMatchedDelete(condition: Option[Column] = None): this.type = {
+    matchedActions :+= MatchedDelete(condition); this
+  }
+
+  def whenNotMatchedInsert(values: Map[String, Column], condition: Option[Column] = None): this.type = {
+    notMatchedActions :+= NotMatchedInsert(condition, values); this
+  }
+
+  /** INSERT * — every target column from the same-named source column. */
+  def whenNotMatchedInsertAll(condition: Option[Column] = None): this.type = {
+    notMatchedActions :+= NotMatchedInsert(condition, Map.empty); this
+  }
+
+  /** Run the merge; returns the commit time, or None when no row
+    * matched any clause. */
+  def execute(): Option[String] = {
+    require(matchedActions.nonEmpty || notMatchedActions.nonEmpty,
+      "MERGE needs at least one WHEN clause")
+    val snapshot = reader.snapshot()
+    val targetFields: Seq[StructField] =
+      snapshot.schema.fields.filterNot(f => Meta.all.contains(f.name)).toSeq
+    val targetCols = targetFields.map(_.name)
+
+    // source LEFT JOIN target: matched rows see both sides; target rows
+    // never touched by the source stay out of the plan entirely (their
+    // file groups are not rewritten).
+    val joined = source.alias("s")
+      .join(reader.dataOnly(snapshot).alias("t"), on, "left")
+    val matched = table.config.keyFields.map(k => col(s"t.$k").isNotNull).reduce(_ && _)
+
+    // action id: first matching WHEN wins (clause order = priority)
+    val mStart = 0
+    val nStart = matchedActions.size
+    val actionExpr: Column = {
+      val matchedCases = matchedActions.zipWithIndex.map { case (a, i) =>
+        (matched && a.condition.getOrElse(lit(true)), lit(mStart + i))
+      }
+      val notMatchedCases = notMatchedActions.zipWithIndex.map { case (a, i) =>
+        (!matched && a.condition.getOrElse(lit(true)), lit(nStart + i))
+      }
+      (matchedCases ++ notMatchedCases)
+        .foldLeft(when(lit(false), lit(-1))) { case (acc, (cond, id)) => acc.when(cond, id) }
+        .otherwise(lit(-1))
+    }
+
+    def updateValue(a: MatchedUpdate, c: StructField): Column =
+      a.assignments.getOrElse(c.name, // UPDATE SET *: same-named source col, else keep target
+        if (a.assignments.isEmpty && source.columns.contains(c.name)) col(s"s.${c.name}")
+        else col(s"t.${c.name}"))
+    def insertValue(a: NotMatchedInsert, c: StructField): Column =
+      a.assignments.getOrElse(c.name,
+        if (a.assignments.isEmpty && source.columns.contains(c.name)) col(s"s.${c.name}")
+        else lit(null))
+
+    val outCols = targetFields.map { f =>
+      val matchedCases = matchedActions.zipWithIndex.map {
+        case (a: MatchedUpdate, i)  => (lit(mStart + i), updateValue(a, f))
+        case (_: MatchedDelete, i)  => (lit(mStart + i), col(s"t.${f.name}"))
+        case (a, _) => throw new IllegalStateException(s"unexpected matched action $a")
+      }
+      val notMatchedCases = notMatchedActions.zipWithIndex.map { case (a, i) =>
+        (lit(nStart + i), insertValue(a, f))
+      }
+      (matchedCases ++ notMatchedCases)
+        .foldLeft(when(lit(false), lit(null))) { case (acc, (id, v)) =>
+          acc.when(col("_g_action") === id, v)
+        }
+        .otherwise(lit(null)).cast(f.dataType).as(f.name)
+    }
+    val deleteIds = matchedActions.zipWithIndex.collect {
+      case (_: MatchedDelete, i) => mStart + i
+    }
+    val tombstone = deleteIds.foldLeft(lit(false)) { case (acc, id) =>
+      acc || col("_g_action") === id
+    }
+
+    val resolved = joined
+      .withColumn("_g_action", actionExpr)
+      .filter(col("_g_action") >= 0)
+      .select(outCols :+ tombstone.as(Meta.Deleted): _*)
+    if (resolved.isEmpty) None
+    else Some(table.upsert(resolved))
+  }
+}
+
+object GraftDml {
+  def apply(table: GraftTable): GraftDml = new GraftDml(table)
+}

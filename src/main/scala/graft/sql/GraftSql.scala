@@ -1,0 +1,90 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Action
+import graft.services.TableServices
+import graft.write.GraftTable
+
+/** Thin SQL statement surface over graft tables (reference analog:
+  * HoodieCommonSqlParser.scala:33 — the reference's own grammar adds
+  * ONLY the compaction statements; UPDATE/DELETE/MERGE reuse Spark's
+  * grammar and resolve to commands. Here the compaction DDL plus
+  * path-addressed UPDATE/DELETE are parsed directly; MERGE uses the
+  * builder API ([[GraftDml.merge]]), the idiomatic programmatic surface).
+  *
+  * Grammar (case-insensitive keywords, `'<path>'` = table base path):
+  *   RUN COMPACTION ON '<path>'
+  *   SCHEDULE COMPACTION ON '<path>'
+  *   SHOW COMPACTION ON '<path>'
+  *   UPDATE '<path>' SET col = expr [, ...] [WHERE expr]
+  *   DELETE FROM '<path>' [WHERE expr]
+  * Expressions are full Spark SQL (parsed with functions.expr).
+  */
+object GraftSql {
+
+  private val RunCompaction = """(?is)\s*RUN\s+COMPACTION\s+ON\s+'([^']+)'\s*""".r
+  private val ScheduleCompaction = """(?is)\s*SCHEDULE\s+COMPACTION\s+ON\s+'([^']+)'\s*""".r
+  private val ShowCompaction = """(?is)\s*SHOW\s+COMPACTION\s+ON\s+'([^']+)'\s*""".r
+  private val Update = """(?is)\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*""".r
+  private val Delete = """(?is)\s*DELETE\s+FROM\s+'([^']+)'(?:\s+WHERE\s+(.+))?\s*""".r
+
+  def sql(spark: SparkSession, statement: String): DataFrame = statement match {
+    case RunCompaction(path) =>
+      val instant = TableServices(GraftTable.load(spark, path)).compact()
+      result(spark, "instant", instant.toSeq)
+    case ScheduleCompaction(path) =>
+      val plan = TableServices(GraftTable.load(spark, path)).planCompaction()
+      result(spark, "file_group", plan.map(s => s"${s.partition}/${s.fileId}"))
+    case ShowCompaction(path) =>
+      val tl = GraftTable.load(spark, path).timeline
+      result(spark, "compaction_instant",
+        tl.completed().filter(_.action == Action.Compaction).map(_.time))
+    case Update(path, setClause, whereClause) =>
+      val dml = GraftDml(GraftTable.load(spark, path))
+      val assignments = splitTopLevel(setClause, ',').map { kv =>
+        val (k, v) = splitAssignment(kv)
+        k -> expr(v)
+      }.toMap
+      val cond = Option(whereClause).map(expr).getOrElse(lit(true))
+      result(spark, "instant", dml.update(cond, assignments).toSeq)
+    case Delete(path, whereClause) =>
+      val dml = GraftDml(GraftTable.load(spark, path))
+      val cond = Option(whereClause).map(expr).getOrElse(lit(true))
+      result(spark, "instant", dml.deleteWhere(cond).toSeq)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported graft statement: $other")
+  }
+
+  /** Split on `sep` outside parens/quotes (assignments may contain
+    * function calls with commas). */
+  private[sql] def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    s.foreach {
+      case '\'' => inStr = !inStr; cur += '\''
+      case '(' if !inStr => depth += 1; cur += '('
+      case ')' if !inStr => depth -= 1; cur += ')'
+      case c if c == sep && depth == 0 && !inStr =>
+        out += cur.result().trim; cur.clear()
+      case c => cur += c
+    }
+    val last = cur.result().trim
+    if (last.nonEmpty) out += last
+    out.result()
+  }
+
+  private def splitAssignment(kv: String): (String, String) = {
+    val i = kv.indexOf('=')
+    require(i > 0, s"bad assignment: $kv")
+    (kv.take(i).trim, kv.drop(i + 1).trim)
+  }
+
+  private def result(spark: SparkSession, colName: String, values: Seq[String]): DataFrame = {
+    import spark.implicits._
+    values.toDF(colName)
+  }
+}

@@ -70,8 +70,14 @@ class GraftTable private (
       col(config.orderingField)
     else lit(0)
 
-  /** Stamp meta columns for a new write at `commitTime`. */
+  /** Stamp meta columns for a new write at `commitTime`. A pre-existing
+    * `_g_deleted` column is honored (mixed upsert+delete batches, e.g.
+    * MERGE INTO with WHEN MATCHED DELETE); otherwise every row gets
+    * `deleted`. */
   private def prepare(df: DataFrame, commitTime: String, deleted: Boolean = false): DataFrame = {
+    val del: Column =
+      if (df.columns.contains(Deleted)) coalesce(col(Deleted), lit(false))
+      else lit(deleted)
     val base = df
       .withColumn(Key, keyExpr)
       .withColumn(Partition, partitionExpr)
@@ -82,7 +88,7 @@ class GraftTable private (
       .withColumn(Seqno, concat(lit(commitTime), lit("_"),
         lpad(org.apache.spark.sql.functions.abs(
           xxhash64(df.columns.toSeq.map(c => col(c)): _*)).cast("string"), 20, "0")))
-      .withColumn(Deleted, lit(deleted))
+      .withColumn(Deleted, del)
     base
   }
 

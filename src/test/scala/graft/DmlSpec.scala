@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.read.GraftReader
+import graft.sql.{GraftDml, GraftSql}
+import graft.write.GraftTable
+
+class DmlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Tables.configure(SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  def tmp(): String = Files.createTempDirectory("graft-dml").toString
+
+  def cfg(tt: String = TableType.COW): TableConfig = TableConfig(
+    name = "t", tableType = tt, keyFields = Seq("id"),
+    orderingField = "ts", targetFileRows = 1000)
+
+  def seed(dir: String, tt: String = TableType.COW): GraftTable = {
+    import spark.implicits._
+    val tbl = GraftTable.create(spark, dir, cfg(tt))
+    tbl.bulkInsert(Seq(
+      (1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L), (3L, "c", 30.0, 1L)
+    ).toDF("id", "v", "amount", "ts"))
+    tbl
+  }
+
+  def state(tbl: GraftTable): Seq[(Long, String, Double, Long)] = {
+    import spark.implicits._
+    val r = GraftReader(tbl)
+    r.dataOnly(r.snapshot()).as[(Long, String, Double, Long)].collect().sortBy(_._1).toSeq
+  }
+
+  test("UPDATE applies assignments to matching rows only") {
+    val tbl = seed(tmp())
+    val t = GraftDml(tbl).update(col("amount") > 15,
+      Map("v" -> upper(col("v")), "amount" -> (col("amount") * 2)))
+    assert(t.isDefined)
+    assert(state(tbl) == Seq(
+      (1L, "a", 10.0, 1L), (2L, "B", 40.0, 1L), (3L, "C", 60.0, 1L)))
+  }
+
+  test("UPDATE rejects key-field assignment; no-match is a no-op") {
+    val tbl = seed(tmp())
+    intercept[IllegalArgumentException] {
+      GraftDml(tbl).update(lit(true), Map("id" -> lit(99L)))
+    }
+    assert(GraftDml(tbl).update(col("id") > 100, Map("v" -> lit("x"))).isEmpty)
+  }
+
+  test("DELETE removes matching rows") {
+    val tbl = seed(tmp())
+    assert(GraftDml(tbl).deleteWhere(col("id") === 2L).isDefined)
+    assert(state(tbl).map(_._1) == Seq(1L, 3L))
+  }
+
+  test("MERGE: update + delete + insert in ONE commit, first WHEN wins") {
+    import spark.implicits._
+    val tbl = seed(tmp())
+    val source = Seq(
+      (1L, "a9", 99.0, 2L),  // matched, amount>50 in source -> first clause: delete
+      (2L, "b2", 25.0, 2L),  // matched -> second clause: update
+      (4L, "d", 40.0, 2L)    // not matched -> insert
+    ).toDF("id", "v", "amount", "ts")
+    val before = tbl.timeline.completed().size
+    val t = GraftDml(tbl).merge(source, expr("s.id = t.id"))
+      .whenMatchedDelete(Some(expr("s.amount > 50")))
+      .whenMatchedUpdate(Map(
+        "v" -> expr("s.v"), "amount" -> expr("s.amount + t.amount"), "ts" -> expr("s.ts")))
+      .whenNotMatchedInsertAll()
+      .execute()
+    assert(t.isDefined)
+    assert(tbl.timeline.completed().size == before + 1) // single commit
+    assert(state(tbl) == Seq(
+      (2L, "b2", 45.0, 2L), (3L, "c", 30.0, 1L), (4L, "d", 40.0, 2L)))
+  }
+
+  test("MERGE: unreferenced target rows keep their commit time (no rewrite churn)") {
+    import spark.implicits._
+    val tbl = seed(tmp())
+    val t0 = tbl.timeline.completed().last.time
+    val source = Seq((1L, "a2", 11.0, 2L)).toDF("id", "v", "amount", "ts")
+    GraftDml(tbl).merge(source, expr("s.id = t.id"))
+      .whenMatchedUpdateAll().execute()
+    val r = GraftReader(tbl)
+    val byKey = r.snapshot().select(col("id"), col(graft.write.Meta.CommitTime))
+      .as[(Long, String)].collect().toMap
+    assert(byKey(1L) != t0)   // updated row re-stamped
+    assert(byKey(3L) == t0)   // untouched key keeps the original commit
+  }
+
+  test("MERGE on MOR lands as delta commit and merges at read") {
+    import spark.implicits._
+    val tbl = seed(tmp(), TableType.MOR)
+    val source = Seq((2L, "b2", 21.0, 2L), (5L, "e", 50.0, 2L)).toDF("id", "v", "amount", "ts")
+    GraftDml(tbl).merge(source, expr("s.id = t.id"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    assert(tbl.timeline.completed().last.action == Action.DeltaCommit)
+    assert(state(tbl) == Seq(
+      (1L, "a", 10.0, 1L), (2L, "b2", 21.0, 2L), (3L, "c", 30.0, 1L), (5L, "e", 50.0, 2L)))
+  }
+
+  test("MERGE clause conditions: unmatched-by-any-clause rows are ignored") {
+    import spark.implicits._
+    val tbl = seed(tmp())
+    val source = Seq(
+      (1L, "x", 5.0, 2L),   // matched but fails the update condition -> untouched
+      (9L, "y", 5.0, 2L)    // not matched but fails insert condition -> dropped
+    ).toDF("id", "v", "amount", "ts")
+    val t = GraftDml(tbl).merge(source, expr("s.id = t.id"))
+      .whenMatchedUpdate(Map("v" -> expr("s.v")), Some(expr("s.amount > 100")))
+      .whenNotMatchedInsertAll(Some(expr("s.amount > 100")))
+      .execute()
+    assert(t.isEmpty)
+    assert(state(tbl) == Seq((1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L), (3L, "c", 30.0, 1L)))
+  }
+
+  test("SQL surface: UPDATE / DELETE / compaction statements") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = seed(dir, TableType.MOR)
+    GraftSql.sql(spark, s"UPDATE '$dir' SET v = concat(v, '!'), amount = amount + 1 WHERE id <= 2")
+    assert(state(tbl) == Seq(
+      (1L, "a!", 11.0, 1L), (2L, "b!", 21.0, 1L), (3L, "c", 30.0, 1L)))
+    GraftSql.sql(spark, s"DELETE FROM '$dir' WHERE id = 3")
+    assert(state(tbl).map(_._1) == Seq(1L, 2L))
+    // deltas exist -> schedule shows candidates, run compacts them
+    val plan = GraftSql.sql(spark, s"SCHEDULE COMPACTION ON '$dir'")
+    assert(plan.count() > 0)
+    val ran = GraftSql.sql(spark, s"RUN COMPACTION ON '$dir'")
+    assert(ran.count() == 1)
+    assert(GraftSql.sql(spark, s"SHOW COMPACTION ON '$dir'").count() == 1)
+    assert(state(tbl).map(_._1) == Seq(1L, 2L)) // state unchanged by compaction
+  }
+}
