@@ -90,6 +90,11 @@ case class TableConfig(
       * WriteStat, powering read-side data skipping (reference analog: the
       * .zindex column-stats table, ZOrderingIndexHelper.java:233) */
     statsColumns: Seq[String] = Nil,
+    /** optimistic concurrency for multi-writer: commits take a timeline
+      * lock and fail on overlapping file groups (reference analog:
+      * WriteConcurrencyMode.OPTIMISTIC_CONCURRENCY_CONTROL +
+      * SimpleConcurrentFileWritesConflictResolutionStrategy.java:44) */
+    occ: Boolean = false,
     version: Int = 1)
 
 object TableType { val COW = "COW"; val MOR = "MOR" }

@@ -12,8 +12,13 @@ case class Snapshot(
     config: TableConfig,
     asOf: String,
     slices: Seq[FileSlice],
-    /** completed data instants (time asc) visible at `asOf` */
-    instants: Seq[Instant]) {
+    /** completed data instants (time asc) visible at `asOf` — ACTIVE
+      * timeline only; instants folded into a checkpoint appear via
+      * `slices`/`baseSchemaJson` instead */
+    instants: Seq[Instant],
+    /** schema carried by the checkpoint this resolution started from
+      * (fallback when no active instant has one) */
+    baseSchemaJson: String = "") {
 
   def latestCommitTime: Option[String] = instants.lastOption.map(_.time)
 
@@ -36,15 +41,37 @@ object Snapshot {
 
   /** Replay completed data instants in time order up to (and including)
     * `asOf`; a new base file for a group folds all earlier deltas; a
-    * replacecommit kills the listed groups. */
+    * replacecommit kills the listed groups.
+    *
+    * Resolution starts from the newest usable [[Checkpoint]] (if any)
+    * and replays only the active instants after it — O(#instants since
+    * checkpoint), the 100 TB posture. Time travel BEFORE the oldest
+    * checkpoint is only possible while the needed instants are still on
+    * the active timeline; once archived, such reads fail loudly. */
   def resolve(timeline: Timeline, asOf: Option[String] = None): Snapshot = {
     val config = timeline.config
+    val cp = Checkpoint.latestAtOrBefore(timeline, asOf)
+    val cpTime = cp.map(_.asOf).getOrElse("")
     val all = timeline.completed().filter(i => Action.dataActions(i.action))
     val visible = asOf match {
-      case Some(t) => all.filter(_.time <= t)
-      case None    => all
+      case Some(t) => all.filter(i => i.time > cpTime && i.time <= t)
+      case None    => all.filter(_.time > cpTime)
+    }
+    if (cp.isEmpty) {
+      // no checkpoint covers this read; archived instants (if any) at or
+      // before asOf would make the replay silently incomplete — refuse.
+      val bound = asOf.getOrElse("~") // '~' > any digit: latest
+      if (timeline.archivedTimes().exists(_ <= bound))
+        throw new IllegalStateException(
+          s"instants at or before ${asOf.getOrElse("latest")} are archived " +
+            "and no checkpoint covers them; time travel this far back is unavailable")
     }
     var groups = Map.empty[(String, String), GroupState]
+    cp.toSeq.flatMap(_.slices).foreach { s =>
+      groups += (s.partition, s.fileId) -> GroupState(
+        s.partition, s.fileId, s.baseFile.map((cpTime, _)),
+        s.deltas.map((cpTime, _)).toVector)
+    }
     visible.foreach { inst =>
       val meta = timeline.metadataOf(inst)
       meta.stats.foreach { st =>
@@ -61,9 +88,10 @@ object Snapshot {
     }
     Snapshot(
       config,
-      asOf.orElse(visible.lastOption.map(_.time)).getOrElse(""),
+      asOf.orElse(visible.lastOption.map(_.time)).orElse(cp.map(_.asOf)).getOrElse(""),
       groups.values.map(_.toSlice).toSeq.sortBy(s => (s.partition, s.fileId)),
-      visible)
+      visible,
+      baseSchemaJson = cp.map(_.schemaJson).getOrElse(""))
   }
 
   /** The (instantTime -> files written) view needed by incremental reads:

@@ -84,6 +84,23 @@ class Timeline(val basePath: String, conf: Configuration) {
   def deleteCompleted(i: Instant): Unit =
     fs.delete(new Path(metaDir, i.fileName), false)
 
+  /** Move a completed instant into the archive dir (metadata retained for
+    * audit; the active listing no longer sees it). */
+  def archiveCompleted(i: Instant): Unit = {
+    val d = new Path(metaDir, Timeline.ArchiveDir)
+    fs.mkdirs(d)
+    if (!fs.rename(new Path(metaDir, i.fileName), new Path(d, i.fileName)))
+      throw new IllegalStateException(s"archive move failed: ${i.fileName}")
+  }
+
+  /** Times of archived instants (sorted asc); O(#archived) listing. */
+  def archivedTimes(): Seq[String] = {
+    val d = new Path(metaDir, Timeline.ArchiveDir)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .flatMap(parseFileName).map(_.time).sorted
+  }
+
   def metadataOf(i: Instant): CommitMetadata =
     Json.read(readFully(new Path(metaDir, i.fileName)), classOf[CommitMetadata])
 
@@ -113,6 +130,7 @@ class Timeline(val basePath: String, conf: Configuration) {
 object Timeline {
   val MetaDir = ".graft"
   val ConfigFile = "table.json"
+  val ArchiveDir = "archive"
   private val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
   @volatile private var lastIssued: String = ""
 }

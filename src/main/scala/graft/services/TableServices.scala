@@ -226,8 +226,49 @@ class TableServices(table: GraftTable) {
       .flatMap(i => timeline.metadataOf(i).extra.get("earliestRetained"))
 
   // =========================================================================
+  // archiving: bound the active timeline
+  // =========================================================================
+
+  /** Fold table state into a [[Checkpoint]] at the latest instant and
+    * move completed instants beyond the retention window into
+    * `.graft/archive/` (reference analog:
+    * HoodieTimelineArchiveLog.archiveIfRequired, :74 — keep-min/max
+    * window, savepoint-aware). Keeps the active timeline — and with it
+    * every snapshot resolution — O(keepMin) regardless of table age.
+    *
+    * Savepoint instants and anything at/after the earliest savepoint
+    * target stay active (they pin time-travel). Incremental reads only
+    * span the active timeline — consumers further behind than keepMin
+    * commits must re-bootstrap (same contract as the reference). */
+  def archive(keepMin: Int = 20, keepMax: Int = 30): Option[String] = {
+    require(keepMin <= keepMax, "keepMin must be <= keepMax")
+    val completed = timeline.completed()
+    if (completed.size <= keepMax) return None
+    val savepointBound = savepointTargets.sorted.headOption
+    val candidates = completed.dropRight(keepMin)
+      .filterNot(_.action == Action.Savepoint)
+      .filter(i => savepointBound.forall(i.time < _))
+    if (candidates.isEmpty) return None
+    // checkpoint the CURRENT state first: it covers everything we archive
+    val snap = Snapshot.resolve(timeline)
+    Checkpoint.write(timeline, SnapshotCheckpoint(
+      asOf = completed.last.time,
+      schemaJson = table.readSchema(snap).json,
+      slices = snap.slices))
+    candidates.foreach(timeline.archiveCompleted)
+    Some(candidates.last.time)
+  }
+
+  // =========================================================================
   // rollback / restore / savepoint
   // =========================================================================
+
+  /** Checkpoints taken at/after `time` contain state an undo removes —
+    * drop them so resolution can't resurrect it. */
+  private def dropCheckpointsFrom(time: String): Unit =
+    Checkpoint.times(timeline).filter(_ >= time).foreach { t =>
+      fs.delete(new Path(timeline.metaDir, s"${Checkpoint.Dir}/$t.json"), false)
+    }
 
   /** Undo the LATEST data instant (or a pending one): delete the files it
     * wrote, drop its timeline entry, record a `rollback` instant
@@ -242,6 +283,7 @@ class TableServices(table: GraftTable) {
       val meta = timeline.metadataOf(target)
       meta.stats.foreach(st => fs.delete(abs(st), false))
       timeline.deleteCompleted(target)
+      dropCheckpointsFrom(time)
     } else {
       timeline.deletePending(target.time, target.action)
       fs.delete(new Path(table.basePath, s"${Timeline.MetaDir}/.tmp/${target.time}"), true)
@@ -262,6 +304,7 @@ class TableServices(table: GraftTable) {
       timeline.metadataOf(inst).stats.foreach(st => fs.delete(abs(st), false))
       timeline.deleteCompleted(inst)
     }
+    doomed.lastOption.foreach(i => dropCheckpointsFrom(i.time))
     val t = timeline.start(Action.Restore)
     timeline.complete(t, Action.Restore,
       CommitMetadata("restore", extra = Map("target" -> time)))

@@ -163,15 +163,19 @@ class GraftTable private (
     // Partition-column type inference must stay OFF for this read: numeric
     // or date-like partition values would come back typed (getString
     // throws) or normalized (leading zeros dropped → rename lookup fails).
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prevInfer = spark.conf.getOption(inferKey)
-    spark.conf.set(inferKey, "false")
-    val stagedDf =
+    // session-conf toggle is process-global: serialize it across
+    // concurrent writers (OCC mode) so one writer's restore can't race
+    // another's inference-off read
+    val stagedDf = GraftTable.confLock.synchronized {
+      val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val prevInfer = spark.conf.getOption(inferKey)
+      spark.conf.set(inferKey, "false")
       try spark.read.parquet(stagingDir.toString)
       finally prevInfer match {
         case Some(v) => spark.conf.set(inferKey, v)
         case None    => spark.conf.unset(inferKey)
       }
+    }
     // data-skipping stats for configured columns ride the same aggregate
     val statsCols = config.statsColumns.filter(stagedDf.columns.contains)
     val colAggs = statsCols.flatMap(c => Seq(
@@ -277,6 +281,42 @@ class GraftTable private (
   private def abs(st: WriteStat): String = s"$basePath/${st.path}"
 
   // =========================================================================
+  // commit publication (single-writer fast path / OCC guarded path)
+  // =========================================================================
+
+  /** Publish a commit. With `occ` enabled, take the timeline lock and
+    * check that no data instant completed AFTER the snapshot this write
+    * planned against (`plannedAsOf` watermark) touches the same file
+    * groups; on conflict the write's files are removed and the commit
+    * aborts (reference analog: TransactionManager.java:35 +
+    * SimpleConcurrentFileWritesConflictResolutionStrategy.hasConflict :73).
+    * Insert-only ops skip the guard: their file groups are brand new
+    * (fileIds embed the instant time), so they cannot overlap. */
+  private def publish(
+      t: String, action: String, meta: CommitMetadata,
+      plannedAsOf: String): Unit = {
+    if (!config.occ) { timeline.complete(t, action, meta); return }
+    def groupsOf(m: CommitMetadata): Set[(String, String)] =
+      m.stats.map(s => (s.partition, s.fileId)).toSet ++
+        m.replaced.toSeq.flatMap { case (p, ids) => ids.map(f => (p, f)) }
+    new TimelineLock(timeline).withLock {
+      val mine = groupsOf(meta)
+      val conflicting = timeline.completed()
+        .filter(i => Action.dataActions(i.action))
+        .filter(i => i.time > plannedAsOf && i.time != t)
+        .find(i => groupsOf(timeline.metadataOf(i)).intersect(mine).nonEmpty)
+      conflicting match {
+        case Some(other) =>
+          meta.stats.foreach(st => fs.delete(new Path(basePath, st.path), false))
+          timeline.deletePending(t, action)
+          throw new ConcurrentWriteConflictException(t, other.time)
+        case None =>
+          timeline.complete(t, action, meta)
+      }
+    }
+  }
+
+  // =========================================================================
   // public write operations
   // =========================================================================
 
@@ -357,8 +397,9 @@ class GraftTable private (
           merged.filter(!col(Deleted))
             .unionByName(inserts, allowMissingColumns = true), t)
       }
-    timeline.complete(t, action,
-      CommitMetadata("upsert", schemaJson(prepared), stats, extra = extra))
+    publish(t, action,
+      CommitMetadata("upsert", schemaJson(prepared), stats, extra = extra),
+      snap.asOf)
     t
   }
 
@@ -412,7 +453,8 @@ class GraftTable private (
           (stats, gone)
         }
       }
-    timeline.complete(t, action, CommitMetadata("delete", "", stats, replaced))
+    publish(t, action, CommitMetadata("delete", "", stats, replaced),
+      snap.asOf)
     t
   }
 
@@ -426,8 +468,9 @@ class GraftTable private (
     val stats = stageAndPublish(prepared, t)
     val replaced = snap.slices.filter(s => parts.contains(s.partition))
       .groupBy(_.partition).map { case (p, ss) => p -> ss.map(_.fileId).toSeq }
-    timeline.complete(t, Action.ReplaceCommit,
-      CommitMetadata("insert_overwrite", schemaJson(prepared), stats, replaced))
+    publish(t, Action.ReplaceCommit,
+      CommitMetadata("insert_overwrite", schemaJson(prepared), stats, replaced),
+      snap.asOf)
     t
   }
 
@@ -439,8 +482,9 @@ class GraftTable private (
     val stats = stageAndPublish(prepared, t)
     val replaced = snap.slices.groupBy(_.partition)
       .map { case (p, ss) => p -> ss.map(_.fileId).toSeq }
-    timeline.complete(t, Action.ReplaceCommit,
-      CommitMetadata("insert_overwrite_table", schemaJson(prepared), stats, replaced))
+    publish(t, Action.ReplaceCommit,
+      CommitMetadata("insert_overwrite_table", schemaJson(prepared), stats, replaced),
+      snap.asOf)
     t
   }
 
@@ -453,8 +497,9 @@ class GraftTable private (
     val ps = partitions.toSet
     val replaced = snap.slices.filter(s => ps.contains(s.partition))
       .groupBy(_.partition).map { case (p, ss) => p -> ss.map(_.fileId).toSeq }
-    timeline.complete(t, Action.ReplaceCommit,
-      CommitMetadata("delete_partition", "", Nil, replaced))
+    publish(t, Action.ReplaceCommit,
+      CommitMetadata("delete_partition", "", Nil, replaced),
+      snap.asOf)
     t
   }
 
@@ -473,11 +518,14 @@ class GraftTable private (
     StructType(metaFields ++ dataCols).json
   }
 
-  /** Latest stored schema (meta + data columns) visible in `snap`. */
+  /** Latest stored schema (meta + data columns) visible in `snap`;
+    * falls back to the checkpoint's schema when every schema-bearing
+    * instant has been archived. */
   def readSchema(snap: Snapshot): StructType = {
     val js = snap.instants.reverseIterator
       .map(timeline.metadataOf(_).schemaJson)
       .find(_.nonEmpty)
+      .orElse(Option(snap.baseSchemaJson).filter(_.nonEmpty))
     js.map(DataTypeJson.parse).getOrElse(StructType(Nil))
   }
 }
@@ -489,6 +537,9 @@ object DataTypeJson {
 }
 
 object GraftTable {
+  /** Serializes the session-conf toggle inside [[stageAndPublish]]. */
+  private[write] val confLock = new Object
+
   def create(spark: SparkSession, path: String, config: TableConfig): GraftTable = {
     val tl = new Timeline(path, spark.sessionState.newHadoopConf())
     require(!tl.exists, s"table already exists at $path")
