@@ -95,6 +95,17 @@ case class TableConfig(
       * WriteConcurrencyMode.OPTIMISTIC_CONCURRENCY_CONTROL +
       * SimpleConcurrentFileWritesConflictResolutionStrategy.java:44) */
     occ: Boolean = false,
+    /** per-field output format for timestamp/date partition fields, e.g.
+      * "order_date" -> "yyyy/MM/dd" (reference analog:
+      * TimestampBasedKeyGenerator.java:39) */
+    partitionTimestampFormat: Map[String, String] = Map.empty,
+    /** emit `field=value` partition segments (reference analog:
+      * HIVE_STYLE_PARTITIONING, DataSourceOptions.scala:279) */
+    hiveStylePartitioning: Boolean = false,
+    /** url-encode partition values instead of character sanitizing
+      * (reference analog: URL_ENCODE_PARTITIONING,
+      * DataSourceOptions.scala:636) */
+    urlEncodePartitioning: Boolean = false,
     version: Int = 1)
 
 object TableType { val COW = "COW"; val MOR = "MOR" }

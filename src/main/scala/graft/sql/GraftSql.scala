@@ -20,6 +20,9 @@ import graft.write.GraftTable
   *   SHOW COMPACTION ON '<path>'
   *   UPDATE '<path>' SET col = expr [, ...] [WHERE expr]
   *   DELETE FROM '<path>' [WHERE expr]
+  *   SHOW PARTITIONS '<path>'
+  *   TRUNCATE TABLE '<path>'
+  *   ALTER TABLE '<path>' ADD COLUMNS (name type [, ...])
   * Expressions are full Spark SQL (parsed with functions.expr).
   */
 object GraftSql {
@@ -29,6 +32,10 @@ object GraftSql {
   private val ShowCompaction = """(?is)\s*SHOW\s+COMPACTION\s+ON\s+'([^']+)'\s*""".r
   private val Update = """(?is)\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*""".r
   private val Delete = """(?is)\s*DELETE\s+FROM\s+'([^']+)'(?:\s+WHERE\s+(.+))?\s*""".r
+  private val ShowPartitions = """(?is)\s*SHOW\s+PARTITIONS\s+'([^']+)'\s*""".r
+  private val Truncate = """(?is)\s*TRUNCATE\s+TABLE\s+'([^']+)'\s*""".r
+  private val AlterAdd =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+COLUMNS\s*\((.+)\)\s*""".r
 
   def sql(spark: SparkSession, statement: String): DataFrame = statement match {
     case RunCompaction(path) =>
@@ -53,6 +60,15 @@ object GraftSql {
       val dml = GraftDml(GraftTable.load(spark, path))
       val cond = Option(whereClause).map(expr).getOrElse(lit(true))
       result(spark, "instant", dml.deleteWhere(cond).toSeq)
+    case ShowPartitions(path) =>
+      GraftDdl.showPartitions(GraftTable.load(spark, path))
+    case Truncate(path) =>
+      result(spark, "instant",
+        Seq(GraftDdl.truncate(GraftTable.load(spark, path))))
+    case AlterAdd(path, colsDdl) =>
+      val fields = org.apache.spark.sql.types.StructType.fromDDL(colsDdl).fields.toSeq
+      result(spark, "instant",
+        Seq(GraftDdl.addColumns(GraftTable.load(spark, path), fields)))
     case other =>
       throw new IllegalArgumentException(s"unsupported graft statement: $other")
   }

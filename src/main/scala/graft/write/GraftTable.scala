@@ -60,10 +60,29 @@ class GraftTable private (
     if (config.keyFields.size == 1) col(config.keyFields.head).cast("string")
     else concat_ws(":", config.keyFields.map(f => col(f).cast("string")): _*)
 
+  /** Partition-path derivation = the key-generator zoo as pure Catalyst
+    * expressions (reference analog: keygen/SimpleKeyGenerator.java:34,
+    * ComplexKeyGenerator.java:34, TimestampBasedKeyGenerator.java:39,
+    * NonpartitionedKeyGenerator.java:36; hive-style + url-encode options
+    * DataSourceOptions.scala:279,636). */
   private def partitionExpr: Column =
     if (config.partitionFields.isEmpty) lit("")
-    else concat_ws("/", config.partitionFields.map(f =>
-      regexp_replace(col(f).cast("string"), "[/\\\\:*?\"<>|%\\x00-\\x1f]", "_")): _*)
+    else concat_ws("/", config.partitionFields.map(partitionSegment): _*)
+
+  private def partitionSegment(f: String): Column = {
+    val formatted = config.partitionTimestampFormat.contains(f)
+    val raw =
+      if (formatted) date_format(col(f), config.partitionTimestampFormat(f))
+      else col(f).cast("string")
+    // a formatted field may legitimately emit '/' (e.g. "yyyy/MM/dd" →
+    // nested dirs); only raw values get full path sanitizing
+    val unsafeChars =
+      if (formatted) "[\\\\:*?\"<>|%\\x00-\\x1f]" else "[/\\\\:*?\"<>|%\\x00-\\x1f]"
+    val safe =
+      if (config.urlEncodePartitioning) call_function("url_encode", raw)
+      else regexp_replace(raw, unsafeChars, "_")
+    if (config.hiveStylePartitioning) concat(lit(s"$f="), safe) else safe
+  }
 
   private def orderingCol(df: DataFrame): Column =
     if (config.orderingField.nonEmpty && df.columns.contains(config.orderingField))
@@ -513,9 +532,23 @@ class GraftTable private (
       StructField(CommitTime, StringType), StructField(Seqno, StringType),
       StructField(Key, StringType), StructField(Partition, StringType),
       StructField(File, StringType), StructField(Deleted, BooleanType))
+    // stored as fully nullable: any file group may predate a column
+    // (schema evolution), so the read contract must tolerate its absence
     val dataCols = prepared.schema.fields.filterNot(f =>
       Meta.all.contains(f.name) || f.name == GP || f.name == GF)
+      .map(f => f.copy(dataType = nullableDeep(f.dataType), nullable = true))
     StructType(metaFields ++ dataCols).json
+  }
+
+  private def nullableDeep(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = nullableDeep(f.dataType), nullable = true)))
+      case a: ArrayType => a.copy(elementType = nullableDeep(a.elementType), containsNull = true)
+      case m: MapType => m.copy(valueType = nullableDeep(m.valueType), valueContainsNull = true)
+      case other => other
+    }
   }
 
   /** Latest stored schema (meta + data columns) visible in `snap`;
