@@ -14,26 +14,48 @@ trait IngestSource {
   def fetch(checkpoint: Option[String]): Option[(DataFrame, String)]
 }
 
-/** DFS parquet-directory source: checkpoint = last ingested file name
-  * (file names sort by arrival when producers write part-<seq> or
-  * timestamped names). New files = names > checkpoint (reference
-  * analog: sources/ParquetDFSSource.java:35 + DFSPathSelector). */
-class ParquetDirSource(spark: SparkSession, dir: String) extends IngestSource {
+/** DFS directory source for any Spark batch format (parquet / json /
+  * csv / orc / avro): checkpoint = last ingested file name (file names
+  * sort by arrival when producers write part-<seq> or timestamped
+  * names). New files = names > checkpoint (reference analog:
+  * sources/ParquetDFSSource.java:35, JsonDFSSource.java:34,
+  * CsvDFSSource.java:60 + DFSPathSelector). */
+class DfsDirSource(
+    spark: SparkSession, dir: String,
+    format: String, suffix: String,
+    options: Map[String, String] = Map.empty,
+    schema: Option[org.apache.spark.sql.types.StructType] = None) extends IngestSource {
   override def fetch(checkpoint: Option[String]): Option[(DataFrame, String)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return None
     val files = fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(suffix))
       .map(_.getPath.toString).sorted
     val fresh = checkpoint match {
       case Some(ck) => files.filter(_ > ck)
       case None     => files
     }
     if (fresh.isEmpty) None
-    else Some((spark.read.parquet(fresh: _*), fresh.last))
+    else {
+      val reader = spark.read.format(format).options(options)
+      val withSchema = schema.fold(reader)(reader.schema)
+      Some((withSchema.load(fresh: _*), fresh.last))
+    }
   }
 }
+
+class ParquetDirSource(spark: SparkSession, dir: String)
+  extends DfsDirSource(spark, dir, "parquet", ".parquet")
+
+class JsonDirSource(spark: SparkSession, dir: String,
+    schema: Option[org.apache.spark.sql.types.StructType] = None)
+  extends DfsDirSource(spark, dir, "json", ".json", schema = schema)
+
+class CsvDirSource(spark: SparkSession, dir: String,
+    options: Map[String, String] = Map("header" -> "true", "inferSchema" -> "true"),
+    schema: Option[org.apache.spark.sql.types.StructType] = None)
+  extends DfsDirSource(spark, dir, "csv", ".csv", options, schema)
 
 /** Graft-table-as-source: checkpoint = commit instant; fetch = the
   * incremental change stream since it (reference analog:

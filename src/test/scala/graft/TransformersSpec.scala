@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.read.GraftReader
+import graft.streaming._
+import graft.write.GraftTable
+
+class TransformersSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Tables.configure(SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  def tmp(): String = Files.createTempDirectory("graft-tf").toString
+
+  test("sqlQuery transformer uses the <SRC> placeholder") {
+    import spark.implicits._
+    val out = Transformers.sqlQuery(
+      "SELECT id, v, id * 2 AS dbl FROM <SRC> WHERE id > 1")(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    assert(out.as[(Long, String, Long)].collect().sortBy(_._1).toSeq ==
+      Seq((2L, "b", 4L), (3L, "c", 6L)))
+  }
+
+  test("flatten transformer recursively lifts struct fields") {
+    import spark.implicits._
+    val df = Seq((1L, ("x", (2.5, "y")))).toDF("id", "s")
+      .select(col("id"), col("s._1").as("a"),
+        struct(col("s._1").as("inner"), col("s._2._1").as("num")).as("nested"))
+    val out = Transformers.flatten(df)
+    assert(out.columns.toSeq == Seq("id", "a", "nested_inner", "nested_num"))
+    assert(out.count() == 1)
+  }
+
+  test("chained transformers compose left to right") {
+    import spark.implicits._
+    val t = Transformers.chained(
+      Transformers.sqlQuery("SELECT id + 1 AS id FROM <SRC>"),
+      Transformers.sqlQuery("SELECT id * 10 AS id FROM <SRC>"))
+    assert(t(Seq(1L).toDF("id")).head().getLong(0) == 20L)
+  }
+
+  test("json and csv dir sources feed the ingest loop") {
+    import spark.implicits._
+    val dir = tmp(); val srcDir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "t", tableType = TableType.COW, keyFields = Seq("id"),
+      orderingField = "", targetFileRows = 1000))
+
+    Files.writeString(Paths.get(s"$srcDir/000001.json"),
+      """{"id": 1, "v": "a"}""" + "\n" + """{"id": 2, "v": "b"}""" + "\n")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id bigint, v string")
+    val ingest = new ContinuousIngest(tbl, new JsonDirSource(spark, srcDir, Some(schema)))
+    assert(ingest.syncOnce().isDefined)
+    assert(ingest.syncOnce().isEmpty)
+    Files.writeString(Paths.get(s"$srcDir/000002.json"), """{"id": 3, "v": "c"}""" + "\n")
+    assert(ingest.syncOnce().isDefined)
+    val r = GraftReader(tbl)
+    assert(r.dataOnly(r.snapshot()).as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // csv source with explicit schema
+    val dir2 = tmp(); val csvDir = tmp()
+    val tbl2 = GraftTable.create(spark, dir2, TableConfig(
+      name = "t2", tableType = TableType.COW, keyFields = Seq("id"),
+      orderingField = "", targetFileRows = 1000))
+    Files.writeString(Paths.get(s"$csvDir/000001.csv"), "id,v\n10,x\n11,y\n")
+    val csvIngest = new ContinuousIngest(tbl2,
+      new CsvDirSource(spark, csvDir, schema = Some(schema)))
+    assert(csvIngest.syncOnce().isDefined)
+    val r2 = GraftReader(tbl2)
+    assert(r2.dataOnly(r2.snapshot()).count() == 2)
+  }
+}
