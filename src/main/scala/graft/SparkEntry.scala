@@ -29,9 +29,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     suites.collect { case (k, (_, Some(sql))) => k -> sql.trim }
 
-  /** Headline subset run by Bench (sf0.1). */
+  /** Headline subset run by Bench (sf0.1): relational core + the
+    * training-data pipeline operators (dedup / similarity / multimodal). */
   def benchQueries: Seq[String] = Seq(
     "q01_pricing_summary", "q03_top_revenue_orders", "q05_local_supplier_volume",
     "q06_forecast_revenue", "q08_top_orders_per_customer", "q09_running_user_spend",
-    "q16_events_daily")
+    "q16_events_daily",
+    "q24_dedup_exact", "q26_dedup_minhash", "q28_embed_topk", "q30_ann_lsh")
 }

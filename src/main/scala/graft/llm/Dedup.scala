@@ -72,18 +72,21 @@ object Dedup {
 
   /** MinHash signatures: for each of `k` hash functions
     * h_i(s) = hash60(i || ':' || s), the min over the doc's shingles.
-    * Returns (doc_id, sig array[k] ordered by i). */
+    * Returns (doc_id, sig array[k] ordered by i).
+    *
+    * Shape note: the k hashes are k agg COLUMNS over one shingle scan,
+    * not a k-way row explosion — the shuffle moves #shingles rows, not
+    * #shingles × k, and the k mins ride one hash aggregate. */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
     val sh = shingleIndex(df, idCol, textCol, n)
-    sh.select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("i"), col("s"))
-      .select(col("doc_id"), col("i"),
-        hash60(concat(col("i").cast("string"), lit(":"), col("s"))).as("h"))
-      .groupBy("doc_id", "i").agg(min(col("h")).as("mh"))
-      .groupBy("doc_id")
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-        x => x.getField("mh")).as("sig"))
+    val minCols = (0 until k).map(i =>
+      min(hash60(concat(lit(s"$i:"), col("s")))).as(s"_mh$i"))
+    sh.groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"_mh$i")): _*).as("sig"))
   }
 
   /** MinHash + LSH banding: signatures split into `bands` bands of
@@ -123,21 +126,27 @@ object Dedup {
 
   /** SimHash (48-bit): per distinct token, a 48-bit hash weighted by the
     * token's count; each bit position sums ±weight; the sign vector is
-    * the fingerprint. Near-dups = small Hamming distance. */
+    * the fingerprint. Near-dups = small Hamming distance.
+    *
+    * Shape note: 48 bit-sums as 48 agg columns over one token scan (no
+    * 48-way row explosion); the fingerprint is then a single 48-term
+    * projection. One shuffle of #distinct-token rows total. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tw = df
       .select(col(idCol).as("doc_id"), explode(wsTokens(col(textCol))).as("w"))
       .groupBy("doc_id", "w")
       .agg(count(lit(1)).as("cnt"))
       .withColumn("h", hash48(concat(lit("sh:"), col("w"))))
-    tw.select(col("doc_id"), col("cnt"), col("h"),
-        explode(sequence(lit(0), lit(47))).as("j"))
-      .withColumn("bit", call_function("shiftright", col("h"), col("j")).bitwiseAND(lit(1L)))
-      .groupBy("doc_id", "j")
-      .agg(sum(col("cnt") * (col("bit") * 2 - 1)).as("v"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("v") > 0,
-        call_function("shiftleft", lit(1L), col("j"))).otherwise(0L)).as("simhash"))
+    val bitSums = (0 until 48).map { j =>
+      val bit = call_function("shiftright", col("h"), lit(j)).bitwiseAND(lit(1L))
+      sum(col("cnt") * (bit * 2 - 1)).as(s"_v$j")
+    }
+    tw.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 48).map(j =>
+          when(col(s"_v$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs at Hamming distance ≤ maxHamming.
