@@ -15,10 +15,11 @@ object SparkEntry {
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   private lazy val suites: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
-    queries_relational ++ queries_llm
+    queries_relational ++ queries_llm ++ queries_tableformat
 
   private def queries_relational = graft.queries.Relational.all
   private def queries_llm = graft.queries.Llm.all
+  private def queries_tableformat = graft.queries.TableFormat.all
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

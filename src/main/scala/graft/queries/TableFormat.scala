@@ -1,0 +1,123 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{TableConfig, TableType}
+import graft.read.GraftReader
+import graft.services.TableServices
+import graft.write.GraftTable
+
+/** Table-format round-trip queries: each builds a graft table from the
+  * test data, mutates it through the write path (upsert / delete /
+  * compaction), reads it back, and aggregates — while the DuckDB oracle
+  * reproduces the same final state directly from the source parquet
+  * with CASE/filter logic. This puts the ENGINE CORE (timeline, merge
+  * semantics, MOR read, compaction) under the hash-match gate, the
+  * rebuild analog of the reference's write-then-read functional suites
+  * (TestCOWDataSource.scala / TestMORDataSource.scala).
+  *
+  * Mutation recipe (same for COW and MOR, deterministic):
+  *  - load = orders with o_orderkey % 10 < 8       (80%)
+  *  - upsert: keys % 10 in [6,8) get price + 1000  (half update, half insert)
+  *  - delete: keys % 10 == 7
+  * Final state = keys % 10 < 7: untouched except %10==6 repriced.
+  */
+object TableFormat {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("graft-q").toFile
+    d.deleteOnExit()
+    d.toString
+  }
+
+  private def cfg(name: String, tt: String): TableConfig = TableConfig(
+    name = name, tableType = tt, keyFields = Seq("o_orderkey"),
+    partitionFields = Seq("o_orderpriority"), orderingField = "o_orderdate",
+    targetFileRows = 100000)
+
+  /** bulk_insert + upsert + delete, then snapshot read. */
+  private def mutated(s: SparkSession, d: String, tt: String): GraftTable = {
+    val orders = graft.Tables.t(s, d, "orders")
+    val tbl = GraftTable.create(s, freshDir(), cfg("orders_rt", tt))
+    tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+    tbl.upsert(orders.filter(col("o_orderkey") % 10 >= 6)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000))
+    tbl.delete(orders.filter(col("o_orderkey") % 10 === 7)
+      .select("o_orderkey", "o_orderpriority"))
+    tbl
+  }
+
+  /** The oracle's view of the same final state. */
+  private val FinalStateSql = """
+    SELECT o_orderkey, o_orderpriority,
+           CASE WHEN o_orderkey % 10 >= 6 THEN o_totalprice + 1000
+                ELSE o_totalprice END AS price
+    FROM orders
+    WHERE o_orderkey % 10 < 7 OR o_orderkey % 10 IN (8, 9)"""
+
+  private def summarize(df: DataFrame): DataFrame =
+    df.groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(floor(col("price") * 100)).cast("long").as("price_c"))
+      .orderBy(col("o_orderpriority"))
+
+  private val SummarySql = s"""
+    WITH final_state AS ($FinalStateSql)
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+    FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  val all: Map[String, (QFn, Option[String])] = Map(
+
+    // ---- COW: upsert rewrite + anti-join delete, snapshot read
+    "q32_cow_roundtrip" -> ((
+      (s: SparkSession, d: String) => {
+        val tbl = mutated(s, d, TableType.COW)
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some(SummarySql))),
+
+    // ---- MOR: delta files + merge-on-read, then compaction must not
+    //      change the answer (the query reads POST-compaction)
+    "q33_mor_compaction_roundtrip" -> ((
+      (s: SparkSession, d: String) => {
+        val tbl = mutated(s, d, TableType.MOR)
+        TableServices(tbl).compact()
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some(SummarySql))),
+
+    // ---- incremental pull: exactly the rows changed by the upsert
+    //      commit (inserts + updates), none of the bulk-load rows
+    "q34_incremental_read" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_inc", TableType.COW))
+        val t1 = tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 >= 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        val r = GraftReader(tbl)
+        r.dataOnly(r.incremental(t1))
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(floor((o_totalprice + 1000) * 100) AS BIGINT) AS price_c
+        FROM orders WHERE o_orderkey % 10 >= 6
+        ORDER BY o_orderkey""")))
+  )
+}
