@@ -115,6 +115,25 @@ class GraftReader(table: GraftTable) {
     all.filter(!col(Deleted))
   }
 
+  /** Filter `incoming` down to rows whose key does NOT yet exist in the
+    * table — the dedupe-before-insert primitive (reference analog:
+    * SparkRDDWriteClient.filterExists :135 / HoodieReadClient.checkExists
+    * :173). One anti-join against the key projection of the live files;
+    * only the key/partition columns are read (Parquet column pruning). */
+  def filterExists(incoming: DataFrame): DataFrame = {
+    val snap = Snapshot.resolve(timeline)
+    if (snap.isEmpty) return incoming
+    val keyCols = table.config.keyFields
+    // the snapshot view applies merge + tombstone semantics (a MOR key
+    // deleted by a pending tombstone must count as absent); Catalyst
+    // prunes the scan to the key/merge columns
+    val existing = snapshot().select(col(Key).as("_existing_key")).distinct()
+    val keyExpr =
+      if (keyCols.size == 1) col(keyCols.head).cast("string")
+      else concat_ws(":", keyCols.map(f => col(f).cast("string")): _*)
+    incoming.join(existing, keyExpr === col("_existing_key"), "left_anti")
+  }
+
   /** Data columns only (drop engine meta columns). */
   def dataOnly(df: DataFrame): DataFrame =
     df.drop(Meta.all: _*)

@@ -248,5 +248,21 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSameRows(got, want, "schema evolution upsert")
   }
 
+  test("filterExists keeps only new keys; deleted keys count as absent") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.COW))
+    tbl.bulkInsert(batch1) // keys with k%4 in {0,1,2}
+    val r = GraftReader(tbl)
+    val fresh = r.filterExists(orders)
+    // only k%4==3 keys are new
+    assert(fresh.filter(col("o_orderkey") % 4 =!= 3).count() == 0)
+    assert(fresh.count() == orders.filter(col("o_orderkey") % 4 === 3).count())
+    // deleting a key makes it "not exist" again
+    val victim = orders.filter(col("o_orderkey") % 4 === 0).limit(1)
+    tbl.delete(victim.select("o_orderkey", "o_orderpriority"))
+    val after = r.filterExists(victim)
+    assert(after.count() == 1, "deleted key should pass filterExists")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
