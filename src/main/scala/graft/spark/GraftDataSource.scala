@@ -1,0 +1,124 @@
+package graft.spark
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+import graft.core.{Snapshot, TableConfig, TableType}
+import graft.read.GraftReader
+import graft.write.GraftTable
+
+/** `format("graft")` integration (reference analog: DefaultSource.scala:72
+  * — dispatch on query type for reads, operation for writes; registered
+  * through DataSourceRegister so `spark.read.format("graft")` works).
+  *
+  * Read options:
+  *   path             table base path (required)
+  *   query.type       snapshot (default) | read_optimized | incremental
+  *   as.of.instant    time-travel pin (snapshot/read_optimized)
+  *   begin.instant    incremental range start (exclusive; "" = origin)
+  *   end.instant      incremental range end (inclusive; default latest)
+  * Write options:
+  *   path             table base path (required)
+  *   operation        upsert (default) | insert | bulk_insert |
+  *                    insert_overwrite | insert_overwrite_table
+  *   + table-creation options when the table does not exist yet:
+  *   key.fields       comma-separated record key fields (required on create)
+  *   partition.fields comma-separated partition fields
+  *   ordering.field   precombine/ordering column
+  *   table.type       COW (default) | MOR
+  *   merge.strategy   overwrite_latest (default) | event_time
+  */
+class GraftDataSource
+  extends RelationProvider
+  with CreatableRelationProvider
+  with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def path(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("option 'path' is required"))
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val table = GraftTable.load(spark, path(parameters))
+    val reader = GraftReader(table)
+    val df = parameters.getOrElse("query.type", "snapshot") match {
+      case "snapshot" =>
+        reader.snapshot(asOf = parameters.get("as.of.instant"))
+      case "read_optimized" =>
+        reader.readOptimized(asOf = parameters.get("as.of.instant"))
+      case "incremental" =>
+        reader.incremental(
+          parameters.getOrElse("begin.instant", ""),
+          parameters.get("end.instant"))
+      case other =>
+        throw new IllegalArgumentException(s"unknown query.type: $other")
+    }
+    new GraftRelation(sqlContext, df)
+  }
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val p = path(parameters)
+    val table = ensureTable(spark, p, parameters, mode)
+    val operation = parameters.getOrElse("operation",
+      if (mode == SaveMode.Overwrite) "insert_overwrite_table" else "upsert")
+    operation match {
+      case "upsert"                 => table.upsert(data)
+      case "insert"                 => table.insert(data)
+      case "bulk_insert"            => table.bulkInsert(data)
+      case "insert_overwrite"       => table.insertOverwrite(data)
+      case "insert_overwrite_table" => table.insertOverwriteTable(data)
+      case other =>
+        throw new IllegalArgumentException(s"unknown operation: $other")
+    }
+    createRelation(sqlContext, Map("path" -> p))
+  }
+
+  private def ensureTable(
+      spark: SparkSession, p: String,
+      parameters: Map[String, String], mode: SaveMode): GraftTable = {
+    val exists = new graft.core.Timeline(p, spark.sessionState.newHadoopConf()).exists
+    if (exists) {
+      if (mode == SaveMode.ErrorIfExists)
+        throw new IllegalArgumentException(s"graft table already exists at $p")
+      GraftTable.load(spark, p)
+    } else {
+      val keys = parameters.getOrElse("key.fields",
+        throw new IllegalArgumentException("option 'key.fields' required to create a table"))
+      GraftTable.create(spark, p, TableConfig(
+        name = new org.apache.hadoop.fs.Path(p).getName,
+        tableType = parameters.getOrElse("table.type", TableType.COW),
+        keyFields = keys.split(",").map(_.trim).toSeq,
+        partitionFields = parameters.get("partition.fields")
+          .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+        orderingField = parameters.getOrElse("ordering.field", ""),
+        mergeStrategy = parameters.getOrElse("merge.strategy", "overwrite_latest")))
+    }
+  }
+}
+
+/** Thin BaseRelation over an already-planned DataFrame: scans delegate
+  * to the underlying plan, so FileIndex pruning / pushdown still apply
+  * (column pruning arrives via requiredColumns). */
+class GraftRelation(
+    val sqlContext: SQLContext,
+    df: DataFrame) extends BaseRelation with TableScan with PrunedScan {
+
+  override def schema: StructType = df.schema
+
+  override def buildScan(): RDD[Row] = df.rdd
+
+  override def buildScan(requiredColumns: Array[String]): RDD[Row] =
+    if (requiredColumns.isEmpty) df.rdd
+    else df.select(requiredColumns.toSeq.map(org.apache.spark.sql.functions.col): _*).rdd
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class DataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Tables.configure(SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  def tmp(): String = Files.createTempDirectory("graft-ds").toString
+
+  test("format(graft) write creates table, read round-trips, upsert merges") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ts")
+      .write.format("graft")
+      .option("path", dir)
+      .option("key.fields", "id")
+      .option("ordering.field", "ts")
+      .option("operation", "bulk_insert")
+      .mode(SaveMode.Append)
+      .save()
+
+    val t1 = graft.write.GraftTable.load(spark, dir).timeline.completed().last.time
+
+    Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("id", "v", "ts")
+      .write.format("graft").option("path", dir).mode(SaveMode.Append).save()
+
+    val snap = spark.read.format("graft").option("path", dir).load()
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1)
+    assert(snap.toSeq == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+
+    // time travel through the option surface
+    val tt = spark.read.format("graft").option("path", dir)
+      .option("as.of.instant", t1).load()
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1)
+    assert(tt.toSeq == Seq((1L, "a"), (2L, "b")))
+
+    // incremental pull of the second commit only
+    val inc = spark.read.format("graft").option("path", dir)
+      .option("query.type", "incremental").option("begin.instant", t1).load()
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1)
+    assert(inc.toSeq == Seq((2L, "b2"), (3L, "c")))
+
+    // column pruning path (PrunedScan)
+    assert(spark.read.format("graft").option("path", dir).load()
+      .select("id").count() == 3)
+  }
+
+  test("ErrorIfExists mode refuses an existing table") {
+    import spark.implicits._
+    val dir = tmp()
+    val df = Seq((1L, "a", 1L)).toDF("id", "v", "ts")
+    df.write.format("graft").option("path", dir)
+      .option("key.fields", "id").mode(SaveMode.Append).save()
+    intercept[Exception] {
+      df.write.format("graft").option("path", dir)
+        .mode(SaveMode.ErrorIfExists).save()
+    }
+  }
+
+  test("Overwrite mode maps to insert_overwrite_table") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ts")
+      .write.format("graft").option("path", dir)
+      .option("key.fields", "id").mode(SaveMode.Append).save()
+    Seq((9L, "z", 9L)).toDF("id", "v", "ts")
+      .write.format("graft").option("path", dir).mode(SaveMode.Overwrite).save()
+    val got = spark.read.format("graft").option("path", dir).load()
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(9L))
+  }
+}
