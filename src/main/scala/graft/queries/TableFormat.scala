@@ -118,6 +118,28 @@ object TableFormat {
         SELECT o_orderkey,
                CAST(floor((o_totalprice + 1000) * 100) AS BIGINT) AS price_c
         FROM orders WHERE o_orderkey % 10 >= 6
+        ORDER BY o_orderkey"""))),
+
+    // ---- CDC pull: I/U/D operations across upsert + delete commits
+    "q35_incremental_cdc" -> ((
+      (s: SparkSession, d: String) => {
+        val tbl = mutated(s, d, TableType.COW)
+        val r = GraftReader(tbl)
+        val t1 = tbl.timeline.completed().head.time // the bulk load
+        r.incrementalCdc(t1)
+          .select(col("o_orderkey"),
+            col("_g_operation").as("op"),
+            floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 7 THEN 'D'
+                    WHEN o_orderkey % 10 >= 8 THEN 'I'
+                    ELSE 'U' END AS op,
+               CASE WHEN o_orderkey % 10 = 7 THEN NULL
+                    ELSE CAST(floor((o_totalprice + 1000) * 100) AS BIGINT) END AS price_c
+        FROM orders WHERE o_orderkey % 10 >= 6
         ORDER BY o_orderkey""")))
   )
 }

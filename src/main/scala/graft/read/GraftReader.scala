@@ -91,6 +91,49 @@ class GraftReader(table: GraftTable) {
     all.filter(col(CommitTime) > begin && col(CommitTime) <= endT && !col(Deleted))
   }
 
+  /** CDC view of `(begin, end]`: the latest version of every key changed
+    * in the range, INCLUDING deletes, with a `_g_operation` column —
+    * I (key absent at `begin`), U (existed), D (tombstoned) (reference
+    * analog: the `_hoodie_operation` meta column,
+    * model/HoodieOperation.java:26).
+    *
+    * Shape: one pruned incremental scan for the changes + one key-only
+    * projection of the pre-range snapshot, joined broadcast-ish on key —
+    * no full-table rewrite, no driver state. */
+  def incrementalCdc(begin: String, end: Option[String] = None): DataFrame = {
+    val snap = Snapshot.resolve(timeline, end)
+    val schema = table.readSchema(snap)
+    if (snap.isEmpty || schema.isEmpty)
+      return emptyWith(schema).withColumn("_g_operation", lit(""))
+    val endT = snap.asOf
+    val touched = Snapshot.commitsInRange(timeline, begin, endT)
+      .flatMap(_._2.stats).map(s => (s.partition, s.fileId)).toSet
+    val slices = snap.slices.filter(s => touched.contains((s.partition, s.fileId)))
+    // latest version per key over the touched groups, tombstones KEPT:
+    // mergeLatest drops tombstoned keys entirely, so run the same window
+    // without the tombstone filter and keep the winner row even if deleted
+    val all = readFiles(schema, slices.flatMap(_.allFiles).map(abs))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(Key), col(Partition))
+      .orderBy(col(CommitTime).desc, col(Seqno).desc)
+    val latest = all
+      .withColumn("_g_rn", row_number().over(w)).filter(col("_g_rn") === 1).drop("_g_rn")
+      .filter(col(CommitTime) > begin && col(CommitTime) <= endT)
+    // keys that already existed before the range start -> U, else I
+    val prior =
+      if (begin.isEmpty) emptyWith(StructType(Seq(
+        org.apache.spark.sql.types.StructField("_g_prior_key",
+          org.apache.spark.sql.types.StringType))))
+      else snapshot(asOf = Some(begin)).select(col(Key).as("_g_prior_key")).distinct()
+    latest
+      .join(prior, col(Key) === col("_g_prior_key"), "left")
+      .withColumn("_g_operation",
+        when(col(Deleted), lit("D"))
+          .when(col("_g_prior_key").isNotNull, lit("U"))
+          .otherwise(lit("I")))
+      .drop("_g_prior_key")
+  }
+
   /** Point lookup by record key: slices pruned by per-file [minKey,maxKey]
     * ranges from commit metadata before any IO (reference analog:
     * HoodieReadClient.readROView :173 + bloom key-range pruning). */

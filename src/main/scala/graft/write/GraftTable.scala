@@ -150,6 +150,32 @@ class GraftTable private (
       .drop("_g_rn", "_g_tomb")
   }
 
+  /** [[mergeLatest]] variant that KEEPS a key's newest tombstone when no
+    * live row survives it — used by the COW rewrite path so deletes
+    * leave a durable `_g_deleted` marker in the file group. Snapshot/RO
+    * reads filter the marker out; incremental CDC reads surface it as a
+    * D operation; compaction and clustering purge markers for keys whose
+    * history is folded. */
+  private[graft] def mergeLatestKeepTombstones(df: DataFrame): DataFrame = {
+    val ord = orderingCol(df)
+    val tiebreak = config.mergeStrategy match {
+      case "event_time" => Seq(col(CommitTime).asc, col(Seqno).asc)
+      case _            => Seq(col(CommitTime).desc, col(Seqno).desc)
+    }
+    val keyW = Window.partitionBy(col(Key), col(Partition))
+    df.withColumn("_g_tomb", max(when(col(Deleted), col(CommitTime))).over(keyW))
+      .withColumn("_g_live",
+        (col("_g_tomb").isNull || col(CommitTime) > col("_g_tomb")).cast("int"))
+      // live rows outrank dead ones; among dead rows the tombstone itself
+      // wins (Deleted desc, newest commit) so the marker is what survives
+      .withColumn("_g_rn", row_number().over(keyW.orderBy(
+        (col("_g_live").desc +: col(Deleted).desc +:
+          when(col(Deleted), col(CommitTime)).desc_nulls_last +:
+          ord.desc_nulls_last +: tiebreak): _*)))
+      .filter(col("_g_rn") === 1)
+      .drop("_g_rn", "_g_tomb", "_g_live")
+  }
+
   // =========================================================================
   // physical write: stage → stats → publish
   // =========================================================================
@@ -409,12 +435,13 @@ class GraftTable private (
         val oldPaths = snap.slices.filter(s => affected.contains(s.fileId)).flatMap(_.allFiles).map(abs)
         val old = if (oldPaths.isEmpty) spark.emptyDataFrame else
           spark.read.schema(readSchema(snap)).parquet(oldPaths: _*)
+        // keep tombstone markers in the rewrite: snapshot reads filter
+        // them, incremental CDC needs them for D operations
         val merged =
           if (oldPaths.isEmpty) updates
-          else mergeLatest(old.unionByName(updates, allowMissingColumns = true))
+          else mergeLatestKeepTombstones(old.unionByName(updates, allowMissingColumns = true))
         stageAndPublish(
-          merged.filter(!col(Deleted))
-            .unionByName(inserts, allowMissingColumns = true), t)
+          merged.unionByName(inserts, allowMissingColumns = true), t)
       }
     publish(t, action,
       CommitMetadata("upsert", schemaJson(prepared), stats, extra = extra),
@@ -430,8 +457,12 @@ class GraftTable private (
     val action = if (isMor) Action.DeltaCommit else Action.Commit
     val t = timeline.start(action)
     val snap = Snapshot.resolve(timeline)
+    // tombstones keep the key/partition DATA columns too, so a CDC read
+    // can report which record a D operation targets
+    val keepData = (config.keyFields ++ config.partitionFields)
+      .filter(keys.columns.contains).distinct
     val prepared = precombine(prepare(keys, t, deleted = true))
-      .select(col(CommitTime), col(Seqno), col(Key), col(Partition), col(Deleted))
+      .select((Seq(CommitTime, Seqno, Key, Partition, Deleted) ++ keepData).map(col): _*)
 
     val touched: Option[Set[String]] =
       if (config.partitionFields.isEmpty || config.globalIndex) None
@@ -453,23 +484,18 @@ class GraftTable private (
     val (stats, replaced) =
       if (isMor) (stageAndPublish(tagged, t, delta = true), Map.empty[String, Seq[String]])
       else {
-        val affected = tagged.select(Partition, File).distinct().collect()
-          .map(r => (r.getString(0), r.getString(1)))
+        val affected = tagged.select(File).distinct().collect().map(_.getString(0)).toSet
         if (affected.isEmpty) (Nil, Map.empty[String, Seq[String]])
         else {
-          val affectedIds = affected.map(_._2).toSet
-          val slices = snap.slices.filter(s => affectedIds.contains(s.fileId))
+          // rewrite affected groups as old ∪ tombstones, keeping the
+          // tombstone marker rows (durable delete history for CDC);
+          // snapshot/RO reads filter them out
+          val slices = snap.slices.filter(s => affected.contains(s.fileId))
           val old = spark.read.schema(readSchema(snap))
             .parquet(slices.flatMap(_.allFiles).map(abs): _*)
-          val remaining = old.join(
-            tagged.select(col(Key).as("_dk"), col(File).as("_df")),
-            old(Key) === col("_dk") && old(File) === col("_df"), "left_anti")
-          val stats = stageAndPublish(remaining, t)
-          // groups emptied by the delete produce no staged file → replace them
-          val written = stats.map(_.fileId).toSet
-          val gone = affected.filterNot { case (_, f) => written.contains(f) }
-            .groupBy(_._1).map { case (p, fs) => p -> fs.map(_._2).toSeq.distinct }
-          (stats, gone)
+          val merged = mergeLatestKeepTombstones(
+            old.unionByName(tagged, allowMissingColumns = true))
+          (stageAndPublish(merged, t), Map.empty[String, Seq[String]])
         }
       }
     publish(t, action, CommitMetadata("delete", "", stats, replaced),

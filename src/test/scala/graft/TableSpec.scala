@@ -248,6 +248,35 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSameRows(got, want, "schema evolution upsert")
   }
 
+  test("incremental CDC: I/U/D operations on both table types") {
+    for (tt <- Seq(TableType.COW, TableType.MOR)) {
+      val dir = tmp()
+      val tbl = GraftTable.create(spark, dir, cfg(tt))
+      val t1 = tbl.bulkInsert(batch1) // k%4 in {0,1,2}
+      tbl.upsert(batch2)              // k%4 in {2,3}: 2=update, 3=insert
+      val victims = orders.filter(col("o_orderkey") % 4 === 1)
+      tbl.delete(victims.select("o_orderkey", "o_orderpriority"))
+      val r = GraftReader(tbl)
+      val cdc = r.incrementalCdc(t1)
+        .select(col("o_orderkey"), col("_g_operation"))
+        .collect().map(x => (x.getLong(0), x.getString(1)))
+      val byOp = cdc.groupBy(_._2).view.mapValues(_.length).toMap
+      val nUpd = orders.filter(col("o_orderkey") % 4 === 2).count()
+      val nIns = orders.filter(col("o_orderkey") % 4 === 3).count()
+      val nDel = victims.count()
+      assert(byOp.getOrElse("U", 0) == nUpd, s"$tt U: $byOp")
+      assert(byOp.getOrElse("I", 0) == nIns, s"$tt I: $byOp")
+      assert(byOp.getOrElse("D", 0) == nDel, s"$tt D: $byOp")
+      cdc.foreach { case (k, op) =>
+        val expected = (k % 4) match {
+          case 1 => "D"; case 2 => "U"; case 3 => "I"
+          case other => fail(s"unexpected key class $other in CDC")
+        }
+        assert(op == expected, s"$tt key $k: got $op want $expected")
+      }
+    }
+  }
+
   test("filterExists keeps only new keys; deleted keys count as absent") {
     val dir = tmp()
     val tbl = GraftTable.create(spark, dir, cfg(TableType.COW))
