@@ -37,6 +37,15 @@ object GraftSql {
   private val AlterAdd =
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+COLUMNS\s*\((.+)\)\s*""".r
 
+  /** True when `statement` is in the graft grammar (used by the injected
+    * session-extension parser to decide interception). */
+  def handles(statement: String): Boolean = statement match {
+    case RunCompaction(_) | ScheduleCompaction(_) | ShowCompaction(_) |
+         Update(_, _, _) | Delete(_, _) | ShowPartitions(_) |
+         Truncate(_) | AlterAdd(_, _) => true
+    case _ => false
+  }
+
   def sql(spark: SparkSession, statement: String): DataFrame = statement match {
     case RunCompaction(path) =>
       val instant = TableServices(GraftTable.load(spark, path)).compact()

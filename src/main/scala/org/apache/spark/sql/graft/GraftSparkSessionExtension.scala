@@ -1,0 +1,66 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{StringType, StructType}
+
+import graft.sql.GraftSql
+
+/** Session extension (reference analog:
+  * HoodieSparkSessionExtension.scala:28): injects a parser that
+  * intercepts the graft statement grammar — compaction DDL,
+  * path-addressed UPDATE/DELETE, SHOW PARTITIONS / TRUNCATE / ALTER —
+  * and delegates everything else to Spark's parser, so
+  * `spark.sql("RUN COMPACTION ON '<path>'")` works natively.
+  *
+  * Enable with:
+  * `.config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSparkSessionExtension")`
+  */
+class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectParser { (_, delegate) => new GraftSqlParser(delegate) }
+  }
+}
+
+/** Delegating parser: graft statements become [[GraftStatementCommand]]
+  * plans; everything else is Spark's grammar (reference analog:
+  * HoodieCommonSqlParser.scala:33). */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    if (GraftSql.handles(sqlText)) GraftStatementCommand(sqlText)
+    else delegate.parsePlan(sqlText)
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+/** Runnable plan for one graft statement; the statement's result column
+  * (instant / partition / file_group) is surfaced as a single string
+  * column. */
+case class GraftStatementCommand(statement: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("result", StringType, nullable = true)())
+
+  override def run(session: SparkSession): Seq[Row] =
+    GraftSql.sql(session, statement).collect()
+      .map(r => Row(if (r.isNullAt(0)) null else r.get(0).toString)).toSeq
+}

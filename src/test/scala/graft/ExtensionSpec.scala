@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{TableConfig, TableType}
+import graft.read.GraftReader
+import graft.write.GraftTable
+
+/** The session-extension path: graft statements flow through
+  * spark.sql(...) via the injected parser; regular SQL still works. */
+class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Tables.configure(SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSparkSessionExtension")
+    .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  def tmp(): String = Files.createTempDirectory("graft-ext").toString
+
+  test("graft statements run through spark.sql; normal SQL unaffected") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "t", tableType = TableType.MOR, keyFields = Seq("id"),
+      orderingField = "ts", targetFileRows = 1000))
+    tbl.bulkInsert(Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)).toDF("id", "v", "ts"))
+    tbl.upsert(Seq((2L, "b2", 2L)).toDF("id", "v", "ts"))
+
+    // normal SQL still parses through the delegate
+    assert(spark.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
+
+    // graft UPDATE through spark.sql
+    spark.sql(s"UPDATE '$dir' SET v = upper(v) WHERE id = 1")
+    // compaction DDL through spark.sql
+    assert(spark.sql(s"SCHEDULE COMPACTION ON '$dir'").count() > 0)
+    assert(spark.sql(s"RUN COMPACTION ON '$dir'").count() == 1)
+    assert(spark.sql(s"SHOW COMPACTION ON '$dir'").head().getString(0).nonEmpty)
+
+    val r = GraftReader(tbl)
+    val got = r.dataOnly(r.snapshot()).select("id", "v")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "A"), (2L, "b2"), (3L, "c")))
+
+    // catalog-registered graft table queryable with plain SELECT
+    spark.catalog.createTable("ext_gt", "graft", Map("path" -> dir))
+    assert(spark.sql("SELECT count(*) FROM ext_gt").head().getLong(0) == 3)
+    assert(spark.sql("SELECT v FROM ext_gt WHERE id = 2").head().getString(0) == "b2")
+  }
+}
