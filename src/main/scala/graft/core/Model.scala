@@ -78,7 +78,10 @@ case class TableConfig(
     keyFields: Seq[String],
     partitionFields: Seq[String] = Nil,
     orderingField: String = "",      // empty -> arrival order (latest write wins)
-    mergeStrategy: String = "overwrite_latest", // | "event_time"
+    /** "overwrite_latest" | "event_time" | "partial_update" (null fields
+      * in an update inherit the stored value — reference analog:
+      * OverwriteNonDefaultsWithLatestAvroPayload.java:31) */
+    mergeStrategy: String = "overwrite_latest",
     /** target rows per base file; sizes insert buckets (reference analog:
       * hoodie.parquet.max.file.size, byte-based; rows keep the planner
       * free of size estimation) */

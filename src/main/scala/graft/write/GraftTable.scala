@@ -144,10 +144,32 @@ class GraftTable private (
     }
     val keyW = Window.partitionBy(col(Key), col(Partition))
     val rnW = keyW.orderBy(ord.desc_nulls_last +: tiebreak: _*)
-    df.withColumn("_g_tomb", max(when(col(Deleted), col(CommitTime))).over(keyW))
+    val alive = df
+      .withColumn("_g_tomb", max(when(col(Deleted), col(CommitTime))).over(keyW))
       .filter(col("_g_tomb").isNull || col(CommitTime) > col("_g_tomb"))
+    val projected =
+      if (config.mergeStrategy == "partial_update") partialUpdate(alive, rnW)
+      else alive
+    projected
       .withColumn("_g_rn", row_number().over(rnW)).filter(col("_g_rn") === 1)
       .drop("_g_rn", "_g_tomb")
+  }
+
+  /** Partial-update semantics (reference analog:
+    * OverwriteNonDefaultsWithLatestAvroPayload.java:31): each data
+    * column takes its FIRST non-null value in merge-priority order, so
+    * an update row with null fields inherits the stored values. One
+    * whole-group window per column — no per-key driver state. */
+  private def partialUpdate(
+      df: DataFrame,
+      ordered: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
+    val wAll = ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val metaSet = Meta.all.toSet + "_g_tomb" + "_g_live"
+    df.select(df.columns.toSeq.map { c =>
+      if (metaSet.contains(c)) col(c)
+      else when(col(Deleted), col(c))
+        .otherwise(first(col(c), ignoreNulls = true).over(wAll)).as(c)
+    }: _*)
   }
 
   /** [[mergeLatest]] variant that KEEPS a key's newest tombstone when no
@@ -163,15 +185,31 @@ class GraftTable private (
       case _            => Seq(col(CommitTime).desc, col(Seqno).desc)
     }
     val keyW = Window.partitionBy(col(Key), col(Partition))
-    df.withColumn("_g_tomb", max(when(col(Deleted), col(CommitTime))).over(keyW))
+    // live rows outrank dead ones; among dead rows the tombstone itself
+    // wins (Deleted desc, newest commit) so the marker is what survives
+    val priority = col("_g_live").desc +: col(Deleted).desc +:
+      when(col(Deleted), col(CommitTime)).desc_nulls_last +:
+      ord.desc_nulls_last +: tiebreak
+    val marked = df
+      .withColumn("_g_tomb", max(when(col(Deleted), col(CommitTime))).over(keyW))
       .withColumn("_g_live",
         (col("_g_tomb").isNull || col(CommitTime) > col("_g_tomb")).cast("int"))
-      // live rows outrank dead ones; among dead rows the tombstone itself
-      // wins (Deleted desc, newest commit) so the marker is what survives
-      .withColumn("_g_rn", row_number().over(keyW.orderBy(
-        (col("_g_live").desc +: col(Deleted).desc +:
-          when(col(Deleted), col(CommitTime)).desc_nulls_last +:
-          ord.desc_nulls_last +: tiebreak): _*)))
+    val projected =
+      if (config.mergeStrategy == "partial_update") {
+        // coalesce ONLY across live rows: a dead pre-tombstone value
+        // must not resurrect through a later partial update
+        val wAll = keyW.orderBy(priority: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val metaSet = Meta.all.toSet + "_g_tomb" + "_g_live"
+        marked.select(marked.columns.toSeq.map { c =>
+          if (metaSet.contains(c)) col(c)
+          else when(col(Deleted), col(c))
+            .otherwise(first(when(col("_g_live") === 1, col(c)), ignoreNulls = true).over(wAll))
+            .as(c)
+        }: _*)
+      } else marked
+    projected
+      .withColumn("_g_rn", row_number().over(keyW.orderBy(priority: _*)))
       .filter(col("_g_rn") === 1)
       .drop("_g_rn", "_g_tomb", "_g_live")
   }

@@ -277,6 +277,41 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("partial_update merge: null fields inherit stored values") {
+    import spark.implicits._
+    for (tt <- Seq(TableType.COW, TableType.MOR)) {
+      val dir = tmp()
+      val tbl = GraftTable.create(spark, dir, TableConfig(
+        name = "pu", tableType = tt, keyFields = Seq("id"),
+        orderingField = "ts", mergeStrategy = "partial_update",
+        targetFileRows = 1000))
+      tbl.bulkInsert(Seq((1L, Some("a"), Some(10.0), 1L), (2L, Some("b"), Some(20.0), 1L))
+        .toDF("id", "v", "amount", "ts"))
+      // update with null v: v must survive from storage; amount updates
+      tbl.upsert(Seq((1L, Option.empty[String], Some(99.0), 2L))
+        .toDF("id", "v", "amount", "ts"))
+      val r = GraftReader(tbl)
+      val got = r.dataOnly(r.snapshot()).as[(Long, Option[String], Option[Double], Long)]
+        .collect().sortBy(_._1)
+      assert(got.toSeq == Seq((1L, Some("a"), Some(99.0), 2L), (2L, Some("b"), Some(20.0), 1L)),
+        s"$tt partial update")
+      // delete then re-insert with nulls: dead values must NOT resurrect
+      tbl.delete(Seq(Tuple1(1L)).toDF("id"))
+      tbl.upsert(Seq((1L, Option.empty[String], Some(5.0), 3L)).toDF("id", "v", "amount", "ts"))
+      val after = r.dataOnly(r.snapshot()).as[(Long, Option[String], Option[Double], Long)]
+        .collect().sortBy(_._1)
+      assert(after.toSeq == Seq((1L, None, Some(5.0), 3L), (2L, Some("b"), Some(20.0), 1L)),
+        s"$tt no resurrection through tombstone")
+      // compaction (MOR) keeps the merged result
+      if (tt == TableType.MOR) {
+        graft.services.TableServices(tbl).compact()
+        val c = r.dataOnly(r.snapshot()).as[(Long, Option[String], Option[Double], Long)]
+          .collect().sortBy(_._1)
+        assert(c.toSeq == after.toSeq, "post-compaction stable")
+      }
+    }
+  }
+
   test("filterExists keeps only new keys; deleted keys count as absent") {
     val dir = tmp()
     val tbl = GraftTable.create(spark, dir, cfg(TableType.COW))
