@@ -47,13 +47,17 @@ case class Instant(time: String, action: String, state: String) {
 case class WriteStat(
     partition: String,
     fileId: String,
-    path: String,            // relative to table base
+    path: String,            // relative to table base; absolute when external
     isDelta: Boolean = false,
     rows: Long = 0L,
     bytes: Long = 0L,
     minKey: String = "",
     maxKey: String = "",
-    columnStats: Map[String, ColStat] = Map.empty)
+    columnStats: Map[String, ColStat] = Map.empty,
+    /** zero-copy bootstrapped file living OUTSIDE the table dir, without
+      * meta columns — they are stamped at read time (reference analog:
+      * bootstrap skeleton files, BootstrapFileMapping.java:33) */
+    external: Boolean = false)
 
 /** Per-file column statistics powering min/max data skipping
   * (reference analog: index/zorder/ZOrderingIndexHelper.java:233). */

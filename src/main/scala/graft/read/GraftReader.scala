@@ -22,21 +22,29 @@ class GraftReader(table: GraftTable) {
 
   private def spark: SparkSession = table.spark
   private def timeline: Timeline = table.timeline
-  private def abs(st: WriteStat): String = s"${table.basePath}/${st.path}"
+  private def abs(st: WriteStat): String = table.absPath(st)
 
   private def emptyWith(schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       if (schema.isEmpty) StructType(Nil) else schema)
 
-  private def readFiles(schema: StructType, paths: Seq[String]): DataFrame =
-    if (paths.isEmpty) emptyWith(schema)
-    else spark.read.schema(schema).parquet(paths: _*)
-
-  /** Delta-free files go through [[GraftFileIndex]]: stats-pruned file
-    * list + full Catalyst pushdown, no storage listing. */
-  private def readBase(schema: StructType, stats: Seq[WriteStat]): DataFrame =
+  private def readFiles(schema: StructType, stats: Seq[WriteStat]): DataFrame =
     if (stats.isEmpty) emptyWith(schema)
-    else GraftFileIndex.relation(spark, table.basePath, stats, schema)
+    else table.readStatsDf(schema, stats)
+
+  /** Delta-free NATIVE files go through [[GraftFileIndex]]: stats-pruned
+    * file list + full Catalyst pushdown, no storage listing. External
+    * (bootstrapped) files read through the meta-stamping path. */
+  private def readBase(schema: StructType, stats: Seq[WriteStat]): DataFrame = {
+    if (stats.isEmpty) return emptyWith(schema)
+    val (ext, native) = stats.partition(_.external)
+    val parts = Seq(
+      if (native.isEmpty) None
+      else Some(GraftFileIndex.relation(spark, table.basePath, native, schema)),
+      if (ext.isEmpty) None else Some(table.readStatsDf(schema, ext))
+    ).flatten
+    parts.reduce(_.unionByName(_))
+  }
 
   /** Snapshot at `asOf` (None = latest). `partitionFilter` prunes file
     * groups before any IO — pass e.g. `Some(Set("p1","p2"))`. */
@@ -55,7 +63,7 @@ class GraftReader(table: GraftTable) {
     val merged =
       if (dirty.isEmpty) cleanDf
       else {
-        val dirtyDf = readFiles(schema, dirty.flatMap(_.allFiles).map(abs))
+        val dirtyDf = readFiles(schema, dirty.flatMap(_.allFiles))
         cleanDf.unionByName(table.mergeLatest(dirtyDf))
       }
     merged.filter(!col(Deleted))
@@ -87,7 +95,7 @@ class GraftReader(table: GraftTable) {
     val cleanDf = readBase(schema, cleanSlices.flatMap(_.baseFile))
     val all =
       if (dirty.isEmpty) cleanDf
-      else cleanDf.unionByName(table.mergeLatest(readFiles(schema, dirty.flatMap(_.allFiles).map(abs))))
+      else cleanDf.unionByName(table.mergeLatest(readFiles(schema, dirty.flatMap(_.allFiles))))
     all.filter(col(CommitTime) > begin && col(CommitTime) <= endT && !col(Deleted))
   }
 
@@ -112,7 +120,7 @@ class GraftReader(table: GraftTable) {
     // latest version per key over the touched groups, tombstones KEPT:
     // mergeLatest drops tombstoned keys entirely, so run the same window
     // without the tombstone filter and keep the winner row even if deleted
-    val all = readFiles(schema, slices.flatMap(_.allFiles).map(abs))
+    val all = readFiles(schema, slices.flatMap(_.allFiles))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(Key), col(Partition))
       .orderBy(col(CommitTime).desc, col(Seqno).desc)
@@ -153,7 +161,7 @@ class GraftReader(table: GraftTable) {
       if (dirty.isEmpty) cleanDf
       else cleanDf.unionByName(
         table.mergeLatest(
-          readFiles(schema, dirty.flatMap(_.allFiles).map(abs))
+          readFiles(schema, dirty.flatMap(_.allFiles))
             .filter(col(Key).isin(ks: _*))))
     all.filter(!col(Deleted))
   }

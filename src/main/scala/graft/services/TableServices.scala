@@ -23,7 +23,7 @@ class TableServices(table: GraftTable) {
   private def spark = table.spark
   private def timeline: Timeline = table.timeline
   private def fs = timeline.fileSystem
-  private def abs(st: WriteStat): Path = new Path(table.basePath, st.path)
+  private def abs(st: WriteStat): Path = new Path(table.absPath(st))
 
   // =========================================================================
   // compaction (MOR): fold delta files into a new base file per group
@@ -58,10 +58,10 @@ class TableServices(table: GraftTable) {
     val snap = Snapshot.resolve(timeline)
     val t = timeline.start(Action.Compaction)
     val schema = table.readSchema(snap)
-    val paths = plan.flatMap(_.allFiles).map(st => s"${table.basePath}/${st.path}")
     // one DataFrame job across every planned group: merge shuffles only on
     // (key, partition); stageAndPublish re-clusters by (partition, fileId)
-    val merged = table.mergeLatest(spark.read.schema(schema).parquet(paths: _*))
+    val merged = table.mergeLatest(
+      table.readStatsDf(schema, plan.flatMap(_.allFiles)))
     val stats = table.stageAndPublish(merged, t)
     val written = stats.map(s => (s.partition, s.fileId)).toSet
     val emptied = plan.filterNot(s => written.contains((s.partition, s.fileId)))
@@ -105,8 +105,7 @@ class TableServices(table: GraftTable) {
     val t = timeline.start(Action.ReplaceCommit)
     val schema = table.readSchema(snap)
     val stats = candidates.flatMap(_.baseFile)
-    val df = spark.read.schema(schema)
-      .parquet(stats.map(st => s"${table.basePath}/${st.path}"): _*)
+    val df = table.readStatsDf(schema, stats)
 
     val target = if (targetFileRows > 0) targetFileRows else table.config.targetFileRows
     val totalRows = stats.map(_.rows).sum
@@ -203,8 +202,11 @@ class TableServices(table: GraftTable) {
     val live: Set[String] = retained.toSet.flatMap { (at: String) =>
       Snapshot.resolve(timeline, Some(at)).slices.flatMap(_.allFiles).map(_.path)
     }
+    // external (bootstrapped) files live outside the table and are the
+    // user's data — never candidates for physical deletion
     val everWritten = dataInstants
-      .flatMap(i => timeline.metadataOf(i).stats).map(_.path).distinct
+      .flatMap(i => timeline.metadataOf(i).stats)
+      .filterNot(_.external).map(_.path).distinct
     val alreadyCleaned = timeline.completed().filter(_.action == Action.Clean)
       .flatMap(i => Json.read(
         timeline.metadataOf(i).extra.getOrElse("deleted", "[]"), classOf[Array[String]]))
@@ -281,7 +283,7 @@ class TableServices(table: GraftTable) {
       require(all.filter(_.isCompleted).lastOption.exists(_.time == time),
         s"can only roll back the latest completed instant; use restore for $time")
       val meta = timeline.metadataOf(target)
-      meta.stats.foreach(st => fs.delete(abs(st), false))
+      meta.stats.filterNot(_.external).foreach(st => fs.delete(abs(st), false))
       timeline.deleteCompleted(target)
       dropCheckpointsFrom(time)
     } else {
@@ -301,7 +303,8 @@ class TableServices(table: GraftTable) {
       .filter(i => Action.dataActions(i.action) && i.time > time)
       .reverse
     doomed.foreach { inst =>
-      timeline.metadataOf(inst).stats.foreach(st => fs.delete(abs(st), false))
+      timeline.metadataOf(inst).stats.filterNot(_.external)
+        .foreach(st => fs.delete(abs(st), false))
       timeline.deleteCompleted(inst)
     }
     doomed.lastOption.foreach(i => dropCheckpointsFrom(i.time))

@@ -333,6 +333,55 @@ class GraftTable private (
   }
 
   // =========================================================================
+  // reading file groups (native + bootstrapped-external)
+  // =========================================================================
+
+  /** The commit that introduced zero-copy external files, if any. */
+  private[graft] lazy val bootstrapInstant: Option[String] =
+    timeline.completed().filter(i => Action.dataActions(i.action))
+      .find(i => timeline.metadataOf(i).stats.exists(_.external)).map(_.time)
+
+  private[graft] def absPath(st: WriteStat): String =
+    if (st.external) st.path else s"$basePath/${st.path}"
+
+  /** Read a set of file-group files as one DataFrame in the table's full
+    * schema. Native files carry meta columns; external (bootstrapped)
+    * files get them stamped on the fly — key/partition from config
+    * expressions, commit time = the bootstrap instant, file id via a
+    * basename→fileId broadcast lookup. Column pruning still reaches the
+    * external scan (the stamps are narrow projections). */
+  private[graft] def readStatsDf(schema: StructType, stats: Seq[WriteStat]): DataFrame = {
+    val (ext, native) = stats.partition(_.external)
+    val parts = Seq(
+      if (native.isEmpty) None
+      else Some(spark.read.schema(schema).parquet(native.map(absPath): _*)),
+      if (ext.isEmpty) None else Some(stampExternal(schema, ext))
+    ).flatten
+    parts match {
+      case Nil => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case one :: Nil => one
+      case many => many.reduce(_.unionByName(_))
+    }
+  }
+
+  private def stampExternal(schema: StructType, ext: Seq[WriteStat]): DataFrame = {
+    val t = bootstrapInstant.getOrElse("00000000000000000")
+    val dataSchema = StructType(schema.fields.filterNot(f => Meta.all.contains(f.name)))
+    val mapping = ext.map(st => new Path(st.path).getName -> st.fileId).toMap
+    spark.read.schema(dataSchema).parquet(ext.map(_.path): _*)
+      .withColumn(Key, keyExpr)
+      .withColumn(Partition, lit(""))
+      .withColumn(CommitTime, lit(t))
+      .withColumn(Seqno, concat(lit(t), lit("_"), lpad(lit("0"), 20, "0")))
+      .withColumn(File,
+        element_at(typedLit(mapping),
+          regexp_extract(input_file_name(), "[^/]+$", 0)))
+      .withColumn(Deleted, lit(false))
+      .select(schema.fieldNames.toSeq.map(col): _*)
+  }
+
+  // =========================================================================
   // key index (tagging)
   // =========================================================================
 
@@ -346,8 +395,8 @@ class GraftTable private (
       case Some(ps) => snap.slices.filter(s => ps.contains(s.partition))
       case None     => snap.slices
     }
-    val paths = slices.flatMap(_.allFiles).map(abs)
-    if (paths.isEmpty)
+    val stats = slices.flatMap(_.allFiles)
+    if (stats.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(
@@ -356,12 +405,12 @@ class GraftTable private (
           org.apache.spark.sql.types.StructField(File, org.apache.spark.sql.types.StringType))))
     // A key lives in exactly one file group; for groups with deltas the
     // delta rows repeat the same (key,file), so distinct is cheap.
-    spark.read.parquet(paths: _*)
+    readStatsDf(readSchema(snap), stats)
       .select(col(Key), col(Partition), col(File))
       .distinct()
   }
 
-  private def abs(st: WriteStat): String = s"$basePath/${st.path}"
+  private def abs(st: WriteStat): String = absPath(st)
 
   // =========================================================================
   // commit publication (single-writer fast path / OCC guarded path)
@@ -470,14 +519,14 @@ class GraftTable private (
       } else {
         // COW: rewrite each affected group = old slice ∪ incoming → latest-wins.
         val affected = updates.select(File).distinct().collect().map(_.getString(0)).toSet
-        val oldPaths = snap.slices.filter(s => affected.contains(s.fileId)).flatMap(_.allFiles).map(abs)
-        val old = if (oldPaths.isEmpty) spark.emptyDataFrame else
-          spark.read.schema(readSchema(snap)).parquet(oldPaths: _*)
+        val oldStats = snap.slices.filter(s => affected.contains(s.fileId)).flatMap(_.allFiles)
         // keep tombstone markers in the rewrite: snapshot reads filter
         // them, incremental CDC needs them for D operations
         val merged =
-          if (oldPaths.isEmpty) updates
-          else mergeLatestKeepTombstones(old.unionByName(updates, allowMissingColumns = true))
+          if (oldStats.isEmpty) updates
+          else mergeLatestKeepTombstones(
+            readStatsDf(readSchema(snap), oldStats)
+              .unionByName(updates, allowMissingColumns = true))
         stageAndPublish(
           merged.unionByName(inserts, allowMissingColumns = true), t)
       }
@@ -529,8 +578,7 @@ class GraftTable private (
           // tombstone marker rows (durable delete history for CDC);
           // snapshot/RO reads filter them out
           val slices = snap.slices.filter(s => affected.contains(s.fileId))
-          val old = spark.read.schema(readSchema(snap))
-            .parquet(slices.flatMap(_.allFiles).map(abs): _*)
+          val old = readStatsDf(readSchema(snap), slices.flatMap(_.allFiles))
           val merged = mergeLatestKeepTombstones(
             old.unionByName(tagged, allowMissingColumns = true))
           (stageAndPublish(merged, t), Map.empty[String, Seq[String]])
