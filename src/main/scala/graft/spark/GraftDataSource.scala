@@ -32,6 +32,7 @@ import graft.write.GraftTable
   */
 class GraftDataSource
   extends RelationProvider
+  with SchemaRelationProvider
   with CreatableRelationProvider
   with DataSourceRegister {
 
@@ -61,6 +62,14 @@ class GraftDataSource
     }
     new GraftRelation(sqlContext, df)
   }
+
+  /** Catalog re-resolution passes back the stored schema; the live
+    * table schema wins (it may have evolved since CREATE). */
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      schema: StructType): BaseRelation =
+    createRelation(sqlContext, parameters)
 
   override def createRelation(
       sqlContext: SQLContext,

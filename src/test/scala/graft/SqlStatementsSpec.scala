@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{TableConfig, TableType}
+import graft.write.GraftTable
+
+/** Golden statement corpus runner (reference analog:
+  * functional/TestSqlStatement.scala:23 executing
+  * resources/sql-statements.sql): replays every RUN statement through
+  * spark.sql and checks the EXPECT result block. */
+class SqlStatementsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Tables.configure(SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSparkSessionExtension")
+    .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def render(df: org.apache.spark.sql.DataFrame): String =
+    df.collect()
+      .map(_.toSeq.map(v => if (v == null) "null" else v.toString).mkString(","))
+      .sorted.mkString("|")
+
+  test("sql-statements.sql golden corpus") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-corpus").toString
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "gtab", tableType = TableType.MOR, keyFields = Seq("id"),
+      partitionFields = Seq("p"), orderingField = "ts", targetFileRows = 1000))
+    tbl.bulkInsert(Seq(
+      (1L, "a", 10.0, 1L, "p1"), (2L, "b", 20.0, 1L, "p1"), (3L, "c", 30.0, 1L, "p2")
+    ).toDF("id", "v", "amount", "ts", "p"))
+    spark.catalog.createTable("gtab", "graft", Map("path" -> dir))
+
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/sql-statements.sql"), "UTF-8")
+    val lines = try src.getLines().toVector finally src.close()
+
+    var i = 0
+    var nRun = 0
+    while (i < lines.length) {
+      val line = lines(i).trim
+      if (line.startsWith("RUN:")) {
+        val stmt = line.stripPrefix("RUN:").trim.replace("$T", dir)
+        val expectLine = lines.drop(i + 1).map(_.trim)
+          .find(l => l.startsWith("EXPECT:") || l.startsWith("EXPECT_ROWS:"))
+          .getOrElse(fail(s"no EXPECT after: $stmt"))
+        // mutations invalidate the cached catalog relation
+        spark.catalog.refreshTable("gtab")
+        val result = spark.sql(stmt)
+        nRun += 1
+        if (expectLine.startsWith("EXPECT_ROWS:")) {
+          val want = expectLine.stripPrefix("EXPECT_ROWS:").trim.toLong
+          val got = result.count()
+          assert(got == want, s"[$stmt] rows: got $got want $want")
+        } else {
+          val want = expectLine.stripPrefix("EXPECT:").trim
+          if (want != "-") {
+            val got = render(result)
+            assert(got == want, s"[$stmt] got '$got' want '$want'")
+          } else {
+            result.collect() // must succeed
+          }
+        }
+      }
+      i += 1
+    }
+    assert(nRun >= 15, s"corpus should exercise the full surface, ran $nRun")
+  }
+}
