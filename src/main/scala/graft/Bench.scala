@@ -11,6 +11,16 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM (codegen, shuffle machinery, parquet reader classes)
+    // on a tiny table so timed numbers reflect engine throughput, not
+    // first-query JIT
+    spark.range(100000).selectExpr("sum(id)").collect()
+    try {
+      val region = Tables.t(spark, sfDir, "region")
+      val nation = Tables.t(spark, sfDir, "nation")
+      region.join(nation,
+        region("r_regionkey") === nation("n_regionkey"), "left").count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

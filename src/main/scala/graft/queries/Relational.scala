@@ -374,6 +374,46 @@ object Relational {
         FROM events
         GROUP BY 1, 2 ORDER BY day, event_type"""))),
 
+    // ---- sessionization: gaps-and-islands over the event stream
+    // (12h inactivity closes a session; all arithmetic in exact integer
+    // microseconds so both engines agree bit-for-bit)
+    "q19_sessionization" -> ((
+      (s: SparkSession, d: String) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        t(s, d, "events")
+          .withColumn("us", expr("ts div 1000"))
+          .withColumn("prev", lag(col("us"), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev").isNull ||
+              col("us") - col("prev") > lit(43200000000L), 1L).otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(count(lit(1)).as("n_events"),
+            (max(col("us")) - min(col("us"))).as("dur_us"))
+          .orderBy(col("user_id"), col("sess_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        ), marked AS (
+          SELECT user_id, event_id, us,
+                 CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                      OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 43200000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM e
+        ), sess AS (
+          SELECT user_id, us,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM marked
+        )
+        SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+               count(*) AS n_events, max(us) - min(us) AS dur_us
+        FROM sess GROUP BY user_id, sess_id
+        ORDER BY user_id, sess_id"""))),
+
     // ---- CASE expression buckets
     "q17_quantity_buckets" -> ((
       (s: SparkSession, d: String) =>
