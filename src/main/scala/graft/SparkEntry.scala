@@ -36,5 +36,6 @@ object SparkEntry {
     "q01_pricing_summary", "q03_top_revenue_orders", "q05_local_supplier_volume",
     "q06_forecast_revenue", "q08_top_orders_per_customer", "q09_running_user_spend",
     "q16_events_daily",
-    "q24_dedup_exact", "q26_dedup_minhash", "q28_embed_topk", "q30_ann_lsh")
+    "q24_dedup_exact", "q26_dedup_minhash", "q28_embed_topk", "q30_ann_lsh",
+    "q33_mor_compaction_roundtrip")
 }

@@ -290,6 +290,77 @@ object Llm {
           FROM scored)
         WHERE rnk <= 3 ORDER BY q_id, rnk"""))),
 
+    // ---- end-to-end training-data pipeline: simulated re-crawl →
+    //      exact dedup → quality filter → MinHash near-dup removal →
+    //      per-language corpus stats. The operators composed are each
+    //      individually oracle-checked (q20/q24/q26); this checks the
+    //      composition.
+    "q36_pipeline_e2e" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("lang"), col("text"))
+        val corpus = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 100000))
+        val canonical = Dedup.exact(corpus, "doc_id", "text")
+          .select(col("canonical_id").as("doc_id"))
+        val deduped = corpus.join(canonical, "doc_id")
+        val toks = TF.wsTokens(col("text"))
+        val nTok = size(toks).cast("long")
+        val quality =
+          (size(array_distinct(toks)).cast("double") / nTok) *
+            (lit(1.0) - size(filter(toks, x => x.isin(Stopwords.map(lit(_)): _*)))
+              .cast("double") / nTok)
+        val kept = deduped
+          .withColumn("n_tokens", nTok)
+          .filter(col("n_tokens") >= 20 && quality > 0.2)
+        val nearDup = Dedup.minhashLsh(kept, "doc_id", "text",
+            n = 3, k = 16, bands = 4, minEst = 0.5)
+          .select(col("doc_b")).distinct()
+        kept.join(nearDup, kept("doc_id") === col("doc_b"), "left_anti")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, lang, text FROM documents
+          UNION ALL SELECT doc_id + 100000, lang, text FROM documents
+        ), deduped AS (
+          SELECT min(doc_id) AS doc_id, any_value(lang) AS lang, text
+          FROM corpus GROUP BY md5(text), text
+        ), quality AS (
+          SELECT doc_id, lang, text,
+                 len(string_split(text,' ')) AS n_tokens,
+                 (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')))
+                   * (1.0 - CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS DOUBLE) / len(string_split(text,' '))) AS q
+          FROM deduped
+        ), kept AS (
+          SELECT doc_id, lang, text, n_tokens FROM quality WHERE n_tokens >= 20 AND q > 0.2
+        ), toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM kept),
+        sh AS (SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+            i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])) AS s FROM toks)),
+        mh AS (
+          SELECT doc_id, i,
+                 min(CAST('0x'||substr(md5(CAST(i AS VARCHAR)||':'||s),1,15) AS BIGINT)) AS h
+          FROM sh, range(0,16) r(i) GROUP BY doc_id, i),
+        sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, b,
+                 CAST(sig[b*4+1] AS VARCHAR)||','||CAST(sig[b*4+2] AS VARCHAR)||','||
+                 CAST(sig[b*4+3] AS VARCHAR)||','||CAST(sig[b*4+4] AS VARCHAR) AS bucket
+          FROM sig, range(0,4) r(b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.b=b.b AND a.bucket=b.bucket AND a.doc_id<b.doc_id),
+        neardup AS (
+          SELECT DISTINCT c.doc_b
+          FROM cand c JOIN sig sa ON sa.doc_id=c.doc_a JOIN sig sb ON sb.doc_id=c.doc_b
+          WHERE len(list_filter(range(1,17), i -> sa.sig[i]=sb.sig[i])) >= 8),
+        final AS (
+          SELECT k.* FROM kept k LEFT JOIN neardup n ON k.doc_id = n.doc_b
+          WHERE n.doc_b IS NULL)
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM final GROUP BY lang ORDER BY lang"""))),
+
     // ---- multimodal: binary payload pipeline (stub decode; real plumbing)
     "q31_multimodal_features" -> ((
       (s: SparkSession, d: String) =>

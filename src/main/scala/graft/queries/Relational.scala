@@ -414,6 +414,30 @@ object Relational {
         FROM sess GROUP BY user_id, sess_id
         ORDER BY user_id, sess_id"""))),
 
+    // ---- correlated aggregate (TPC-H Q17 shape): parts whose order
+    // quantity is below 20% of their average — the per-part average is
+    // exact (integer-valued doubles sum exactly), so the threshold
+    // compare is engine-independent
+    "q37_small_quantity_revenue" -> ((
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+        val avgQ = li.groupBy(col("l_partkey").as("p_pk"))
+          .agg((avg(col("l_quantity")) * 0.2).as("threshold"))
+        li.join(avgQ, col("l_partkey") === col("p_pk"))
+          .filter(col("l_quantity") < col("threshold"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(cents(col("l_extendedprice"))).as("rev_c"))
+      },
+      Some("""
+        SELECT count(*) AS n,
+               CAST(sum(floor(l_extendedprice*100)) AS BIGINT) AS rev_c
+        FROM lineitem l
+        JOIN (SELECT l_partkey AS p_pk, 0.2 * avg(l_quantity) AS threshold
+              FROM lineitem GROUP BY l_partkey) t
+          ON l.l_partkey = t.p_pk
+        WHERE l.l_quantity < t.threshold"""))),
+
     // ---- CASE expression buckets
     "q17_quantity_buckets" -> ((
       (s: SparkSession, d: String) =>
