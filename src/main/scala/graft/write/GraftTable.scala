@@ -500,40 +500,43 @@ class GraftTable private (
     val joinCond =
       if (config.globalIndex) col(Key) === col("_g_idx_key")
       else col(Key) === col("_g_idx_key") && col(Partition) === col("_g_loc_part")
-    val tagged = prepared.join(idx, joinCond, "left").drop("_g_idx_key")
+    // the tag join (which scans the key index) feeds several downstream
+    // actions — persist it so tagging runs once, not once per action
+    val tagged = prepared.join(idx, joinCond, "left").drop("_g_idx_key").persist()
+    try {
+      val updates = tagged.filter(col("_g_loc").isNotNull)
+        .withColumn(File, col("_g_loc"))
+        .withColumn(Partition,
+          if (config.globalIndex) col("_g_loc_part") else col(Partition))
+        .drop("_g_loc", "_g_loc_part")
+      val inserts = assignNewGroups(
+        tagged.filter(col("_g_loc").isNull).drop("_g_loc", "_g_loc_part"), t)
 
-    val updates = tagged.filter(col("_g_loc").isNotNull)
-      .withColumn(File, col("_g_loc"))
-      .withColumn(Partition,
-        if (config.globalIndex) col("_g_loc_part") else col(Partition))
-      .drop("_g_loc", "_g_loc_part")
-    val inserts = assignNewGroups(
-      tagged.filter(col("_g_loc").isNull).drop("_g_loc", "_g_loc_part"), t)
-
-    val stats =
-      if (isMor) {
-        // MOR: updates land as delta files on their group; no base read.
-        val deltaStats = stageAndPublish(updates, t, delta = true)
-        val baseStats = stageAndPublish(inserts, t)
-        deltaStats ++ baseStats
-      } else {
-        // COW: rewrite each affected group = old slice ∪ incoming → latest-wins.
-        val affected = updates.select(File).distinct().collect().map(_.getString(0)).toSet
-        val oldStats = snap.slices.filter(s => affected.contains(s.fileId)).flatMap(_.allFiles)
-        // keep tombstone markers in the rewrite: snapshot reads filter
-        // them, incremental CDC needs them for D operations
-        val merged =
-          if (oldStats.isEmpty) updates
-          else mergeLatestKeepTombstones(
-            readStatsDf(readSchema(snap), oldStats)
-              .unionByName(updates, allowMissingColumns = true))
-        stageAndPublish(
-          merged.unionByName(inserts, allowMissingColumns = true), t)
-      }
-    publish(t, action,
-      CommitMetadata("upsert", schemaJson(prepared), stats, extra = extra),
-      snap.asOf)
-    t
+      val stats =
+        if (isMor) {
+          // MOR: updates land as delta files on their group; no base read.
+          val deltaStats = stageAndPublish(updates, t, delta = true)
+          val baseStats = stageAndPublish(inserts, t)
+          deltaStats ++ baseStats
+        } else {
+          // COW: rewrite each affected group = old slice ∪ incoming → latest-wins.
+          val affected = updates.select(File).distinct().collect().map(_.getString(0)).toSet
+          val oldStats = snap.slices.filter(s => affected.contains(s.fileId)).flatMap(_.allFiles)
+          // keep tombstone markers in the rewrite: snapshot reads filter
+          // them, incremental CDC needs them for D operations
+          val merged =
+            if (oldStats.isEmpty) updates
+            else mergeLatestKeepTombstones(
+              readStatsDf(readSchema(snap), oldStats)
+                .unionByName(updates, allowMissingColumns = true))
+          stageAndPublish(
+            merged.unionByName(inserts, allowMissingColumns = true), t)
+        }
+      publish(t, action,
+        CommitMetadata("upsert", schemaJson(prepared), stats, extra = extra),
+        snap.asOf)
+      t
+    } finally tagged.unpersist()
   }
 
   /** Delete by key: `keys` must contain the key fields (+ partition fields
@@ -561,32 +564,35 @@ class GraftTable private (
     val joinCond =
       if (config.globalIndex) col(Key) === col("_g_idx_key")
       else col(Key) === col("_g_idx_key") && col(Partition) === col("_g_loc_part")
-    // records that don't exist are dropped (nothing to delete)
+    // records that don't exist are dropped (nothing to delete);
+    // persisted: the tag join feeds 2-3 downstream actions
     val tagged = prepared.join(idx, joinCond, "inner").drop("_g_idx_key")
       .withColumn(File, col("_g_loc"))
       .withColumn(Partition,
         if (config.globalIndex) col("_g_loc_part") else col(Partition))
       .drop("_g_loc", "_g_loc_part")
-
-    val (stats, replaced) =
-      if (isMor) (stageAndPublish(tagged, t, delta = true), Map.empty[String, Seq[String]])
-      else {
-        val affected = tagged.select(File).distinct().collect().map(_.getString(0)).toSet
-        if (affected.isEmpty) (Nil, Map.empty[String, Seq[String]])
+      .persist()
+    try {
+      val (stats, replaced) =
+        if (isMor) (stageAndPublish(tagged, t, delta = true), Map.empty[String, Seq[String]])
         else {
-          // rewrite affected groups as old ∪ tombstones, keeping the
-          // tombstone marker rows (durable delete history for CDC);
-          // snapshot/RO reads filter them out
-          val slices = snap.slices.filter(s => affected.contains(s.fileId))
-          val old = readStatsDf(readSchema(snap), slices.flatMap(_.allFiles))
-          val merged = mergeLatestKeepTombstones(
-            old.unionByName(tagged, allowMissingColumns = true))
-          (stageAndPublish(merged, t), Map.empty[String, Seq[String]])
+          val affected = tagged.select(File).distinct().collect().map(_.getString(0)).toSet
+          if (affected.isEmpty) (Nil, Map.empty[String, Seq[String]])
+          else {
+            // rewrite affected groups as old ∪ tombstones, keeping the
+            // tombstone marker rows (durable delete history for CDC);
+            // snapshot/RO reads filter them out
+            val slices = snap.slices.filter(s => affected.contains(s.fileId))
+            val old = readStatsDf(readSchema(snap), slices.flatMap(_.allFiles))
+            val merged = mergeLatestKeepTombstones(
+              old.unionByName(tagged, allowMissingColumns = true))
+            (stageAndPublish(merged, t), Map.empty[String, Seq[String]])
+          }
         }
-      }
-    publish(t, action, CommitMetadata("delete", "", stats, replaced),
-      snap.asOf)
-    t
+      publish(t, action, CommitMetadata("delete", "", stats, replaced),
+        snap.asOf)
+      t
+    } finally tagged.unpersist()
   }
 
   /** Replace the file groups of every partition touched by `df`
