@@ -95,7 +95,12 @@ class TableServices(table: GraftTable) {
       layout: String = "linear",
       rankMode: String = "map",
       targetFileRows: Long = 0L,
-      smallFileRows: Long = Long.MaxValue): Option[String] = {
+      smallFileRows: Long = Long.MaxValue,
+      /** drop `_g_deleted` tombstone markers during the rewrite — the
+        * COW analog of compaction's purge. Bounds marker growth; CDC
+        * reads older than this rewrite lose their D rows for the
+        * purged keys, same contract as compaction on MOR. */
+      purgeTombstones: Boolean = false): Option[String] = {
     require(Seq("linear", "zorder", "hilbert").contains(layout), s"bad layout $layout")
     val snap = Snapshot.resolve(timeline)
     val candidates = snap.slices.filter(s =>
@@ -105,7 +110,8 @@ class TableServices(table: GraftTable) {
     val t = timeline.start(Action.ReplaceCommit)
     val schema = table.readSchema(snap)
     val stats = candidates.flatMap(_.baseFile)
-    val df = table.readStatsDf(schema, stats)
+    val raw = table.readStatsDf(schema, stats)
+    val df = if (purgeTombstones) raw.filter(!col(Deleted)) else raw
 
     val target = if (targetFileRows > 0) targetFileRows else table.config.targetFileRows
     val totalRows = stats.map(_.rows).sum

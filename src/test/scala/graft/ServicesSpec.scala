@@ -140,5 +140,25 @@ class ServicesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSameRows(r.dataOnly(r.snapshot()), up2, "write after restore")
   }
 
+  test("cluster with purgeTombstones drops COW delete markers, keeps state") {
+    import graft.write.Meta
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.COW))
+    tbl.bulkInsert(orders)
+    tbl.delete(orders.filter(col("o_orderkey") % 5 === 0)
+      .select("o_orderkey", "o_orderpriority"))
+    val r = GraftReader(tbl)
+    val want = orders.filter(col("o_orderkey") % 5 =!= 0)
+    def markerCount(): Long = {
+      val snap = Snapshot.resolve(tbl.timeline)
+      val paths = snap.slices.flatMap(_.allFiles).map(st => s"$dir/${st.path}")
+      spark.read.parquet(paths: _*).filter(col(Meta.Deleted)).count()
+    }
+    assert(markerCount() > 0, "COW delete leaves tombstone markers")
+    TableServices(tbl).cluster(Seq("o_orderkey"), purgeTombstones = true).get
+    assert(markerCount() == 0, "purge drops markers")
+    assertSameRows(r.dataOnly(r.snapshot()), want, "state unchanged by purge")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
