@@ -86,6 +86,51 @@ object Similarity {
       when(dot > 0, 1).otherwise(0)
     }
 
+  /** IVF-flat approximate top-k with a FIXED coarse quantizer: `cells`
+    * corpus vectors (chosen by id — deterministic, no RNG/k-means
+    * state) act as centroids; every corpus vector is assigned to its
+    * max-cosine centroid, a query probes its `nprobe` nearest cells,
+    * and exact cosine runs over those cells' members only.
+    *
+    * Scale shape: the centroid set broadcasts (it is tiny), assignment
+    * is one corpus scan, and per-query cost is the probed cells'
+    * occupancy — the inverted-file idea without the training step. A
+    * production deployment would swap the id-chosen centroids for
+    * k-means ones; nothing else changes. */
+  def ivfAnn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cent = corpus.filter(col(idCol) < cells)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_nrm", normD(col("c_vec")))
+    // cell assignment: one scan × broadcast centroids, argmax cosine
+    // (ties break toward the smaller centroid id)
+    def assign(df: DataFrame, id: String): DataFrame = {
+      val scored = df.select(col(idCol).as(id), col(vecCol).as(s"${id}_vec"))
+        .withColumn(s"${id}_nrm", normD(col(s"${id}_vec")))
+        .crossJoin(broadcast(cent))
+        .withColumn("c_cos",
+          cosineD(col(s"${id}_vec"), col("c_vec"), col(s"${id}_nrm"), col("c_nrm")))
+      val w = Window.partitionBy(col(id)).orderBy(col("c_cos").desc, col("c_id"))
+      scored.withColumn("_rk", row_number().over(w))
+        .select(col(id), col(s"${id}_vec"), col("c_id").as(s"${id}_cell"), col("_rk"))
+    }
+    val corpusCells = assign(corpus, "n_id").filter(col("_rk") === 1).drop("_rk")
+    val queryCells = assign(queries, "q_id").filter(col("_rk") <= nprobe).drop("_rk")
+    val cand = corpusCells.join(broadcast(queryCells),
+        col("n_id_cell") === col("q_id_cell") && col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), col("q_id_vec"), col("n_id_vec"))
+      .distinct()
+    val scored = cand.withColumn("cos",
+      cosineD(col("q_id_vec"), col("n_id_vec"),
+        normD(col("q_id_vec")), normD(col("n_id_vec"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"), col("cos"))
+  }
+
   /** Approximate top-k: candidates = corpus rows sharing at least one
     * LSH band with the query, then exact cosine over candidates only.
     * bands × bitsPerBand = planes. The bucket join is the whole point:

@@ -290,6 +290,49 @@ object Llm {
           FROM scored)
         WHERE rnk <= 3 ORDER BY q_id, rnk"""))),
 
+    // ---- IVF-flat ANN (fixed coarse quantizer; the other scale path
+    //      next to LSH: per-query cost = probed-cell occupancy)
+    "q38_ann_ivf" -> ((
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfAnn(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 3, cells = 16, nprobe = 4)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some("""
+        WITH nrm AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+          FROM embeddings),
+        cent AS (SELECT vec_id AS c_id, embedding AS c_vec, nrm AS c_nrm FROM nrm WHERE vec_id < 16),
+        corpus_cells AS (
+          SELECT vec_id AS n_id, c_id AS n_cell FROM (
+            SELECT n.vec_id, c.c_id,
+                   row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                     list_sum(list_transform(range(1,65), i -> CAST(n.embedding[i] AS DOUBLE) * c.c_vec[i])) / (n.nrm * c.c_nrm) DESC, c.c_id) AS rk
+            FROM nrm n, cent c)
+          WHERE rk = 1),
+        query_cells AS (
+          SELECT vec_id AS q_id, c_id AS q_cell FROM (
+            SELECT n.vec_id, c.c_id,
+                   row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                     list_sum(list_transform(range(1,65), i -> CAST(n.embedding[i] AS DOUBLE) * c.c_vec[i])) / (n.nrm * c.c_nrm) DESC, c.c_id) AS rk
+            FROM nrm n, cent c WHERE n.vec_id < 5)
+          WHERE rk <= 4),
+        cand AS (
+          SELECT DISTINCT q.q_id, cc.n_id
+          FROM query_cells q JOIN corpus_cells cc
+            ON cc.n_cell = q.q_cell AND cc.n_id <> q.q_id),
+        scored AS (
+          SELECT c.q_id, c.n_id,
+                 list_sum(list_transform(range(1,65), i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) AS cos
+          FROM cand c JOIN nrm a ON a.vec_id = c.q_id JOIN nrm b ON b.vec_id = c.n_id)
+        SELECT q_id, rnk, n_id, cos FROM (
+          SELECT q_id, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 3 ORDER BY q_id, rnk"""))),
+
     // ---- end-to-end training-data pipeline: simulated re-crawl →
     //      exact dedup → quality filter → MinHash near-dup removal →
     //      per-language corpus stats. The operators composed are each
