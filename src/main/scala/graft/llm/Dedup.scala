@@ -124,6 +124,42 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_match"), col("est_jaccard"))
   }
 
+  /** Connected components over near-dup pairs (`doc_a`, `doc_b`):
+    * transitive closure turns pairwise matches into dedup GROUPS (a~b,
+    * b~c ⇒ {a,b,c} dedup together; pairwise-only dedup would keep a and
+    * c). Iterative min-label propagation — each round every node takes
+    * the min component id among itself and its neighbors; converges in
+    * O(log diameter) rounds, all shuffle-side, no driver graph state.
+    * Returns (node, component = min doc id of its cluster). */
+  def nearDupClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node")).cache()
+    labels.count()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      val neighborMin = sym
+        .join(labels.select(col("node").as("dst"), col("component").as("nc")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("nc")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "node")
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** SimHash (48-bit): per distinct token, a 48-bit hash weighted by the
     * token's count; each bit position sums ±weight; the sign vector is
     * the fingerprint. Near-dups = small Hamming distance.

@@ -290,6 +290,42 @@ object Llm {
           FROM scored)
         WHERE rnk <= 3 ORDER BY q_id, rnk"""))),
 
+    // ---- dedup clustering: connected components over near-dup pairs
+    //      (transitive closure — a~b, b~c dedup as ONE group)
+    "q39_dedup_clusters" -> ((
+      (s: SparkSession, d: String) => {
+        val pairs = Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.7)
+        Dedup.nearDupClusters(pairs)
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("cluster_size"), min(col("node")).as("keeper"))
+          .orderBy(col("component"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        sh AS (SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+            i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])) AS s FROM toks)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        edges AS (
+          SELECT doc_a, doc_b FROM pairs
+          JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.7),
+        sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+                UNION SELECT doc_b, doc_a FROM edges),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        reach AS (
+          WITH RECURSIVE r(node, target) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT r.node, s.dst FROM r JOIN sym s ON s.src = r.target)
+          SELECT node, min(target) AS component FROM r GROUP BY node)
+        SELECT component, count(*) AS cluster_size, min(node) AS keeper
+        FROM reach GROUP BY component ORDER BY component"""))),
+
     // ---- IVF-flat ANN (fixed coarse quantizer; the other scale path
     //      next to LSH: per-query cost = probed-cell occupancy)
     "q38_ann_ivf" -> ((

@@ -61,6 +61,16 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(banded == all) // pigeonhole banding loses nothing within distance d
   }
 
+  test("near-dup clustering is transitive (a~b, b~c => one component)") {
+    import spark.implicits._
+    // chain: 1-2 and 2-3 are pairs, 1-3 is NOT; plus isolated pair 8-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("doc_a", "doc_b")
+    val comps = Dedup.nearDupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+    assert(comps(8L) == 8L && comps(9L) == 8L)
+  }
+
   test("shingle doc-frequency cap drops hot shingles") {
     val uncapped = Dedup.shingleIndex(docs, "doc_id", "text", 3).count()
     val capped = Dedup.shingleIndex(docs, "doc_id", "text", 3, maxDocFreq = Some(2)).count()
