@@ -40,4 +40,28 @@ object Transformers {
 
   /** Apply transformers left to right. */
   def chained(ts: Transformer*): Transformer = df => ts.foldLeft(df)((d, t) => t(d))
+
+  /** Debezium CDC envelope → graft upsert rows (reference analog:
+    * model/debezium/AbstractDebeziumAvroPayload.java + the Debezium
+    * sources). Input rows carry `op` (c/r/u = upsert, d = delete), an
+    * `after` struct (the row image; null for deletes), a `before`
+    * struct (used for delete keys), and a monotonically increasing
+    * `ordCol` (MySQL file+pos or Postgres LSN) that should also be the
+    * table's orderingField so out-of-order events resolve correctly.
+    * Deletes become `_g_deleted` tombstone rows riding the SAME upsert
+    * batch (graft's write path honors a pre-existing tombstone column).
+    * Caveat: tombstones take commit-time precedence — a late event whose
+    * ord predates an already-applied delete but lands in a LATER commit
+    * is not suppressed (EmptyHoodieRecordPayload-style contract). */
+  def debezium(opCol: String = "op", afterCol: String = "after",
+      beforeCol: String = "before", ordCol: String = "ord"): Transformer = { df =>
+    val afterFields = df.schema(afterCol).dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    val image = org.apache.spark.sql.functions.when(
+      col(opCol) === "d", col(beforeCol)).otherwise(col(afterCol))
+    df.select(
+      afterFields.map(f => image.getField(f).as(f)) ++ Seq(
+        col(ordCol),
+        (col(opCol) === "d").as(graft.write.Meta.Deleted)): _*)
+  }
 }

@@ -51,6 +51,35 @@ class TransformersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t(Seq(1L).toDF("id")).head().getLong(0) == 20L)
   }
 
+  test("debezium envelope transformer: upserts, out-of-order events, deletes") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "cdc", tableType = TableType.COW, keyFields = Seq("id"),
+      orderingField = "ord", targetFileRows = 1000))
+
+    import TransformersSpec.Img
+    val batch1 = Seq(
+      ("c", Some(Img(1L, "a")), Option.empty[Img], 10L),
+      ("c", Some(Img(2L, "b")), Option.empty[Img], 11L),
+      ("u", Some(Img(1L, "a2")), Some(Img(1L, "a")), 12L)
+    ).toDF("op", "after", "before", "ord")
+    tbl.upsert(Transformers.debezium()(batch1))
+
+    // batch 2: delete id=2, out-of-order stale update for id=1 (ord 5 < 12)
+    val batch2 = Seq(
+      ("d", Option.empty[Img], Some(Img(2L, "b")), 13L),
+      ("u", Some(Img(1L, "stale")), Some(Img(1L, "a2")), 5L)
+    ).toDF("op", "after", "before", "ord")
+    tbl.upsert(Transformers.debezium()(batch2))
+
+    val r = GraftReader(tbl)
+    val got = r.dataOnly(r.snapshot()).select("id", "v", "ord")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // id=1 keeps a2 (ord 12 beats the stale 5); id=2 is deleted
+    assert(got.toSeq == Seq((1L, "a2", 12L)))
+  }
+
   test("json and csv dir sources feed the ingest loop") {
     import spark.implicits._
     val dir = tmp(); val srcDir = tmp()
@@ -82,4 +111,8 @@ class TransformersSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r2 = GraftReader(tbl2)
     assert(r2.dataOnly(r2.snapshot()).count() == 2)
   }
+}
+
+object TransformersSpec {
+  case class Img(id: Long, v: String)
 }
