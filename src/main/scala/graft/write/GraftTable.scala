@@ -698,9 +698,17 @@ object GraftTable {
     new GraftTable(spark, path, tl)
   }
 
+  /** Highest table-format version this build reads/writes (reference
+    * analog: table/upgrade/UpgradeDowngrade.java:40 — newer-format
+    * tables fail loudly instead of being silently misread). */
+  val CurrentVersion = 1
+
   def load(spark: SparkSession, path: String): GraftTable = {
     val tl = new Timeline(path, spark.sessionState.newHadoopConf())
     require(tl.exists, s"no graft table at $path")
+    require(tl.config.version <= CurrentVersion,
+      s"table at $path is format version ${tl.config.version}; " +
+        s"this build supports <= $CurrentVersion — upgrade the library")
     new GraftTable(spark, path, tl)
   }
 
