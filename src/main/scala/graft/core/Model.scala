@@ -90,6 +90,12 @@ case class TableConfig(
       * hoodie.parquet.max.file.size, byte-based; rows keep the planner
       * free of size estimation) */
     targetFileRows: Long = 4000000L,
+    /** file groups below this many rows are insert-fill targets (small-
+      * file bin packing — reference analog:
+      * hoodie.parquet.small.file.limit, HoodieCompactionConfig.java:154).
+      * -1 = auto (3/4 of targetFileRows, mirroring the reference's
+      * 100/120 MB ratio); 0 = disabled. */
+    smallFileRows: Long = -1L,
     /** true -> key unique table-wide; updates may move partitions
       * (reference analog: GLOBAL_SIMPLE index) */
     globalIndex: Boolean = false,

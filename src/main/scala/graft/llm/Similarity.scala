@@ -64,6 +64,37 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Near-dup pairs through the LSH bucket join (the scale path next to
+    * [[nearDupPairs]]): every vector is banded once, pairs sharing any
+    * band get exact cosine, the threshold applies after. Recall follows
+    * the banded contract — a pair agreeing on no band is not reported —
+    * which is the trade every 100 TB near-dup pass makes; tighten by
+    * raising `bands`. Cost is bucket occupancy, not corpus². */
+  def nearDupPairsBucketed(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 16, bands: Int = 4,
+      dims: Int = 64): DataFrame = {
+    val bitsPerBand = planes / bands
+    val sig = lshSignature(col(vecCol), planes, dims)
+    val bandCols = (0 until bands).map { b =>
+      concat_ws("", (0 until bitsPerBand).map(r =>
+        sig(b * bitsPerBand + r).cast("string")): _*)
+    }
+    val banded = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("b"), bandCols(b).as("bucket"))): _*)).as("bb"))
+      .select(col("id"), col("vec"), col("bb.b").as("b"), col("bb.bucket").as("bucket"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.vec").as("va"), col("y.vec").as("vb"))
+      .distinct()
+    cand.select(col("id_a"), col("id_b"),
+        cosineD(col("va"), col("vb"), normD(col("va")), normD(col("vb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dim i): an integer in [-1000, 1000] derived from md5 — identical
     * in any engine, no RNG state. */

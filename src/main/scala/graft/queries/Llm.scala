@@ -205,6 +205,39 @@ object Llm {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
         ORDER BY doc_a, doc_b"""))),
 
+    // ---- SimHash pairs via the pigeonhole bucket join — same answer
+    //      shape as q27 but NO all-pairs comparison (the 100 TB path:
+    //      any pair with Hamming ≤ 2 shares one of 3 16-bit segments)
+    "q27b_dedup_simhash_banded" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.simhashPairsBanded(t(s, d, "documents"), "doc_id", "text", maxHamming = 2)
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some("""
+        WITH tw AS (
+          SELECT doc_id, w, count(*) AS cnt,
+                 CAST('0x'||substr(md5('sh:'||w),1,12) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+          GROUP BY doc_id, w),
+        bits AS (
+          SELECT doc_id, j, sum(cnt * (2 * ((h >> CAST(j AS INTEGER)) & 1) - 1)) AS v
+          FROM tw, range(0, 48) r(j) GROUP BY doc_id, j),
+        sh AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id),
+        seg AS (
+          SELECT doc_id, simhash,
+                 g, (simhash >> CAST(g * 16 AS INTEGER)) & 65535 AS piece
+          FROM sh, range(0, 3) r(g)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS ha, b.simhash AS hb
+          FROM seg a JOIN seg b
+            ON a.g = b.g AND a.piece = b.piece AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+        ORDER BY doc_a, doc_b"""))),
+
     // ---- exact cosine top-k (brute force baseline; queries broadcast)
     "q28_embed_topk" -> ((
       (s: SparkSession, d: String) => {
@@ -243,6 +276,45 @@ object Llm {
                list_sum(list_transform(range(1,65),
                  i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) AS cos
         FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(range(1,65),
+                i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) >= 0.45
+        ORDER BY id_a, id_b"""))),
+
+    // ---- embedding near-dup pairs through the LSH bucket join — same
+    //      threshold as q29 but the candidate set is bucket-bounded (no
+    //      cartesian join anywhere in the plan; the 100 TB variant)
+    "q29b_embed_neardup_bucketed" -> ((
+      (s: SparkSession, d: String) =>
+        Similarity.nearDupPairsBucketed(t(s, d, "embeddings"), "vec_id", "embedding", 0.45)
+          .orderBy(col("id_a"), col("id_b")),
+      Some("""
+        WITH g AS (
+          SELECT p, list_transform(range(1, 65),
+            i -> CAST(CAST('0x'||substr(md5(CAST(p AS VARCHAR)||':'||CAST(i AS VARCHAR)),1,15) AS BIGINT) % 2001 - 1000 AS DOUBLE)) AS plane
+          FROM range(0, 16) r(p)),
+        sigbits AS (
+          SELECT e.vec_id, g.p,
+                 CASE WHEN list_sum(list_transform(range(1, 65),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * g.plane[i])) > 0 THEN 1 ELSE 0 END AS bit
+          FROM embeddings e, g),
+        sig AS (SELECT vec_id, list(bit ORDER BY p) AS bits FROM sigbits GROUP BY vec_id),
+        bands AS (
+          SELECT vec_id, b,
+                 CAST(bits[b*4+1] AS VARCHAR)||CAST(bits[b*4+2] AS VARCHAR)||
+                 CAST(bits[b*4+3] AS VARCHAR)||CAST(bits[b*4+4] AS VARCHAR) AS bucket
+          FROM sig, range(0, 4) r(b)),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        nrm AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+          FROM embeddings)
+        SELECT c.id_a, c.id_b,
+               list_sum(list_transform(range(1,65),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) AS cos
+        FROM cand c JOIN nrm a ON a.vec_id = c.id_a JOIN nrm b ON b.vec_id = c.id_b
         WHERE list_sum(list_transform(range(1,65),
                 i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) >= 0.45
         ORDER BY id_a, id_b"""))),
@@ -448,7 +520,7 @@ object Llm {
         SELECT CASE CAST(doc_id % 3 AS INTEGER)
                  WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
                count(*) AS n_media,
-               sum(octet_length(encode(text))) AS total_bytes,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                count(*) * 10 AS total_feature_dims
         FROM documents GROUP BY 1 ORDER BY 1""")))
   )

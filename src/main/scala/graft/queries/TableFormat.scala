@@ -8,6 +8,8 @@ import org.apache.spark.sql.functions._
 import graft.core.{TableConfig, TableType}
 import graft.read.GraftReader
 import graft.services.TableServices
+import graft.sql.GraftDml
+import graft.streaming.GraftStreamSink
 import graft.write.GraftTable
 
 /** Table-format round-trip queries: each builds a graft table from the
@@ -119,6 +121,192 @@ object TableFormat {
                CAST(floor((o_totalprice + 1000) * 100) AS BIGINT) AS price_c
         FROM orders WHERE o_orderkey % 10 >= 6
         ORDER BY o_orderkey"""))),
+
+    // ---- clustering: a zorder rewrite (+ tombstone purge) must not
+    //      change the snapshot answer (reference analog:
+    //      TestTableLayoutOptimization.scala:42 — query-equivalence
+    //      across OPTIMIZE)
+    "q40_clustering_roundtrip" -> ((
+      (s: SparkSession, d: String) => {
+        val tbl = mutated(s, d, TableType.COW)
+        TableServices(tbl).cluster(
+          sortCols = Seq("o_orderkey", "o_totalprice"),
+          layout = "zorder", rankMode = "map",
+          targetFileRows = 2000, purgeTombstones = true)
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some(SummarySql))),
+
+    // ---- rollback of the latest commit + restore across two commits:
+    //      final state must equal the pre-mutation oracle (reference
+    //      analog: TestHoodieClientOnCopyOnWriteStorage rollback cases)
+    "q41_rollback_restore" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_rb", TableType.COW))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        val t2 = tbl.upsert(orders.filter(col("o_orderkey") % 10 >= 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        val t3 = tbl.upsert(orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 777))
+        val svc = TableServices(tbl)
+        svc.rollback(t3)
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 === 2)
+          .withColumn("o_totalprice", col("o_totalprice") + 333))
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("o_totalprice", col("o_totalprice") + 555))
+        svc.restoreTo(t2)
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(CASE WHEN o_orderkey % 10 >= 6
+                 THEN o_totalprice + 1000 ELSE o_totalprice END * 100)) AS BIGINT) AS price_c
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- savepoint + clean: cleaning must not disturb the latest
+    //      snapshot, and time travel to the savepointed load must still
+    //      resolve after intermediate files are physically deleted
+    //      (reference analog: table/TestCleaner.java savepoint cases)
+    "q42_savepoint_clean" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_sp", TableType.COW))
+        val t1 = tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 >= 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        tbl.delete(orders.filter(col("o_orderkey") % 10 === 7)
+          .select("o_orderkey", "o_orderpriority"))
+        val svc = TableServices(tbl)
+        svc.savepoint(t1)
+        svc.clean(retainCommits = 1)
+        val r = GraftReader(tbl)
+        val latest = summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+          .withColumn("which", lit("latest"))
+        val atSavepoint = summarize(r.dataOnly(r.snapshot(asOf = Some(t1)))
+          .withColumnRenamed("o_totalprice", "price"))
+          .withColumn("which", lit("savepoint"))
+        latest.unionByName(atSavepoint)
+          .orderBy(col("which"), col("o_orderpriority"))
+      },
+      Some(s"""
+        WITH final_state AS ($FinalStateSql),
+        latest AS (
+          SELECT 'latest' AS which, o_orderpriority, count(*) AS n,
+                 CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                 CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+          FROM final_state GROUP BY o_orderpriority),
+        at_savepoint AS (
+          SELECT 'savepoint' AS which, o_orderpriority, count(*) AS n,
+                 CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                 CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS price_c
+          FROM orders WHERE o_orderkey % 10 < 8 GROUP BY o_orderpriority)
+        SELECT * FROM latest UNION ALL SELECT * FROM at_savepoint
+        ORDER BY which, o_orderpriority"""))),
+
+    // ---- insert_overwrite of one partition + delete_partition of
+    //      another, via replacecommits (reference analog:
+    //      TestCOWDataSource.scala overwrite cases)
+    "q43_overwrite_partitions" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_ow", TableType.COW))
+        tbl.bulkInsert(orders)
+        tbl.insertOverwrite(orders
+          .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 10 < 5)
+          .withColumn("o_totalprice", col("o_totalprice") * 2))
+        tbl.deletePartitions(Seq("2-HIGH"))
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2
+                      ELSE o_totalprice END AS price
+          FROM orders
+          WHERE o_orderpriority <> '2-HIGH'
+            AND (o_orderpriority <> '1-URGENT' OR o_orderkey % 10 < 5))
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- streaming-sink idempotency: a replayed batchId (with
+    //      poisoned data) must be skipped; later batches apply
+    //      (reference analog: TestStructuredStreaming.scala:330 —
+    //      exactly-once table state over at-least-once delivery)
+    "q44_streaming_sink" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_ss", TableType.COW))
+        val qid = "q44-query"
+        GraftStreamSink.writeBatch(tbl, qid, "bulk_insert",
+          orders.filter(col("o_orderkey") % 10 < 8), 0L)
+        GraftStreamSink.writeBatch(tbl, qid, "upsert",
+          orders.filter(col("o_orderkey") % 10 >= 6)
+            .withColumn("o_totalprice", col("o_totalprice") + 1000), 1L)
+        // replay of batch 1 with poisoned prices — must be a no-op
+        GraftStreamSink.writeBatch(tbl, qid, "upsert",
+          orders.withColumn("o_totalprice", lit(0.0)), 1L)
+        GraftStreamSink.writeBatch(tbl, qid, "upsert",
+          orders.filter(col("o_orderkey") % 10 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 500), 2L)
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 500
+                      WHEN o_orderkey % 10 >= 6 THEN o_totalprice + 1000
+                      ELSE o_totalprice END AS price
+          FROM orders)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- MERGE INTO with mixed WHEN clauses in ONE commit: conditional
+    //      delete + conditional update + insert-all (reference analog:
+    //      TestMergeIntoTable.scala:735)
+    "q45_merge_mixed" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_mg", TableType.COW))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        val source = orders.filter(col("o_orderkey") % 10 >= 4)
+        GraftDml(tbl).merge(source,
+            col("s.o_orderkey") === col("t.o_orderkey") &&
+              col("s.o_orderpriority") === col("t.o_orderpriority"))
+          .whenMatchedDelete(Some(col("s.o_orderkey") % 10 === 5))
+          .whenMatchedUpdate(
+            Map("o_totalprice" -> (col("t.o_totalprice") + 2000)),
+            Some(col("s.o_orderkey") % 10 === 6))
+          .whenNotMatchedInsertAll()
+          .execute()
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 10 = 6 THEN o_totalprice + 2000
+                      ELSE o_totalprice END AS price
+          FROM orders WHERE o_orderkey % 10 <> 5)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
 
     // ---- CDC pull: I/U/D operations across upsert + delete commits
     "q35_incremental_cdc" -> ((

@@ -28,13 +28,19 @@ class GraftDml(table: GraftTable) {
     * routed into the upsert (their file groups get rewritten/appended;
     * untouched groups are not read). Assignments may not target key
     * fields (reference rule: HoodieAnalysis.scala:240). */
-  def update(condition: Column, assignments: Map[String, Column]): Option[String] = {
+  /** `alias` (if given) names the target relation inside `condition` /
+    * `assignments` — used by the SQL path where the statement qualifies
+    * columns with the table name or its AS alias. */
+  def update(condition: Column, assignments: Map[String, Column],
+      alias: Option[String] = None): Option[String] = {
     val bad = assignments.keySet.intersect(table.config.keyFields.toSet)
     require(bad.isEmpty, s"UPDATE may not modify key fields: ${bad.mkString(",")}")
     val cols = dataColumns
     val unknown = assignments.keySet.diff(cols.toSet)
     require(unknown.isEmpty, s"unknown columns in SET: ${unknown.mkString(",")}")
-    val affected = reader.dataOnly(reader.snapshot().filter(condition))
+    val snap0 = reader.snapshot()
+    val snap = alias.fold(snap0)(snap0.alias)
+    val affected = reader.dataOnly(snap.filter(condition))
     if (affected.isEmpty) return None
     val updated = affected.select(cols.map(c =>
       assignments.get(c).map(_.as(c)).getOrElse(col(c))): _*)
@@ -42,8 +48,10 @@ class GraftDml(table: GraftTable) {
   }
 
   /** DELETE FROM t WHERE condition. */
-  def deleteWhere(condition: Column): Option[String] = {
-    val affected = reader.dataOnly(reader.snapshot().filter(condition))
+  def deleteWhere(condition: Column, alias: Option[String] = None): Option[String] = {
+    val snap0 = reader.snapshot()
+    val snap = alias.fold(snap0)(snap0.alias)
+    val affected = reader.dataOnly(snap.filter(condition))
     if (affected.isEmpty) None
     else Some(table.delete(affected))
   }
@@ -53,7 +61,14 @@ class GraftDml(table: GraftTable) {
     * and assignments, reference the source as `s.col` and the target as
     * `t.col`. */
   def merge(source: DataFrame, on: Column): GraftMergeBuilder =
-    new GraftMergeBuilder(table, reader, source, on)
+    new GraftMergeBuilder(table, reader, source.alias("s"), on)
+
+  /** [[merge]] variant for the SQL path: `source` arrives with its own
+    * qualifiers (subquery alias / view name); `sourceAlias` /
+    * `targetAlias` are the names the statement's expressions use. */
+  def mergeAliased(source: DataFrame, on: Column,
+      sourceAlias: String, targetAlias: String): GraftMergeBuilder =
+    new GraftMergeBuilder(table, reader, source, on, sourceAlias, targetAlias)
 }
 
 private[sql] sealed trait MergeAction {
@@ -76,8 +91,11 @@ private[sql] case class NotMatchedInsert(condition: Option[Column],
 class GraftMergeBuilder(
     table: GraftTable,
     reader: => GraftReader,
+    /** already carries its qualifier (the builder API pre-aliases "s") */
     source: DataFrame,
-    on: Column) {
+    on: Column,
+    sourceAlias: String = "s",
+    targetAlias: String = "t") {
 
   private var matchedActions: Vector[MergeAction] = Vector.empty
   private var notMatchedActions: Vector[NotMatchedInsert] = Vector.empty
@@ -119,9 +137,10 @@ class GraftMergeBuilder(
     // source LEFT JOIN target: matched rows see both sides; target rows
     // never touched by the source stay out of the plan entirely (their
     // file groups are not rewritten).
-    val joined = source.alias("s")
-      .join(reader.dataOnly(snapshot).alias("t"), on, "left")
-    val matched = table.config.keyFields.map(k => col(s"t.$k").isNotNull).reduce(_ && _)
+    val joined = source
+      .join(reader.dataOnly(snapshot).alias(targetAlias), on, "left")
+    val matched = table.config.keyFields
+      .map(k => col(s"$targetAlias.$k").isNotNull).reduce(_ && _)
 
     // action id: first matching WHEN wins (clause order = priority)
     val mStart = 0
@@ -140,17 +159,19 @@ class GraftMergeBuilder(
 
     def updateValue(a: MatchedUpdate, c: StructField): Column =
       a.assignments.getOrElse(c.name, // UPDATE SET *: same-named source col, else keep target
-        if (a.assignments.isEmpty && source.columns.contains(c.name)) col(s"s.${c.name}")
-        else col(s"t.${c.name}"))
+        if (a.assignments.isEmpty && source.columns.contains(c.name))
+          col(s"$sourceAlias.${c.name}")
+        else col(s"$targetAlias.${c.name}"))
     def insertValue(a: NotMatchedInsert, c: StructField): Column =
       a.assignments.getOrElse(c.name,
-        if (a.assignments.isEmpty && source.columns.contains(c.name)) col(s"s.${c.name}")
+        if (a.assignments.isEmpty && source.columns.contains(c.name))
+          col(s"$sourceAlias.${c.name}")
         else lit(null))
 
     val outCols = targetFields.map { f =>
       val matchedCases = matchedActions.zipWithIndex.map {
         case (a: MatchedUpdate, i)  => (lit(mStart + i), updateValue(a, f))
-        case (_: MatchedDelete, i)  => (lit(mStart + i), col(s"t.${f.name}"))
+        case (_: MatchedDelete, i)  => (lit(mStart + i), col(s"$targetAlias.${f.name}"))
         case (a, _) => throw new IllegalStateException(s"unexpected matched action $a")
       }
       val notMatchedCases = notMatchedActions.zipWithIndex.map { case (a, i) =>
@@ -169,12 +190,17 @@ class GraftMergeBuilder(
       acc || col("_g_action") === id
     }
 
+    // persisted: the source⋈target join feeds both the emptiness probe
+    // and the upsert — without it the join executes twice
     val resolved = joined
       .withColumn("_g_action", actionExpr)
       .filter(col("_g_action") >= 0)
       .select(outCols :+ tombstone.as(Meta.Deleted): _*)
-    if (resolved.isEmpty) None
-    else Some(table.upsert(resolved))
+      .persist()
+    try {
+      if (resolved.isEmpty) None
+      else Some(table.upsert(resolved))
+    } finally resolved.unpersist()
   }
 }
 

@@ -280,22 +280,36 @@ class GraftTable private (
       }
 
     val suffix = if (delta) s"_$commitTime.delta.parquet" else s"_$commitTime.parquet"
-    val out = stats.toSeq.map { case (part, fileId, rows, minKey, maxKey, cstats) =>
-      val encPart = escapePath(if (part == "") RootPartition else part)
-      val srcDir = new Path(stagingDir, s"$GP=$encPart/$GF=${escapePath(fileId)}")
-      val parts = fs.globStatus(new Path(srcDir, "part-*")).toSeq
-      require(parts.size == 1, s"expected 1 staged file per group, got ${parts.size} in $srcDir")
-      val destDir = if (part == "") new Path(basePath) else new Path(basePath, part)
-      fs.mkdirs(destDir)
-      val dest = new Path(destDir, s"$fileId$suffix")
-      if (!fs.rename(parts.head.getPath, dest))
-        throw new IllegalStateException(s"publish rename failed: $dest")
-      val bytes = fs.getFileStatus(dest).getLen
-      val rel = if (part == "") dest.getName else s"$part/${dest.getName}"
-      WriteStat(part, fileId, rel, isDelta = delta, rows = rows, bytes = bytes,
-        minKey = Option(minKey).getOrElse(""), maxKey = Option(maxKey).getOrElse(""),
-        columnStats = cstats)
-    }
+    // publish renames run on a driver-side pool: at thousands of file
+    // groups per commit a serial rename loop becomes the publish tail
+    // (Hadoop FileSystem instances are thread-safe)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(GraftTable.PublishThreads, math.max(1, stats.length)))
+    val out =
+      try {
+        val futures = stats.toSeq.map { case (part, fileId, rows, minKey, maxKey, cstats) =>
+          pool.submit(new java.util.concurrent.Callable[WriteStat] {
+            override def call(): WriteStat = {
+              val encPart = escapePath(if (part == "") RootPartition else part)
+              val srcDir = new Path(stagingDir, s"$GP=$encPart/$GF=${escapePath(fileId)}")
+              val parts = fs.globStatus(new Path(srcDir, "part-*")).toSeq
+              require(parts.size == 1,
+                s"expected 1 staged file per group, got ${parts.size} in $srcDir")
+              val destDir = if (part == "") new Path(basePath) else new Path(basePath, part)
+              fs.mkdirs(destDir)
+              val dest = new Path(destDir, s"$fileId$suffix")
+              if (!fs.rename(parts.head.getPath, dest))
+                throw new IllegalStateException(s"publish rename failed: $dest")
+              val bytes = fs.getFileStatus(dest).getLen
+              val rel = if (part == "") dest.getName else s"$part/${dest.getName}"
+              WriteStat(part, fileId, rel, isDelta = delta, rows = rows, bytes = bytes,
+                minKey = Option(minKey).getOrElse(""), maxKey = Option(maxKey).getOrElse(""),
+                columnStats = cstats)
+            }
+          })
+        }
+        futures.map(_.get())
+      } finally pool.shutdown()
     fs.delete(stagingDir, true)
     out
   }
@@ -308,28 +322,76 @@ class GraftTable private (
   // bucket assignment for inserts
   // =========================================================================
 
-  /** Assign rows without an existing file group to new groups, sized by
-    * `targetFileRows` per partition (reference analog:
-    * UpsertPartitioner.assignInserts, UpsertPartitioner.java:157 — the
-    * plan is computed from a small per-partition aggregate and joined
-    * back broadcast-style, never collected per row). */
-  private def assignNewGroups(df: DataFrame, commitTime: String): DataFrame = {
+  /** Marker column emitted by [[assignInsertGroups]]: true when the row
+    * was routed to a brand-new file group (vs filled into an existing
+    * under-sized one). Callers must route fill rows through the group's
+    * rewrite/delta path and drop the marker before staging. */
+  private[graft] val NewGroup = "_g_newgrp"
+
+  /** Effective small-file threshold (rows). */
+  private def smallFileLimit: Long =
+    if (config.smallFileRows < 0) config.targetFileRows * 3 / 4
+    else config.smallFileRows
+
+  /** Assign rows without an existing file group either to NEW groups
+    * sized by `targetFileRows`, or — when `snap` is given — into existing
+    * groups below the small-file threshold, filling them toward target
+    * size (reference analog: UpsertPartitioner.assignInserts,
+    * UpsertPartitioner.java:157, small-file fill :188-214). The plan is
+    * a small per-partition aggregate joined back broadcast-style; row
+    * routing is hash-proportional to each bucket's remaining capacity,
+    * so no per-row driver work and no extra shuffle. */
+  /** Existing fill targets for bin packing: per partition, the live
+    * groups under the small-file limit with their remaining row capacity
+    * toward target size — computed from commit-metadata stats only. */
+  private def fillTargets(snap: Option[Snapshot]): Map[String, Seq[(String, Long)]] = {
+    val target = math.max(1L, config.targetFileRows)
+    val limit = smallFileLimit
+    snap match {
+      case Some(sn) if limit > 0 =>
+        sn.slices
+          // external (bootstrapped) groups stay zero-copy until a real
+          // update touches them — filling one would force its rewrite
+          .filterNot(_.allFiles.exists(_.external))
+          .map(s => (s.partition, s.fileId, s.allFiles.map(_.rows).sum))
+          .filter { case (_, _, rows) => rows > 0 && rows < limit && rows < target }
+          .groupBy(_._1)
+          .map { case (p, ss) =>
+            p -> ss.sortBy(_._2).map { case (_, fid, rows) => (fid, target - rows) }.toSeq }
+      case _ => Map.empty
+    }
+  }
+
+  private def assignInsertGroups(
+      df: DataFrame, commitTime: String,
+      fillsByPart: Map[String, Seq[(String, Long)]] = Map.empty): DataFrame = {
     val target = math.max(1L, config.targetFileRows)
     val counts = df.groupBy(col(Partition)).agg(count(lit(1)).as("_g_cnt"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     var offset = 0
     val plan = counts.map { case (part, cnt) =>
-      val buckets = math.max(1L, (cnt + target - 1) / target).toInt
-      val row = (part, buckets, offset)
-      offset += buckets
-      row
+      val fills = fillsByPart.getOrElse(part, Nil)
+      val fillCap = fills.map(_._2).sum
+      val newBuckets =
+        if (cnt <= fillCap && fills.nonEmpty) 0
+        else math.max(if (fills.isEmpty) 1L else 0L,
+          (cnt - fillCap + target - 1) / target).toInt
+      val newIds = (0 until newBuckets).map(i => s"g$commitTime-${offset + i}")
+      offset += newBuckets
+      val ids = fills.map(_._1) ++ newIds
+      val caps = fills.map(_._2) ++ Seq.fill(newBuckets)(target)
+      val cums = caps.scanLeft(0L)(_ + _).tail
+      (part, ids, cums, cums.last, fills.size)
     }.toSeq
     val planDf = broadcast(
-      spark.createDataFrame(plan).toDF(Partition + "_p", "_g_buckets", "_g_off"))
+      spark.createDataFrame(plan)
+        .toDF(Partition + "_p", "_g_ids", "_g_cums", "_g_total", "_g_nfill"))
+    val unit = pmod(xxhash64(col(Key)), col("_g_total"))
+    val idx = size(filter(col("_g_cums"), c => c <= unit))
     df.join(planDf, col(Partition) === col(Partition + "_p"), "left")
-      .withColumn(File, concat(lit("g" + commitTime + "-"),
-        (col("_g_off") + pmod(xxhash64(col(Key)), col("_g_buckets"))).cast("string")))
-      .drop(Partition + "_p", "_g_buckets", "_g_off")
+      .withColumn(File, element_at(col("_g_ids"), idx + lit(1)))
+      .withColumn(NewGroup, idx >= col("_g_nfill"))
+      .drop(Partition + "_p", "_g_ids", "_g_cums", "_g_total", "_g_nfill")
   }
 
   // =========================================================================
@@ -390,12 +452,22 @@ class GraftTable private (
     * bloom/range pruning is replaced by Parquet column pruning: only the
     * key columns are read). Restricted to `partitions` when the incoming
     * batch touches a subset. */
-  private def keyIndex(snap: Snapshot, partitions: Option[Set[String]]): DataFrame = {
+  private def keyIndex(
+      snap: Snapshot,
+      partitions: Option[Set[String]],
+      keyRangeOf: String => Option[(String, String)] = _ => None): DataFrame = {
     val slices = partitions match {
       case Some(ps) => snap.slices.filter(s => ps.contains(s.partition))
       case None     => snap.slices
     }
-    val stats = slices.flatMap(_.allFiles)
+    // key-range pruning: a file whose [minKey, maxKey] doesn't overlap
+    // the incoming batch's key range (per partition, or global for a
+    // global index) cannot contain any incoming key — skip its scan
+    // (reference analog: HoodieBloomIndex.loadInvolvedFiles :136 +
+    // KeyRangeLookupTree interval pruning). At scale this is what keeps
+    // the tag join from reading the whole table's key projection on
+    // every trickle upsert of time-ordered keys.
+    val stats = GraftTable.pruneByKeyRange(slices.flatMap(_.allFiles), keyRangeOf)
     if (stats.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -411,6 +483,35 @@ class GraftTable private (
   }
 
   private def abs(st: WriteStat): String = absPath(st)
+
+  /** One driver aggregate over the incoming batch yielding BOTH the
+    * touched partitions (index restriction) and the incoming key ranges
+    * (per partition, or global for a global index) that prune the tag
+    * join's file list (reference analog: the bloom index computes the
+    * same batch statistics before loadInvolvedFiles). */
+  private def batchIndexProbe(
+      prepared: DataFrame): (Option[Set[String]], String => Option[(String, String)]) = {
+    val batchStats = prepared.groupBy(col(Partition))
+      .agg(min(col(Key)).as("_g_mn"), max(col(Key)).as("_g_mx"))
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+    val global = config.partitionFields.isEmpty || config.globalIndex
+    val touched: Option[Set[String]] =
+      if (global) None else Some(batchStats.map(_._1).toSet)
+    val keyRangeOf: String => Option[(String, String)] =
+      if (global) {
+        val mins = batchStats.flatMap(_._2)
+        val maxs = batchStats.flatMap(_._3)
+        val g = if (mins.isEmpty) None else Some((mins.min, maxs.max))
+        _ => g
+      } else {
+        val m = batchStats.flatMap { case (p, mn, mx) =>
+          for (a <- mn; b <- mx) yield p -> (a, b)
+        }.toMap
+        p => m.get(p)
+      }
+    (touched, keyRangeOf)
+  }
 
   // =========================================================================
   // commit publication (single-writer fast path / OCC guarded path)
@@ -460,7 +561,7 @@ class GraftTable private (
   def bulkInsert(df: DataFrame, sortMode: String = "partition",
       extra: Map[String, String] = Map.empty): String = {
     val t = timeline.start(Action.Commit)
-    val prepared = assignNewGroups(prepare(df, t), t)
+    val prepared = assignInsertGroups(prepare(df, t), t).drop(NewGroup)
     val sorted = sortMode match {
       case "global" => prepared.orderBy(col(Partition), col(Key))
       case _        => prepared
@@ -471,14 +572,37 @@ class GraftTable private (
     t
   }
 
-  /** Insert with intra-batch dedup but no merge against storage. */
+  /** Insert with intra-batch dedup but no merge-by-key against storage.
+    * On COW, inserts fill existing small file groups (bin packing): the
+    * filled group is rewritten as old ∪ new — same-key rows merge, like
+    * the reference's small-file insert routing through the merge handle
+    * (UpsertPartitioner.java:188). MOR inserts always open new groups
+    * here (fill-by-delta rides the upsert path). */
   def insert(df: DataFrame, extra: Map[String, String] = Map.empty): String = {
     val t = timeline.start(Action.Commit)
-    val prepared = assignNewGroups(precombine(prepare(df, t)), t)
-    val stats = stageAndPublish(prepared, t)
-    timeline.complete(t, Action.Commit,
-      CommitMetadata("insert", schemaJson(prepared), stats, extra = extra))
-    t
+    val snap = if (isMor) None else Some(Snapshot.resolve(timeline))
+    val fills = fillTargets(snap)
+    val assigned = assignInsertGroups(precombine(prepare(df, t)), t, fills).persist()
+    try {
+      val fillRows = assigned.filter(!col(NewGroup)).drop(NewGroup)
+      val freshRows = assigned.filter(col(NewGroup)).drop(NewGroup)
+      val usedFillIds =
+        if (fills.isEmpty) Set.empty[String]
+        else fillRows.select(File).distinct().collect().map(_.getString(0)).toSet
+      val stats =
+        if (usedFillIds.isEmpty) stageAndPublish(assigned.drop(NewGroup), t)
+        else {
+          val oldStats = snap.toSeq.flatMap(_.slices)
+            .filter(s => usedFillIds.contains(s.fileId)).flatMap(_.allFiles)
+          val merged = mergeLatestKeepTombstones(
+            readStatsDf(readSchema(snap.get), oldStats)
+              .unionByName(fillRows, allowMissingColumns = true))
+          stageAndPublish(merged.unionByName(freshRows, allowMissingColumns = true), t)
+        }
+      timeline.complete(t, Action.Commit,
+        CommitMetadata("insert", schemaJson(assigned.drop(NewGroup)), stats, extra = extra))
+      t
+    } finally assigned.unpersist()
   }
 
   /** Upsert: tag each record against the key index, merge-rewrite affected
@@ -490,10 +614,8 @@ class GraftTable private (
     val snap = Snapshot.resolve(timeline)
     val prepared = precombine(prepare(df, t))
 
-    val touched: Option[Set[String]] =
-      if (config.partitionFields.isEmpty || config.globalIndex) None
-      else Some(prepared.select(Partition).distinct().collect().map(_.getString(0)).toSet)
-    val idx = keyIndex(snap, touched)
+    val (touched, keyRangeOf) = batchIndexProbe(prepared)
+    val idx = keyIndex(snap, touched, keyRangeOf)
       .withColumnRenamed(Key, "_g_idx_key")
       .withColumnRenamed(File, "_g_loc")
       .withColumnRenamed(Partition, "_g_loc_part")
@@ -509,26 +631,39 @@ class GraftTable private (
         .withColumn(Partition,
           if (config.globalIndex) col("_g_loc_part") else col(Partition))
         .drop("_g_loc", "_g_loc_part")
-      val inserts = assignNewGroups(
-        tagged.filter(col("_g_loc").isNull).drop("_g_loc", "_g_loc_part"), t)
+      val fills = fillTargets(Some(snap))
+      val assigned = assignInsertGroups(
+        tagged.filter(col("_g_loc").isNull).drop("_g_loc", "_g_loc_part"), t, fills)
+      val fillIns = assigned.filter(!col(NewGroup)).drop(NewGroup)
+      val inserts = assigned.filter(col(NewGroup)).drop(NewGroup)
 
       val stats =
         if (isMor) {
-          // MOR: updates land as delta files on their group; no base read.
-          val deltaStats = stageAndPublish(updates, t, delta = true)
+          // MOR: updates — and inserts filled into existing small groups
+          // (bin packing) — land as delta files on their group; no base
+          // read. Fresh groups open as base files.
+          val deltaStats = stageAndPublish(
+            if (fills.isEmpty) updates else updates.unionByName(fillIns), t, delta = true)
           val baseStats = stageAndPublish(inserts, t)
           deltaStats ++ baseStats
         } else {
           // COW: rewrite each affected group = old slice ∪ incoming → latest-wins.
-          val affected = updates.select(File).distinct().collect().map(_.getString(0)).toSet
+          // Affected = groups with updates plus small groups receiving fill inserts.
+          val affectedDf =
+            if (fills.isEmpty) updates.select(File)
+            else updates.select(File).unionByName(fillIns.select(File))
+          val affected = affectedDf.distinct().collect().map(_.getString(0)).toSet
           val oldStats = snap.slices.filter(s => affected.contains(s.fileId)).flatMap(_.allFiles)
+          val incoming =
+            if (fills.isEmpty) updates
+            else updates.unionByName(fillIns)
           // keep tombstone markers in the rewrite: snapshot reads filter
           // them, incremental CDC needs them for D operations
           val merged =
-            if (oldStats.isEmpty) updates
+            if (oldStats.isEmpty) incoming
             else mergeLatestKeepTombstones(
               readStatsDf(readSchema(snap), oldStats)
-                .unionByName(updates, allowMissingColumns = true))
+                .unionByName(incoming, allowMissingColumns = true))
           stageAndPublish(
             merged.unionByName(inserts, allowMissingColumns = true), t)
         }
@@ -554,10 +689,8 @@ class GraftTable private (
     val prepared = precombine(prepare(keys, t, deleted = true))
       .select((Seq(CommitTime, Seqno, Key, Partition, Deleted) ++ keepData).map(col): _*)
 
-    val touched: Option[Set[String]] =
-      if (config.partitionFields.isEmpty || config.globalIndex) None
-      else Some(prepared.select(Partition).distinct().collect().map(_.getString(0)).toSet)
-    val idx = keyIndex(snap, touched)
+    val (touched, keyRangeOf) = batchIndexProbe(prepared)
+    val idx = keyIndex(snap, touched, keyRangeOf)
       .withColumnRenamed(Key, "_g_idx_key")
       .withColumnRenamed(File, "_g_loc")
       .withColumnRenamed(Partition, "_g_loc_part")
@@ -600,7 +733,7 @@ class GraftTable private (
   def insertOverwrite(df: DataFrame): String = {
     val t = timeline.start(Action.ReplaceCommit)
     val snap = Snapshot.resolve(timeline)
-    val prepared = assignNewGroups(precombine(prepare(df, t)), t)
+    val prepared = assignInsertGroups(precombine(prepare(df, t)), t).drop(NewGroup)
     val parts = prepared.select(Partition).distinct().collect().map(_.getString(0)).toSet
     val stats = stageAndPublish(prepared, t)
     val replaced = snap.slices.filter(s => parts.contains(s.partition))
@@ -615,7 +748,7 @@ class GraftTable private (
   def insertOverwriteTable(df: DataFrame): String = {
     val t = timeline.start(Action.ReplaceCommit)
     val snap = Snapshot.resolve(timeline)
-    val prepared = assignNewGroups(precombine(prepare(df, t)), t)
+    val prepared = assignInsertGroups(precombine(prepare(df, t)), t).drop(NewGroup)
     val stats = stageAndPublish(prepared, t)
     val replaced = snap.slices.groupBy(_.partition)
       .map { case (p, ss) => p -> ss.map(_.fileId).toSeq }
@@ -690,6 +823,24 @@ object DataTypeJson {
 object GraftTable {
   /** Serializes the session-conf toggle inside [[stageAndPublish]]. */
   private[write] val confLock = new Object
+
+  /** Drop files whose [minKey, maxKey] cannot overlap the incoming
+    * batch's key range for their partition. Files without recorded key
+    * stats are always kept (soundness over pruning). */
+  private[graft] def pruneByKeyRange(
+      stats: Seq[WriteStat],
+      keyRangeOf: String => Option[(String, String)]): Seq[WriteStat] =
+    stats.filter { st =>
+      keyRangeOf(st.partition) match {
+        case Some((lo, hi)) =>
+          st.minKey.isEmpty || st.maxKey.isEmpty ||
+            (st.minKey <= hi && st.maxKey >= lo)
+        case None => true
+      }
+    }
+
+  /** Driver-side parallelism for publish renames. */
+  private[write] val PublishThreads = 16
 
   def create(spark: SparkSession, path: String, config: TableConfig): GraftTable = {
     val tl = new Timeline(path, spark.sessionState.newHadoopConf())

@@ -1,0 +1,260 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.catalog.{CatalogTable, UnresolvedCatalogRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.StringType
+
+import graft.sql.GraftDml
+import graft.write.GraftTable
+
+/** Resolution rule routing Spark's OWN row-level-DML logical plans —
+  * `UPDATE` / `DELETE FROM` / `MERGE INTO` parsed by Spark's grammar
+  * against a catalog table `USING graft` — into [[GraftDml]] (reference
+  * analog: HoodieAnalysis.scala:64-68 converting `MergeIntoTable` →
+  * `MergeIntoHoodieTableCommand`). Non-graft targets pass through to
+  * Spark's v2 handling untouched.
+  *
+  * The conversion happens during analysis, before Spark's "v2 tables
+  * only" checks would reject the v1 relation. All conditions and
+  * assignments are captured as [[Column]]s (name-qualified against the
+  * statement's own aliases), never as live expression trees, so the
+  * produced command analyzes cleanly as a leaf. */
+case class GraftDmlResolution(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case u @ UpdateTable(target, assignments, condition) =>
+      graftTarget(target) match {
+        case Some((path, alias)) =>
+          val tOut = outputsOf(target)
+          val assigns = assignments.map(a =>
+            assignName(a.key) -> rebind(a.value, tOut, alias, AttributeSet.empty, alias)).toMap
+          val cond = condition
+            .map(rebind(_, tOut, alias, AttributeSet.empty, alias))
+            .getOrElse(org.apache.spark.sql.functions.lit(true))
+          GraftUpdateCommand(path, alias, cond, assigns)
+        case None => u
+      }
+
+    case d @ DeleteFromTable(target, condition) =>
+      graftTarget(target) match {
+        case Some((path, alias)) =>
+          val tOut = outputsOf(target)
+          GraftDeleteCommand(path, alias,
+            rebind(condition, tOut, alias, AttributeSet.empty, alias))
+        case None => d
+      }
+
+    case m @ MergeIntoTable(target, source, cond, matched, notMatched, notMatchedBySource, _) =>
+      graftTarget(target) match {
+        case Some((path, tAlias)) =>
+          require(notMatchedBySource.isEmpty,
+            "MERGE ... WHEN NOT MATCHED BY SOURCE is not supported on graft tables")
+          val sAlias = GraftDmlResolution.aliasOfPlan(source).getOrElse("__src")
+          val wrapSource = GraftDmlResolution.aliasOfPlan(source).isEmpty
+          val tOut = outputsOf(target)
+          val sOut = outputsOf(source)
+          def rb(e: Expression): Column = rebind(e, tOut, tAlias, sOut, sAlias)
+          def rbo(e: Option[Expression]): Option[Column] = e.map(rb)
+          def toAssigns(as: Seq[Assignment]): Map[String, Column] =
+            as.map(a => assignName(a.key) -> rb(a.value)).toMap
+          val mActs = matched.map {
+            case UpdateAction(c, as, fromStar) =>
+              if (fromStar || as.isEmpty) SqlMergeUpdate(rbo(c), Map.empty)
+              else SqlMergeUpdate(rbo(c), toAssigns(as))
+            case u: UpdateStarAction => SqlMergeUpdate(rbo(u.condition), Map.empty)
+            case DeleteAction(c) => SqlMergeDelete(rbo(c))
+            case other => throw new IllegalArgumentException(
+              s"unsupported WHEN MATCHED action on graft table: $other")
+          }
+          val nActs = notMatched.map {
+            case InsertAction(c, as) =>
+              if (as.isEmpty) SqlMergeInsert(rbo(c), Map.empty)
+              else SqlMergeInsert(rbo(c), toAssigns(as))
+            case i: InsertStarAction => SqlMergeInsert(rbo(i.condition), Map.empty)
+            case other => throw new IllegalArgumentException(
+              s"unsupported WHEN NOT MATCHED action on graft table: $other")
+          }
+          GraftMergeCommand(path, tAlias, sAlias, wrapSource, source, rb(cond), mActs, nActs)
+        case None => m
+      }
+
+    case i @ InsertIntoStatement(target, partitionSpec, userCols, query, overwrite, _, _) =>
+      graftTarget(target) match {
+        case Some((path, _)) =>
+          GraftInsertCommand(path, query, userCols,
+            partitionSpec.collect { case (k, Some(v)) => k -> v }, overwrite)
+        case None => i
+      }
+
+    case p => p
+  }
+
+  /** (table base path, statement-visible alias) when `plan` is a graft
+    * catalog relation — in any resolution state the analyzer may have
+    * reached: raw `UnresolvedRelation`, `UnresolvedCatalogRelation`,
+    * or the resolved v1 `LogicalRelation`. */
+  private def graftTarget(plan: LogicalPlan): Option[(String, String)] = plan match {
+    case SubqueryAlias(ident, child) =>
+      graftTarget(child).map { case (p, _) => (p, ident.name) }
+    case UnresolvedRelation(parts, _, _) =>
+      val catalog = session.sessionState.catalog
+      val ti = parts match {
+        case Seq(t)    => org.apache.spark.sql.catalyst.TableIdentifier(t)
+        case Seq(d, t) => org.apache.spark.sql.catalyst.TableIdentifier(t, Some(d))
+        case _         => return None
+      }
+      if (!catalog.tableExists(ti)) None
+      else pathOf(catalog.getTableMetadata(ti)).map((_, parts.last))
+    case UnresolvedCatalogRelation(ct, _, _) =>
+      pathOf(ct).map((_, ct.identifier.table))
+    case lr: LogicalRelation =>
+      lr.catalogTable.flatMap(ct => pathOf(ct).map((_, ct.identifier.table)))
+    case _ => None
+  }
+
+  private def pathOf(ct: CatalogTable): Option[String] =
+    if (!ct.provider.exists(_.equalsIgnoreCase("graft"))) None
+    else ct.storage.properties.get("path")
+      .orElse(ct.storage.locationUri.map(u => new org.apache.hadoop.fs.Path(u).toString))
+
+  private def outputsOf(plan: LogicalPlan): AttributeSet =
+    if (plan.resolved) plan.outputSet else AttributeSet.empty
+
+  /** Re-express a condition/assignment as a Column resolvable against
+    * our aliased source⋈target frames: resolved attribute references are
+    * re-qualified by which side they came from; unresolved attributes
+    * keep the statement's own qualifiers (which match the same aliases). */
+  private def rebind(e: Expression, tOut: AttributeSet, tAlias: String,
+      sOut: AttributeSet, sAlias: String): Column =
+    ExpressionUtils.column(e.transform {
+      case a: AttributeReference if tOut.contains(a) =>
+        UnresolvedAttribute(Seq(tAlias, a.name))
+      case a: AttributeReference if sOut.contains(a) =>
+        UnresolvedAttribute(Seq(sAlias, a.name))
+    })
+
+  /** Target column name of an assignment key (resolved or not). */
+  private def assignName(key: Expression): String = key match {
+    case a: Attribute           => a.name
+    case u: UnresolvedAttribute => u.nameParts.last
+    case other                  => other.sql
+  }
+}
+
+private[graft] sealed trait SqlMergeAction
+private[graft] case class SqlMergeUpdate(cond: Option[Column], assigns: Map[String, Column])
+  extends SqlMergeAction
+private[graft] case class SqlMergeDelete(cond: Option[Column]) extends SqlMergeAction
+private[graft] case class SqlMergeInsert(cond: Option[Column], assigns: Map[String, Column])
+  extends SqlMergeAction
+
+case class GraftUpdateCommand(
+    path: String, alias: String, cond: Column,
+    assigns: Map[String, Column]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftDmlResolution.instantOutput
+  override def run(session: SparkSession): Seq[Row] = {
+    val dml = GraftDml(GraftTable.load(session, path))
+    dml.update(cond, assigns, alias = Some(alias)).map(Row(_)).toSeq
+  }
+}
+
+case class GraftDeleteCommand(
+    path: String, alias: String, cond: Column) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftDmlResolution.instantOutput
+  override def run(session: SparkSession): Seq[Row] = {
+    val dml = GraftDml(GraftTable.load(session, path))
+    dml.deleteWhere(cond, alias = Some(alias)).map(Row(_)).toSeq
+  }
+}
+
+case class GraftMergeCommand(
+    path: String, targetAlias: String, sourceAlias: String,
+    wrapSource: Boolean, source: LogicalPlan, on: Column,
+    matched: Seq[SqlMergeAction], notMatched: Seq[SqlMergeAction])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftDmlResolution.instantOutput
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val sourceDf0 = org.apache.spark.sql.classic.Dataset.ofRows(classic, source)
+    val sourceDf = if (wrapSource) sourceDf0.alias(sourceAlias) else sourceDf0
+    val table = GraftTable.load(session, path)
+    val builder = GraftDml(table).mergeAliased(sourceDf, on, sourceAlias, targetAlias)
+    (matched ++ notMatched).foreach {
+      case SqlMergeUpdate(c, as) if as.isEmpty => builder.whenMatchedUpdateAll(c)
+      case SqlMergeUpdate(c, as)               => builder.whenMatchedUpdate(as, c)
+      case SqlMergeDelete(c)                   => builder.whenMatchedDelete(c)
+      case SqlMergeInsert(c, as) if as.isEmpty => builder.whenNotMatchedInsertAll(c)
+      case SqlMergeInsert(c, as)               => builder.whenNotMatchedInsert(as, c)
+    }
+    builder.execute().map(Row(_)).toSeq
+  }
+}
+
+/** INSERT INTO / INSERT OVERWRITE on a graft catalog table (reference
+  * analog: InsertIntoHoodieTableCommand.scala:45 — positional column
+  * alignment against the table's DATA columns; meta columns are stamped
+  * by the write path, never supplied by the statement; static partition
+  * values become constant columns). OVERWRITE replaces the partitions
+  * touched by the incoming rows (insert_overwrite). */
+case class GraftInsertCommand(
+    path: String, query: LogicalPlan, userCols: Seq[String],
+    staticPartitions: Map[String, String], overwrite: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftDmlResolution.instantOutput
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val df0 = org.apache.spark.sql.classic.Dataset.ofRows(classic, query)
+    val table = GraftTable.load(session, path)
+    val reader = graft.read.GraftReader(table)
+    val schema = reader.snapshot().schema
+    val dataFields = schema.fields
+      .filterNot(f => graft.write.Meta.all.contains(f.name))
+      .filterNot(f => staticPartitions.contains(f.name))
+    val targetNames: Seq[String] =
+      if (userCols.nonEmpty) userCols else dataFields.map(_.name).toSeq
+    require(df0.columns.length == targetNames.size,
+      s"INSERT column arity ${df0.columns.length} != expected ${targetNames.size} " +
+        s"(${targetNames.mkString(",")})")
+    val typeOf = schema.fields.map(f => f.name -> f.dataType).toMap
+    val positioned = df0.toDF(targetNames: _*)
+      .select(targetNames.map(n => col(n).cast(typeOf(n)).as(n)): _*)
+    // absent columns (shorter user list) and static partitions
+    val full = dataFields.map(_.name).foldLeft(positioned) { (acc, n) =>
+      if (acc.columns.contains(n)) acc else acc.withColumn(n, lit(null).cast(typeOf(n)))
+    }
+    val withStatic = staticPartitions.foldLeft(full) { case (acc, (k, v)) =>
+      acc.withColumn(k, lit(v).cast(typeOf(k)))
+    }
+    // project back into the table's declared column order — the commit
+    // records the written frame's schema, so a static-partition column
+    // appended last must not redefine the table's positional order
+    val declared = schema.fields
+      .filterNot(f => graft.write.Meta.all.contains(f.name)).map(f => col(f.name))
+    val ordered = withStatic.select(declared.toSeq: _*)
+    val instant =
+      if (overwrite) table.insertOverwrite(ordered)
+      else table.insert(ordered)
+    Seq(Row(instant))
+  }
+}
+
+object GraftDmlResolution {
+  private[graft] def aliasOfPlan(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(ident, _)        => Some(ident.name)
+    case UnresolvedRelation(parts, _, _) => Some(parts.last)
+    case _                               => None
+  }
+
+  val instantOutput: Seq[Attribute] =
+    Seq(AttributeReference("instant", StringType, nullable = true)())
+}

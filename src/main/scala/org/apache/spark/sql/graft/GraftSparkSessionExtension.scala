@@ -23,6 +23,10 @@ import graft.sql.GraftSql
 class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectParser { (_, delegate) => new GraftSqlParser(delegate) }
+    // Spark-grammar MERGE / UPDATE / DELETE on catalog tables USING
+    // graft resolve into GraftDml commands (reference analog:
+    // HoodieAnalysis.scala:64-68)
+    extensions.injectResolutionRule { session => GraftDmlResolution(session) }
   }
 }
 

@@ -54,3 +54,49 @@ EXPECT: -
 
 RUN: SELECT count(*) FROM gtab
 EXPECT: 0
+
+-- ==== Spark-grammar DML on the CATALOG TABLE NAME (resolution rule:
+-- ==== GraftDmlResolution routing MergeIntoTable / UpdateTable /
+-- ==== DeleteFromTable / InsertIntoStatement into GraftDml)
+
+RUN: INSERT INTO gtab VALUES (10, 'x', 5.0, 1, 'p1', null), (11, 'y', 6.0, 1, 'p2', null)
+EXPECT: -
+
+RUN: SELECT id, v, note FROM gtab ORDER BY id
+EXPECT: 10,x,null|11,y,null
+
+RUN: INSERT INTO gtab PARTITION (p = 'p3') VALUES (13, 'w', 7.0, 1, 'pn')
+EXPECT: -
+
+RUN: SELECT id, p, note FROM gtab WHERE id = 13
+EXPECT: 13,p3,pn
+
+RUN: UPDATE gtab SET v = concat(v, '2') WHERE id <= 11
+EXPECT: -
+
+RUN: SELECT id, v FROM gtab ORDER BY id
+EXPECT: 10,x2|11,y2|13,w
+
+RUN: DELETE FROM gtab WHERE id = 13
+EXPECT: -
+
+RUN: SELECT count(*) FROM gtab
+EXPECT: 2
+
+RUN: MERGE INTO gtab USING (SELECT 10 AS id, 'm' AS v, 1.0 AS amount, 2 AS ts, 'p1' AS p, 'n1' AS note UNION ALL SELECT 12, 'z', 2.0, 2, 'p2', null) s ON gtab.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v, note = s.note WHEN NOT MATCHED THEN INSERT *
+EXPECT: -
+
+RUN: SELECT id, v, note FROM gtab ORDER BY id
+EXPECT: 10,m,n1|11,y2,null|12,z,null
+
+RUN: MERGE INTO gtab t USING (SELECT 11 AS id) s ON t.id = s.id WHEN MATCHED THEN DELETE
+EXPECT: -
+
+RUN: SELECT id FROM gtab ORDER BY id
+EXPECT: 10|12
+
+RUN: INSERT OVERWRITE gtab VALUES (20, 'o', 9.0, 3, 'p1', null)
+EXPECT: -
+
+RUN: SELECT id, v FROM gtab ORDER BY id
+EXPECT: 12,z|20,o

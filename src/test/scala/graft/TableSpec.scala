@@ -104,7 +104,10 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("MOR: upsert writes deltas, snapshot merges, RO view skips them") {
     val dir = tmp()
-    val tbl = GraftTable.create(spark, dir, cfg(TableType.MOR))
+    // smallFileRows=0: pin inserts to fresh base groups so the RO-view
+    // contract below is deterministic (fill-as-delta is covered by
+    // PackingPruningSpec)
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.MOR).copy(smallFileRows = 0))
     val t1 = tbl.bulkInsert(batch1)
     val t2 = tbl.upsert(batch2)
     val snap = Snapshot.resolve(tbl.timeline)
