@@ -30,7 +30,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val (writeQs, readQs) = results.partition(r => SparkEntry.writePathQueries(r._1))
+    val writeTotal = writeQs.map(_._2).sum
+    val readTotal = readQs.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""read_total":$readTotal,"write_total":$writeTotal,""" +
+      s""""queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,6 +36,12 @@ object SparkEntry {
     "q01_pricing_summary", "q03_top_revenue_orders", "q05_local_supplier_volume",
     "q06_forecast_revenue", "q08_top_orders_per_customer", "q09_running_user_spend",
     "q16_events_daily",
-    "q24_dedup_exact", "q26_dedup_minhash", "q28_embed_topk", "q30_ann_lsh",
+    "q24_dedup_exact", "q26_dedup_minhash", "q27b_dedup_simhash_banded",
+    "q28_embed_topk", "q29b_embed_neardup_bucketed", "q30_ann_lsh",
     "q33_mor_compaction_roundtrip")
+
+  /** Bench entries that time the WRITE path (table build + mutation);
+    * everything else in [[benchQueries]] times reads. Reported as
+    * separate totals so read regressions aren't masked by write noise. */
+  def writePathQueries: Set[String] = Set("q33_mor_compaction_roundtrip")
 }

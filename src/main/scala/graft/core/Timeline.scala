@@ -29,6 +29,15 @@ class Timeline(val basePath: String, conf: Configuration) {
     Json.read(readFully(p), classOf[TableConfig])
   }
 
+  /** Replace table.json (rename-table / config evolution). Single-writer
+    * DDL: delete-then-rename, not atomic on its own, guarded by the
+    * timeline lock under OCC. */
+  def updateConfig(newConfig: TableConfig): Unit = {
+    val p = new Path(metaDir, Timeline.ConfigFile)
+    fs.delete(p, false)
+    writeAtomic(p, Json.write(newConfig))
+  }
+
   /** All instants, time-ordered. Listing .graft is O(#active-instants),
     * independent of data size. */
   def instants(): Seq[Instant] = {

@@ -308,6 +308,37 @@ object TableFormat {
                CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
         FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
 
+    // ---- changelog CDC: updates emit -U before image + +U after image
+    //      (reference analog: HoodieOperation.java:26-43)
+    "q46_cdc_preimage" -> ((
+      (s: SparkSession, d: String) => {
+        val tbl = mutated(s, d, TableType.COW)
+        val r = GraftReader(tbl)
+        val t1 = tbl.timeline.completed().head.time // the bulk load
+        r.incrementalCdc(t1, preImage = true)
+          .select(col("o_orderkey"),
+            col("_g_operation").as("op"),
+            floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+          .orderBy(col("o_orderkey"), col("op"))
+      },
+      Some("""
+        SELECT o_orderkey, op, price_c FROM (
+          SELECT o_orderkey, '+U' AS op,
+                 CAST(floor((o_totalprice + 1000) * 100) AS BIGINT) AS price_c
+          FROM orders WHERE o_orderkey % 10 = 6
+          UNION ALL
+          SELECT o_orderkey, '-U',
+                 CAST(floor(o_totalprice * 100) AS BIGINT)
+          FROM orders WHERE o_orderkey % 10 = 6
+          UNION ALL
+          SELECT o_orderkey, 'D', NULL
+          FROM orders WHERE o_orderkey % 10 = 7
+          UNION ALL
+          SELECT o_orderkey, 'I',
+                 CAST(floor((o_totalprice + 1000) * 100) AS BIGINT)
+          FROM orders WHERE o_orderkey % 10 >= 8)
+        ORDER BY o_orderkey, op"""))),
+
     // ---- CDC pull: I/U/D operations across upsert + delete commits
     "q35_incremental_cdc" -> ((
       (s: SparkSession, d: String) => {

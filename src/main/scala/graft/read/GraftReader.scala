@@ -108,7 +108,13 @@ class GraftReader(table: GraftTable) {
     * Shape: one pruned incremental scan for the changes + one key-only
     * projection of the pre-range snapshot, joined broadcast-ish on key —
     * no full-table rewrite, no driver state. */
-  def incrementalCdc(begin: String, end: Option[String] = None): DataFrame = {
+  /** `preImage = true` switches to full changelog mode (reference
+    * analog: HoodieOperation.UPDATE_BEFORE/-U, UPDATE_AFTER/+U,
+    * model/HoodieOperation.java:26-43): updates emit TWO rows — the
+    * before image as `-U` (the key's state at `begin`, read from the
+    * touched groups' pre-range snapshot) and the after image as `+U`. */
+  def incrementalCdc(begin: String, end: Option[String] = None,
+      preImage: Boolean = false): DataFrame = {
     val snap = Snapshot.resolve(timeline, end)
     val schema = table.readSchema(snap)
     if (snap.isEmpty || schema.isEmpty)
@@ -133,13 +139,26 @@ class GraftReader(table: GraftTable) {
         org.apache.spark.sql.types.StructField("_g_prior_key",
           org.apache.spark.sql.types.StringType))))
       else snapshot(asOf = Some(begin)).select(col(Key).as("_g_prior_key")).distinct()
-    latest
+    val updateOp = if (preImage) "+U" else "U"
+    val tagged = latest
       .join(prior, col(Key) === col("_g_prior_key"), "left")
       .withColumn("_g_operation",
         when(col(Deleted), lit("D"))
-          .when(col("_g_prior_key").isNotNull, lit("U"))
+          .when(col("_g_prior_key").isNotNull, lit(updateOp))
           .otherwise(lit("I")))
       .drop("_g_prior_key")
+    if (!preImage || begin.isEmpty) tagged
+    else {
+      // before images: the updated keys' state at `begin`, read from the
+      // pre-range snapshot pruned to the touched partitions
+      val updatedKeys = tagged.filter(col("_g_operation") === "+U")
+        .select(col(Key).as("_g_uk")).distinct()
+      val before = snapshot(asOf = Some(begin),
+          partitions = Some(touched.map(_._1)))
+        .join(updatedKeys, col(Key) === col("_g_uk"), "left_semi")
+        .withColumn("_g_operation", lit("-U"))
+      tagged.unionByName(before)
+    }
   }
 
   /** Point lookup by record key: slices pruned by per-file [minKey,maxKey]

@@ -213,19 +213,66 @@ class TableServices(table: GraftTable) {
     val everWritten = dataInstants
       .flatMap(i => timeline.metadataOf(i).stats)
       .filterNot(_.external).map(_.path).distinct
-    val alreadyCleaned = timeline.completed().filter(_.action == Action.Clean)
+    val alreadyCleaned = cleanedPaths
+    val doomed = everWritten.filterNot(p => live.contains(p) || alreadyCleaned.contains(p))
+    if (doomed.isEmpty) return None
+    Some(publishClean(doomed,
+      Map("earliestRetained" -> dataInstants.takeRight(retainCommits).head.time,
+        "policy" -> "KEEP_LATEST_COMMITS")))
+  }
+
+  /** KEEP_LATEST_FILE_VERSIONS policy (reference analog:
+    * CleanPlanner.java:207): per live file group, keep only the newest
+    * `retainVersions` base-file versions (each version = its base file
+    * plus the deltas stacked on it); every older version's files — and
+    * every file of replaced (dead) groups — is deleted. Savepointed
+    * snapshots stay readable; time travel older than the retained
+    * versions does not. */
+  def cleanFileVersions(retainVersions: Int = 1): Option[String] = {
+    require(retainVersions >= 1, "retainVersions must be >= 1")
+    val dataInstants = timeline.completed().filter(i => Action.dataActions(i.action))
+    // group -> versions in commit order; a non-delta stat opens a new
+    // version, deltas stack on the current one
+    var versions = Map.empty[(String, String), Vector[Vector[WriteStat]]]
+    dataInstants.foreach { i =>
+      timeline.metadataOf(i).stats.foreach { st =>
+        val k = (st.partition, st.fileId)
+        val vs = versions.getOrElse(k, Vector.empty)
+        versions += k -> (
+          if (st.isDelta)
+            if (vs.isEmpty) Vector(Vector(st)) else vs.init :+ (vs.last :+ st)
+          else vs :+ Vector(st))
+      }
+    }
+    val liveGroups = Snapshot.resolve(timeline).slices.map(s => (s.partition, s.fileId)).toSet
+    val live: Set[String] =
+      versions.toSeq.flatMap { case (k, vs) =>
+        if (liveGroups(k)) vs.takeRight(retainVersions).flatten.map(_.path) else Nil
+      }.toSet ++
+        savepointTargets.flatMap { at =>
+          Snapshot.resolve(timeline, Some(at)).slices.flatMap(_.allFiles).map(_.path)
+        }
+    val everWritten = dataInstants
+      .flatMap(i => timeline.metadataOf(i).stats)
+      .filterNot(_.external).map(_.path).distinct
+    val alreadyCleaned = cleanedPaths
+    val doomed = everWritten.filterNot(p => live.contains(p) || alreadyCleaned.contains(p))
+    if (doomed.isEmpty) return None
+    Some(publishClean(doomed, Map("policy" -> "KEEP_LATEST_FILE_VERSIONS")))
+  }
+
+  private def cleanedPaths: Set[String] =
+    timeline.completed().filter(_.action == Action.Clean)
       .flatMap(i => Json.read(
         timeline.metadataOf(i).extra.getOrElse("deleted", "[]"), classOf[Array[String]]))
       .toSet
-    val doomed = everWritten.filterNot(p => live.contains(p) || alreadyCleaned.contains(p))
-    if (doomed.isEmpty) return None
+
+  private def publishClean(doomed: Seq[String], extra: Map[String, String]): String = {
     val t = timeline.start(Action.Clean)
     doomed.foreach(p => fs.delete(new Path(table.basePath, p), false))
     timeline.complete(t, Action.Clean, CommitMetadata("clean",
-      extra = Map(
-        "deleted" -> Json.write(doomed.toArray),
-        "earliestRetained" -> dataInstants.takeRight(retainCommits).head.time)))
-    Some(t)
+      extra = extra + ("deleted" -> Json.write(doomed.toArray))))
+    t
   }
 
   /** Earliest instant time-travel can still resolve after cleaning. */

@@ -41,6 +41,73 @@ object GraftDdl {
     t
   }
 
+  /** ALTER TABLE ... RENAME TO: the reference renames the catalog
+    * identifier (AlterHoodieTableRenameCommand.scala:33); the
+    * path-addressed analog updates the stored table name — catalog
+    * entries follow via Spark's own ALTER ... RENAME on the registered
+    * name. */
+  def renameTable(table: GraftTable, newName: String): String = {
+    require(newName.nonEmpty && !newName.contains('/'), s"bad table name: $newName")
+    table.timeline.updateConfig(table.timeline.config.copy(name = newName))
+    newName
+  }
+
+  /** Type promotions the engine accepts for ALTER COLUMN ... TYPE —
+    * exactly the set Spark's Parquet readers up-cast at scan time
+    * (verified in DdlSpec), mirroring the reference's Avro-compatibility
+    * gate (AlterHoodieTableChangeColumnCommand.scala:36 +
+    * TableSchemaResolver.isSchemaCompatible): byte/short/int -> wider
+    * integer, int/float -> double. long -> double is NOT readable and is
+    * rejected. */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (a, b) if a == b                                => true
+      case (ByteType, ShortType | IntegerType | LongType)  => true
+      case (ShortType, IntegerType | LongType)             => true
+      case (IntegerType, LongType)                         => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (FloatType, DoubleType)                         => true
+      case _                                               => false
+    }
+  }
+
+  /** ALTER TABLE ... ALTER COLUMN c TYPE t: widening type change as a
+    * schema-evolution commit — no data moves; pre-change files up-cast
+    * at scan time. */
+  def changeColumnType(table: GraftTable, name: String,
+      newType: org.apache.spark.sql.types.DataType): String = {
+    val snap = Snapshot.resolve(table.timeline)
+    val current = table.readSchema(snap)
+    val field = current.fields.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no such column: $name"))
+    require(widens(field.dataType, newType),
+      s"cannot change $name from ${field.dataType.simpleString} to " +
+        s"${newType.simpleString}: not a widening promotion")
+    val evolved = StructType(current.fields.map(f =>
+      if (f.name == name) f.copy(dataType = newType) else f))
+    val t = table.timeline.start(Action.Commit)
+    table.timeline.complete(t, Action.Commit,
+      CommitMetadata("alter_change_column", evolved.json, Nil))
+    t
+  }
+
+  /** ALTER TABLE ... DROP PARTITION (k='v'[, ...]): a replacecommit via
+    * delete_partition (reference analog:
+    * AlterHoodieTableDropPartitionCommand.scala:39). The spec must name
+    * every partition field. */
+  def dropPartition(table: GraftTable, spec: Map[String, String]): String = {
+    val cfg = table.config
+    require(cfg.partitionFields.nonEmpty, "table is not partitioned")
+    require(spec.keySet == cfg.partitionFields.toSet,
+      s"full partition spec required: ${cfg.partitionFields.mkString(",")}")
+    val path = cfg.partitionFields.map { f =>
+      if (cfg.hiveStylePartitioning) s"$f=${spec(f)}" else spec(f)
+    }.mkString("/")
+    table.deletePartitions(Seq(path))
+  }
+
   /** SHOW PARTITIONS: distinct live partition paths from the snapshot —
     * pure commit-metadata, no listing. */
   def showPartitions(table: GraftTable): DataFrame = {

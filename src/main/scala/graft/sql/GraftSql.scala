@@ -36,13 +36,20 @@ object GraftSql {
   private val Truncate = """(?is)\s*TRUNCATE\s+TABLE\s+'([^']+)'\s*""".r
   private val AlterAdd =
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+COLUMNS\s*\((.+)\)\s*""".r
+  private val AlterRename =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+RENAME\s+TO\s+([\w.]+)\s*""".r
+  private val AlterColType =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*""".r
+  private val AlterDropPartition =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+PARTITION\s*\((.+)\)\s*""".r
 
   /** True when `statement` is in the graft grammar (used by the injected
     * session-extension parser to decide interception). */
   def handles(statement: String): Boolean = statement match {
     case RunCompaction(_) | ScheduleCompaction(_) | ShowCompaction(_) |
          Update(_, _, _) | Delete(_, _) | ShowPartitions(_) |
-         Truncate(_) | AlterAdd(_, _) => true
+         Truncate(_) | AlterAdd(_, _) | AlterRename(_, _) |
+         AlterColType(_, _, _) | AlterDropPartition(_, _) => true
     case _ => false
   }
 
@@ -78,6 +85,21 @@ object GraftSql {
       val fields = org.apache.spark.sql.types.StructType.fromDDL(colsDdl).fields.toSeq
       result(spark, "instant",
         Seq(GraftDdl.addColumns(GraftTable.load(spark, path), fields)))
+    case AlterRename(path, newName) =>
+      result(spark, "name",
+        Seq(GraftDdl.renameTable(GraftTable.load(spark, path), newName)))
+    case AlterColType(path, colName, typeDdl) =>
+      val dt = org.apache.spark.sql.types.StructType.fromDDL(s"x $typeDdl").fields(0).dataType
+      result(spark, "instant",
+        Seq(GraftDdl.changeColumnType(GraftTable.load(spark, path), colName, dt)))
+    case AlterDropPartition(path, specDdl) =>
+      val spec = splitTopLevel(specDdl, ',').map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"bad partition spec: $kv")
+        kv.take(i).trim -> kv.drop(i + 1).trim.stripPrefix("'").stripSuffix("'")
+      }.toMap
+      result(spark, "instant",
+        Seq(GraftDdl.dropPartition(GraftTable.load(spark, path), spec)))
     case other =>
       throw new IllegalArgumentException(s"unsupported graft statement: $other")
   }

@@ -14,6 +14,34 @@ trait IngestSource {
   def fetch(checkpoint: Option[String]): Option[(DataFrame, String)]
 }
 
+/** Source-schema provider seam (reference analog:
+  * utilities/schema/SchemaProvider — schemas are supplied to sources,
+  * not inferred, so ingest is stable under empty/partial batches). The
+  * registry variant (SchemaRegistryProvider.java:45) is an
+  * external-service binding of this same trait. */
+trait SchemaProvider {
+  def sourceSchema: org.apache.spark.sql.types.StructType
+}
+
+/** Schema from a file containing either a Spark DDL string
+  * ("id LONG, v STRING") or a StructType JSON document (reference
+  * analog: utilities/schema/FilebasedSchemaProvider.java:37). */
+class FileBasedSchemaProvider(spark: SparkSession, path: String) extends SchemaProvider {
+  override def sourceSchema: org.apache.spark.sql.types.StructType = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    if (text.trim.startsWith("{"))
+      org.apache.spark.sql.types.DataType.fromJson(text)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    else org.apache.spark.sql.types.StructType.fromDDL(text)
+  }
+}
+
 /** DFS directory source for any Spark batch format (parquet / json /
   * csv / orc / avro): checkpoint = last ingested file name (file names
   * sort by arrival when producers write part-<seq> or timestamped

@@ -96,6 +96,54 @@ class DdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.dataOnly(r.snapshot()).count() == 3)
   }
 
+  test("ALTER RENAME TO updates the stored table name") {
+    val dir = tmp()
+    val tbl = GraftDdl.createTableAs(spark, dir, cfg, rows)
+    GraftDdl.renameTable(tbl, "t_renamed")
+    assert(GraftTable.load(spark, dir).config.name == "t_renamed")
+    // SQL form
+    GraftSql.sql(spark, s"ALTER TABLE '$dir' RENAME TO t2").collect()
+    assert(GraftTable.load(spark, dir).config.name == "t2")
+  }
+
+  test("ALTER COLUMN TYPE widens; pre-change files up-cast at read") {
+    import spark.implicits._
+    val dir = tmp()
+    val intRows = Seq((1L, 10, "p1", 1L), (2L, 20, "p2", 1L)).toDF("id", "n", "p", "ts")
+    val tbl = GraftDdl.createTableAs(spark, dir, cfg, intRows)
+    // SQL form: int -> bigint
+    GraftSql.sql(spark, s"ALTER TABLE '$dir' ALTER COLUMN n TYPE bigint").collect()
+    val r = GraftReader(tbl)
+    val got = r.dataOnly(r.snapshot())
+    assert(got.schema("n").dataType == LongType)
+    assert(got.select(sum(col("n"))).as[Long].head() == 30L)
+    // post-change writes carry the widened type; both generations coexist
+    tbl.upsert(Seq((3L, 3000000000L, "p1", 2L)).toDF("id", "n", "p", "ts"))
+    assert(GraftReader(tbl).dataOnly(GraftReader(tbl).snapshot())
+      .select(sum(col("n"))).as[Long].head() == 3000000030L)
+    // narrowing / non-promotable changes are rejected
+    intercept[IllegalArgumentException] {
+      GraftDdl.changeColumnType(tbl, "n", org.apache.spark.sql.types.IntegerType)
+    }
+    intercept[IllegalArgumentException] { // long -> double is not readable
+      GraftDdl.changeColumnType(tbl, "n", org.apache.spark.sql.types.DoubleType)
+    }
+  }
+
+  test("ALTER DROP PARTITION drops via replacecommit") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = GraftDdl.createTableAs(spark, dir, cfg, rows)
+    GraftSql.sql(spark, s"ALTER TABLE '$dir' DROP PARTITION (p = 'p1')").collect()
+    val r = GraftReader(tbl)
+    assert(r.dataOnly(r.snapshot()).select("p").distinct().as[String].collect().toSeq
+      == Seq("p2"))
+    // spec must cover the partition fields
+    intercept[IllegalArgumentException] {
+      GraftDdl.dropPartition(tbl, Map("zzz" -> "p2"))
+    }
+  }
+
   test("timestamp key generator: formatted nested partitions, hive-style") {
     import spark.implicits._
     val dir = tmp()

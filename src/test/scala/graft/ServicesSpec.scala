@@ -140,6 +140,40 @@ class ServicesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSameRows(r.dataOnly(r.snapshot()), up2, "write after restore")
   }
 
+  test("cleanFileVersions retains newest N versions per group") {
+    val dir = tmp()
+    // packing off: keep one group per partition stable across rewrites
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.COW).copy(smallFileRows = 0))
+    val base = orders.filter(col("o_orderkey") % 3 === 0)
+    tbl.bulkInsert(base)
+    // two rewrites of every group -> three base versions each
+    tbl.upsert(base.withColumn("o_totalprice", col("o_totalprice") + 1))
+    tbl.upsert(base.withColumn("o_totalprice", col("o_totalprice") + 2))
+    val r = GraftReader(tbl)
+    val want = base.withColumn("o_totalprice", col("o_totalprice") + 2)
+    val fs = tbl.timeline.fileSystem
+    val allPaths = tbl.timeline.completed()
+      .filter(i => Action.dataActions(i.action))
+      .flatMap(i => tbl.timeline.metadataOf(i).stats).map(_.path).distinct
+    assert(allPaths.forall(p => fs.exists(new org.apache.hadoop.fs.Path(dir, p))))
+
+    val svc = TableServices(tbl)
+    val t = svc.cleanFileVersions(retainVersions = 2)
+    assert(t.isDefined, "clean ran")
+    val gone = allPaths.filterNot(p => fs.exists(new org.apache.hadoop.fs.Path(dir, p)))
+    assert(gone.nonEmpty, "oldest versions physically deleted")
+    // exactly the newest 2 versions per group remain
+    val kept = allPaths.toSet -- gone
+    val liveNow = Snapshot.resolve(tbl.timeline).slices.flatMap(_.allFiles).map(_.path).toSet
+    assert(liveNow.subsetOf(kept), "live files survive")
+    assertSameRows(r.dataOnly(r.snapshot()), want, "snapshot stable across version clean")
+    // idempotent: nothing more to delete
+    assert(svc.cleanFileVersions(retainVersions = 2).isEmpty)
+    // retain 1 removes the middle version too
+    assert(svc.cleanFileVersions(retainVersions = 1).isDefined)
+    assertSameRows(r.dataOnly(r.snapshot()), want, "snapshot stable at 1 version")
+  }
+
   test("cluster with purgeTombstones drops COW delete markers, keeps state") {
     import graft.write.Meta
     val dir = tmp()

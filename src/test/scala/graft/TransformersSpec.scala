@@ -99,17 +99,24 @@ class TransformersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.dataOnly(r.snapshot()).as[(Long, String)].collect().sortBy(_._1).toSeq ==
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
 
-    // csv source with explicit schema
+    // csv source with a file-based schema provider (DDL form)
     val dir2 = tmp(); val csvDir = tmp()
     val tbl2 = GraftTable.create(spark, dir2, TableConfig(
       name = "t2", tableType = TableType.COW, keyFields = Seq("id"),
       orderingField = "", targetFileRows = 1000))
     Files.writeString(Paths.get(s"$csvDir/000001.csv"), "id,v\n10,x\n11,y\n")
+    Files.writeString(Paths.get(s"$csvDir/schema.ddl"), "id bigint, v string")
+    val provided = new FileBasedSchemaProvider(spark, s"$csvDir/schema.ddl").sourceSchema
+    assert(provided == schema)
     val csvIngest = new ContinuousIngest(tbl2,
-      new CsvDirSource(spark, csvDir, schema = Some(schema)))
+      new CsvDirSource(spark, csvDir, schema = Some(provided)))
     assert(csvIngest.syncOnce().isDefined)
     val r2 = GraftReader(tbl2)
     assert(r2.dataOnly(r2.snapshot()).count() == 2)
+
+    // JSON form of the provider round-trips the same schema
+    Files.writeString(Paths.get(s"$csvDir/schema.json"), schema.json)
+    assert(new FileBasedSchemaProvider(spark, s"$csvDir/schema.json").sourceSchema == schema)
   }
 }
 
