@@ -80,18 +80,25 @@ object Similarity {
       concat_ws("", (0 until bitsPerBand).map(r =>
         sig(b * bitsPerBand + r).cast("string")): _*)
     }
-    val banded = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    // bands carry ONLY (id, band, bucket): candidate pairs are deduped as
+    // bare id pairs and the vectors join back afterwards — the wide
+    // embedding arrays never ride the bucket join or the distinct
+    val banded = corpus.select(col(idCol).as("id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("b"), bandCols(b).as("bucket"))): _*)).as("bb"))
-      .select(col("id"), col("vec"), col("bb.b").as("b"), col("bb.bucket").as("bucket"))
+      .select(col("id"), col("bb.b").as("b"), col("bb.bucket").as("bucket"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.vec").as("va"), col("y.vec").as("vb"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    cand.select(col("id_a"), col("id_b"),
-        cosineD(col("va"), col("vb"), normD(col("va")), normD(col("vb"))).as("cos"))
+    val nrm = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", normD(col("vec")))
+    cand
+      .join(nrm.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na")), "id_a")
+      .join(nrm.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosineD(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
