@@ -70,8 +70,28 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
   }
 
-  /** MinHash signatures: for each of `k` hash functions
-    * h_i(s) = hash60(i || ':' || s), the min over the doc's shingles.
+  /** Modulus for the derived MinHash family: largest prime < 2^30, so
+    * `a * h0 + b` stays well inside a 64-bit long. */
+  val MinhashPrime: Long = 1073741789L
+
+  /** Deterministic md5-derived affine constants (a_i, b_i) for the
+    * MinHash family — reproducible in any engine, so the DuckDB oracle
+    * inlines the same numbers. */
+  def minhashParam(i: Int): (Long, Long) = {
+    def c(tag: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % MinhashPrime
+    }
+    (math.max(1L, c("mh-a")), c("mh-b"))
+  }
+
+  /** MinHash signatures via a derived affine family: ONE md5 per
+    * shingle (h0 = hash60(s) mod p), then h_i = (a_i·h0 + b_i) mod p —
+    * k universal hashes for the price of one digest (the reference
+    * computes k independent hashes per shingle; the affine family is
+    * the standard MinHash trick with the same estimator guarantees).
     * Returns (doc_id, sig array[k] ordered by i).
     *
     * Shape note: the k hashes are k agg COLUMNS over one shingle scan,
@@ -81,13 +101,25 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
     val sh = shingleIndex(df, idCol, textCol, n)
-    val minCols = (0 until k).map(i =>
-      min(hash60(concat(lit(s"$i:"), col("s")))).as(s"_mh$i"))
+      .withColumn("_h0", hash60(col("s")) % MinhashPrime)
+    val minCols = (0 until k).map { i =>
+      val (a, b) = minhashParam(i)
+      min((lit(a) * col("_h0") + lit(b)) % MinhashPrime).as(s"_mh$i")
+    }
     sh.groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         array((0 until k).map(i => col(s"_mh$i")): _*).as("sig"))
   }
+
+  /** DuckDB fragment computing the same signatures: the affine-family
+    * parameter table as a VALUES list, inlined into oracle SQL so both
+    * engines hash identically. */
+  def minhashParamsSql(k: Int): String =
+    (0 until k).map { i =>
+      val (a, b) = minhashParam(i)
+      s"($i, $a, $b)"
+    }.mkString(", ")
 
   /** MinHash + LSH banding: signatures split into `bands` bands of
     * k/bands rows; docs sharing any full band land in the same bucket

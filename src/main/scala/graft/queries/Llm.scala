@@ -155,15 +155,17 @@ object Llm {
         Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text",
             n = 3, k = 16, bands = 4, minEst = 0.5)
           .orderBy(col("doc_a"), col("doc_b")),
-      Some("""
+      Some(s"""
         WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
         sh AS (SELECT DISTINCT doc_id, s FROM (
           SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
             i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])) AS s FROM toks)),
         mh AS (
           SELECT doc_id, i,
-                 min(CAST('0x'||substr(md5(CAST(i AS VARCHAR)||':'||s),1,15) AS BIGINT)) AS h
-          FROM sh, range(0, 16) r(i) GROUP BY doc_id, i),
+                 min((a * (CAST('0x'||substr(md5(s),1,15) AS BIGINT) % ${Dedup.MinhashPrime})
+                      + b) % ${Dedup.MinhashPrime}) AS h
+          FROM sh, (VALUES ${Dedup.minhashParamsSql(16)}) params(i, a, b)
+          GROUP BY doc_id, i),
         sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY doc_id),
         bands AS (
           SELECT doc_id, b,
@@ -470,7 +472,7 @@ object Llm {
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
           .orderBy(col("lang"))
       },
-      Some("""
+      Some(s"""
         WITH corpus AS (
           SELECT doc_id, lang, text FROM documents
           UNION ALL SELECT doc_id + 100000, lang, text FROM documents
@@ -491,8 +493,10 @@ object Llm {
             i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])) AS s FROM toks)),
         mh AS (
           SELECT doc_id, i,
-                 min(CAST('0x'||substr(md5(CAST(i AS VARCHAR)||':'||s),1,15) AS BIGINT)) AS h
-          FROM sh, range(0,16) r(i) GROUP BY doc_id, i),
+                 min((a * (CAST('0x'||substr(md5(s),1,15) AS BIGINT) % ${Dedup.MinhashPrime})
+                      + b) % ${Dedup.MinhashPrime}) AS h
+          FROM sh, (VALUES ${Dedup.minhashParamsSql(16)}) params(i, a, b)
+          GROUP BY doc_id, i),
         sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY doc_id),
         bands AS (
           SELECT doc_id, b,

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions for the scale paths: the gated
+  * banded/bucketed near-dup variants must contain NO cartesian product
+  * anywhere (their whole point is replacing the all-pairs comparison
+  * with bucket equi-joins), filters must reach the parquet scans, and
+  * small dimension sides must broadcast. */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Tables.configure(SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("banded/bucketed near-dup plans contain no cartesian join at all") {
+    for (q <- Seq("q26_dedup_minhash", "q27b_dedup_simhash_banded",
+      "q29b_embed_neardup_bucketed")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+
+  test("ANN plans: no cartesian; cross joins only against broadcast tiny sides") {
+    // lshAnn / ivfAnn broadcast the query set / centroids — a
+    // BroadcastNestedLoopJoin against those tiny sides is the intended
+    // shape; an un-broadcast CartesianProduct is not
+    for (q <- Seq("q30_ann_lsh", "q38_ann_ivf")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
+    }
+  }
+
+  test("the exact all-pairs variants DO declare their cross join (sanity)") {
+    // q27/q29 are the documented small-corpus exact tools; this guards
+    // against silently swapping the gate queries back
+    val p = planOf("q29_embed_neardup")
+    assert(p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("filters and projections reach the parquet scan") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(p.replaceAll("\\s", "").contains("PushedFilters:[Is") ||
+      p.contains("GreaterThan") || p.contains("EqualTo"),
+      s"expected real pushed predicates, got scan: ${p.linesIterator.filter(_.contains("PushedFilters")).mkString}")
+  }
+
+  test("small dimension sides broadcast in join-heavy queries") {
+    val p = planOf("q03_top_revenue_orders")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast hash join")
+    assert(!p.contains("CartesianProduct"))
+  }
+}
