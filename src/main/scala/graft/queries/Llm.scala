@@ -321,6 +321,60 @@ object Llm {
                 i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) >= 0.45
         ORDER BY id_a, id_b"""))),
 
+    // ---- embedding dedup GROUPS: bucketed near-dup pairs → connected
+    //      components (the full scale-path composition: no cartesian
+    //      join, no driver graph)
+    "q47_embed_dedup_clusters" -> ((
+      (s: SparkSession, d: String) => {
+        val pairs = Similarity.nearDupPairsBucketed(
+            t(s, d, "embeddings"), "vec_id", "embedding", 0.45)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        Dedup.nearDupClusters(pairs)
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("cluster_size"), min(col("node")).as("keeper"))
+          .orderBy(col("component"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT p, list_transform(range(1, 65),
+            i -> CAST(CAST('0x'||substr(md5(CAST(p AS VARCHAR)||':'||CAST(i AS VARCHAR)),1,15) AS BIGINT) % 2001 - 1000 AS DOUBLE)) AS plane
+          FROM range(0, 16) r(p)),
+        sigbits AS (
+          SELECT e.vec_id, g.p,
+                 CASE WHEN list_sum(list_transform(range(1, 65),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * g.plane[i])) > 0 THEN 1 ELSE 0 END AS bit
+          FROM embeddings e, g),
+        sig AS (SELECT vec_id, list(bit ORDER BY p) AS bits FROM sigbits GROUP BY vec_id),
+        bands AS (
+          SELECT vec_id, b,
+                 CAST(bits[b*4+1] AS VARCHAR)||CAST(bits[b*4+2] AS VARCHAR)||
+                 CAST(bits[b*4+3] AS VARCHAR)||CAST(bits[b*4+4] AS VARCHAR) AS bucket
+          FROM sig, range(0, 4) r(b)),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        nrm AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+          FROM embeddings),
+        edges AS (
+          SELECT c.id_a AS doc_a, c.id_b AS doc_b
+          FROM cand c JOIN nrm a ON a.vec_id = c.id_a JOIN nrm b ON b.vec_id = c.id_b
+          WHERE list_sum(list_transform(range(1,65),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) >= 0.45),
+        sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+                UNION SELECT doc_b, doc_a FROM edges),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        reach AS (
+          WITH RECURSIVE r(node, target) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT r.node, s.dst FROM r JOIN sym s ON s.src = r.target)
+          SELECT node, min(target) AS component FROM r GROUP BY node)
+        SELECT component, count(*) AS cluster_size, min(node) AS keeper
+        FROM reach GROUP BY component ORDER BY component"""))),
+
     // ---- LSH-bucketed approximate NN (the 100 TB similarity path)
     "q30_ann_lsh" -> ((
       (s: SparkSession, d: String) => {

@@ -308,6 +308,33 @@ object TableFormat {
                CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
         FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
 
+    // ---- stats-skipping read: key-clustered files + min/max column
+    //      stats; a selective filter through GraftFileIndex prunes file
+    //      groups before IO and must lose no rows (reference analog:
+    //      the .zindex data-skipping path, DataSkippingUtils.scala:49)
+    "q48_stats_skipping_read" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val c = cfg("orders_skip", TableType.COW)
+          .copy(statsColumns = Seq("o_orderkey"), targetFileRows = 2000)
+        val tbl = GraftTable.create(s, freshDir(), c)
+        tbl.bulkInsert(orders)
+        // linear clustering on the key -> tight per-file key ranges
+        TableServices(tbl).cluster(sortCols = Seq("o_orderkey"), targetFileRows = 2000)
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot()
+            .filter(col("o_orderkey") % 2 === 0 && col("o_orderkey") < 30000))
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority, o_totalprice AS price
+          FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey < 30000)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
     // ---- changelog CDC: updates emit -U before image + +U after image
     //      (reference analog: HoodieOperation.java:26-43)
     "q46_cdc_preimage" -> ((

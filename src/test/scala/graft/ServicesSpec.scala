@@ -140,6 +140,28 @@ class ServicesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSameRows(r.dataOnly(r.snapshot()), up2, "write after restore")
   }
 
+  test("incremental read across a clustering replacecommit: no double-count, no loss") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.COW))
+    val b1 = orders.filter(col("o_orderkey") % 3 === 0)
+    val t1 = tbl.bulkInsert(b1)
+    val upd = b1.filter(col("o_orderkey") % 9 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 7)
+    tbl.upsert(upd)
+    // clustering rewrites every group; rewritten rows KEEP their original
+    // commit times, so the change stream is invariant across the rewrite
+    val svc = TableServices(tbl)
+    assert(svc.cluster(sortCols = Seq("o_orderkey"), targetFileRows = 10000).isDefined)
+    val r = GraftReader(tbl)
+    assertSameRows(r.dataOnly(r.incremental(t1)), upd,
+      "incremental across replacecommit = exactly the upserted rows")
+    assertSameRows(r.dataOnly(r.snapshot()),
+      b1.withColumn("o_totalprice",
+        when(col("o_orderkey") % 9 === 0, col("o_totalprice") + 7)
+          .otherwise(col("o_totalprice"))),
+      "snapshot stable across clustering")
+  }
+
   test("cleanFileVersions retains newest N versions per group") {
     val dir = tmp()
     // packing off: keep one group per partition stable across rewrites
