@@ -90,11 +90,19 @@ case class TableConfig(
       * hoodie.parquet.max.file.size, byte-based; rows keep the planner
       * free of size estimation) */
     targetFileRows: Long = 4000000L,
+    /** byte-based file sizing (reference analog:
+      * hoodie.parquet.max.file.size, HoodieStorageConfig.java:42 —
+      * 120 MB default there). When > 0 it overrides `targetFileRows`:
+      * the rows-per-file target is derived per write from the observed
+      * average record size in commit stats (seed 1024 B on an empty
+      * table, mirroring UpsertPartitioner.averageBytesPerRecord +
+      * HoodieCompactionConfig.java:245). 0 = row-based sizing. */
+    targetFileBytes: Long = 0L,
     /** file groups below this many rows are insert-fill targets (small-
       * file bin packing — reference analog:
       * hoodie.parquet.small.file.limit, HoodieCompactionConfig.java:154).
-      * -1 = auto (3/4 of targetFileRows, mirroring the reference's
-      * 100/120 MB ratio); 0 = disabled. */
+      * -1 = auto (3/4 of the effective file target, mirroring the
+      * reference's 100/120 MB ratio); 0 = disabled. */
     smallFileRows: Long = -1L,
     /** true -> key unique table-wide; updates may move partitions
       * (reference analog: GLOBAL_SIMPLE index) */

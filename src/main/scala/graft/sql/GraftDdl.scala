@@ -121,29 +121,35 @@ object GraftDdl {
     * SparkBootstrapCommitActionExecutor.java:84). Source files become
     * external file groups — meta columns are stamped at read time, and
     * the first upsert touching a group rewrites it as a native file.
-    * One stats job over the source computes per-file row counts and key
-    * ranges; no data is copied.
+    * One stats job over the source computes per-file row counts, key
+    * ranges, and partition values; no data is copied.
     *
-    * v1 constraint: the table must be non-partitioned (partition values
-    * remain queryable as data columns) and source file basenames must
-    * be unique. */
+    * Constraints: partition columns must be PRESENT in the source files
+    * (they stay queryable data columns), every source file must hold a
+    * single partition's rows (true for any partition-laid-out dataset),
+    * and source file basenames must be unique. */
   def bootstrap(
       spark: SparkSession, path: String, config: TableConfig,
       sourceDir: String): GraftTable = {
-    require(config.partitionFields.isEmpty,
-      "bootstrap v1 supports non-partitioned tables (partition columns stay data columns)")
     val table = GraftTable.create(spark, path, config)
     val src = spark.read.parquet(sourceDir)
+    val missing = config.partitionFields.filterNot(src.columns.contains)
+    require(missing.isEmpty,
+      s"bootstrap needs partition columns in the source files; missing: ${missing.mkString(",")}")
     import org.apache.spark.sql.functions._
-    val keyExpr =
-      if (config.keyFields.size == 1) col(config.keyFields.head).cast("string")
-      else concat_ws(":", config.keyFields.map(f => col(f).cast("string")): _*)
-    // one distributed stats pass, grouped by physical file
+    // one distributed stats pass, grouped by physical file — key ranges
+    // and partition values via the write path's own derivation exprs
     val stats = src
-      .select(input_file_name().as("_f"), keyExpr.as("_k"))
+      .select(input_file_name().as("_f"),
+        table.keyValueExpr.as("_k"), table.partitionValueExpr.as("_p"))
       .groupBy(col("_f"))
-      .agg(count(lit(1)).as("rows"), min(col("_k")).as("minKey"), max(col("_k")).as("maxKey"))
+      .agg(count(lit(1)).as("rows"),
+        min(col("_k")).as("minKey"), max(col("_k")).as("maxKey"),
+        min(col("_p")).as("pLo"), max(col("_p")).as("pHi"))
       .collect()
+    val multi = stats.filter(r => r.getString(4) != r.getString(5))
+    require(multi.isEmpty,
+      s"bootstrap requires single-partition source files; mixed: ${multi.take(3).map(_.getString(0)).mkString(",")}")
     val fs = new org.apache.hadoop.fs.Path(sourceDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val basenames = stats.map(r => r.getString(0).split('/').last)
@@ -153,7 +159,8 @@ object GraftDdl {
       val uri = r.getString(0)
       val p = new org.apache.hadoop.fs.Path(java.net.URI.create(uri))
       graft.core.WriteStat(
-        partition = "", fileId = f"boot-$i%05d", path = p.toString,
+        partition = Option(r.getString(4)).getOrElse(""),
+        fileId = f"boot-$i%05d", path = p.toString,
         rows = r.getLong(1), bytes = fs.getFileStatus(p).getLen,
         minKey = Option(r.getString(2)).getOrElse(""),
         maxKey = Option(r.getString(3)).getOrElse(""),

@@ -328,25 +328,33 @@ class GraftTable private (
     * rewrite/delta path and drop the marker before staging. */
   private[graft] val NewGroup = "_g_newgrp"
 
-  /** Effective small-file threshold (rows). */
-  private def smallFileLimit: Long =
-    if (config.smallFileRows < 0) config.targetFileRows * 3 / 4
+  /** Effective rows-per-file target. Byte-configured tables convert
+    * `targetFileBytes` via the observed average record size across the
+    * snapshot's base files (reference analog:
+    * UpsertPartitioner.averageBytesPerRecord, seeded at 1024 B on an
+    * empty table, HoodieCompactionConfig.java:245). */
+  private def effectiveTargetRows(snap: Option[Snapshot]): Long =
+    if (config.targetFileBytes <= 0) math.max(1L, config.targetFileRows)
+    else {
+      val files = snap.toSeq.flatMap(_.slices).flatMap(_.baseFile)
+        .filter(s => s.rows > 0 && s.bytes > 0)
+      val avg =
+        if (files.isEmpty) 1024L
+        else math.max(1L, files.map(_.bytes).sum / files.map(_.rows).sum)
+      math.max(1L, config.targetFileBytes / avg)
+    }
+
+  /** Effective small-file threshold (rows) at a given file target. */
+  private def smallFileLimit(target: Long): Long =
+    if (config.smallFileRows < 0) target * 3 / 4
     else config.smallFileRows
 
-  /** Assign rows without an existing file group either to NEW groups
-    * sized by `targetFileRows`, or — when `snap` is given — into existing
-    * groups below the small-file threshold, filling them toward target
-    * size (reference analog: UpsertPartitioner.assignInserts,
-    * UpsertPartitioner.java:157, small-file fill :188-214). The plan is
-    * a small per-partition aggregate joined back broadcast-style; row
-    * routing is hash-proportional to each bucket's remaining capacity,
-    * so no per-row driver work and no extra shuffle. */
   /** Existing fill targets for bin packing: per partition, the live
     * groups under the small-file limit with their remaining row capacity
     * toward target size — computed from commit-metadata stats only. */
-  private def fillTargets(snap: Option[Snapshot]): Map[String, Seq[(String, Long)]] = {
-    val target = math.max(1L, config.targetFileRows)
-    val limit = smallFileLimit
+  private def fillTargets(
+      snap: Option[Snapshot], target: Long): Map[String, Seq[(String, Long)]] = {
+    val limit = smallFileLimit(target)
     snap match {
       case Some(sn) if limit > 0 =>
         sn.slices
@@ -362,10 +370,19 @@ class GraftTable private (
     }
   }
 
+  /** Assign rows without an existing file group either to NEW groups
+    * sized by `target` rows, or into the given existing under-filled
+    * groups, filling them toward target size (reference analog:
+    * UpsertPartitioner.assignInserts, UpsertPartitioner.java:157,
+    * small-file fill :188-214). The plan is a small per-partition
+    * aggregate joined back broadcast-style; row routing is
+    * hash-proportional to each bucket's remaining capacity, so no
+    * per-row driver work and no extra shuffle. */
   private def assignInsertGroups(
       df: DataFrame, commitTime: String,
-      fillsByPart: Map[String, Seq[(String, Long)]] = Map.empty): DataFrame = {
-    val target = math.max(1L, config.targetFileRows)
+      fillsByPart: Map[String, Seq[(String, Long)]] = Map.empty,
+      targetRows: Long = 0L): DataFrame = {
+    val target = if (targetRows > 0) targetRows else math.max(1L, config.targetFileRows)
     val counts = df.groupBy(col(Partition)).agg(count(lit(1)).as("_g_cnt"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     var offset = 0
@@ -427,13 +444,21 @@ class GraftTable private (
     }
   }
 
+  /** Key / partition derivation exposed for the bootstrap stats pass
+    * (GraftDdl.bootstrap computes per-file key ranges and partition
+    * values with the exact expressions the write path uses). */
+  private[graft] def keyValueExpr: Column = keyExpr
+  private[graft] def partitionValueExpr: Column = partitionExpr
+
   private def stampExternal(schema: StructType, ext: Seq[WriteStat]): DataFrame = {
     val t = bootstrapInstant.getOrElse("00000000000000000")
     val dataSchema = StructType(schema.fields.filterNot(f => Meta.all.contains(f.name)))
     val mapping = ext.map(st => new Path(st.path).getName -> st.fileId).toMap
     spark.read.schema(dataSchema).parquet(ext.map(_.path): _*)
       .withColumn(Key, keyExpr)
-      .withColumn(Partition, lit(""))
+      // partition columns live IN the external files (bootstrap
+      // contract), so the path value derives row-wise like any write
+      .withColumn(Partition, partitionExpr)
       .withColumn(CommitTime, lit(t))
       .withColumn(Seqno, concat(lit(t), lit("_"), lpad(lit("0"), 20, "0")))
       .withColumn(File,
@@ -561,7 +586,10 @@ class GraftTable private (
   def bulkInsert(df: DataFrame, sortMode: String = "partition",
       extra: Map[String, String] = Map.empty): String = {
     val t = timeline.start(Action.Commit)
-    val prepared = assignInsertGroups(prepare(df, t), t).drop(NewGroup)
+    val sizingSnap =
+      if (config.targetFileBytes > 0) Some(Snapshot.resolve(timeline)) else None
+    val prepared = assignInsertGroups(prepare(df, t), t,
+      targetRows = effectiveTargetRows(sizingSnap)).drop(NewGroup)
     val sorted = sortMode match {
       case "global" => prepared.orderBy(col(Partition), col(Key))
       case _        => prepared
@@ -581,8 +609,11 @@ class GraftTable private (
   def insert(df: DataFrame, extra: Map[String, String] = Map.empty): String = {
     val t = timeline.start(Action.Commit)
     val snap = if (isMor) None else Some(Snapshot.resolve(timeline))
-    val fills = fillTargets(snap)
-    val assigned = assignInsertGroups(precombine(prepare(df, t)), t, fills).persist()
+    val sizingSnap = snap.orElse(
+      if (config.targetFileBytes > 0) Some(Snapshot.resolve(timeline)) else None)
+    val target = effectiveTargetRows(sizingSnap)
+    val fills = fillTargets(snap, target)
+    val assigned = assignInsertGroups(precombine(prepare(df, t)), t, fills, target).persist()
     try {
       val fillRows = assigned.filter(!col(NewGroup)).drop(NewGroup)
       val freshRows = assigned.filter(col(NewGroup)).drop(NewGroup)
@@ -599,8 +630,12 @@ class GraftTable private (
               .unionByName(fillRows, allowMissingColumns = true))
           stageAndPublish(merged.unionByName(freshRows, allowMissingColumns = true), t)
         }
-      timeline.complete(t, Action.Commit,
-        CommitMetadata("insert", schemaJson(assigned.drop(NewGroup)), stats, extra = extra))
+      val meta = CommitMetadata("insert", schemaJson(assigned.drop(NewGroup)), stats,
+        extra = extra)
+      // brand-new groups cannot conflict; a small-file FILL rewrites an
+      // existing group and must go through the OCC conflict guard
+      if (usedFillIds.isEmpty) timeline.complete(t, Action.Commit, meta)
+      else publish(t, Action.Commit, meta, snap.map(_.asOf).getOrElse(""))
       t
     } finally assigned.unpersist()
   }
@@ -631,9 +666,10 @@ class GraftTable private (
         .withColumn(Partition,
           if (config.globalIndex) col("_g_loc_part") else col(Partition))
         .drop("_g_loc", "_g_loc_part")
-      val fills = fillTargets(Some(snap))
+      val target = effectiveTargetRows(Some(snap))
+      val fills = fillTargets(Some(snap), target)
       val assigned = assignInsertGroups(
-        tagged.filter(col("_g_loc").isNull).drop("_g_loc", "_g_loc_part"), t, fills)
+        tagged.filter(col("_g_loc").isNull).drop("_g_loc", "_g_loc_part"), t, fills, target)
       val fillIns = assigned.filter(!col(NewGroup)).drop(NewGroup)
       val inserts = assigned.filter(col(NewGroup)).drop(NewGroup)
 
@@ -733,7 +769,8 @@ class GraftTable private (
   def insertOverwrite(df: DataFrame): String = {
     val t = timeline.start(Action.ReplaceCommit)
     val snap = Snapshot.resolve(timeline)
-    val prepared = assignInsertGroups(precombine(prepare(df, t)), t).drop(NewGroup)
+    val prepared = assignInsertGroups(precombine(prepare(df, t)), t,
+      targetRows = effectiveTargetRows(Some(snap))).drop(NewGroup)
     val parts = prepared.select(Partition).distinct().collect().map(_.getString(0)).toSet
     val stats = stageAndPublish(prepared, t)
     val replaced = snap.slices.filter(s => parts.contains(s.partition))
@@ -748,7 +785,8 @@ class GraftTable private (
   def insertOverwriteTable(df: DataFrame): String = {
     val t = timeline.start(Action.ReplaceCommit)
     val snap = Snapshot.resolve(timeline)
-    val prepared = assignInsertGroups(precombine(prepare(df, t)), t).drop(NewGroup)
+    val prepared = assignInsertGroups(precombine(prepare(df, t)), t,
+      targetRows = effectiveTargetRows(Some(snap))).drop(NewGroup)
     val stats = stageAndPublish(prepared, t)
     val replaced = snap.slices.groupBy(_.partition)
       .map { case (p, ss) => p -> ss.map(_.fileId).toSeq }

@@ -61,6 +61,38 @@ class BootstrapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.pointLookup(Seq("13")).count() == 1)
   }
 
+  test("partitioned bootstrap: partition values from data, prune + upsert + drop work") {
+    import spark.implicits._
+    // partition-laid-out source with the partition column IN the files:
+    // one file per partition value
+    val flat = s"${tmp()}/flat"
+    (0 to 2).foreach { m =>
+      (1L to 60L).filter(_ % 3 == m).map(i => (i, s"v$i", 1L, s"p$m"))
+        .toDF("id", "v", "ts", "p").coalesce(1).write.mode("append").parquet(flat)
+    }
+    val pcfg = cfg.copy(partitionFields = Seq("p"))
+    val dir = tmp()
+    val tbl = GraftDdl.bootstrap(spark, dir, pcfg, flat)
+    val snap = Snapshot.resolve(tbl.timeline)
+    assert(snap.slices.map(_.partition).toSet == Set("p0", "p1", "p2"))
+    val r = GraftReader(tbl)
+    assert(r.dataOnly(r.snapshot()).count() == 60)
+    // partition-pruned read touches one partition's slices only
+    assert(r.snapshot(partitions = Some(Set("p1"))).count() == 20)
+    // upsert into one partition upgrades only that group
+    tbl.upsert(Seq((4L, "v4b", 2L, "p1")).toDF("id", "v", "ts", "p"))
+    val snap2 = Snapshot.resolve(tbl.timeline)
+    val (ext, native) = snap2.slices.partition(_.baseFile.exists(_.external))
+    assert(ext.map(_.partition).toSet == Set("p0", "p2"))
+    assert(native.map(_.partition).toSet == Set("p1"))
+    val got = r.dataOnly(r.snapshot()).filter(col("id") === 4L)
+      .select("v").as[String].head()
+    assert(got == "v4b")
+    // drop a partition logically; external files stay on disk (user data)
+    tbl.deletePartitions(Seq("p0"))
+    assert(r.dataOnly(r.snapshot()).count() == 40)
+  }
+
   test("first upsert upgrades the touched group to native; others stay external") {
     import spark.implicits._
     val srcDir = s"${tmp()}/src"

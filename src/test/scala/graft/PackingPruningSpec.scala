@@ -78,6 +78,27 @@ class PackingPruningSpec extends AnyFunSuite {
     assert(GraftReader(tbl).snapshot().count() == 500)
   }
 
+  test("targetFileBytes derives the file target from observed record size") {
+    val c = TableConfig(name = "packb", tableType = TableType.COW,
+      keyFields = Seq("k"), targetFileBytes = 50000L,
+      targetFileRows = 1000000000L) // absurd row target: bytes must govern
+    val tbl = GraftTable.create(spark, tmp(), c)
+    // first write: no stats yet -> 1024 B/row seed (reference's estimate
+    // seed) -> tiny groups
+    tbl.insert(batch(0, 200))
+    val afterSeed = Snapshot.resolve(tbl.timeline).slices.size
+    assert(afterSeed >= 2, s"seeded estimate should split 200 rows, got $afterSeed groups")
+    // second write: the observed average record size (tens of bytes) now
+    // sizes groups at thousands of rows -> the 5000 rows converge into
+    // few groups instead of ~100 seed-sized ones
+    tbl.insert(batch(1000, 5000))
+    val after = Snapshot.resolve(tbl.timeline)
+    assert(after.slices.size < afterSeed + 12,
+      s"observed-size target should bound group count, got ${after.slices.size}")
+    val r = GraftReader(tbl)
+    assert(r.snapshot().count() == 5200)
+  }
+
   test("pruneByKeyRange keeps only files overlapping the batch range") {
     val tbl = GraftTable.create(spark, tmp(), cfg(TableType.COW, target = 1000, small = 0))
     tbl.insert(batch(0, 100))
