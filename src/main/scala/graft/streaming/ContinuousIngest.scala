@@ -85,6 +85,23 @@ class CsvDirSource(spark: SparkSession, dir: String,
     schema: Option[org.apache.spark.sql.types.StructType] = None)
   extends DfsDirSource(spark, dir, "csv", ".csv", options, schema)
 
+/** One-shot SQL source: fetches the query result once, then reports
+  * caught-up forever (reference analog: sources/SqlSource.java:52 —
+  * used for backfills riding the same ingest harness). */
+class SqlSource(spark: SparkSession, query: String) extends IngestSource {
+  override def fetch(checkpoint: Option[String]): Option[(DataFrame, String)] =
+    if (checkpoint.contains("done")) None
+    else Some((spark.sql(query), "done"))
+}
+
+/** Sequential multi-table ingest round — each table advances its own
+  * checkpoint-in-commit independently (reference analog:
+  * HoodieMultiTableDeltaStreamer.java:60). */
+class MultiTableIngest(ingests: Seq[ContinuousIngest]) {
+  /** One sync round across every table; returns per-table commits. */
+  def syncOnce(): Seq[Option[String]] = ingests.map(_.syncOnce())
+}
+
 /** Graft-table-as-source: checkpoint = commit instant; fetch = the
   * incremental change stream since it (reference analog:
   * sources/HoodieIncrSource.java:41). Chains tables into pipelines. */

@@ -118,6 +118,28 @@ class TransformersSpec extends AnyFunSuite with BeforeAndAfterAll {
     Files.writeString(Paths.get(s"$csvDir/schema.json"), schema.json)
     assert(new FileBasedSchemaProvider(spark, s"$csvDir/schema.json").sourceSchema == schema)
   }
+
+  test("sql source backfills once; multi-table round advances each table") {
+    import spark.implicits._
+    Seq((100L, "s1"), (101L, "s2")).toDF("id", "v").createOrReplaceTempView("backfill_src")
+    def mk(name: String): (GraftTable, ContinuousIngest) = {
+      val t = GraftTable.create(spark, tmp(), TableConfig(
+        name = name, tableType = TableType.COW, keyFields = Seq("id"),
+        orderingField = "", targetFileRows = 1000))
+      (t, new ContinuousIngest(t, new SqlSource(spark, "SELECT * FROM backfill_src")))
+    }
+    val (t1, i1) = mk("m1")
+    val (t2, i2) = mk("m2")
+    val multi = new MultiTableIngest(Seq(i1, i2))
+    val round1 = multi.syncOnce()
+    assert(round1.forall(_.isDefined), "both tables ingest the backfill")
+    // one-shot: second round is caught up everywhere
+    assert(multi.syncOnce().forall(_.isEmpty))
+    Seq(t1, t2).foreach { t =>
+      val r = GraftReader(t)
+      assert(r.dataOnly(r.snapshot()).count() == 2)
+    }
+  }
 }
 
 object TransformersSpec {
