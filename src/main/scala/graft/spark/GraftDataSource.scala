@@ -117,17 +117,64 @@ class GraftDataSource
 }
 
 /** Thin BaseRelation over an already-planned DataFrame: scans delegate
-  * to the underlying plan, so FileIndex pruning / pushdown still apply
-  * (column pruning arrives via requiredColumns). */
+  * to the underlying plan, so FileIndex pruning / parquet pushdown
+  * still apply — pushed `Filter`s are translated back into Column
+  * predicates and applied INSIDE the wrapped plan (reaching the
+  * FileIndex stats skipping and the parquet reader), column pruning
+  * arrives via requiredColumns. Untranslatable filters are simply not
+  * pushed; Spark re-applies every filter above the scan regardless
+  * (unhandledFilters defaults to all), so pushdown is purely an IO
+  * optimization, never a correctness dependency. */
 class GraftRelation(
     val sqlContext: SQLContext,
-    df: DataFrame) extends BaseRelation with TableScan with PrunedScan {
+    df: DataFrame) extends BaseRelation with TableScan with PrunedFilteredScan {
 
   override def schema: StructType = df.schema
 
   override def buildScan(): RDD[Row] = df.rdd
 
-  override def buildScan(requiredColumns: Array[String]): RDD[Row] =
-    if (requiredColumns.isEmpty) df.rdd
-    else df.select(requiredColumns.toSeq.map(org.apache.spark.sql.functions.col): _*).rdd
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val filtered = filters.flatMap(GraftRelation.filterToColumn)
+      .foldLeft(df)((acc, c) => acc.filter(c))
+    val pruned =
+      if (requiredColumns.isEmpty) filtered
+      else filtered.select(
+        requiredColumns.toSeq.map(org.apache.spark.sql.functions.col): _*)
+    pruned.rdd
+  }
+}
+
+object GraftRelation {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+
+  /** Best-effort translation of a pushed source `Filter` back into a
+    * Column predicate (the V1-relation inverse of Catalyst's filter
+    * translation). None = not pushable; the filter still runs above. */
+  def filterToColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toSeq.map(lit(_)): _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case Not(child)               => filterToColumn(child).map(!_)
+    case And(l, r) =>
+      // one translatable side still prunes (the other re-applies above)
+      (filterToColumn(l), filterToColumn(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (Some(a), None)    => Some(a)
+        case (None, Some(b))    => Some(b)
+        case _                  => None
+      }
+    case Or(l, r) =>
+      for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a || b
+    case _ => None
+  }
 }

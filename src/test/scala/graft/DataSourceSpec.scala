@@ -57,6 +57,32 @@ class DataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("id").count() == 3)
   }
 
+  test("pushed filters translate into the wrapped plan (PrunedFilteredScan)") {
+    import graft.spark.GraftRelation.filterToColumn
+    import org.apache.spark.sql.sources._
+    // every common pushed shape translates; exotic ones fall through safely
+    assert(filterToColumn(EqualTo("a", 1)).isDefined)
+    assert(filterToColumn(In("a", Array(1, 2))).isDefined)
+    assert(filterToColumn(And(IsNotNull("a"), GreaterThan("a", 0))).isDefined)
+    // one-sided AND still prunes
+    assert(filterToColumn(And(EqualTo("a", 1), AlwaysTrue)).isDefined)
+    // OR needs both sides; half-translated OR must NOT prune
+    assert(filterToColumn(Or(EqualTo("a", 1), AlwaysTrue)).isEmpty)
+    assert(filterToColumn(Not(LessThan("a", 5))).isDefined)
+
+    // behavioral: filtered + pruned DataSource read is correct
+    import spark.implicits._
+    val dir = tmp()
+    (1L to 100L).map(i => (i, s"v$i", i % 7)).toDF("id", "v", "m")
+      .write.format("graft").option("path", dir)
+      .option("key.fields", "id").option("operation", "bulk_insert")
+      .mode(SaveMode.Append).save()
+    val got = spark.read.format("graft").option("path", dir).load()
+      .filter(col("id") > 90L && col("m") === 0L)
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == (91L to 100L).filter(_ % 7 == 0))
+  }
+
   test("ErrorIfExists mode refuses an existing table") {
     import spark.implicits._
     val dir = tmp()
