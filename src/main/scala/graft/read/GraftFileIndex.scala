@@ -118,8 +118,44 @@ object StatsSkipping {
         case _ => true
       }
 
+    // NOT: rewrite comparisons/boolean structure (De Morgan) and
+    // re-evaluate; a not-equal only prunes a single-valued file
+    // (reference analog: DataSkippingUtils' Not cases)
+    case Not(EqualTo(a, Literal(v, _))) => mayContainOther(a, v, st, schema)
+    case Not(EqualTo(Literal(v, _), a)) => mayContainOther(a, v, st, schema)
+    // NOT IN skips only a single-valued file whose one value is in the
+    // excluded set (i.e. some member v has mayContainOther(v) == false)
+    case Not(In(a, vs)) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.forall { case Literal(v, _) => mayContainOther(a, v, st, schema) }
+    case Not(child) =>
+      negate(child).map(mayMatch(_, st, schema)).getOrElse(true)
+
     case _ => true // unrecognized shape: keep the file
   }
+
+  /** Logical negation where a sound rewrite exists. */
+  private def negate(e: Expression): Option[Expression] = e match {
+    case LessThan(a, b)           => Some(GreaterThanOrEqual(a, b))
+    case LessThanOrEqual(a, b)    => Some(GreaterThan(a, b))
+    case GreaterThan(a, b)        => Some(LessThanOrEqual(a, b))
+    case GreaterThanOrEqual(a, b) => Some(LessThan(a, b))
+    case IsNull(a)                => Some(IsNotNull(a))
+    case IsNotNull(a)             => Some(IsNull(a))
+    case Not(x)                   => Some(x)
+    case And(l, r)                => Some(Or(Not(l), Not(r)))
+    case Or(l, r)                 => Some(And(Not(l), Not(r)))
+    case _                        => None
+  }
+
+  /** May the file contain a non-null row with value ≠ v? False only for
+    * a provably single-valued file whose one value IS v (null rows never
+    * satisfy `col != v` either, so they don't block the skip). */
+  private def mayContainOther(a: Expression, v: Any, st: WriteStat, schema: StructType): Boolean =
+    if (v == null) true
+    else (cmpMin(a, v, st, schema), cmpMax(a, v, st, schema)) match {
+      case (Some(0), Some(0)) => false
+      case _                  => true
+    }
 
   /** Column name behind an attribute in either resolved or parsed form. */
   private def attrName(e: Expression): Option[String] = e match {

@@ -93,5 +93,37 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(k == 1000)
   }
 
+  test("stats skipping handles NOT shapes soundly") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    import graft.core.{ColStat, WriteStat}
+    import graft.read.StatsSkipping.mayMatch
+    val schema = StructType(Seq(StructField("c", IntegerType)))
+    def stat(min: String, max: String): WriteStat =
+      WriteStat("", "f", "f.parquet", rows = 10,
+        columnStats = Map("c" -> ColStat(min, max, 0L)))
+    val a = AttributeReference("c", IntegerType)()
+    def lit(i: Int) = Literal(i, IntegerType)
+
+    val wide = stat("1", "9")
+    val single = stat("5", "5")
+    // NOT(=): only a single-valued file with that exact value skips
+    assert(mayMatch(Not(EqualTo(a, lit(5))), wide, schema))
+    assert(!mayMatch(Not(EqualTo(a, lit(5))), single, schema))
+    assert(mayMatch(Not(EqualTo(a, lit(4))), single, schema))
+    // NOT(<) == >=, NOT(>) == <=
+    assert(!mayMatch(Not(LessThan(a, lit(100))), wide, schema))
+    assert(mayMatch(Not(LessThan(a, lit(5))), wide, schema))
+    assert(!mayMatch(Not(GreaterThan(a, lit(0))), wide, schema))
+    // De Morgan: NOT(c < 100 AND c > 0) == c >= 100 OR c <= 0 -> skip [1,9]
+    assert(!mayMatch(Not(And(LessThan(a, lit(100)), GreaterThan(a, lit(0)))), wide, schema))
+    // NOT IN: single-valued file inside the set skips; wide file kept
+    assert(!mayMatch(Not(In(a, Seq(lit(5), lit(7)))), single, schema))
+    assert(mayMatch(Not(In(a, Seq(lit(4), lit(7)))), single, schema))
+    assert(mayMatch(Not(In(a, Seq(lit(5), lit(7)))), wide, schema))
+    // double negation
+    assert(!mayMatch(Not(Not(EqualTo(a, lit(42)))), wide, schema))
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
