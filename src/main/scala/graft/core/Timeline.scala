@@ -13,6 +13,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Completed file:  <time>.<action>           (content = CommitMetadata JSON)
   * Pending files:   <time>.<action>.inflight / .requested
   */
+/** Post-commit notification seam (reference analog:
+  * callback/HoodieWriteCommitCallback.java:29). */
+trait CommitCallback {
+  def onCommit(instant: Instant, meta: CommitMetadata): Unit
+}
+
 class Timeline(val basePath: String, conf: Configuration) {
   val metaDir = new Path(basePath, Timeline.MetaDir)
   private val fs: FileSystem = metaDir.getFileSystem(conf)
@@ -75,12 +81,24 @@ class Timeline(val basePath: String, conf: Configuration) {
     time
   }
 
+  private val callbacks =
+    scala.collection.mutable.ArrayBuffer.empty[CommitCallback]
+
+  /** Register a post-commit hook, fired after every successfully
+    * published instant on this timeline handle (reference analog:
+    * callback/HoodieWriteCommitCallback.java:29 — the http/kafka
+    * callbacks are external bindings of this same seam). Callback
+    * exceptions propagate: the commit itself is already durable. */
+  def register(cb: CommitCallback): Unit = callbacks += cb
+
   /** Publish: write completed file atomically, drop pending markers. */
   def complete(time: String, action: String, meta: CommitMetadata): Instant = {
     writeAtomic(new Path(metaDir, s"$time.$action"), Json.write(meta))
     fs.delete(new Path(metaDir, s"$time.$action.${State.Inflight}"), false)
     fs.delete(new Path(metaDir, s"$time.$action.${State.Requested}"), false)
-    Instant(time, action, State.Completed)
+    val inst = Instant(time, action, State.Completed)
+    callbacks.foreach(_.onCommit(inst, meta))
+    inst
   }
 
   /** Abandon a pending instant (its data files are cleaned by rollback). */

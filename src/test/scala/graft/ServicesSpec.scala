@@ -140,6 +140,22 @@ class ServicesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSameRows(r.dataOnly(r.snapshot()), up2, "write after restore")
   }
 
+  test("commit callbacks fire per published instant with its metadata") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.MOR))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    tbl.timeline.register(new graft.core.CommitCallback {
+      override def onCommit(i: Instant, m: CommitMetadata): Unit =
+        seen += ((i.action, m.operation))
+    })
+    val b1 = orders.filter(col("o_orderkey") % 3 === 0)
+    tbl.bulkInsert(b1)
+    tbl.upsert(b1.withColumn("o_totalprice", col("o_totalprice") + 1))
+    TableServices(tbl).compact()
+    assert(seen.toList == List(
+      ("commit", "bulk_insert"), ("deltacommit", "upsert"), ("compaction", "compact")))
+  }
+
   test("incremental read across a clustering replacecommit: no double-count, no loss") {
     val dir = tmp()
     val tbl = GraftTable.create(spark, dir, cfg(TableType.COW))
