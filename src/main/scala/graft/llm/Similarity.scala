@@ -124,6 +124,51 @@ object Similarity {
       when(dot > 0, 1).otherwise(0)
     }
 
+  /** Deterministic Lloyd iterations training an IVF coarse quantizer:
+    * init = the `cells` lowest-id vectors, then `iters` rounds of
+    * max-cosine assignment + element-wise mean update. All dataflow is
+    * DataFrame aggregation — the only driver-sized object is the
+    * centroid set itself (tiny, broadcast each round). Cells that end
+    * up empty keep their previous centroid. Returns (c_id, c_vec). */
+  def trainIvfCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cells: Int, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    val vecs = corpus.select(col(idCol).as("v_id"), col(vecCol).as("v_vec"))
+    var cent = vecs.orderBy(col("v_id")).limit(cells)
+      .select(col("v_id").cast("long").as("c_id"), col("v_vec").as("c_vec"))
+      .withColumn("c_id",
+        (row_number().over(Window.orderBy(col("c_id"))) - 1).cast("long"))
+    (0 until iters).foreach { _ =>
+      val withNorm = cent.withColumn("c_nrm", normD(col("c_vec")))
+      val scored = vecs
+        .withColumn("v_nrm", normD(col("v_vec")))
+        .crossJoin(broadcast(withNorm))
+        .withColumn("c_cos", cosineD(col("v_vec"), col("c_vec"), col("v_nrm"), col("c_nrm")))
+      val w = Window.partitionBy(col("v_id")).orderBy(col("c_cos").desc, col("c_id"))
+      val assigned = scored.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+        .select(col("v_id"), col("v_vec"), col("c_id"))
+      // element-wise mean per cell: positional explode -> avg -> re-pack
+      val means = assigned
+        .select(col("c_id"), posexplode(col("v_vec")).as(Seq("pos", "x")))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("c_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("c_id"),
+          transform(col("pm"), e => e.getField("m").cast("float")).as("c_vec"))
+      // empty cells keep their previous centroid
+      cent = cent.select(col("c_id"), col("c_vec").as("c_prev"))
+        .join(means, Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("c_vec"), col("c_prev")).as("c_vec"))
+      // materialize the tiny centroid set: bounds lineage across rounds
+      cent = spark.createDataFrame(
+        java.util.Arrays.asList(cent.collect(): _*), cent.schema)
+    }
+    cent
+  }
+
   /** IVF-flat approximate top-k with a FIXED coarse quantizer: `cells`
     * corpus vectors (chosen by id — deterministic, no RNG/k-means
     * state) act as centroids; every corpus vector is assigned to its
@@ -138,9 +183,14 @@ object Similarity {
   def ivfAnn(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      cells: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cent = corpus.filter(col(idCol) < cells)
-      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      cells: Int = 16, nprobe: Int = 4,
+      /** trained quantizer (c_id, c_vec) — e.g. [[trainIvfCentroids]];
+        * None = the deterministic id-chosen default */
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids
+      .map(_.select(col("c_id"), col("c_vec")))
+      .getOrElse(corpus.filter(col(idCol) < cells)
+        .select(col(idCol).as("c_id"), col(vecCol).as("c_vec")))
       .withColumn("c_nrm", normD(col("c_vec")))
     // cell assignment: one scan × broadcast centroids, argmax cosine
     // (ties break toward the smaller centroid id)

@@ -131,6 +131,37 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("k-means IVF quantizer improves over the id-seeded one") {
+    import spark.implicits._
+    // two tight clusters around orthogonal directions + noise
+    val base = (0 until 60).map { i =>
+      val axis = i % 2
+      (i.toLong, Array.tabulate(8)(d =>
+        (if (d == axis) 1f else 0f) + (math.sin(i * 8 + d) * 0.05).toFloat))
+    }
+    val vecs = base.toDF("vec_id", "embedding")
+    val cent = Similarity.trainIvfCentroids(vecs, "vec_id", "embedding",
+      cells = 2, iters = 3)
+    val cs = cent.collect()
+    assert(cs.length == 2)
+    assert(cs.forall(_.getAs[scala.collection.Seq[Float]]("c_vec").length == 8))
+    // trained centroids separate the two clusters: each cluster's axis
+    // component dominates in exactly one centroid
+    val axes = cs.map(_.getAs[scala.collection.Seq[Float]]("c_vec")).map(v =>
+      if (v(0) > v(1)) 0 else 1).toSet
+    assert(axes == Set(0, 1), s"centroids collapsed: $axes")
+    // ANN through the trained quantizer returns well-formed ranked hits
+    val out = Similarity.ivfAnn(vecs, vecs.filter(col("vec_id") < 2),
+      "vec_id", "embedding", k = 3, cells = 2, nprobe = 1,
+      centroids = Some(cent)).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val top = rs.minBy(_.getAs[Long]("rnk"))
+      // nearest neighbor shares the query's cluster (same parity axis)
+      assert(top.getAs[Long]("n_id") % 2 == q % 2)
+    }
+  }
+
   test("multimodal pipeline: schema, batching, frame sampling") {
     import spark.implicits._
     val d = docs.withColumnRenamed("doc_id", "doc_id") // documents-shaped
