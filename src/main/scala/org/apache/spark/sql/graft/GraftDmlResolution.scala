@@ -96,33 +96,8 @@ case class GraftDmlResolution(session: SparkSession) extends Rule[LogicalPlan] {
     case p => p
   }
 
-  /** (table base path, statement-visible alias) when `plan` is a graft
-    * catalog relation — in any resolution state the analyzer may have
-    * reached: raw `UnresolvedRelation`, `UnresolvedCatalogRelation`,
-    * or the resolved v1 `LogicalRelation`. */
-  private def graftTarget(plan: LogicalPlan): Option[(String, String)] = plan match {
-    case SubqueryAlias(ident, child) =>
-      graftTarget(child).map { case (p, _) => (p, ident.name) }
-    case UnresolvedRelation(parts, _, _) =>
-      val catalog = session.sessionState.catalog
-      val ti = parts match {
-        case Seq(t)    => org.apache.spark.sql.catalyst.TableIdentifier(t)
-        case Seq(d, t) => org.apache.spark.sql.catalyst.TableIdentifier(t, Some(d))
-        case _         => return None
-      }
-      if (!catalog.tableExists(ti)) None
-      else pathOf(catalog.getTableMetadata(ti)).map((_, parts.last))
-    case UnresolvedCatalogRelation(ct, _, _) =>
-      pathOf(ct).map((_, ct.identifier.table))
-    case lr: LogicalRelation =>
-      lr.catalogTable.flatMap(ct => pathOf(ct).map((_, ct.identifier.table)))
-    case _ => None
-  }
-
-  private def pathOf(ct: CatalogTable): Option[String] =
-    if (!ct.provider.exists(_.equalsIgnoreCase("graft"))) None
-    else ct.storage.properties.get("path")
-      .orElse(ct.storage.locationUri.map(u => new org.apache.hadoop.fs.Path(u).toString))
+  private def graftTarget(plan: LogicalPlan): Option[(String, String)] =
+    GraftDmlResolution.graftTarget(session, plan)
 
   private def outputsOf(plan: LogicalPlan): AttributeSet =
     if (plan.resolved) plan.outputSet else AttributeSet.empty
@@ -249,6 +224,69 @@ case class GraftInsertCommand(
 }
 
 object GraftDmlResolution {
+
+  /** (table base path, statement-visible alias) when `plan` is a graft
+    * catalog relation — in any resolution state: raw
+    * `UnresolvedRelation`, `UnresolvedCatalogRelation`, or the resolved
+    * v1 `LogicalRelation`. */
+  private[graft] def graftTarget(
+      session: SparkSession, plan: LogicalPlan): Option[(String, String)] = plan match {
+    case SubqueryAlias(ident, child) =>
+      graftTarget(session, child).map { case (p, _) => (p, ident.name) }
+    case UnresolvedRelation(parts, _, _) =>
+      val catalog = session.sessionState.catalog
+      val ti = parts match {
+        case Seq(t)    => org.apache.spark.sql.catalyst.TableIdentifier(t)
+        case Seq(d, t) => org.apache.spark.sql.catalyst.TableIdentifier(t, Some(d))
+        case _         => return None
+      }
+      if (!catalog.tableExists(ti)) None
+      else pathOf(catalog.getTableMetadata(ti)).map((_, parts.last))
+    case UnresolvedCatalogRelation(ct, _, _) =>
+      pathOf(ct).map((_, ct.identifier.table))
+    case lr: LogicalRelation =>
+      lr.catalogTable.flatMap(ct => pathOf(ct).map((_, ct.identifier.table)))
+    case _ => None
+  }
+
+  private def pathOf(ct: CatalogTable): Option[String] =
+    if (!ct.provider.exists(_.equalsIgnoreCase("graft"))) None
+    else ct.storage.properties.get("path")
+      .orElse(ct.storage.locationUri.map(u => new org.apache.hadoop.fs.Path(u).toString))
+
+  /** Pinned-snapshot plan for `VERSION AS OF '<instant>'` /
+    * `TIMESTAMP AS OF <literal>` on a graft table (reference analog:
+    * the as.of.instant read option, DataSourceOptions.scala:112).
+    * Invoked at PARSE time (the injected parser rewrites the travel
+    * node) because Spark's own relation resolution rejects time travel
+    * on v1 session-catalog tables before resolution rules run. */
+  private[graft] def timeTravelPlan(
+      session: SparkSession, path: String,
+      ts: Option[Expression], version: Option[String]): Option[LogicalPlan] = {
+    def fmt(micros: Long): String = {
+      val ldt = java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+      ldt.format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS"))
+    }
+    val asOf: Option[String] = version.orElse(ts.flatMap { e =>
+      // parse-time literal evaluation; anything not a plain foldable
+      // timestamp stays un-rewritten (Spark then reports unsupported)
+      scala.util.Try {
+        if (!e.foldable) None
+        else e.eval(org.apache.spark.sql.catalyst.InternalRow.empty) match {
+          case l: java.lang.Long => Some(fmt(l))
+          case _                 => None
+        }
+      }.toOption.flatten
+    })
+    asOf.map { t =>
+      val table = GraftTable.load(session, path)
+      graft.read.GraftReader(table).snapshot(asOf = Some(t)).queryExecution.analyzed
+    }
+  }
+
   private[graft] def aliasOfPlan(plan: LogicalPlan): Option[String] = plan match {
     case SubqueryAlias(ident, _)        => Some(ident.name)
     case UnresolvedRelation(parts, _, _) => Some(parts.last)

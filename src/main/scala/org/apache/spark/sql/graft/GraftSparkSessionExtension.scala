@@ -22,7 +22,9 @@ import graft.sql.GraftSql
   */
 class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
-    extensions.injectParser { (_, delegate) => new GraftSqlParser(delegate) }
+    extensions.injectParser { (session, delegate) =>
+      new GraftSqlParser(delegate, Some(session))
+    }
     // Spark-grammar MERGE / UPDATE / DELETE on catalog tables USING
     // graft resolve into GraftDml commands (reference analog:
     // HoodieAnalysis.scala:64-68)
@@ -33,11 +35,30 @@ class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
 /** Delegating parser: graft statements become [[GraftStatementCommand]]
   * plans; everything else is Spark's grammar (reference analog:
   * HoodieCommonSqlParser.scala:33). */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(
+    delegate: ParserInterface,
+    session: Option[SparkSession] = None) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
     if (GraftSql.handles(sqlText)) GraftStatementCommand(sqlText)
-    else delegate.parsePlan(sqlText)
+    else rewriteTimeTravel(delegate.parsePlan(sqlText))
+
+  /** `VERSION AS OF '<instant>'` / `TIMESTAMP AS OF <literal>` over a
+    * graft catalog table becomes the pinned-snapshot plan right here at
+    * parse time — Spark's own relation resolution rejects time travel
+    * on v1 session-catalog tables before any resolution rule could. */
+  private def rewriteTimeTravel(plan: LogicalPlan): LogicalPlan = session match {
+    case None => plan
+    case Some(s) =>
+      plan.transformUp {
+        case tt @ org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(rel, ts, version) =>
+          GraftDmlResolution.graftTarget(s, rel) match {
+            case Some((path, _)) =>
+              GraftDmlResolution.timeTravelPlan(s, path, ts, version).getOrElse(tt)
+            case None => tt
+          }
+      }
+  }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

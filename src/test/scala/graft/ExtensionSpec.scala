@@ -53,5 +53,13 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.createTable("ext_gt", "graft", Map("path" -> dir))
     assert(spark.sql("SELECT count(*) FROM ext_gt").head().getLong(0) == 3)
     assert(spark.sql("SELECT v FROM ext_gt WHERE id = 2").head().getString(0) == "b2")
+
+    // SQL time travel pins the snapshot at an instant
+    val t1 = tbl.timeline.completed()
+      .filter(i => graft.core.Action.dataActions(i.action)).head.time
+    val old = spark.sql(s"SELECT id, v FROM ext_gt VERSION AS OF '$t1'")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(old.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"VERSION AS OF '$t1' should see the initial load, got ${old.toSeq}")
   }
 }
