@@ -31,11 +31,17 @@ class TableServices(table: GraftTable) {
 
   /** Pick file groups to compact, most delta bytes first (reference
     * analog: LogFileSizeBasedCompactionStrategy.java:37 under an IO bound
-    * like BoundedIOCompactionStrategy.java:34). */
+    * like BoundedIOCompactionStrategy.java:34). `partitions` scopes the
+    * plan — the partition-aware strategy family (reference analog:
+    * DayBasedCompactionStrategy.java:39 /
+    * BoundedPartitionAwareCompactionStrategy.java:40, where the caller
+    * picks the day partitions to fold first). */
   def planCompaction(maxGroups: Int = Int.MaxValue,
-                     maxDeltaBytes: Long = Long.MaxValue): Seq[FileSlice] = {
+                     maxDeltaBytes: Long = Long.MaxValue,
+                     partitions: Option[Set[String]] = None): Seq[FileSlice] = {
     val snap = Snapshot.resolve(timeline)
     val withDeltas = snap.slices.filter(_.deltas.nonEmpty)
+      .filter(s => partitions.forall(_.contains(s.partition)))
       .sortBy(s => -s.deltas.map(_.bytes).sum)
     var budget = maxDeltaBytes
     withDeltas.take(maxGroups).takeWhile { s =>
@@ -52,8 +58,9 @@ class TableServices(table: GraftTable) {
     * (everything deleted) are replaced instead. Returns the instant, or
     * None when there is nothing to compact (reference analog:
     * HoodieCompactor.java:99). */
-  def compact(maxGroups: Int = Int.MaxValue): Option[String] = {
-    val plan = planCompaction(maxGroups)
+  def compact(maxGroups: Int = Int.MaxValue,
+              partitions: Option[Set[String]] = None): Option[String] = {
+    val plan = planCompaction(maxGroups, partitions = partitions)
     if (plan.isEmpty) return None
     val snap = Snapshot.resolve(timeline)
     val t = timeline.start(Action.Compaction)

@@ -140,6 +140,28 @@ class ServicesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSameRows(r.dataOnly(r.snapshot()), up2, "write after restore")
   }
 
+  test("partition-scoped compaction folds only the named partitions") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.MOR))
+    val b1 = orders.filter(col("o_orderkey") % 3 === 0)
+    tbl.bulkInsert(b1)
+    tbl.upsert(b1.withColumn("o_totalprice", col("o_totalprice") + 5))
+    val svc = TableServices(tbl)
+    val dirtyParts = Snapshot.resolve(tbl.timeline).slices
+      .filter(_.deltas.nonEmpty).map(_.partition).distinct
+    assert(dirtyParts.size >= 2, "need multiple dirty partitions")
+    val only = Set(dirtyParts.head)
+    assert(svc.compact(partitions = Some(only)).isDefined)
+    val after = Snapshot.resolve(tbl.timeline)
+    assert(after.slices.filter(s => only.contains(s.partition)).forall(_.deltas.isEmpty),
+      "scoped partition compacted")
+    assert(after.slices.exists(s => !only.contains(s.partition) && s.deltas.nonEmpty),
+      "other partitions untouched")
+    val r = GraftReader(tbl)
+    assertSameRows(r.dataOnly(r.snapshot()),
+      b1.withColumn("o_totalprice", col("o_totalprice") + 5), "state unchanged")
+  }
+
   test("commit callbacks fire per published instant with its metadata") {
     val dir = tmp()
     val tbl = GraftTable.create(spark, dir, cfg(TableType.MOR))
