@@ -11,15 +11,31 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM (codegen, shuffle machinery, parquet reader classes)
-    // on a tiny table so timed numbers reflect engine throughput, not
-    // first-query JIT
+    // warm the JVM (codegen, shuffle machinery, parquet reader AND
+    // writer classes) on tiny data so timed numbers reflect engine
+    // throughput, not first-query/first-commit JIT
     spark.range(100000).selectExpr("sum(id)").collect()
     try {
       val region = Tables.t(spark, sfDir, "region")
       val nation = Tables.t(spark, sfDir, "nation")
       region.join(nation,
         region("r_regionkey") === nation("n_regionkey"), "left").count()
+    } catch { case _: Throwable => () }
+    try {
+      // write-path warmup: a full tiny MOR lifecycle (bulk + upsert +
+      // delete + compact + read) through a throwaway table
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft-bench-warm").toString
+      val tbl = graft.write.GraftTable.create(spark, dir, graft.core.TableConfig(
+        name = "warm", tableType = graft.core.TableType.MOR,
+        keyFields = Seq("id"), partitionFields = Seq("p"), targetFileRows = 1000))
+      val df = spark.range(2000).select(col("id"), (col("id") % 4).cast("string").as("p"))
+      tbl.bulkInsert(df)
+      tbl.upsert(df.filter(col("id") % 2 === 0).withColumn("id", col("id") + 10000))
+      tbl.delete(df.filter(col("id") % 7 === 0).select("id", "p"))
+      graft.services.TableServices(tbl).compact()
+      val r = graft.read.GraftReader(tbl)
+      r.dataOnly(r.snapshot()).count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)

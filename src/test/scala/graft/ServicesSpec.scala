@@ -140,6 +140,21 @@ class ServicesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSameRows(r.dataOnly(r.snapshot()), up2, "write after restore")
   }
 
+  test("incremental read across a compaction: change stream invariant") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.MOR))
+    val b1 = orders.filter(col("o_orderkey") % 3 === 0)
+    val t1 = tbl.bulkInsert(b1)
+    val upd = b1.filter(col("o_orderkey") % 6 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 9)
+    tbl.upsert(upd)
+    TableServices(tbl).compact()
+    val r = GraftReader(tbl)
+    // compacted rewrites keep original commit times: the change stream
+    // since t1 is exactly the upserted rows, not the whole fold
+    assertSameRows(r.dataOnly(r.incremental(t1)), upd, "incremental across compaction")
+  }
+
   test("partition-scoped compaction folds only the named partitions") {
     val dir = tmp()
     val tbl = GraftTable.create(spark, dir, cfg(TableType.MOR))
