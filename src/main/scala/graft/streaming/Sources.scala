@@ -1,0 +1,168 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, max}
+
+/** A half-open offset range `[from, until)` of one partition of a
+  * partitioned log (reference analog: the Kafka OffsetRange consumed by
+  * utilities/sources/helpers/KafkaOffsetGen.java:102). */
+case class LogOffsetRange(partition: Int, from: Long, until: Long) {
+  def count: Long = until - from
+}
+
+/** Client seam for a Kafka-shaped partitioned log. The sandbox has no
+  * broker, so the engine-side logic (checkpoint codec, fair-share range
+  * allocation, caught-up detection) lives here against this trait and a
+  * production binding would implement it with a real consumer — the
+  * same seam the reference splits at (KafkaOffsetGen holds the consumer;
+  * AvroKafkaSource.java:48 / JsonKafkaSource.java:41 hold the dataflow). */
+trait PartitionedLogClient {
+  /** Next offset to be written per partition (exclusive end of data). */
+  def latestOffsets(): Map[Int, Long]
+  /** Oldest retained offset per partition. */
+  def earliestOffsets(): Map[Int, Long]
+  /** Read the given ranges as one DataFrame. */
+  def read(ranges: Seq[LogOffsetRange]): DataFrame
+}
+
+object LogOffsets {
+
+  /** Checkpoint string `topic,0:off0,1:off1,...` — offsets are the
+    * exclusive end of what was ingested (reference analog:
+    * KafkaOffsetGen.CheckpointUtils.offsetsToStr, KafkaOffsetGen.java:88). */
+  def encode(topic: String, upto: Map[Int, Long]): String =
+    (topic +: upto.toSeq.sortBy(_._1).map { case (p, o) => s"$p:$o" }).mkString(",")
+
+  /** Inverse of [[encode]]; returns (topic, partition → offset). */
+  def decode(checkpoint: String): (String, Map[Int, Long]) = {
+    val parts = checkpoint.split(",").toSeq
+    val offsets = parts.tail.map { kv =>
+      val Array(p, o) = kv.split(":"): @unchecked
+      p.toInt -> o.toLong
+    }.toMap
+    (parts.head, offsets)
+  }
+
+  /** Allocate up to `maxEvents` across partitions fairly: repeatedly deal
+    * an equal share of the remaining budget to every partition that still
+    * has unread data, so one hot partition cannot starve the others but
+    * spare budget flows to whoever has lag (reference analog:
+    * KafkaOffsetGen.CheckpointUtils.computeOffsetRanges,
+    * KafkaOffsetGen.java:102-146). Partitions absent from `committed`
+    * (newly added) start at their earliest retained offset. */
+  def allocate(
+      committed: Map[Int, Long],
+      earliest: Map[Int, Long],
+      latest: Map[Int, Long],
+      maxEvents: Long): Seq[LogOffsetRange] = {
+    val starts = latest.keys.map { p =>
+      p -> committed.getOrElse(p, earliest.getOrElse(p, 0L))
+    }.toMap
+    var until = starts
+    var budget = math.max(0L, maxEvents)
+    var remaining = latest.filter { case (p, end) => until(p) < end }
+    while (budget > 0 && remaining.nonEmpty) {
+      val share = math.max(1L, budget / remaining.size)
+      remaining.toSeq.sortBy(_._1).foreach { case (p, end) =>
+        if (budget > 0) {
+          val take = math.min(share, math.min(budget, end - until(p)))
+          until = until.updated(p, until(p) + take)
+          budget -= take
+        }
+      }
+      remaining = latest.filter { case (p, end) => until(p) < end }
+    }
+    starts.toSeq.sortBy(_._1).map { case (p, from) =>
+      LogOffsetRange(p, from, until(p))
+    }
+  }
+}
+
+/** Kafka-shaped ingest source: checkpoint = `topic,p:offset,...` stored
+  * in commit metadata; each fetch reads at most `maxEvents` new records,
+  * fair-shared across partitions (reference analog:
+  * sources/AvroKafkaSource.java:48 + KafkaOffsetGen; maxEvents default
+  * mirrors hoodie.deltastreamer.kafka.source.maxEvents = 5,000,000). */
+class PartitionedLogSource(
+    client: PartitionedLogClient,
+    topic: String,
+    maxEvents: Long = 5000000L,
+    startFromEarliest: Boolean = true) extends IngestSource {
+
+  override def fetch(checkpoint: Option[String]): Option[(DataFrame, String)] = {
+    val committed: Map[Int, Long] = checkpoint match {
+      case Some(ck) =>
+        val (t, offs) = LogOffsets.decode(ck)
+        require(t == topic, s"checkpoint is for topic $t, source reads $topic")
+        offs
+      case None if startFromEarliest => Map.empty // allocate() falls back to earliest
+      case None                      => client.latestOffsets() // LATEST reset strategy
+    }
+    val ranges = LogOffsets.allocate(
+      committed, client.earliestOffsets(), client.latestOffsets(), maxEvents)
+    if (ranges.forall(_.count == 0L)) None
+    else {
+      val upto = ranges.map(r => r.partition -> r.until).toMap
+      Some((client.read(ranges.filter(_.count > 0)), LogOffsets.encode(topic, upto)))
+    }
+  }
+}
+
+/** Incremental JDBC ingest: checkpoint = max value of a monotonically
+  * increasing column; each fetch selects `incrCol > checkpoint` (strict,
+  * exclusive of the last checkpoint), optionally capped by `limit`
+  * smallest values so a backlog drains in bounded batches. First fetch
+  * (no checkpoint) is a full scan. The actual RDBMS read is injected as
+  * `load(predicate)` — the production binding builds
+  * `spark.read.format("jdbc")` with a pushed-down subquery (see
+  * [[JdbcIncrementalSource.jdbcLoader]]); tests bind a local frame
+  * (reference analog: sources/JdbcSource.java:57-343 — incrementalFetch
+  * pushes `WHERE incrCol > ckpt [ORDER BY incrCol LIMIT n]`, checkpoint()
+  * records max(incrCol), full-scan fallback on incremental failure). */
+class JdbcIncrementalSource(
+    load: Option[String] => DataFrame,
+    incrementalColumn: String,
+    limit: Long = 0L,
+    fallbackToFullScan: Boolean = true) extends IngestSource {
+
+  private def predicate(ck: String): String = s"$incrementalColumn > '$ck'"
+
+  override def fetch(checkpoint: Option[String]): Option[(DataFrame, String)] = {
+    val batch = checkpoint.filter(_.nonEmpty) match {
+      case Some(ck) =>
+        try {
+          val inc = load(Some(predicate(ck)))
+          if (limit > 0) inc.orderBy(col(incrementalColumn)).limit(limit.toInt) else inc
+        } catch {
+          // mirror the reference's guarded fallback: a broken incremental
+          // query (e.g. column dropped upstream) degrades to a full scan
+          // rather than wedging ingest
+          case _: Exception if fallbackToFullScan => load(None)
+        }
+      case None =>
+        val full = load(None)
+        if (limit > 0) full.orderBy(col(incrementalColumn)).limit(limit.toInt) else full
+    }
+    // one driver-side scalar: the new checkpoint; empty batch = caught up
+    val newCk = batch.agg(max(col(incrementalColumn)).cast("string")).head.getString(0)
+    if (newCk == null) None
+    else Some((batch, newCk))
+  }
+}
+
+object JdbcIncrementalSource {
+  /** Production loader: pushes the incremental predicate into the RDBMS
+    * as a subquery (`dbtable = (SELECT * FROM t WHERE ...) g`), so the
+    * database — not Spark — filters by the incremental column. */
+  def jdbcLoader(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      options: Map[String, String]): Option[String] => DataFrame = { pred =>
+    val dbtable = pred.fold(table)(p => s"(SELECT * FROM $table WHERE $p) graft_incr_src")
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", dbtable)
+      .options(options)
+      .load()
+  }
+}
