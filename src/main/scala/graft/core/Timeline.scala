@@ -35,13 +35,19 @@ class Timeline(val basePath: String, conf: Configuration) {
     Json.read(readFully(p), classOf[TableConfig])
   }
 
-  /** Replace table.json (rename-table / config evolution). Single-writer
-    * DDL: delete-then-rename, not atomic on its own, guarded by the
-    * timeline lock under OCC. */
+  /** Replace table.json (rename-table / config evolution). Temp write +
+    * rename-with-OVERWRITE: table.json exists at every point in time, so
+    * concurrent readers (GraftTable.load / config) never observe a
+    * missing file — the timeline lock only guards writers under OCC,
+    * not readers. */
   def updateConfig(newConfig: TableConfig): Unit = {
     val p = new Path(metaDir, Timeline.ConfigFile)
-    fs.delete(p, false)
-    writeAtomic(p, Json.write(newConfig))
+    val tmp = new Path(metaDir, s".${Timeline.ConfigFile}.tmp${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(Json.write(newConfig).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** All instants, time-ordered. Listing .graft is O(#active-instants),
@@ -74,11 +80,39 @@ class Timeline(val basePath: String, conf: Configuration) {
     t
   }
 
-  /** Open a new inflight instant. */
-  def start(action: String): String = {
-    val time = newInstantTime()
+  /** Open a new inflight instant. The inflight marker is created
+    * EXCLUSIVELY: `newInstantTime()` is only serialized per-JVM, so two
+    * writer processes can mint the same millisecond — the loser here
+    * remints instead of sharing a file name. */
+  def start(action: String): String =
+    mintExclusive(t => s"$t.$action.${State.Inflight}", "{}")
+
+  /** Open a new REQUESTED instant carrying a payload (e.g. a compaction
+    * plan for a later, possibly concurrent, executor — reference analog:
+    * the requested-state plan files written by
+    * ScheduleCompactionActionExecutor.java:50). */
+  def startRequested(action: String, meta: CommitMetadata): String =
+    mintExclusive(t => s"$t.$action.${State.Requested}", Json.write(meta))
+
+  /** Transition a requested instant to inflight (executor picked it up).
+    * The requested file (and its plan payload) stays until completion. */
+  def markInflight(time: String, action: String): Unit =
     writeAtomic(new Path(metaDir, s"$time.$action.${State.Inflight}"), "{}")
-    time
+
+  private def mintExclusive(fileFor: String => String, content: String): String = {
+    var attempts = 0
+    var issued: String = null
+    while (issued == null) {
+      val time = newInstantTime()
+      try {
+        writeExclusive(new Path(metaDir, fileFor(time)), content)
+        issued = time
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException if attempts < 16 =>
+          attempts += 1 // another process holds this instant; mint a later one
+      }
+    }
+    issued
   }
 
   private val callbacks =
@@ -91,9 +125,12 @@ class Timeline(val basePath: String, conf: Configuration) {
     * exceptions propagate: the commit itself is already durable. */
   def register(cb: CommitCallback): Unit = callbacks += cb
 
-  /** Publish: write completed file atomically, drop pending markers. */
+  /** Publish: write completed file atomically AND exclusively, drop
+    * pending markers. Exclusive create is the cross-process collision
+    * guard: if another writer process published the same instant name,
+    * this fails loudly instead of silently replacing its commit. */
   def complete(time: String, action: String, meta: CommitMetadata): Instant = {
-    writeAtomic(new Path(metaDir, s"$time.$action"), Json.write(meta))
+    writeExclusive(new Path(metaDir, s"$time.$action"), Json.write(meta))
     fs.delete(new Path(metaDir, s"$time.$action.${State.Inflight}"), false)
     fs.delete(new Path(metaDir, s"$time.$action.${State.Requested}"), false)
     val inst = Instant(time, action, State.Completed)
@@ -128,6 +165,21 @@ class Timeline(val basePath: String, conf: Configuration) {
       .flatMap(parseFileName).map(_.time).sorted
   }
 
+  /** Load archived instants WITH their commit metadata back for audit /
+    * lineage inspection (reference analog:
+    * table/timeline/HoodieArchivedTimeline.java:61 — loadInstantDetails
+    * over the archive). Optional time bounds prune the reads. */
+  def archivedInstants(
+      from: String = "", until: String = "~"): Seq[(Instant, CommitMetadata)] = {
+    val d = new Path(metaDir, Timeline.ArchiveDir)
+    if (!fs.exists(d)) return Nil
+    fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .flatMap(parseFileName)
+      .filter(i => i.time >= from && i.time <= until)
+      .sortBy(i => (i.time, i.action))
+      .map(i => i -> Json.read(readFully(new Path(d, i.fileName)), classOf[CommitMetadata]))
+  }
+
   def metadataOf(i: Instant): CommitMetadata =
     Json.read(readFully(new Path(metaDir, i.fileName)), classOf[CommitMetadata])
 
@@ -151,6 +203,18 @@ class Timeline(val basePath: String, conf: Configuration) {
       fs.delete(tmp, false)
       throw new IllegalStateException(s"atomic publish failed (exists?): $p")
     }
+  }
+
+  /** Like [[writeAtomic]] but the final rename REFUSES an existing
+    * destination (FileContext rename without OVERWRITE), giving
+    * create-exclusive publish semantics across processes. */
+  private def writeExclusive(p: Path, content: String): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    try fc.rename(tmp, p) // default Rename.NONE → FileAlreadyExistsException
+    catch { case e: Throwable => fs.delete(tmp, false); throw e }
   }
 }
 

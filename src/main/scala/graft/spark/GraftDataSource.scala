@@ -64,12 +64,19 @@ class GraftDataSource
   }
 
   /** Catalog re-resolution passes back the stored schema; the live
-    * table schema wins (it may have evolved since CREATE). */
+    * table schema wins (it may have evolved since CREATE) — except on a
+    * ZERO-COMMIT table, whose data-derived schema is still empty: there
+    * the declared schema holds, so CREATE stores real columns in the
+    * catalog and the first INSERT can align against them. */
   override def createRelation(
       sqlContext: SQLContext,
       parameters: Map[String, String],
-      schema: StructType): BaseRelation =
-    createRelation(sqlContext, parameters)
+      schema: StructType): BaseRelation = {
+    val live = createRelation(sqlContext, parameters)
+    if (live.schema.nonEmpty || schema.isEmpty) live
+    else new GraftRelation(sqlContext, sqlContext.sparkSession.createDataFrame(
+      sqlContext.sparkSession.sparkContext.emptyRDD[Row], schema))
+  }
 
   override def createRelation(
       sqlContext: SQLContext,
@@ -164,7 +171,11 @@ object GraftRelation {
     case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
     case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
     case StringContains(a, v)     => Some(col(a).contains(v))
-    case Not(child)               => filterToColumn(child).map(!_)
+    // Not must negate an EXACT translation: And/Or below may widen
+    // (translate a superset — safe to prune with), and !superset is a
+    // subset, which would physically drop rows Spark's re-applied
+    // filter can never restore.
+    case Not(child)               => exactColumn(child).map(!_)
     case And(l, r) =>
       // one translatable side still prunes (the other re-applies above)
       (filterToColumn(l), filterToColumn(r)) match {
@@ -176,5 +187,14 @@ object GraftRelation {
     case Or(l, r) =>
       for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a || b
     case _ => None
+  }
+
+  /** Strict translation: every node must translate, so the result is
+    * EQUIVALENT to `f`, never a superset. Required under Not. */
+  private def exactColumn(f: Filter): Option[Column] = f match {
+    case And(l, r) => for (a <- exactColumn(l); b <- exactColumn(r)) yield a && b
+    case Or(l, r)  => for (a <- exactColumn(l); b <- exactColumn(r)) yield a || b
+    case Not(c)    => exactColumn(c).map(!_)
+    case leaf      => filterToColumn(leaf) // leaves translate exactly or not at all
   }
 }

@@ -40,20 +40,29 @@ class GraftDml(table: GraftTable) {
     require(unknown.isEmpty, s"unknown columns in SET: ${unknown.mkString(",")}")
     val snap0 = reader.snapshot()
     val snap = alias.fold(snap0)(snap0.alias)
-    val affected = reader.dataOnly(snap.filter(condition))
-    if (affected.isEmpty) return None
-    val updated = affected.select(cols.map(c =>
-      assignments.get(c).map(_.as(c)).getOrElse(col(c))): _*)
-    Some(table.upsert(updated))
+    // persisted: the filtered snapshot scan feeds both the emptiness
+    // probe and the upsert — without it the scan executes twice
+    val affected = reader.dataOnly(snap.filter(condition)).persist()
+    try {
+      if (affected.isEmpty) None
+      else {
+        val updated = affected.select(cols.map(c =>
+          assignments.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+        Some(table.upsert(updated))
+      }
+    } finally affected.unpersist()
   }
 
   /** DELETE FROM t WHERE condition. */
   def deleteWhere(condition: Column, alias: Option[String] = None): Option[String] = {
     val snap0 = reader.snapshot()
     val snap = alias.fold(snap0)(snap0.alias)
-    val affected = reader.dataOnly(snap.filter(condition))
-    if (affected.isEmpty) None
-    else Some(table.delete(affected))
+    // persisted for the same double-execution reason as update()
+    val affected = reader.dataOnly(snap.filter(condition)).persist()
+    try {
+      if (affected.isEmpty) None
+      else Some(table.delete(affected))
+    } finally affected.unpersist()
   }
 
   /** MERGE INTO t USING source ON cond — builder, Delta-style (the

@@ -21,7 +21,9 @@ trait PartitionedLogClient {
   def latestOffsets(): Map[Int, Long]
   /** Oldest retained offset per partition. */
   def earliestOffsets(): Map[Int, Long]
-  /** Read the given ranges as one DataFrame. */
+  /** Read the given ranges as one DataFrame. Zero-count ranges contribute
+    * no rows but must still yield a correctly-schemed (empty) frame — the
+    * LATEST reset path materializes one to pin its starting position. */
   def read(ranges: Seq[LogOffsetRange]): DataFrame
 }
 
@@ -100,9 +102,17 @@ class PartitionedLogSource(
     }
     val ranges = LogOffsets.allocate(
       committed, client.earliestOffsets(), client.latestOffsets(), maxEvents)
-    if (ranges.forall(_.count == 0L)) None
-    else {
-      val upto = ranges.map(r => r.partition -> r.until).toMap
+    val upto = ranges.map(r => r.partition -> r.until).toMap
+    if (ranges.forall(_.count == 0L)) {
+      // First fetch under LATEST with nothing new yet: pin the position by
+      // returning an EMPTY batch carrying the encoded offsets (committed
+      // with it by the ingest harness). Returning None here would re-reset
+      // to the then-current latest on every poll, permanently skipping
+      // whatever arrives between polls.
+      if (checkpoint.isEmpty && !startFromEarliest)
+        Some((client.read(ranges), LogOffsets.encode(topic, upto)))
+      else None
+    } else {
       Some((client.read(ranges.filter(_.count > 0)), LogOffsets.encode(topic, upto)))
     }
   }
@@ -125,7 +135,25 @@ class JdbcIncrementalSource(
     limit: Long = 0L,
     fallbackToFullScan: Boolean = true) extends IngestSource {
 
-  private def predicate(ck: String): String = s"$incrementalColumn > '$ck'"
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[JdbcIncrementalSource])
+
+  /** Whether the incremental column is numeric at the source — probed once
+    * via a no-row query (`WHERE 1=0` pushes down; only schema comes back),
+    * so numeric checkpoints compare as numbers instead of relying on the
+    * database to coerce a quoted literal. */
+  private lazy val numericIncrCol: Boolean =
+    scala.util.Try {
+      load(Some("1=0")).schema
+        .find(_.name.equalsIgnoreCase(incrementalColumn))
+        .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    }.getOrElse(false)
+
+  private def predicate(ck: String): String = {
+    // escape embedded quotes (SQL-standard doubling) so a string checkpoint
+    // can never break out of — or break — the pushed literal
+    val literal = if (numericIncrCol) ck else "'" + ck.replace("'", "''") + "'"
+    s"$incrementalColumn > $literal"
+  }
 
   override def fetch(checkpoint: Option[String]): Option[(DataFrame, String)] = {
     val batch = checkpoint.filter(_.nonEmpty) match {
@@ -137,7 +165,10 @@ class JdbcIncrementalSource(
           // mirror the reference's guarded fallback: a broken incremental
           // query (e.g. column dropped upstream) degrades to a full scan
           // rather than wedging ingest
-          case _: Exception if fallbackToFullScan => load(None)
+          case e: Exception if fallbackToFullScan =>
+            log.warn(s"incremental fetch ($incrementalColumn > ...) failed; " +
+              s"falling back to full scan: ${e.getMessage}")
+            load(None)
         }
       case None =>
         val full = load(None)

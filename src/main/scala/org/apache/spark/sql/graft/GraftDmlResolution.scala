@@ -89,7 +89,8 @@ case class GraftDmlResolution(session: SparkSession) extends Rule[LogicalPlan] {
       graftTarget(target) match {
         case Some((path, _)) =>
           GraftInsertCommand(path, query, userCols,
-            partitionSpec.collect { case (k, Some(v)) => k -> v }, overwrite)
+            partitionSpec.collect { case (k, Some(v)) => k -> v }, overwrite,
+            GraftDmlResolution.catalogSchema(session, target))
         case None => i
       }
 
@@ -181,7 +182,8 @@ case class GraftMergeCommand(
   * touched by the incoming rows (insert_overwrite). */
 case class GraftInsertCommand(
     path: String, query: LogicalPlan, userCols: Seq[String],
-    staticPartitions: Map[String, String], overwrite: Boolean)
+    staticPartitions: Map[String, String], overwrite: Boolean,
+    declaredSchema: Option[org.apache.spark.sql.types.StructType] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftDmlResolution.instantOutput
 
@@ -191,7 +193,13 @@ case class GraftInsertCommand(
     val df0 = org.apache.spark.sql.classic.Dataset.ofRows(classic, query)
     val table = GraftTable.load(session, path)
     val reader = graft.read.GraftReader(table)
-    val schema = reader.snapshot().schema
+    // a freshly created (zero-commit) table has no data-derived schema
+    // yet; fall back to the catalog's declared schema so the FIRST
+    // INSERT INTO an empty table aligns columns instead of failing
+    val snapSchema = reader.snapshot().schema
+    val schema =
+      if (snapSchema.nonEmpty) snapSchema
+      else declaredSchema.filter(_.nonEmpty).getOrElse(snapSchema)
     val dataFields = schema.fields
       .filterNot(f => graft.write.Meta.all.contains(f.name))
       .filterNot(f => staticPartitions.contains(f.name))
@@ -253,6 +261,26 @@ object GraftDmlResolution {
     if (!ct.provider.exists(_.equalsIgnoreCase("graft"))) None
     else ct.storage.properties.get("path")
       .orElse(ct.storage.locationUri.map(u => new org.apache.hadoop.fs.Path(u).toString))
+
+  /** The catalog's DECLARED schema for a graft relation, in any
+    * resolution state — the fallback for writes against a table with no
+    * data commits yet (where the data-derived snapshot schema is empty). */
+  private[graft] def catalogSchema(
+      session: SparkSession, plan: LogicalPlan): Option[org.apache.spark.sql.types.StructType] =
+    plan match {
+      case SubqueryAlias(_, child) => catalogSchema(session, child)
+      case UnresolvedRelation(parts, _, _) =>
+        val catalog = session.sessionState.catalog
+        val ti = parts match {
+          case Seq(t)    => org.apache.spark.sql.catalyst.TableIdentifier(t)
+          case Seq(d, t) => org.apache.spark.sql.catalyst.TableIdentifier(t, Some(d))
+          case _         => return None
+        }
+        if (!catalog.tableExists(ti)) None else Some(catalog.getTableMetadata(ti).schema)
+      case UnresolvedCatalogRelation(ct, _, _) => Some(ct.schema)
+      case lr: LogicalRelation => lr.catalogTable.map(_.schema)
+      case _ => None
+    }
 
   /** Pinned-snapshot plan for `VERSION AS OF '<instant>'` /
     * `TIMESTAMP AS OF <literal>` on a graft table (reference analog:

@@ -165,4 +165,19 @@ class ArchiveOccSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().sortBy(_._1)
     assert(got.toSeq == Seq((1L, "a2"), (2L, "b2")))
   }
+
+  test("publishing the same instant twice fails loudly (cross-process guard)") {
+    val dir = tmp()
+    val conf = spark.sessionState.newHadoopConf()
+    val tl = new Timeline(dir, conf)
+    tl.initTable(TableConfig(name = "dup", tableType = TableType.COW,
+      keyFields = Seq("id")))
+    tl.complete("20260101000000000", "commit", CommitMetadata("upsert"))
+    // a second writer process minting the same instant must NOT silently
+    // replace the first commit
+    intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
+      tl.complete("20260101000000000", "commit", CommitMetadata("upsert"))
+    }
+    assert(tl.completed().map(_.time) == Seq("20260101000000000"))
+  }
 }

@@ -95,6 +95,19 @@ class DataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Not pushdown refuses a widened (partial) child translation") {
+    import org.apache.spark.sql.sources._
+    import graft.spark.GraftRelation.filterToColumn
+    val partial = And(EqualTo("a", 1), AlwaysTrue()) // AlwaysTrue is untranslatable
+    assert(filterToColumn(partial).isDefined, "partial And may widen for pruning")
+    // !widened would be a SUBSET -> physically drops rows; must not push
+    assert(filterToColumn(Not(partial)).isEmpty)
+    assert(filterToColumn(Not(Or(partial, EqualTo("b", 2)))).isEmpty)
+    // fully-translatable children still push under Not
+    assert(filterToColumn(Not(EqualTo("a", 1))).isDefined)
+    assert(filterToColumn(Not(And(EqualTo("a", 1), EqualTo("b", 2)))).isDefined)
+  }
+
   test("Overwrite mode maps to insert_overwrite_table") {
     import spark.implicits._
     val dir = tmp()

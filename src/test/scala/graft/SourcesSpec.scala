@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{TableConfig, TableType}
+import graft.read.GraftReader
+import graft.streaming._
+import graft.write.GraftTable
+
+/** Ingest-source seams: partitioned-log (Kafka-shaped) offset handling
+  * and the incremental JDBC source's pushed predicate. */
+class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Tables.configure(SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  def tmp(): String = Files.createTempDirectory("graft-src").toString
+
+  /** In-memory partitioned log; offset = index into the partition buffer. */
+  class FakeLog extends PartitionedLogClient {
+    val buf: mutable.Map[Int, mutable.ArrayBuffer[(Long, String)]] =
+      mutable.Map(0 -> mutable.ArrayBuffer.empty, 1 -> mutable.ArrayBuffer.empty)
+    def append(p: Int, rows: (Long, String)*): Unit = buf(p) ++= rows
+    override def latestOffsets(): Map[Int, Long] =
+      buf.map { case (p, b) => p -> b.length.toLong }.toMap
+    override def earliestOffsets(): Map[Int, Long] = buf.keys.map(_ -> 0L).toMap
+    override def read(ranges: Seq[LogOffsetRange]): DataFrame = {
+      import spark.implicits._
+      val rows = ranges.flatMap(r =>
+        buf(r.partition).slice(r.from.toInt, r.until.toInt))
+      rows.toDF("id", "v").withColumn("ts", expr("id"))
+    }
+  }
+
+  test("LogOffsets.allocate fair-shares the budget across lagging partitions") {
+    val ranges = LogOffsets.allocate(
+      committed = Map.empty,
+      earliest = Map(0 -> 0L, 1 -> 5L),
+      latest = Map(0 -> 10L, 1 -> 15L),
+      maxEvents = 10L)
+    assert(ranges.sortBy(_.partition) ==
+      Seq(LogOffsetRange(0, 0L, 5L), LogOffsetRange(1, 5L, 10L)))
+    // spare budget flows to whoever still has lag
+    val skewed = LogOffsets.allocate(
+      committed = Map(0 -> 10L, 1 -> 5L),
+      earliest = Map(0 -> 0L, 1 -> 0L),
+      latest = Map(0 -> 11L, 1 -> 105L),
+      maxEvents = 100L)
+    assert(skewed.map(_.count).sum == 100L)
+    assert(skewed.find(_.partition == 0).get.count == 1L)
+    assert(skewed.find(_.partition == 1).get.count == 99L)
+  }
+
+  test("checkpoint codec round-trips") {
+    val enc = LogOffsets.encode("topicA", Map(1 -> 7L, 0 -> 3L))
+    assert(enc == "topicA,0:3,1:7")
+    assert(LogOffsets.decode(enc) == (("topicA", Map(0 -> 3L, 1 -> 7L))))
+  }
+
+  test("LATEST reset pins its start; between-poll data is not skipped") {
+    import spark.implicits._
+    val log = new FakeLog
+    log.append(0, (1L, "old-a"), (2L, "old-b"))
+    log.append(1, (3L, "old-c"))
+
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "latest", tableType = TableType.COW, keyFields = Seq("id"),
+      orderingField = "ts", targetFileRows = 1000))
+    val ingest = new ContinuousIngest(tbl,
+      new PartitionedLogSource(log, "t", startFromEarliest = false))
+
+    // first poll: nothing new past LATEST — but the position must be
+    // COMMITTED (empty instant carrying the checkpoint), not dropped
+    assert(ingest.syncOnce().isDefined, "first LATEST poll must pin a checkpoint")
+    assert(ingest.checkpoint.contains(LogOffsets.encode("t", Map(0 -> 2L, 1 -> 1L))))
+
+    // data arriving between polls is consumed from the pinned position
+    log.append(0, (10L, "new-a"))
+    log.append(1, (11L, "new-b"), (12L, "new-c"))
+    assert(ingest.syncOnce().isDefined)
+    val r = GraftReader(tbl)
+    val got = r.dataOnly(r.snapshot()).select("id", "v")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((10L, "new-a"), (11L, "new-b"), (12L, "new-c")),
+      "exactly the between-poll records must land; old records skipped")
+
+    // caught up again -> no further commits
+    assert(ingest.syncOnce().isEmpty)
+  }
+
+  test("EARLIEST start ingests the backlog with a bounded batch budget") {
+    import spark.implicits._
+    val log = new FakeLog
+    log.append(0, (1L, "a"), (2L, "b"), (3L, "c"))
+    log.append(1, (4L, "d"), (5L, "e"))
+
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "earliest", tableType = TableType.COW, keyFields = Seq("id"),
+      orderingField = "ts", targetFileRows = 1000))
+    val ingest = new ContinuousIngest(tbl,
+      new PartitionedLogSource(log, "t", maxEvents = 2L))
+    // 5 records at 2/batch -> 3 commits, then caught up
+    assert(ingest.runContinuous(maxRounds = 1).size == 3)
+    val r = GraftReader(tbl)
+    assert(r.dataOnly(r.snapshot()).count() == 5L)
+  }
+
+  test("JDBC incremental: numeric checkpoints push unquoted; strings escape quotes") {
+    import spark.implicits._
+    var lastPred: Option[String] = None
+    val base = Seq((1L, "o'brien"), (2L, "smith"), (3L, "o'hara"))
+      .toDF("id", "name")
+    def loader(p: Option[String]): DataFrame = {
+      lastPred = p
+      p.fold(base)(pred => base.where(expr(pred)))
+    }
+
+    val numSrc = new JdbcIncrementalSource(loader, "id")
+    val Some((b1, ck1)) = numSrc.fetch(None): @unchecked
+    assert(b1.count() == 3 && ck1 == "3")
+    assert(numSrc.fetch(Some(ck1)).isEmpty) // caught up
+    assert(lastPred.contains("id > 3"), s"numeric literal must be unquoted: $lastPred")
+
+    val strSrc = new JdbcIncrementalSource(loader, "name")
+    val Some((_, ckA)) = strSrc.fetch(None): @unchecked
+    assert(ckA == "smith")
+    // a checkpoint containing a quote must not break the pushed predicate
+    val afterQuote = strSrc.fetch(Some("o'brien"))
+    assert(lastPred.contains("name > 'o''brien'"), s"quote must be doubled: $lastPred")
+    assert(afterQuote.map(_._1.count()).contains(2L)) // o'hara + smith
+  }
+
+  test("JDBC incremental: broken incremental query degrades to a full scan") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    def loader(p: Option[String]): DataFrame =
+      p.fold(base)(_ => throw new RuntimeException("column dropped upstream"))
+    val src = new JdbcIncrementalSource(loader, "id")
+    val Some((batch, ck)) = src.fetch(Some("1")): @unchecked
+    assert(batch.count() == 2 && ck == "2", "fallback must return the full scan")
+  }
+}

@@ -75,4 +75,23 @@ class SqlStatementsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(nRun >= 15, s"corpus should exercise the full surface, ran $nRun")
   }
+
+  test("first INSERT INTO a freshly created empty catalog table") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-insempty").toString
+    GraftTable.create(spark, dir, TableConfig(
+      name = "ins_empty", tableType = TableType.COW, keyFields = Seq("id"),
+      orderingField = "ts", targetFileRows = 1000))
+    // zero data commits -> snapshot schema is empty; column alignment
+    // must fall back to the catalog's DECLARED schema
+    spark.catalog.createTable("ins_empty", "graft",
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType),
+        StructField("ts", LongType))),
+      Map("path" -> dir))
+    spark.sql("INSERT INTO ins_empty VALUES (1, 'a', 10), (2, 'b', 20)")
+    spark.catalog.refreshTable("ins_empty")
+    val got = spark.sql("SELECT id, v FROM ins_empty ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")))
+  }
 }
