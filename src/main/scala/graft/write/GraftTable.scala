@@ -5,7 +5,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.core._
 
@@ -236,65 +236,43 @@ class GraftTable private (
     staged.write.mode("overwrite").partitionBy(GP, GF).parquet(stagingDir.toString)
 
     // empty input leaves only _SUCCESS behind; nothing to publish
-    if (fs.globStatus(new Path(stagingDir, s"$GP=*")).isEmpty) {
+    val groupDirs = fs.globStatus(new Path(stagingDir, s"$GP=*/$GF=*")).toSeq
+    if (groupDirs.isEmpty) {
       fs.delete(stagingDir, true)
       return Nil
     }
 
-    // per-group stats from the staged output (one cheap metadata-friendly
-    // aggregate; reference analog: HoodieWriteStat accounting).
-    // Partition-column type inference must stay OFF for this read: numeric
-    // or date-like partition values would come back typed (getString
-    // throws) or normalized (leading zeros dropped → rename lookup fails).
-    // session-conf toggle is process-global: serialize it across
-    // concurrent writers (OCC mode) so one writer's restore can't race
-    // another's inference-off read
-    val stagedDf = GraftTable.confLock.synchronized {
-      val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-      val prevInfer = spark.conf.getOption(inferKey)
-      spark.conf.set(inferKey, "false")
-      try spark.read.parquet(stagingDir.toString)
-      finally prevInfer match {
-        case Some(v) => spark.conf.set(inferKey, v)
-        case None    => spark.conf.unset(inferKey)
-      }
-    }
-    // data-skipping stats for configured columns ride the same aggregate
-    val statsCols = config.statsColumns.filter(stagedDf.columns.contains)
-    val colAggs = statsCols.flatMap(c => Seq(
-      min(col(c)).cast("string"), max(col(c)).cast("string"),
-      sum(when(col(c).isNull, 1L).otherwise(0L))))
-    val baseAggs = Seq(
-      count(lit(1)).as("rows"), min(col(Key)).as("minKey"), max(col(Key)).as("maxKey"))
-    val aggs = baseAggs ++ colAggs
-    val stats = stagedDf.groupBy(col(GP), col(GF))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-      .map { r =>
-        val part = if (r.getString(0) == RootPartition) "" else r.getString(0)
-        val cstats = statsCols.zipWithIndex.map { case (c, i) =>
-          val off = 5 + i * 3
-          c -> ColStat(r.getString(off), r.getString(off + 1), r.getLong(off + 2))
-        }.toMap
-        (part, r.getString(1), r.getLong(2), r.getString(3), r.getString(4), cstats)
-      }
+    // Per-group stats come from the parquet FOOTERS of the files just
+    // written — a metadata-only read of a few KB per group on the publish
+    // pool, NOT a second data pass over the commit's output (reference
+    // analog: HoodieWriteStat accounting, populated by the write handles
+    // during the write itself). Stat values re-encode as strings in the
+    // formats StatsSkipping.compare re-parses; columns whose footer stats
+    // are absent (e.g. >4 KB binary values) are simply not tracked, which
+    // StatsSkipping treats as "never skip" — conservative, never wrong.
+    val statsCols = config.statsColumns.filter(df.columns.contains)
+    val statTypes: Map[String, DataType] =
+      (Key +: statsCols).flatMap(c =>
+        df.schema.fields.find(_.name == c).map(f => c -> f.dataType)).toMap
+    val hconf = spark.sessionState.newHadoopConf()
 
     val suffix = if (delta) s"_$commitTime.delta.parquet" else s"_$commitTime.parquet"
     // publish renames run on a driver-side pool: at thousands of file
     // groups per commit a serial rename loop becomes the publish tail
     // (Hadoop FileSystem instances are thread-safe)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(GraftTable.PublishThreads, math.max(1, stats.length)))
+      math.min(GraftTable.PublishThreads, math.max(1, groupDirs.length)))
     val out =
       try {
-        val futures = stats.toSeq.map { case (part, fileId, rows, minKey, maxKey, cstats) =>
+        val futures = groupDirs.map { gDir =>
           pool.submit(new java.util.concurrent.Callable[WriteStat] {
             override def call(): WriteStat = {
-              val encPart = escapePath(if (part == "") RootPartition else part)
-              val srcDir = new Path(stagingDir, s"$GP=$encPart/$GF=${escapePath(fileId)}")
-              val parts = fs.globStatus(new Path(srcDir, "part-*")).toSeq
+              val partRaw = unescapePath(gDir.getPath.getParent.getName.stripPrefix(s"$GP="))
+              val part = if (partRaw == RootPartition) "" else partRaw
+              val fileId = unescapePath(gDir.getPath.getName.stripPrefix(s"$GF="))
+              val parts = fs.globStatus(new Path(gDir.getPath, "part-*")).toSeq
               require(parts.size == 1,
-                s"expected 1 staged file per group, got ${parts.size} in $srcDir")
+                s"expected 1 staged file per group, got ${parts.size} in ${gDir.getPath}")
               val destDir = if (part == "") new Path(basePath) else new Path(basePath, part)
               fs.mkdirs(destDir)
               val dest = new Path(destDir, s"$fileId$suffix")
@@ -302,9 +280,12 @@ class GraftTable private (
                 throw new IllegalStateException(s"publish rename failed: $dest")
               val bytes = fs.getFileStatus(dest).getLen
               val rel = if (part == "") dest.getName else s"$part/${dest.getName}"
+              val (rows, colStats) = GraftTable.footerStats(dest, hconf, statTypes)
+              val keyStat = colStats.get(Key)
               WriteStat(part, fileId, rel, isDelta = delta, rows = rows, bytes = bytes,
-                minKey = Option(minKey).getOrElse(""), maxKey = Option(maxKey).getOrElse(""),
-                columnStats = cstats)
+                minKey = keyStat.flatMap(s => Option(s.min)).getOrElse(""),
+                maxKey = keyStat.flatMap(s => Option(s.max)).getOrElse(""),
+                columnStats = colStats.filter { case (c, _) => c != Key })
             }
           })
         }
@@ -317,6 +298,10 @@ class GraftTable private (
   /** Match Spark's partition-dir escaping so staged dirs resolve. */
   private def escapePath(s: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s)
+
+  /** Inverse of [[escapePath]] for reading staged dir names back. */
+  private def unescapePath(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
 
   // =========================================================================
   // bucket assignment for inserts
@@ -859,8 +844,79 @@ object DataTypeJson {
 }
 
 object GraftTable {
-  /** Serializes the session-conf toggle inside [[stageAndPublish]]. */
-  private[write] val confLock = new Object
+
+  /** Row count + per-column [min,max,nullCount] for one parquet file,
+    * read from its FOOTER only (row-group metadata; no data pages touched).
+    * `types` maps column name → the Spark type it was written as; columns
+    * with unusable footer stats (missing, unknown null counts, or a type
+    * this decoder doesn't cover) are omitted from the result — callers
+    * treat absent stats as "cannot skip", which is always sound. */
+  private[graft] def footerStats(
+      file: Path,
+      conf: Configuration,
+      types: Map[String, DataType]): (Long, Map[String, ColStat]) = {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val stats = types.flatMap { case (name, dt) =>
+        val chunks = blocks.flatMap(_.getColumns.asScala)
+          .filter(c => c.getPath.size == 1 && c.getPath.toDotString == name)
+        val sts = chunks.map(_.getStatistics)
+        if (chunks.isEmpty || sts.exists(s => s == null || s.isEmpty || s.getNumNulls < 0)) None
+        else {
+          val nulls = sts.map(_.getNumNulls).sum
+          val withVals = sts.filter(_.hasNonNullValue)
+          if (withVals.isEmpty) Some(name -> ColStat(null, null, nulls))
+          else {
+            // merge across row groups with the TYPED comparator, then
+            // re-encode in the string formats StatsSkipping.compare parses
+            val merged = withVals.head
+            withVals.tail.foreach(merged.mergeStatistics)
+            (decodeStat(dt, merged.genericGetMin), decodeStat(dt, merged.genericGetMax)) match {
+              case (Some(lo), Some(hi)) => Some(name -> ColStat(lo, hi, nulls))
+              case _                    => None
+            }
+          }
+        }
+      }
+      (rows, stats)
+    } finally reader.close()
+  }
+
+  /** Parquet footer stat value → the string encoding ColStat carries
+    * (same ordering semantics as the former `cast("string")` aggregate:
+    * numerics re-parse via BigDecimal, temporals via LocalDate[Time]). */
+  private def decodeStat(dt: DataType, v: Any): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => Some(v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | BooleanType => Some(v.toString)
+      case d: DecimalType => v match {
+        case b: org.apache.parquet.io.api.Binary =>
+          Some(new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), d.scale).toPlainString)
+        case i: java.lang.Integer =>
+          Some(java.math.BigDecimal.valueOf(i.longValue, d.scale).toPlainString)
+        case l: java.lang.Long =>
+          Some(java.math.BigDecimal.valueOf(l, d.scale).toPlainString)
+        case _ => None
+      }
+      case DateType =>
+        Some(java.time.LocalDate.ofEpochDay(v.asInstanceOf[java.lang.Integer].longValue).toString)
+      case _: TimestampType | _: TimestampNTZType =>
+        // Spark 3+/4 writes INT64 micros; format as a UTC-naive wall time
+        // (LocalDateTime ISO form — what StatsSkipping.compare re-parses)
+        val micros = v.asInstanceOf[java.lang.Long].longValue
+        Some(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC).toString)
+      case _ => None
+    }
+  }
 
   /** Drop files whose [minKey, maxKey] cannot overlap the incoming
     * batch's key range for their partition. Files without recorded key
