@@ -20,6 +20,7 @@ object Action {
   val Rollback = "rollback"
   val Savepoint = "savepoint"
   val Restore = "restore"
+  val Upgrade = "upgrade"             // format-version migration (either direction)
 
   /** Actions whose completed instants contribute data files. */
   val dataActions: Set[String] = Set(Commit, DeltaCommit, ReplaceCommit, Compaction)

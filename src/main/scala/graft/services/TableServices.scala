@@ -78,6 +78,63 @@ class TableServices(table: GraftTable) {
     Some(t)
   }
 
+  /** Persist a compaction plan as a `compaction.requested` instant for a
+    * later — possibly concurrent — executor (the async schedule→execute
+    * split; reference analog: ScheduleCompactionActionExecutor.java:50 +
+    * async/AsyncCompactService). The instant time is minted NOW: delta
+    * files appended by writers that commit AFTER this schedule stack on
+    * top of the compacted base when the plan executes, because snapshot
+    * replay is instant-time-ordered — so ingestion never pauses for the
+    * compactor, and post-schedule deltas ride to the NEXT compaction.
+    * Returns the scheduled instant, or None when nothing has deltas. */
+  def scheduleCompaction(maxGroups: Int = Int.MaxValue,
+                         maxDeltaBytes: Long = Long.MaxValue,
+                         partitions: Option[Set[String]] = None): Option[String] = {
+    val plan = planCompaction(maxGroups, maxDeltaBytes, partitions)
+    if (plan.isEmpty) None
+    else {
+      // the requested payload pins the exact files to fold
+      val stats = plan.flatMap(s => s.baseFile.toSeq ++ s.deltas)
+      Some(timeline.startRequested(Action.Compaction,
+        CommitMetadata("compaction_plan", "", stats)))
+    }
+  }
+
+  /** Scheduled-but-not-yet-completed compaction instants, time asc. */
+  def pendingCompactions(): Seq[String] =
+    timeline.instants()
+      .filter(i => i.action == Action.Compaction && i.state == graft.core.State.Requested)
+      .map(_.time).distinct.sorted
+
+  /** Execute a previously scheduled compaction plan. Merges EXACTLY the
+    * files pinned at schedule time; groups that received deltas after the
+    * schedule keep those deltas stacked on the new base (they fold in the
+    * next round). Safe to run concurrently with ongoing upserts. */
+  def runScheduledCompaction(time: String): Option[String] = {
+    val inst = graft.core.Instant(time, Action.Compaction, graft.core.State.Requested)
+    val plan = timeline.metadataOf(inst).stats
+    if (plan.isEmpty) { timeline.deletePending(time, Action.Compaction); return None }
+    timeline.markInflight(time, Action.Compaction)
+    val snap = Snapshot.resolve(timeline)
+    val schema = table.readSchema(snap)
+    val merged = table.mergeLatest(table.readStatsDf(schema, plan))
+    val stats = table.stageAndPublish(merged, time)
+    val written = stats.map(s => (s.partition, s.fileId)).toSet
+    // a planned group whose merge came out empty is replaced — UNLESS a
+    // writer touched it after the schedule (its newer files must live on)
+    val touchedLater: Set[(String, String)] = timeline.completed()
+      .filter(i => Action.dataActions(i.action) && i.time > time)
+      .flatMap(i => timeline.metadataOf(i).stats.map(st => (st.partition, st.fileId)))
+      .toSet
+    val emptied = plan.map(s => (s.partition, s.fileId)).distinct
+      .filterNot(written.contains)
+      .filterNot(touchedLater.contains)
+      .groupBy(_._1).map { case (p, ks) => p -> ks.map(_._2).toSeq }
+    timeline.complete(time, Action.Compaction,
+      CommitMetadata("compact", "", stats, emptied))
+    Some(time)
+  }
+
   // =========================================================================
   // clustering: rewrite file groups into target-sized, layout-sorted files
   // =========================================================================
@@ -304,6 +361,8 @@ class TableServices(table: GraftTable) {
     * commits must re-bootstrap (same contract as the reference). */
   def archive(keepMin: Int = 20, keepMax: Int = 30): Option[String] = {
     require(keepMin <= keepMax, "keepMin must be <= keepMax")
+    require(timeline.config.version >= 1,
+      "archiving needs format v1 (snapshot checkpoints); run upgradeTable() first")
     val completed = timeline.completed()
     if (completed.size <= keepMax) return None
     val savepointBound = savepointTargets.sorted.headOption
@@ -319,6 +378,50 @@ class TableServices(table: GraftTable) {
       slices = snap.slices))
     candidates.foreach(timeline.archiveCompleted)
     Some(candidates.last.time)
+  }
+
+  // =========================================================================
+  // format upgrade / downgrade
+  // =========================================================================
+
+  /** Migrate the table FORWARD to format version `to` (reference analog:
+    * table/upgrade/UpgradeDowngrade.java:40 — stepwise version actions
+    * recorded on the timeline). The engine's one shipped step is
+    * v0 → v1: v1 added snapshot checkpoints, which unlock archiving;
+    * nothing needs rewriting (checkpoints appear lazily at the next
+    * archive), so the action is the audited version stamp itself.
+    * No-op (None) when already at or past `to`. */
+  def upgradeTable(to: Int = GraftTable.CurrentVersion): Option[String] = {
+    val from = timeline.config.version
+    require(to <= GraftTable.CurrentVersion,
+      s"unknown target version $to (this build writes <= ${GraftTable.CurrentVersion})")
+    if (from >= to) return None
+    val t = timeline.start(Action.Upgrade)
+    timeline.updateConfig(timeline.config.copy(version = to))
+    timeline.complete(t, Action.Upgrade, CommitMetadata("upgrade",
+      extra = Map("from" -> from.toString, "to" -> to.toString)))
+    Some(t)
+  }
+
+  /** Migrate BACKWARD to format version `to`, undoing each step: v1 → v0
+    * deletes the snapshot checkpoints (a v0 reader does not know them).
+    * Refuses while archived instants exist — without checkpoints their
+    * state would be silently unresolvable. */
+  def downgradeTable(to: Int): Option[String] = {
+    val from = timeline.config.version
+    require(to >= 0, s"unknown target version $to")
+    if (from <= to) return None
+    require(timeline.archivedTimes().isEmpty,
+      "cannot downgrade: archived instants exist and format v0 cannot " +
+        "resolve them — their state would become unreadable")
+    val t = timeline.start(Action.Upgrade)
+    Checkpoint.times(timeline).foreach { c =>
+      fs.delete(new Path(timeline.metaDir, s"${Checkpoint.Dir}/$c.json"), false)
+    }
+    timeline.updateConfig(timeline.config.copy(version = to))
+    timeline.complete(t, Action.Upgrade, CommitMetadata("downgrade",
+      extra = Map("from" -> from.toString, "to" -> to.toString)))
+    Some(t)
   }
 
   // =========================================================================

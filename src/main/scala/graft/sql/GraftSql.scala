@@ -55,15 +55,25 @@ object GraftSql {
 
   def sql(spark: SparkSession, statement: String): DataFrame = statement match {
     case RunCompaction(path) =>
-      val instant = TableServices(GraftTable.load(spark, path)).compact()
-      result(spark, "instant", instant.toSeq)
+      // execute anything scheduled first; otherwise plan-and-run inline
+      val svc = TableServices(GraftTable.load(spark, path))
+      val pending = svc.pendingCompactions()
+      val instants =
+        if (pending.nonEmpty) pending.flatMap(svc.runScheduledCompaction)
+        else svc.compact().toSeq
+      result(spark, "instant", instants)
     case ScheduleCompaction(path) =>
-      val plan = TableServices(GraftTable.load(spark, path)).planCompaction()
+      // persists a `compaction.requested` instant; rows list its plan
+      val svc = TableServices(GraftTable.load(spark, path))
+      val plan = svc.planCompaction()
+      svc.scheduleCompaction()
       result(spark, "file_group", plan.map(s => s"${s.partition}/${s.fileId}"))
     case ShowCompaction(path) =>
       val tl = GraftTable.load(spark, path).timeline
+      val svc = TableServices(GraftTable.load(spark, path))
       result(spark, "compaction_instant",
-        tl.completed().filter(_.action == Action.Compaction).map(_.time))
+        tl.completed().filter(_.action == Action.Compaction).map(_.time) ++
+          svc.pendingCompactions().map(t => s"$t (requested)"))
     case Update(path, setClause, whereClause) =>
       val dml = GraftDml(GraftTable.load(spark, path))
       val assignments = splitTopLevel(setClause, ',').map { kv =>

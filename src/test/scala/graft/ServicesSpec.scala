@@ -269,5 +269,105 @@ class ServicesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSameRows(r.dataOnly(r.snapshot()), want, "state unchanged by purge")
   }
 
+  test("scheduled compaction executes under live writes; later deltas survive") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "async", tableType = TableType.MOR, keyFields = Seq("id"),
+      orderingField = "ts", targetFileRows = 1000))
+    def df(rows: (Long, String, Long)*) = rows.toDF("id", "v", "ts")
+    tbl.bulkInsert(df((1L, "a", 1L), (2L, "a", 1L), (3L, "a", 1L),
+      (4L, "a", 1L), (5L, "a", 1L), (6L, "a", 1L)))
+    tbl.upsert(df((1L, "b", 2L), (2L, "b", 2L), (3L, "b", 2L)))
+
+    val svc = TableServices(tbl)
+    val ts = svc.scheduleCompaction().get
+    assert(svc.pendingCompactions() == Seq(ts))
+
+    // a writer lands AFTER the schedule — its delta is NOT in the plan
+    tbl.upsert(df((2L, "c", 3L), (4L, "c", 3L)))
+
+    // execute the plan CONCURRENTLY with another live upsert
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val fCompact = pool.submit(new Runnable {
+      override def run(): Unit =
+        try svc.runScheduledCompaction(ts)
+        catch { case t: Throwable => errors.add(t) }
+    })
+    val fWrite = pool.submit(new Runnable {
+      override def run(): Unit =
+        try tbl.upsert(df((5L, "d", 4L)))
+        catch { case t: Throwable => errors.add(t) }
+    })
+    fCompact.get(); fWrite.get(); pool.shutdown()
+    assert(errors.isEmpty, s"unexpected: ${errors.toArray.mkString(", ")}")
+    assert(svc.pendingCompactions().isEmpty)
+
+    val r = GraftReader(tbl)
+    def state(): Seq[(Long, String)] =
+      r.dataOnly(r.snapshot()).select("id", "v").as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+    val want = Seq((1L, "b"), (2L, "c"), (3L, "b"), (4L, "c"), (5L, "d"), (6L, "a"))
+    assert(state() == want, "post-schedule deltas must stack on the compacted base")
+
+    // the compacted base carries the SCHEDULED instant time; the
+    // post-schedule deltas remain as deltas until the next round
+    val snap = Snapshot.resolve(tbl.timeline)
+    assert(snap.slices.exists(_.deltas.nonEmpty),
+      "later deltas must NOT be folded by the earlier plan")
+    svc.compact()
+    assert(state() == want, "second compaction folds the rest, same answer")
+    assert(Snapshot.resolve(tbl.timeline).slices.forall(_.deltas.isEmpty))
+  }
+
+  test("upgrade/downgrade migrates the format version with audited instants") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "vmig", tableType = TableType.COW, keyFields = Seq("id")))
+    // simulate a pre-checkpoint-era table
+    tbl.timeline.updateConfig(tbl.timeline.config.copy(version = 0))
+    tbl.bulkInsert(Seq((1L, "a")).toDF("id", "v"))
+    tbl.upsert(Seq((2L, "b")).toDF("id", "v"))
+    tbl.upsert(Seq((3L, "c")).toDF("id", "v"))
+    tbl.upsert(Seq((4L, "d")).toDF("id", "v"))
+
+    val svc = TableServices(tbl)
+    // v0 has no checkpoints -> archiving is gated off
+    intercept[IllegalArgumentException] { svc.archive(keepMin = 1, keepMax = 2) }
+
+    assert(svc.upgradeTable().isDefined)
+    assert(tbl.timeline.config.version == 1)
+    assert(svc.upgradeTable().isEmpty, "already current: no-op")
+    assert(tbl.timeline.instants().exists(i =>
+      i.action == Action.Upgrade && i.isCompleted))
+
+    // v1 archives fine; archived metadata is loadable for audit
+    assert(svc.archive(keepMin = 1, keepMax = 2).isDefined)
+    val archived = tbl.timeline.archivedInstants()
+    assert(archived.nonEmpty)
+    assert(archived.forall { case (_, m) => m.operation.nonEmpty })
+
+    // downgrade refuses while archived instants exist
+    intercept[IllegalArgumentException] { svc.downgradeTable(0) }
+
+    // a fresh v1 table with a checkpoint but nothing archived downgrades
+    val dir2 = tmp()
+    val t2 = GraftTable.create(spark, dir2, TableConfig(
+      name = "vmig2", tableType = TableType.COW, keyFields = Seq("id")))
+    t2.bulkInsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val snap2 = Snapshot.resolve(t2.timeline)
+    Checkpoint.write(t2.timeline, SnapshotCheckpoint(
+      asOf = snap2.latestCommitTime.get,
+      schemaJson = t2.readSchema(snap2).json, slices = snap2.slices))
+    assert(Checkpoint.times(t2.timeline).nonEmpty)
+    assert(TableServices(t2).downgradeTable(0).isDefined)
+    assert(t2.timeline.config.version == 0)
+    assert(Checkpoint.times(t2.timeline).isEmpty, "v0 drops checkpoints")
+    val r2 = GraftReader(t2)
+    assert(r2.dataOnly(r2.snapshot()).count() == 2L, "full replay still resolves")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
