@@ -386,6 +386,208 @@ object TableFormat {
                CASE WHEN o_orderkey % 10 = 7 THEN NULL
                     ELSE CAST(floor((o_totalprice + 1000) * 100) AS BIGINT) END AS price_c
         FROM orders WHERE o_orderkey % 10 >= 6
-        ORDER BY o_orderkey""")))
+        ORDER BY o_orderkey"""))),
+
+    // ---- insert path with small-file bin packing + filterExists:
+    //      the second insert fills the first batch's under-sized groups,
+    //      and filterExists drops the keys that already exist (a wrong
+    //      membership check would double them and break the hash)
+    //      (reference analog: UpsertPartitioner small-file assignment +
+    //      HoodieReadClient.filterExists)
+    "q49_insert_fill" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val c = cfg("orders_fill", TableType.COW).copy(targetFileRows = 3000)
+        val tbl = GraftTable.create(s, freshDir(), c)
+        tbl.insert(orders.filter(col("o_orderkey") % 10 < 4))
+        val candidates = orders.filter(col("o_orderkey") % 10 < 8) // overlaps batch 1
+        tbl.insert(GraftReader(tbl).filterExists(candidates))
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority, o_totalprice AS price
+          FROM orders WHERE o_orderkey % 10 < 8)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- point lookup: key-range-pruned slice read; only files whose
+    //      [minKey,maxKey] may contain a probed key are opened
+    "q50_point_lookup" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_pt", TableType.COW))
+        tbl.bulkInsert(orders)
+        val r = GraftReader(tbl)
+        r.dataOnly(r.pointLookup((1 to 64).map(_.toString)))
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderpriority,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders WHERE o_orderkey BETWEEN 1 AND 64
+        ORDER BY o_orderkey"""))),
+
+    // ---- KEEP_LATEST_FILE_VERSIONS cleaning: physical deletion of old
+    //      file versions must not disturb the latest snapshot
+    "q51_clean_file_versions" -> ((
+      (s: SparkSession, d: String) => {
+        val tbl = mutated(s, d, TableType.COW)
+        TableServices(tbl).cleanFileVersions(retainVersions = 1)
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some(SummarySql))),
+
+    // ---- timeline archiving: instants beyond the active window move to
+    //      the archive with a snapshot checkpoint; reads resolve from the
+    //      checkpoint and the answer is unchanged
+    "q52_archive_read" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = mutated(s, d, TableType.COW) // 3 data commits
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 333))
+        TableServices(tbl).archive(keepMin = 1, keepMax = 2)
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 333
+                      WHEN o_orderkey % 10 >= 6 THEN o_totalprice + 1000
+                      ELSE o_totalprice END AS price
+          FROM orders
+          WHERE o_orderkey % 10 < 7 OR o_orderkey % 10 IN (8, 9))
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- zero-copy bootstrap over pre-existing parquet, then normal
+    //      upsert/delete on top: externally-owned base files serve reads
+    //      until their group is first rewritten
+    "q53_bootstrap_roundtrip" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val extDir = freshDir() + "/ext"
+        // zero-copy bootstrap adopts each source file as a file group, so
+        // every file must hold a single partition's rows (the reference's
+        // partitioned-bootstrap layout contract)
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW").foreach { p =>
+          orders.filter(col("o_orderkey") % 10 < 8 && col("o_orderpriority") === p)
+            .coalesce(1).write.mode("append").parquet(extDir)
+        }
+        val tbl = graft.sql.GraftDdl.bootstrap(
+          s, freshDir(), cfg("orders_bs", TableType.COW), extDir)
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 >= 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        tbl.delete(orders.filter(col("o_orderkey") % 10 === 7)
+          .select("o_orderkey", "o_orderpriority"))
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some(SummarySql))),
+
+    // ---- insert_overwrite_table: one replacecommit swaps the whole
+    //      table for the incoming frame
+    "q54_overwrite_table" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_owt", TableType.COW))
+        tbl.bulkInsert(orders)
+        tbl.insertOverwriteTable(orders.filter(col("o_orderkey") % 10 < 3)
+          .withColumn("o_totalprice", col("o_totalprice") * 3))
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority, o_totalprice * 3 AS price
+          FROM orders WHERE o_orderkey % 10 < 3)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- Structured Streaming SOURCE: offsets = instants; the memory
+    //      sink accumulates per-commit incremental batches
+    "q55_stream_source" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_strm", TableType.COW))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        val sinkName = s"q55_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = s.readStream
+          .format(classOf[org.apache.spark.sql.graft.streaming.GraftStreamProvider].getName)
+          .option("path", tbl.basePath)
+          .load()
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("append")
+          .option("checkpointLocation", freshDir() + "/ckpt")
+          .start()
+        q.processAllAvailable() // batch 1: the bulk load
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 >= 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        q.processAllAvailable() // batch 2: the upsert's change rows
+        q.stop()
+        s.table(sinkName)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(floor(col("o_totalprice") * 100)).cast("long").as("price_c"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        WITH stream AS (
+          SELECT o_orderkey, o_orderpriority, o_totalprice
+          FROM orders WHERE o_orderkey % 10 < 8
+          UNION ALL
+          SELECT o_orderkey, o_orderpriority, o_totalprice + 1000
+          FROM orders WHERE o_orderkey % 10 >= 6)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS price_c
+        FROM stream GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- GLOBAL index: an upsert that changes the partition value must
+    //      MOVE the record (delete from the old partition, write to the
+    //      new) instead of duplicating it
+    "q56_global_index_move" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val c = cfg("orders_gl", TableType.COW).copy(globalIndex = true)
+        val tbl = GraftTable.create(s, freshDir(), c)
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 === 2)
+          .withColumn("o_orderpriority", lit("9-MOVED"))
+          .withColumn("o_totalprice", col("o_totalprice") + 50))
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 10 = 2 THEN '9-MOVED'
+                      ELSE o_orderpriority END AS o_orderpriority,
+                 CASE WHEN o_orderkey % 10 = 2 THEN o_totalprice + 50
+                      ELSE o_totalprice END AS price
+          FROM orders WHERE o_orderkey % 10 < 8)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority""")))
   )
 }
