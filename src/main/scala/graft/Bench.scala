@@ -37,8 +37,18 @@ object Bench {
       val r = graft.read.GraftReader(tbl)
       r.dataOnly(r.snapshot()).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.benchQueries.map { name =>
+    // SPARK_GRAFT_BENCH_ONLY=q28_embed_topk[,q30_...] isolates queries
+    // for regression hunting without touching the measured contract
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq.map(_.trim).filter(SparkEntry.queries.contains))
+      .getOrElse(SparkEntry.benchQueries)
+    val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      // level the playing field between queries: drop cached plans and
+      // nudge the ContextCleaner (broadcast/shuffle state from earlier
+      // heavy queries otherwise taxes whoever runs next)
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
