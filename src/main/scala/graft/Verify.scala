@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // SQL-grammar queries (MERGE INTO / VERSION AS OF on catalog
+      // tables) route through the session extension
+      .config("spark.sql.extensions",
+        "org.apache.spark.sql.graft.GraftSparkSessionExtension")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

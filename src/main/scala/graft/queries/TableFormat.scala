@@ -588,6 +588,287 @@ object TableFormat {
         SELECT o_orderpriority, count(*) AS n,
                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
                CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
-        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority""")))
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- publish tail at many file groups: a small file target forces
+    //      hundreds of groups through stage → footer-stats → rename in
+    //      ONE commit (the bench's write-tail scale probe)
+    "q57_publish_many_groups" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val c = cfg("orders_pub", TableType.COW).copy(targetFileRows = 500)
+        val tbl = GraftTable.create(s, freshDir(), c)
+        tbl.bulkInsert(orders)
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS price_c
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- MERGE INTO through Spark's OWN SQL grammar on a catalog table
+    //      (q45 gates the builder API; this gates the resolution rule)
+    "q58_sql_merge" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val dir = freshDir()
+        val tbl = GraftTable.create(s, dir, cfg("orders_sqlmg", TableType.COW))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        orders.filter(col("o_orderkey") % 10 >= 4).createOrReplaceTempView("q58_src")
+        s.catalog.createTable("q58_tbl", "graft", Map("path" -> dir))
+        s.sql("""
+          MERGE INTO q58_tbl t USING q58_src s
+          ON t.o_orderkey = s.o_orderkey
+             AND t.o_orderpriority = s.o_orderpriority
+          WHEN MATCHED AND s.o_orderkey % 10 = 5 THEN DELETE
+          WHEN MATCHED AND s.o_orderkey % 10 = 6 THEN
+            UPDATE SET o_totalprice = t.o_totalprice + 2000
+          WHEN NOT MATCHED THEN INSERT *""")
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 10 = 6 THEN o_totalprice + 2000
+                      ELSE o_totalprice END AS price
+          FROM orders WHERE o_orderkey % 10 <> 5)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- schema evolution: ADD COLUMNS + widening type change, then an
+    //      upsert writing the evolved schema; old rows read back padded
+    "q59_schema_evolution" -> ((
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types._
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_evo", TableType.COW))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8)
+          .withColumn("flag", lit(1).cast("int")))
+        graft.sql.GraftDdl.addColumns(tbl, Seq(StructField("bonus", DoubleType)))
+        graft.sql.GraftDdl.changeColumnType(tbl, "flag", LongType)
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 === 6)
+          .withColumn("flag", lit(2L))
+          .withColumn("bonus", lit(12.5)))
+        val r = GraftReader(tbl)
+        r.dataOnly(r.snapshot())
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("flag")).cast("long").as("flag_sum"),
+            sum(floor(coalesce(col("bonus"), lit(0.0)) * 100)).cast("long").as("bonus_c"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 10 = 6 THEN 2 ELSE 1 END AS flag,
+                 CASE WHEN o_orderkey % 10 = 6 THEN 12.5 ELSE 0.0 END AS bonus
+          FROM orders WHERE o_orderkey % 10 < 8)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(flag) AS BIGINT) AS flag_sum,
+               CAST(sum(floor(bonus * 100)) AS BIGINT) AS bonus_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- SQL time travel (VERSION AS OF) on a catalog table, against
+    //      the live snapshot after further mutations
+    "q60_sql_time_travel" -> ((
+      (s: SparkSession, d: String) => {
+        val tbl = mutated(s, d, TableType.COW)
+        s.catalog.createTable("q60_tbl", "graft", Map("path" -> tbl.basePath))
+        val t1 = tbl.timeline.completed()
+          .filter(i => graft.core.Action.dataActions(i.action)).head.time
+        val latest = summarize(
+          GraftReader(tbl).dataOnly(GraftReader(tbl).snapshot())
+            .withColumnRenamed("o_totalprice", "price"))
+          .withColumn("which", lit("latest"))
+        val asOf = summarize(
+          s.sql(s"SELECT * FROM q60_tbl VERSION AS OF '$t1'")
+            .drop(graft.write.Meta.all: _*)
+            .withColumnRenamed("o_totalprice", "price"))
+          .withColumn("which", lit("asof"))
+        latest.unionByName(asOf).orderBy(col("which"), col("o_orderpriority"))
+      },
+      Some(s"""
+        WITH final_state AS ($FinalStateSql),
+        latest AS (
+          SELECT 'latest' AS which, o_orderpriority, count(*) AS n,
+                 CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                 CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+          FROM final_state GROUP BY o_orderpriority),
+        at_version AS (
+          SELECT 'asof' AS which, o_orderpriority, count(*) AS n,
+                 CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                 CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS price_c
+          FROM orders WHERE o_orderkey % 10 < 8 GROUP BY o_orderpriority)
+        SELECT * FROM at_version UNION ALL SELECT * FROM latest
+        ORDER BY which, o_orderpriority"""))),
+
+    // ---- event_time merge: a LATE update (older ordering value) must
+    //      lose to the stored row; a fresh one wins
+    "q61_event_time_merge" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val c = cfg("orders_evt", TableType.COW).copy(mergeStrategy = "event_time")
+        val tbl = GraftTable.create(s, freshDir(), c)
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        // stale: ordering a year older -> ignored
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 < 2)
+          .withColumn("o_totalprice", lit(0.0))
+          .withColumn("o_orderdate", expr("o_orderdate - INTERVAL 365 DAYS")))
+        // fresh: ordering newer -> applies
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 111)
+          .withColumn("o_orderdate", expr("o_orderdate + INTERVAL 1 DAY")))
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 111
+                      ELSE o_totalprice END AS price
+          FROM orders WHERE o_orderkey % 10 < 8)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- partial_update merge: null fields in the update inherit the
+    //      stored values (OverwriteNonDefaults payload analog)
+    "q62_partial_update" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val c = cfg("orders_pu", TableType.COW).copy(mergeStrategy = "partial_update")
+        val tbl = GraftTable.create(s, freshDir(), c)
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        // update ONLY the price; custkey/status arrive null -> inherited
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 < 3)
+          .withColumn("o_totalprice", col("o_totalprice") + 500)
+          .withColumn("o_custkey", lit(null).cast("long"))
+          .withColumn("o_orderstatus", lit(null).cast("string")))
+        val r = GraftReader(tbl)
+        r.dataOnly(r.snapshot())
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_custkey")).cast("long").as("cust_sum"),
+            sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("null_status"),
+            sum(floor(col("o_totalprice") * 100)).cast("long").as("price_c"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority, o_custkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 10 < 3 THEN o_totalprice + 500
+                      ELSE o_totalprice END AS price
+          FROM orders WHERE o_orderkey % 10 < 8)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+               CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS null_status,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- Debezium envelope ingest: u events upsert, d events ride the
+    //      same batch as tombstones, ordering column resolves races
+    "q63_debezium_ingest" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val c = cfg("orders_dbz", TableType.COW).copy(orderingField = "ord")
+        val tbl = GraftTable.create(s, freshDir(), c)
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8)
+          .withColumn("ord", lit(1L)))
+        val dataCols = orders.columns.toSeq
+        val img = struct(dataCols.map(col): _*)
+        val imgType = orders.select(img.as("s")).schema("s").dataType
+        val uEv = orders.filter(col("o_orderkey") % 10 === 6 || col("o_orderkey") % 10 === 7)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+          .select(lit("u").as("op"), struct(dataCols.map(col): _*).as("after"),
+            lit(null).cast(imgType).as("before"), lit(2L).as("ord"))
+        val dEv = orders.filter(col("o_orderkey") % 10 === 7)
+          .select(lit("d").as("op"), lit(null).cast(imgType).as("after"),
+            struct(dataCols.map(col): _*).as("before"), lit(3L).as("ord"))
+        tbl.upsert(graft.streaming.Transformers.debezium()(uEv.unionByName(dEv)))
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 10 = 6 THEN o_totalprice + 1000
+                      ELSE o_totalprice END AS price
+          FROM orders WHERE o_orderkey % 10 < 7)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- OCC: two concurrent writers on DISJOINT partitions both land
+    //      (file-group intersection check finds no conflict)
+    "q64_occ_disjoint_writers" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val c = cfg("orders_occ", TableType.COW).copy(occ = true)
+        val tbl = GraftTable.create(s, freshDir(), c)
+        tbl.bulkInsert(orders)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        try {
+          val fa = pool.submit(new java.util.concurrent.Callable[String] {
+            override def call(): String =
+              tbl.upsert(orders.filter(col("o_orderpriority") === "1-URGENT")
+                .withColumn("o_totalprice", col("o_totalprice") + 100))
+          })
+          val fb = pool.submit(new java.util.concurrent.Callable[String] {
+            override def call(): String =
+              tbl.upsert(orders.filter(col("o_orderpriority") === "5-LOW")
+                .withColumn("o_totalprice", col("o_totalprice") + 200))
+          })
+          fa.get(); fb.get() // either failure propagates -> query fails
+        } finally pool.shutdown()
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice + 100
+                      WHEN o_orderpriority = '5-LOW' THEN o_totalprice + 200
+                      ELSE o_totalprice END AS price
+          FROM orders)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- hive-style + url-encoded partition layout: values with spaces
+    //      round-trip through encoded directory names; answers unchanged
+    "q65_hive_url_partitions" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val c = cfg("orders_hive", TableType.COW).copy(
+          hiveStylePartitioning = true, urlEncodePartitioning = true)
+        val tbl = GraftTable.create(s, freshDir(), c)
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 >= 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        tbl.delete(orders.filter(col("o_orderkey") % 10 === 7)
+          .select("o_orderkey", "o_orderpriority"))
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some(SummarySql)))
   )
 }

@@ -43,6 +43,10 @@ class GraftStreamSource(
   private lazy val table = GraftTable.load(spark, tablePath)
   private lazy val reader = GraftReader(table)
 
+  /** Resolved ONCE at stream start (lazy val) and pinned for the stream's
+    * lifetime — the V1 Source contract the reference's stream source also
+    * follows. Mid-stream schema evolution on the table does NOT propagate
+    * to a running query; restart the stream to pick up added columns. */
   override lazy val schema: StructType =
     table.readSchema(Snapshot.resolve(table.timeline))
 
