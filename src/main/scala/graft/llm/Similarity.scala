@@ -19,15 +19,21 @@ import TextFunctions.hash60
   */
 object Similarity {
 
-  /** Left-fold dot product in double. */
-  def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  private def toExpr(c: Column) =
+    org.apache.spark.sql.graft.ColumnBridge.toExpr(c)
+  private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graft.ColumnBridge.toColumn(e)
 
-  /** L2 norm in double (same fold order). */
+  /** Left-fold dot product in double — a codegen'd kernel
+    * ([[graft.functions.DotProductD]]) with semantics bit-identical to
+    * `aggregate(zip_with(...))`, minus its per-element lambda
+    * interpretation cost. */
+  def dotD(a: Column, b: Column): Column =
+    toCol(graft.functions.DotProductD(toExpr(a), toExpr(b)))
+
+  /** L2 norm in double (same fold order, codegen'd). */
   def normD(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+    sqrt(toCol(graft.functions.SumSquaresD(toExpr(a))))
 
   def cosineD(a: Column, b: Column, normA: Column, normB: Column): Column =
     dotD(a, b) / (normA * normB)

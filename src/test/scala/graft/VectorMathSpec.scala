@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Similarity
+
+/** The codegen'd dot/norm kernels must be drop-in equal — including null
+  * and mismatch edge cases — to the higher-order-function forms they
+  * replaced (the DuckDB oracles hash that contract). */
+class VectorMathSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Tables.configure(SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  test("dot/norm match the lambda forms bit-for-bit on float vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.5f, -2.25f, 3.125f), Array(0.5f, 4.0f, -1.25f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(0.9f, 0.8f, 0.7f)),
+      (Array.fill(64)(0.123f), Array.fill(64)(-0.456f))
+    ).toDF("a", "b")
+    val got = df.select(
+      Similarity.dotD(col("a"), col("b")).as("dot"),
+      hofDot(col("a"), col("b")).as("want"),
+      Similarity.normD(col("a")).as("nrm"),
+      sqrt(aggregate(transform(col("a"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x)).as("wnrm"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "dot must be bit-identical")
+      assert(r.getDouble(2) == r.getDouble(3), "norm must be bit-identical")
+    }
+  }
+
+  test("mixed float×double inputs and null/mismatch edges") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(3.0, 4.0))
+    ).toDF("f", "d")
+    // mixed element types promote like the lambda form: 1*3 + 2*4 = 11
+    assert(df.select(Similarity.dotD(col("f"), col("d"))).head().getDouble(0) == 11.0)
+
+    // length mismatch -> null (zip_with padding semantics)
+    val mm = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+    assert(mm.select(Similarity.dotD(col("a"), col("b"))).head().isNullAt(0))
+
+    // null array -> null; null element -> null
+    val na = Seq((Some(Array(1.0f)), Option.empty[Array[Float]])).toDF("a", "b")
+    assert(na.select(Similarity.dotD(col("a"), col("b"))).head().isNullAt(0))
+    val ne = spark.sql(
+      "SELECT CAST(array(1.0, NULL) AS ARRAY<DOUBLE>) a, CAST(array(2.0, 3.0) AS ARRAY<DOUBLE>) b")
+    assert(ne.select(Similarity.dotD(col("a"), col("b"))).head().isNullAt(0))
+    assert(ne.select(Similarity.normD(col("a"))).head().isNullAt(0))
+  }
+
+  test("kernels run inside whole-stage codegen") {
+    // non-foldable input (derived from range) so the kernel is planned,
+    // not constant-folded into a LocalTableScan
+    val df = spark.range(3)
+      .select(array(col("id").cast("float"), lit(2.0f)).as("a"),
+        array(lit(3.0f), lit(4.0f)).as("b"))
+      .select(Similarity.dotD(col("a"), col("b")).as("d"))
+    // the `*(n)` prefix marks operators fused into a WholeStageCodegen span
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [dotproductd("),
+      s"expected the kernel fused into a codegen span:\n$plan")
+    assert(df.orderBy(col("d")).collect().map(_.getDouble(0)).toSeq ==
+      Seq(8.0, 11.0, 14.0))
+  }
+}
