@@ -22,6 +22,18 @@ object Bench {
         region("r_regionkey") === nation("n_regionkey"), "left").count()
     } catch { case _: Throwable => () }
     try {
+      // kernel warmup: compile the codegen'd fingerprint/vector kernels
+      // on tiny data so their first timed use measures throughput, not JIT
+      import org.apache.spark.sql.functions._
+      val docs = spark.range(64).select(col("id"),
+        concat_ws(" ", (0 until 24).map(i => concat(lit(s"w$i"), col("id") % 7)): _*).as("text"),
+        array((0 until 8).map(i => (col("id") * (i + 1)).cast("float")): _*).as("vec"))
+      graft.llm.Dedup.minhashLsh(docs, "id", "text").count()
+      graft.llm.Dedup.simhashPairsBanded(docs, "id", "text", 3).count()
+      docs.select(graft.llm.Similarity.dotD(col("vec"), col("vec")),
+        graft.llm.Similarity.normD(col("vec"))).count()
+    } catch { case _: Throwable => () }
+    try {
       // write-path warmup: a full tiny MOR lifecycle (bulk + upsert +
       // delete + compact + read) through a throwaway table
       import org.apache.spark.sql.functions._

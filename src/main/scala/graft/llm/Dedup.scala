@@ -100,16 +100,17 @@ object Dedup {
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
-    val sh = shingleIndex(df, idCol, textCol, n)
-      .withColumn("_h0", hash60(col("s")) % MinhashPrime)
-    val minCols = (0 until k).map { i =>
-      val (a, b) = minhashParam(i)
-      min((lit(a) * col("_h0") + lit(b)) % MinhashPrime).as(s"_mh$i")
-    }
-    sh.groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until k).map(i => col(s"_mh$i")): _*).as("sig"))
+    // one-pass codegen'd kernel: the signature folds document-locally
+    // (graft.functions.MinHashSig), so there is NO shuffle here at all —
+    // the former explode→distinct→groupBy moved #docs × #shingles rows
+    // through two exchanges for the same minima (min over instances ==
+    // min over distinct shingles)
+    val (as, bs) = (0 until k).map(minhashParam).unzip
+    val bridge = org.apache.spark.sql.graft.ColumnBridge
+    df.select(col(idCol).as("doc_id"),
+        bridge.toColumn(graft.functions.MinHashSig(
+          bridge.toExpr(wsTokens(col(textCol))), n, as, bs, MinhashPrime)).as("sig"))
+      .filter(col("sig").isNotNull) // docs too short to shingle drop out, as before
   }
 
   /** DuckDB fragment computing the same signatures: the affine-family
@@ -200,21 +201,15 @@ object Dedup {
     * 48-way row explosion); the fingerprint is then a single 48-term
     * projection. One shuffle of #distinct-token rows total. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tw = df
-      .select(col(idCol).as("doc_id"), explode(wsTokens(col(textCol))).as("w"))
-      .groupBy("doc_id", "w")
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", hash48(concat(lit("sh:"), col("w"))))
-    val bitSums = (0 until 48).map { j =>
-      val bit = call_function("shiftright", col("h"), lit(j)).bitwiseAND(lit(1L))
-      sum(col("cnt") * (bit * 2 - 1)).as(s"_v$j")
-    }
-    tw.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 48).map(j =>
-          when(col(s"_v$j") > 0, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+    // one-pass codegen'd kernel (graft.functions.SimHash48): the 48 bit
+    // sums fold document-locally, replacing TWO shuffles (token counts,
+    // then bit sums) with a plain projection — Σ_distinct count·(±1) is
+    // Σ_instances (±1), so the fingerprints are value-identical
+    val bridge = org.apache.spark.sql.graft.ColumnBridge
+    df.select(col(idCol).as("doc_id"),
+        bridge.toColumn(graft.functions.SimHash48(
+          bridge.toExpr(wsTokens(col(textCol))))).as("simhash"))
+      .filter(col("simhash").isNotNull) // null text never fingerprinted, as before
   }
 
   /** SimHash near-dup pairs at Hamming distance ≤ maxHamming.
