@@ -54,6 +54,7 @@ object Bench {
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSeq.map(_.trim).filter(SparkEntry.queries.contains))
       .getOrElse(SparkEntry.benchQueries)
+    val failures = scala.collection.mutable.ArrayBuffer.empty[(String, Throwable)]
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       // level the playing field between queries: drop cached plans and
@@ -62,7 +63,13 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // failures are LOUD: a broken bench query must never masquerade as
+      // a fast one — record it, print it, and exit nonzero at the end
+      try { fn(spark, sfDir).count() } catch {
+        case t: Throwable =>
+          failures += name -> t
+          System.err.println(s"BENCH FAILURE $name: ${t.getClass.getName}: ${t.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }.toSeq
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -73,7 +80,11 @@ object Bench {
     val readTotal = readQs.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""read_total":$readTotal,"write_total":$writeTotal,""" +
-      s""""queries":$qs,"sf":"$sfDir"}""")
+      s""""failed":${failures.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failures.nonEmpty) {
+      failures.foreach { case (n, t) => System.err.println(s"FAILED: $n — $t") }
+      sys.exit(1)
+    }
   }
 }

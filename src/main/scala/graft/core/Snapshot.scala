@@ -95,12 +95,31 @@ object Snapshot {
   }
 
   /** The (instantTime -> files written) view needed by incremental reads:
-    * data instants with time in (begin, end], paired with their stats. */
+    * data instants with time in (begin, end], paired with their stats.
+    *
+    * Spans the ARCHIVE BOUNDARY: when `begin` predates the active
+    * timeline, the archived instants in range are loaded back (archiving
+    * moves timeline metadata only — the data files and their
+    * `_g_commit_time` stamps are untouched), so an incremental consumer
+    * that fell behind the retention window still gets an exact answer
+    * instead of a silent gap (reference analog:
+    * HoodieArchivedTimeline.java:61 + InstantRange.java:33). */
   def commitsInRange(
       timeline: Timeline,
       begin: String,
-      end: String): Seq[(Instant, CommitMetadata)] =
-    timeline.completed()
+      end: String): Seq[(Instant, CommitMetadata)] = {
+    val active = timeline.completed()
       .filter(i => Action.dataActions(i.action) && i.time > begin && i.time <= end)
       .map(i => (i, timeline.metadataOf(i)))
+    val activeStart = active.headOption.map(_._1.time).getOrElse("~")
+    val archived =
+      if (timeline.archivedTimes().exists(t => t > begin && t <= end))
+        timeline.archivedInstants(from = begin, until = end)
+          .filter { case (i, _) =>
+            Action.dataActions(i.action) && i.time > begin &&
+              i.time <= end && i.time < activeStart
+          }
+      else Nil
+    archived ++ active
+  }
 }

@@ -47,7 +47,8 @@ class Timeline(val basePath: String, conf: Configuration) {
     try out.write(Json.write(newConfig).getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
-    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    try fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch { case e: Throwable => fs.delete(tmp, false); throw e }
   }
 
   /** All instants, time-ordered. Listing .graft is O(#active-instants),
@@ -143,6 +144,12 @@ class Timeline(val basePath: String, conf: Configuration) {
     fs.delete(new Path(metaDir, s"$time.$action.${State.Inflight}"), false)
     fs.delete(new Path(metaDir, s"$time.$action.${State.Requested}"), false)
   }
+
+  /** Drop ONLY the inflight marker, keeping a `requested` plan file in
+    * place — an aborted executor releases the instant for a later retry
+    * without losing the pinned plan. */
+  def deleteInflight(time: String, action: String): Unit =
+    fs.delete(new Path(metaDir, s"$time.$action.${State.Inflight}"), false)
 
   /** Remove a completed instant from the active timeline (clean/archive). */
   def deleteCompleted(i: Instant): Unit =

@@ -590,13 +590,14 @@ object TableFormat {
                CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
         FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
 
-    // ---- publish tail at many file groups: a small file target forces
-    //      hundreds of groups through stage → footer-stats → rename in
-    //      ONE commit (the bench's write-tail scale probe)
+    // ---- publish tail at many file groups: a tiny file target forces
+    //      ~2000 groups (sf0.1) through stage → footer-stats → rename in
+    //      ONE commit (the bench's write-tail scale probe; the rename
+    //      pool is what keeps this tail flat)
     "q57_publish_many_groups" -> ((
       (s: SparkSession, d: String) => {
         val orders = graft.Tables.t(s, d, "orders")
-        val c = cfg("orders_pub", TableType.COW).copy(targetFileRows = 500)
+        val c = cfg("orders_pub", TableType.COW).copy(targetFileRows = 75)
         val tbl = GraftTable.create(s, freshDir(), c)
         tbl.bulkInsert(orders)
         val r = GraftReader(tbl)
@@ -851,6 +852,293 @@ object TableFormat {
                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
                CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
         FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- UPDATE through Spark's OWN SQL grammar on a catalog table
+    //      (the path grammar is gated by DmlSpec; this gates the
+    //      UpdateTable resolution rule — reference analog:
+    //      TestUpdateTable.scala)
+    "q66_sql_update" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val dir = freshDir()
+        val tbl = GraftTable.create(s, dir, cfg("orders_squ", TableType.COW))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        s.catalog.createTable("q66_tbl", "graft", Map("path" -> dir))
+        s.sql("""UPDATE q66_tbl SET o_totalprice = o_totalprice + 1000
+                 WHERE o_orderkey % 10 >= 6""")
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 10 >= 6 THEN o_totalprice + 1000
+                      ELSE o_totalprice END AS price
+          FROM orders WHERE o_orderkey % 10 < 8)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- DELETE through Spark's OWN SQL grammar on a catalog table
+    //      (reference analog: TestDeleteTable.scala)
+    "q67_sql_delete" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val dir = freshDir()
+        val tbl = GraftTable.create(s, dir, cfg("orders_sqd", TableType.COW))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        s.catalog.createTable("q67_tbl", "graft", Map("path" -> dir))
+        s.sql("DELETE FROM q67_tbl WHERE o_orderkey % 10 = 7")
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority, o_totalprice AS price
+          FROM orders WHERE o_orderkey % 10 < 7)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- async compaction schedule/run split: a writer lands BETWEEN
+    //      schedule and run; its later-time delta must survive on top of
+    //      the compacted base (reference analog:
+    //      ScheduleCompactionActionExecutor.java:50-197 + AsyncCompactService)
+    "q68_async_compaction" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_async", TableType.MOR))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 >= 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        val svc = TableServices(tbl)
+        val ts = svc.scheduleCompaction().getOrElse(sys.error("nothing to schedule"))
+        // post-schedule writer: this delete is NOT in the pinned plan
+        tbl.delete(orders.filter(col("o_orderkey") % 10 === 7)
+          .select("o_orderkey", "o_orderpriority"))
+        svc.runScheduledCompaction(ts)
+        require(svc.pendingCompactions().isEmpty, "plan must be consumed")
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some(SummarySql))),
+
+    // ---- CTAS + TRUNCATE + insert: create-table-as-select state, then
+    //      a truncate replacecommit empties it, then a fresh insert
+    //      (reference analog: TestCreateTable.scala:586 + TestTruncateTable.scala)
+    "q69_ctas_truncate" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val dir = freshDir()
+        val tbl = graft.sql.GraftDdl.createTableAs(
+          s, dir, cfg("orders_ctas", TableType.COW),
+          orders.filter(col("o_orderkey") % 10 < 8))
+        val r = GraftReader(tbl)
+        val before = summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+          .withColumn("which", lit("ctas"))
+        graft.sql.GraftSql.sql(s, s"TRUNCATE TABLE '$dir'")
+        tbl.insert(orders.filter(col("o_orderkey") % 10 < 3))
+        val after = summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+          .withColumn("which", lit("truncated"))
+        before.unionByName(after).orderBy(col("which"), col("o_orderpriority"))
+      },
+      Some("""
+        WITH ctas AS (
+          SELECT 'ctas' AS which, o_orderpriority, count(*) AS n,
+                 CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                 CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS price_c
+          FROM orders WHERE o_orderkey % 10 < 8 GROUP BY o_orderpriority),
+        truncated AS (
+          SELECT 'truncated' AS which, o_orderpriority, count(*) AS n,
+                 CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                 CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS price_c
+          FROM orders WHERE o_orderkey % 10 < 3 GROUP BY o_orderpriority)
+        SELECT * FROM ctas UNION ALL SELECT * FROM truncated
+        ORDER BY which, o_orderpriority"""))),
+
+    // ---- compaction DDL: SCHEDULE COMPACTION / RUN COMPACTION through
+    //      the SQL statement surface must converge to the same state as
+    //      the API path (reference analog: the CALL/compaction SQL
+    //      procedures, HoodieCommonSqlParser.scala:33)
+    "q70_compaction_sql" -> ((
+      (s: SparkSession, d: String) => {
+        val tbl = mutated(s, d, TableType.MOR)
+        val planned = graft.sql.GraftSql.sql(
+          s, s"SCHEDULE COMPACTION ON '${tbl.basePath}'")
+        require(planned.count() > 0, "schedule must pin a nonempty plan")
+        graft.sql.GraftSql.sql(s, s"RUN COMPACTION ON '${tbl.basePath}'")
+        require(
+          TableServices(tbl).pendingCompactions().isEmpty,
+          "RUN must consume the scheduled plan")
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some(SummarySql))),
+
+    // ---- byte-based file sizing: on an empty table the rows-per-file
+    //      target derives from targetFileBytes via the 1024 B seed, so
+    //      the per-partition group count is exactly ceil(rows/target)
+    //      (reference analog: UpsertPartitioner.averageBytesPerRecord +
+    //      HoodieStorageConfig hoodie.parquet.max.file.size)
+    "q71_byte_sizing" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val c = cfg("orders_bytes", TableType.COW)
+          .copy(targetFileRows = 0L, targetFileBytes = 512L * 1024L) // seed -> 512 rows
+        val tbl = GraftTable.create(s, freshDir(), c)
+        tbl.bulkInsert(orders)
+        val snap = graft.core.Snapshot.resolve(tbl.timeline)
+        val groupsPerPart = snap.slices.groupBy(_.partition)
+          .map { case (p, ss) => p -> ss.size.toLong }
+        val rowsPerPart = snap.slices.groupBy(_.partition)
+          .map { case (p, ss) => p -> ss.flatMap(_.baseFile).map(_.rows).sum }
+        rowsPerPart.foreach { case (p, rows) =>
+          val expected = (rows + 511) / 512
+          require(groupsPerPart(p) == expected,
+            s"partition $p: ${groupsPerPart(p)} groups, expected $expected " +
+              s"(byte sizing must derive a 512-row target from the 1024 B seed)")
+        }
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS price_c
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- format upgrade/downgrade lifecycle: v0 table upgrades to v1
+    //      (unlocking archiving), then downgrade REFUSES while archived
+    //      instants exist — their state would become unreadable
+    //      (reference analog: table/upgrade/UpgradeDowngrade.java:40)
+    "q72_upgrade_downgrade" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_ver", TableType.COW))
+        tbl.timeline.updateConfig(tbl.timeline.config.copy(version = 0))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 >= 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        tbl.delete(orders.filter(col("o_orderkey") % 10 === 7)
+          .select("o_orderkey", "o_orderpriority"))
+        val svc = TableServices(tbl)
+        require(svc.upgradeTable().isDefined, "v0 -> v1 must migrate")
+        svc.archive(keepMin = 1, keepMax = 2)
+        require(tbl.timeline.archivedTimes().nonEmpty, "archive must move instants")
+        val refused =
+          try { svc.downgradeTable(0); false }
+          catch { case _: IllegalArgumentException => true }
+        require(refused, "downgrade must refuse while archived instants exist")
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some(SummarySql))),
+
+    // ---- JDBC incremental ingest end-to-end: the continuous-ingest loop
+    //      drains a backlog through bounded ORDER BY/LIMIT batches with
+    //      checkpoint-in-commit; insert semantics must produce no dups
+    //      (reference analog: sources/JdbcSource.java:57-343)
+    "q73_jdbc_ingest" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        def loader(q: graft.streaming.JdbcQuery): DataFrame = {
+          val f = q.predicate.fold(orders)(p => orders.where(expr(p)))
+          q.orderLimit.fold(f) { case (c2, n) => f.orderBy(col(c2)).limit(n.toInt) }
+        }
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_jdbc", TableType.COW))
+        val ingest = new graft.streaming.ContinuousIngest(tbl,
+          new graft.streaming.JdbcIncrementalSource(loader, "o_orderkey", limit = 6000L),
+          operation = "insert")
+        ingest.runContinuous(maxRounds = 1)
+        require(ingest.checkpoint.isDefined, "checkpoint must ride the commits")
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS price_c
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- DFS-directory ingest: parquet files appear in a landing dir;
+    //      the ingest loop picks up everything past the checkpoint
+    //      (reference analog: sources/ParquetDFSSource.java:35 + DFSPathSelector)
+    "q74_dfs_ingest" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val srcDir = freshDir() + "/landing"
+        val conf = s.sessionState.newHadoopConf()
+        val fsys = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
+        fsys.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+        (0 until 3).foreach { i =>
+          val tmpOut = freshDir() + s"/chunk$i"
+          orders.filter(col("o_orderkey") % 3 === i).coalesce(1).write.parquet(tmpOut)
+          val part = fsys.globStatus(
+            new org.apache.hadoop.fs.Path(tmpOut, "part-*.parquet")).head.getPath
+          fsys.rename(part, new org.apache.hadoop.fs.Path(srcDir, s"chunk-$i.parquet"))
+        }
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_dfs", TableType.COW))
+        val ingest = new graft.streaming.ContinuousIngest(tbl,
+          new graft.streaming.ParquetDirSource(s, srcDir), operation = "insert")
+        ingest.runContinuous(maxRounds = 1)
+        require(ingest.checkpoint.exists(_.endsWith("chunk-2.parquet")),
+          "checkpoint must record the last ingested file")
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS price_c
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- incremental read ACROSS the archive boundary: `begin` and the
+    //      commits after it are archived; commitsInRange loads the
+    //      archived metadata back, so the consumer gets an exact answer
+    //      instead of a silent gap (reference analog:
+    //      HoodieArchivedTimeline.java:61 + InstantRange.java:33)
+    "q75_incremental_archived" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_ainc", TableType.COW))
+        val t1 = tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 >= 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        tbl.delete(orders.filter(col("o_orderkey") % 10 === 7)
+          .select("o_orderkey", "o_orderpriority"))
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 333))
+        TableServices(tbl).archive(keepMin = 1, keepMax = 2)
+        require(tbl.timeline.archivedTimes().exists(_ > t1),
+          "commits inside the incremental range must actually be archived")
+        val r = GraftReader(tbl)
+        r.dataOnly(r.incremental(t1))
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, price_c FROM (
+          SELECT o_orderkey,
+                 CAST(floor((o_totalprice + 333) * 100) AS BIGINT) AS price_c
+          FROM orders WHERE o_orderkey % 10 = 1
+          UNION ALL
+          SELECT o_orderkey,
+                 CAST(floor((o_totalprice + 1000) * 100) AS BIGINT)
+          FROM orders WHERE o_orderkey % 10 IN (6, 8, 9))
+        ORDER BY o_orderkey"""))),
 
     // ---- hive-style + url-encoded partition layout: values with spaces
     //      round-trip through encoded directory names; answers unchanged

@@ -57,25 +57,26 @@ class TableServices(table: GraftTable) {
     * publish one `compaction` instant. Groups whose merge comes out empty
     * (everything deleted) are replaced instead. Returns the instant, or
     * None when there is nothing to compact (reference analog:
-    * HoodieCompactor.java:99). */
+    * HoodieCompactor.java:99). Implemented as schedule + run, so the
+    * inline path shares the executor's concurrent-writer safety. */
   def compact(maxGroups: Int = Int.MaxValue,
-              partitions: Option[Set[String]] = None): Option[String] = {
-    val plan = planCompaction(maxGroups, partitions = partitions)
-    if (plan.isEmpty) return None
-    val snap = Snapshot.resolve(timeline)
-    val t = timeline.start(Action.Compaction)
-    val schema = table.readSchema(snap)
-    // one DataFrame job across every planned group: merge shuffles only on
-    // (key, partition); stageAndPublish re-clusters by (partition, fileId)
-    val merged = table.mergeLatest(
-      table.readStatsDf(schema, plan.flatMap(_.allFiles)))
-    val stats = table.stageAndPublish(merged, t)
-    val written = stats.map(s => (s.partition, s.fileId)).toSet
-    val emptied = plan.filterNot(s => written.contains((s.partition, s.fileId)))
-      .groupBy(_.partition).map { case (p, ss) => p -> ss.map(_.fileId) }
-    timeline.complete(t, Action.Compaction,
-      CommitMetadata("compact", "", stats, emptied))
-    Some(t)
+              partitions: Option[Set[String]] = None): Option[String] =
+    scheduleCompaction(maxGroups, partitions = partitions)
+      .flatMap(runScheduledCompaction)
+
+  /** Data instants minted BEFORE `time` but not yet completed: if one of
+    * them later commits, its files carry an instant time under `time` and
+    * snapshot replay would fold them beneath a base published at `time`. */
+  private def earlierPendingData(time: String): Boolean =
+    timeline.instants().exists(i =>
+      !i.isCompleted && Action.dataActions(i.action) && i.time < time)
+
+  /** Wait (bounded) for earlier-minted pending data instants to resolve. */
+  private def awaitEarlierData(time: String, timeoutMs: Long = 10000L): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (earlierPendingData(time) && System.currentTimeMillis() < deadline)
+      Thread.sleep(25)
+    !earlierPendingData(time)
   }
 
   /** Persist a compaction plan as a `compaction.requested` instant for a
@@ -86,18 +87,49 @@ class TableServices(table: GraftTable) {
     * top of the compacted base when the plan executes, because snapshot
     * replay is instant-time-ordered — so ingestion never pauses for the
     * compactor, and post-schedule deltas ride to the NEXT compaction.
+    *
+    * Writers that minted an instant BEFORE the scheduled time but have
+    * not yet committed are the dangerous case (their deltas would fold
+    * UNDER the compacted base without being in the plan): scheduling
+    * waits for them and re-plans if any of them touched planned groups
+    * (reference analog: ScheduleCompactionActionExecutor.java:50-197
+    * refuses to schedule below pending writers).
     * Returns the scheduled instant, or None when nothing has deltas. */
   def scheduleCompaction(maxGroups: Int = Int.MaxValue,
                          maxDeltaBytes: Long = Long.MaxValue,
                          partitions: Option[Set[String]] = None): Option[String] = {
-    val plan = planCompaction(maxGroups, maxDeltaBytes, partitions)
-    if (plan.isEmpty) None
-    else {
+    var attempt = 0
+    while (true) {
+      val plan = planCompaction(maxGroups, maxDeltaBytes, partitions)
+      if (plan.isEmpty) return None
       // the requested payload pins the exact files to fold
       val stats = plan.flatMap(s => s.baseFile.toSeq ++ s.deltas)
-      Some(timeline.startRequested(Action.Compaction,
-        CommitMetadata("compaction_plan", "", stats)))
+      val t = timeline.startRequested(Action.Compaction,
+        CommitMetadata("compaction_plan", "", stats))
+      val planGroups = stats.map(s => (s.partition, s.fileId)).toSet
+      val planPaths = stats.map(_.path).toSet
+      // stale = an instant under `t` (committed between planning and
+      // minting, or pending and may still commit) put files into a
+      // planned group that the plan does not cover. Only LIVE files
+      // count — historical paths already folded away are harmless.
+      val settled = awaitEarlierData(t)
+      val stale = !settled || {
+        val livePaths = Snapshot.resolve(timeline).slices
+          .flatMap(_.allFiles).map(_.path).toSet
+        timeline.completed()
+          .filter(i => Action.dataActions(i.action) && i.time < t)
+          .flatMap(i => timeline.metadataOf(i).stats)
+          .exists(st => planGroups((st.partition, st.fileId)) &&
+            !planPaths(st.path) && livePaths(st.path))
+      }
+      if (!stale) return Some(t)
+      timeline.deletePending(t, Action.Compaction)
+      attempt += 1
+      if (attempt >= 3) throw new IllegalStateException(
+        "could not schedule compaction: concurrent writers with earlier " +
+          "instant times kept racing the plan — retry when ingestion quiesces")
     }
+    None // unreachable
   }
 
   /** Scheduled-but-not-yet-completed compaction instants, time asc. */
@@ -106,33 +138,82 @@ class TableServices(table: GraftTable) {
       .filter(i => i.action == Action.Compaction && i.state == graft.core.State.Requested)
       .map(_.time).distinct.sorted
 
-  /** Execute a previously scheduled compaction plan. Merges EXACTLY the
-    * files pinned at schedule time; groups that received deltas after the
-    * schedule keep those deltas stacked on the new base (they fold in the
-    * next round). Safe to run concurrently with ongoing upserts. */
+  /** Execute a previously scheduled compaction plan. Merges the files
+    * pinned at schedule time PLUS any file that landed in a planned group
+    * with an instant time EARLIER than the plan's (a cross-process writer
+    * can mint a wall-clock time below the scheduled instant even after
+    * the schedule; snapshot replay would fold such a file beneath the
+    * compacted base, so its content MUST be in the fold — this is the
+    * compactor's own OCC). Groups that received deltas with a LATER
+    * instant time keep them stacked on the new base (they fold in the
+    * next round). Publication happens under the timeline lock and
+    * re-verifies the fold is still complete; on a lost race the staged
+    * files are discarded and the merge retries. Safe to run concurrently
+    * with ongoing upserts. */
   def runScheduledCompaction(time: String): Option[String] = {
     val inst = graft.core.Instant(time, Action.Compaction, graft.core.State.Requested)
     val plan = timeline.metadataOf(inst).stats
     if (plan.isEmpty) { timeline.deletePending(time, Action.Compaction); return None }
+    val planGroups = plan.map(s => (s.partition, s.fileId)).toSet
+    val planPaths = plan.map(_.path).toSet
+
+    // live files in planned groups, committed under `time`, not in the
+    // plan — they must be merged or the new base silently erases them
+    def earlyExtras(snapNow: Snapshot): Seq[WriteStat] = {
+      val livePaths = snapNow.slices.flatMap(_.allFiles).map(_.path).toSet
+      timeline.completed()
+        .filter(i => Action.dataActions(i.action) && i.time < time)
+        .flatMap(i => timeline.metadataOf(i).stats)
+        .filter(st => planGroups((st.partition, st.fileId)) &&
+          !planPaths(st.path) && livePaths(st.path))
+    }
+
     timeline.markInflight(time, Action.Compaction)
-    val snap = Snapshot.resolve(timeline)
-    val schema = table.readSchema(snap)
-    val merged = table.mergeLatest(table.readStatsDf(schema, plan))
-    val stats = table.stageAndPublish(merged, time)
-    val written = stats.map(s => (s.partition, s.fileId)).toSet
-    // a planned group whose merge came out empty is replaced — UNLESS a
-    // writer touched it after the schedule (its newer files must live on)
-    val touchedLater: Set[(String, String)] = timeline.completed()
-      .filter(i => Action.dataActions(i.action) && i.time > time)
-      .flatMap(i => timeline.metadataOf(i).stats.map(st => (st.partition, st.fileId)))
-      .toSet
-    val emptied = plan.map(s => (s.partition, s.fileId)).distinct
-      .filterNot(written.contains)
-      .filterNot(touchedLater.contains)
-      .groupBy(_._1).map { case (p, ks) => p -> ks.map(_._2).toSeq }
-    timeline.complete(time, Action.Compaction,
-      CommitMetadata("compact", "", stats, emptied))
-    Some(time)
+    var attempt = 0
+    while (attempt < 3) {
+      if (!awaitEarlierData(time)) {
+        timeline.deleteInflight(time, Action.Compaction)
+        throw new IllegalStateException(
+          s"cannot run compaction $time: data instants minted before it " +
+            "are still pending — their commits would fold under the new base")
+      }
+      val snap = Snapshot.resolve(timeline)
+      val extras = earlyExtras(snap)
+      val extraPaths = extras.map(_.path).toSet
+      val schema = table.readSchema(snap)
+      val merged = table.mergeLatest(table.readStatsDf(schema, plan ++ extras))
+      val stats = table.stageAndPublish(merged, time)
+      val written = stats.map(s => (s.partition, s.fileId)).toSet
+      val published = new TimelineLock(timeline).withLock {
+        val current = Snapshot.resolve(timeline)
+        if (earlierPendingData(time) ||
+          earlyExtras(current).map(_.path).toSet != extraPaths) false
+        else {
+          // a planned group whose merge came out empty is replaced —
+          // UNLESS any file outside the fold still lives in it (e.g. a
+          // delta with a later instant time: its rows must survive)
+          val foldPaths = planPaths ++ extraPaths
+          val survivors: Set[(String, String)] = current.slices
+            .filter(s => s.allFiles.exists(f => !foldPaths(f.path)))
+            .map(s => (s.partition, s.fileId)).toSet
+          val emptied = planGroups.toSeq
+            .filterNot(written.contains).filterNot(survivors.contains)
+            .groupBy(_._1).map { case (p, ks) => p -> ks.map(_._2) }
+          timeline.complete(time, Action.Compaction,
+            CommitMetadata("compact", "", stats, emptied))
+          true
+        }
+      }
+      if (published) return Some(time)
+      // lost the race: a writer landed an earlier-time file after the
+      // merge read its inputs — discard the staged output and re-merge
+      stats.foreach(st => fs.delete(abs(st), false))
+      attempt += 1
+    }
+    timeline.deleteInflight(time, Action.Compaction)
+    throw new IllegalStateException(
+      s"compaction $time kept losing to concurrent earlier-time writers; " +
+        "the plan remains scheduled — retry")
   }
 
   // =========================================================================

@@ -63,11 +63,18 @@ object GraftSql {
         else svc.compact().toSeq
       result(spark, "instant", instants)
     case ScheduleCompaction(path) =>
-      // persists a `compaction.requested` instant; rows list its plan
-      val svc = TableServices(GraftTable.load(spark, path))
-      val plan = svc.planCompaction()
-      svc.scheduleCompaction()
-      result(spark, "file_group", plan.map(s => s"${s.partition}/${s.fileId}"))
+      // persists a `compaction.requested` instant; rows list the plan it
+      // actually PINNED (read back from the requested payload — a display
+      // re-plan could diverge if the timeline moved in between)
+      val tbl = GraftTable.load(spark, path)
+      val pinned = TableServices(tbl).scheduleCompaction() match {
+        case Some(t) =>
+          val inst = graft.core.Instant(t, Action.Compaction, graft.core.State.Requested)
+          tbl.timeline.metadataOf(inst).stats
+            .map(s => s"${s.partition}/${s.fileId}").distinct
+        case None => Nil
+      }
+      result(spark, "file_group", pinned)
     case ShowCompaction(path) =>
       val tl = GraftTable.load(spark, path).timeline
       val svc = TableServices(GraftTable.load(spark, path))

@@ -150,11 +150,11 @@ class ContinuousIngest(
   def syncOnce(): Option[String] = {
     source.fetch(checkpoint).map { case (df, newCk) =>
       val extra = Map(CheckpointKey -> newCk)
-      operation match {
+      try operation match {
         case "insert"      => table.insert(transform(df), extra)
         case "bulk_insert" => table.bulkInsert(transform(df), extra = extra)
         case _             => table.upsert(transform(df), extra)
-      }
+      } finally df.unpersist() // sources may cache the batch (e.g. JDBC)
     }
   }
 

@@ -118,24 +118,42 @@ class PartitionedLogSource(
   }
 }
 
+/** What one incremental fetch asks of the RDBMS: an optional pushed
+  * predicate and an optional (orderColumn, limit) cap — production
+  * loaders render BOTH into the pushed-down subquery so a large backlog
+  * is bounded at the database, not after a full fetch into Spark. */
+case class JdbcQuery(
+    predicate: Option[String] = None,
+    orderLimit: Option[(String, Long)] = None)
+
 /** Incremental JDBC ingest: checkpoint = max value of a monotonically
   * increasing column; each fetch selects `incrCol > checkpoint` (strict,
   * exclusive of the last checkpoint), optionally capped by `limit`
   * smallest values so a backlog drains in bounded batches. First fetch
   * (no checkpoint) is a full scan. The actual RDBMS read is injected as
-  * `load(predicate)` — the production binding builds
+  * `load(query)` — the production binding builds
   * `spark.read.format("jdbc")` with a pushed-down subquery (see
   * [[JdbcIncrementalSource.jdbcLoader]]); tests bind a local frame
   * (reference analog: sources/JdbcSource.java:57-343 — incrementalFetch
   * pushes `WHERE incrCol > ckpt [ORDER BY incrCol LIMIT n]`, checkpoint()
-  * records max(incrCol), full-scan fallback on incremental failure). */
+  * records max(incrCol), full-scan fallback on incremental failure).
+  *
+  * The returned batch is PERSISTED: the checkpoint aggregate and the
+  * caller's write both read the cache, so the source query executes
+  * exactly once per sync — rows committed upstream mid-sync can never
+  * land above the recorded checkpoint (which would re-ingest them next
+  * sync and duplicate under `insert`). [[ContinuousIngest.syncOnce]]
+  * unpersists after the write. */
 class JdbcIncrementalSource(
-    load: Option[String] => DataFrame,
+    load: JdbcQuery => DataFrame,
     incrementalColumn: String,
     limit: Long = 0L,
     fallbackToFullScan: Boolean = true) extends IngestSource {
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[JdbcIncrementalSource])
+
+  private def orderLimit: Option[(String, Long)] =
+    if (limit > 0) Some((incrementalColumn, limit)) else None
 
   /** Whether the incremental column is numeric at the source — probed once
     * via a no-row query (`WHERE 1=0` pushes down; only schema comes back),
@@ -143,7 +161,7 @@ class JdbcIncrementalSource(
     * database to coerce a quoted literal. */
   private lazy val numericIncrCol: Boolean =
     scala.util.Try {
-      load(Some("1=0")).schema
+      load(JdbcQuery(Some("1=0"))).schema
         .find(_.name.equalsIgnoreCase(incrementalColumn))
         .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
     }.getOrElse(false)
@@ -156,43 +174,52 @@ class JdbcIncrementalSource(
   }
 
   override def fetch(checkpoint: Option[String]): Option[(DataFrame, String)] = {
-    val batch = checkpoint.filter(_.nonEmpty) match {
+    val raw = checkpoint.filter(_.nonEmpty) match {
       case Some(ck) =>
-        try {
-          val inc = load(Some(predicate(ck)))
-          if (limit > 0) inc.orderBy(col(incrementalColumn)).limit(limit.toInt) else inc
-        } catch {
+        try load(JdbcQuery(Some(predicate(ck)), orderLimit))
+        catch {
           // mirror the reference's guarded fallback: a broken incremental
           // query (e.g. column dropped upstream) degrades to a full scan
           // rather than wedging ingest
           case e: Exception if fallbackToFullScan =>
             log.warn(s"incremental fetch ($incrementalColumn > ...) failed; " +
               s"falling back to full scan: ${e.getMessage}")
-            load(None)
+            load(JdbcQuery())
         }
-      case None =>
-        val full = load(None)
-        if (limit > 0) full.orderBy(col(incrementalColumn)).limit(limit.toInt) else full
+      case None => load(JdbcQuery(None, orderLimit))
     }
+    // defensive Spark-side cap for loaders that cannot push ORDER BY/LIMIT
+    // (a no-op over a batch the database already bounded to `limit` rows)
+    val batch =
+      if (limit > 0) raw.orderBy(col(incrementalColumn)).limit(limit.toInt) else raw
+    val cached = batch.persist()
     // one driver-side scalar: the new checkpoint; empty batch = caught up
-    val newCk = batch.agg(max(col(incrementalColumn)).cast("string")).head.getString(0)
-    if (newCk == null) None
-    else Some((batch, newCk))
+    val newCk = cached.agg(max(col(incrementalColumn)).cast("string")).head.getString(0)
+    if (newCk == null) { cached.unpersist(); None }
+    else Some((cached, newCk))
   }
 }
 
 object JdbcIncrementalSource {
-  /** Production loader: pushes the incremental predicate into the RDBMS
-    * as a subquery (`dbtable = (SELECT * FROM t WHERE ...) g`), so the
-    * database — not Spark — filters by the incremental column. */
+  /** The pushed-down subquery for one fetch: predicate AND order/limit
+    * render inside it, so the database does the filtering and bounding. */
+  private[graft] def dbtable(table: String, q: JdbcQuery): String = {
+    val where = q.predicate.fold("")(p => s" WHERE $p")
+    val cap = q.orderLimit.fold("") { case (c, n) => s" ORDER BY $c LIMIT $n" }
+    if (where.isEmpty && cap.isEmpty) table
+    else s"(SELECT * FROM $table$where$cap) graft_incr_src"
+  }
+
+  /** Production loader: pushes the incremental predicate and the batch
+    * cap into the RDBMS as a subquery, so the database — not Spark —
+    * filters by the incremental column and bounds the backlog. */
   def jdbcLoader(
       spark: SparkSession,
       url: String,
       table: String,
-      options: Map[String, String]): Option[String] => DataFrame = { pred =>
-    val dbtable = pred.fold(table)(p => s"(SELECT * FROM $table WHERE $p) graft_incr_src")
+      options: Map[String, String]): JdbcQuery => DataFrame = { q =>
     spark.read.format("jdbc")
-      .option("url", url).option("dbtable", dbtable)
+      .option("url", url).option("dbtable", dbtable(table, q))
       .options(options)
       .load()
   }

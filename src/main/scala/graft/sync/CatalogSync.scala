@@ -38,24 +38,50 @@ class CatalogSyncTool(
       spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
     views.map { case (name, queryType) =>
       val qualified = s"$database.$name"
-      if (needsRegistration(qualified)) {
-        spark.sql(s"DROP TABLE IF EXISTS `$database`.`$name`")
-        spark.catalog.createTable(qualified, "graft",
-          Map("path" -> basePath, "query.type" -> queryType))
+      existingMeta(name) match {
+        case None =>
+          spark.catalog.createTable(qualified, "graft",
+            Map("path" -> basePath, "query.type" -> queryType))
+        case Some(meta) if !meta.provider.exists(_.equalsIgnoreCase("graft")) =>
+          // dropping a foreign MANAGED table would delete its data —
+          // never steal a name from a non-graft table
+          throw new IllegalStateException(
+            s"$qualified already exists with provider " +
+              s"${meta.provider.getOrElse("<none>")}; refusing to replace " +
+              "a non-graft table — drop it or pick another name")
+        case Some(meta)
+          if pathOf(meta).contains(basePath) &&
+            meta.storage.properties.get("query.type").contains(queryType) =>
+          () // converged — idempotent re-sync is a no-op
+        case Some(meta) =>
+          // graft table that moved (or changed view type): repoint the
+          // existing entry IN PLACE — no drop/create gap for readers
+          spark.sessionState.catalog.alterTable(meta.copy(storage =
+            meta.storage.copy(
+              locationUri = Some(new org.apache.hadoop.fs.Path(basePath).toUri),
+              properties = meta.storage.properties ++
+                Map("path" -> basePath, "query.type" -> queryType))))
+          spark.catalog.refreshTable(qualified) // drop cached plans/relations
       }
       qualified
     }
   }
 
-  /** Missing, or present but pointing somewhere else (table moved). */
-  private def needsRegistration(qualified: String): Boolean = {
-    if (!spark.catalog.tableExists(qualified)) return true
-    val parts = qualified.split('.')
-    val ti = org.apache.spark.sql.catalyst.TableIdentifier(parts(1), Some(parts(0)))
-    val meta = spark.sessionState.catalog.getTableMetadata(ti)
-    !meta.provider.exists(_.equalsIgnoreCase("graft")) ||
-      !meta.storage.properties.get("path").contains(basePath)
+  private def existingMeta(
+      name: String): Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] = {
+    val ti = org.apache.spark.sql.catalyst.TableIdentifier(name, Some(database))
+    if (!spark.sessionState.catalog.tableExists(ti)) None
+    else Some(spark.sessionState.catalog.getTableMetadata(ti))
   }
+
+  /** Where a catalog entry points: Spark stores the `path` option either
+    * in storage.properties or (once resolved) as the locationUri — check
+    * both, like the DML path resolution does. */
+  private def pathOf(
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable): Option[String] =
+    meta.storage.properties.get("path")
+      .orElse(meta.storage.locationUri.map(u =>
+        new org.apache.hadoop.fs.Path(u).toString))
 }
 
 object CatalogSyncTool {

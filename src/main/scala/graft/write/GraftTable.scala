@@ -228,14 +228,34 @@ class GraftTable private (
       commitTime: String,
       delta: Boolean = false): Seq[WriteStat] = {
     val stagingDir = new Path(basePath, s"${Timeline.MetaDir}/.tmp/$commitTime")
+    // explicit partition count: an implicit repartition(cols) is subject
+    // to AQE coalescing, which at many-small-groups commits folds the
+    // write into ONE task that opens thousands of parquet writers
+    // serially — the staged write must keep cluster-wide parallelism
+    // (hash co-location of a group into one task holds at any count)
+    val shufflePartitions = spark.sessionState.conf.numShufflePartitions
     val staged = df
       .withColumn(GP, when(col(Partition) === "", lit(RootPartition)).otherwise(col(Partition)))
       .withColumn(GF, col(File))
-      .repartition(col(GP), col(GF))
+      .repartition(shufflePartitions, col(GP), col(GF))
       .sortWithinPartitions(col(GP), col(GF), col(Key))
-    staged.write.mode("overwrite").partitionBy(GP, GF).parquet(stagingDir.toString)
+    // timestamps must be stored as INT64 micros: Spark's default (INT96)
+    // writes NO usable parquet footer min/max, which would silently drop
+    // timestamp columns from data skipping. Session-scoped set/restore —
+    // the write below runs synchronously inside this window.
+    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val prevTsType = spark.conf.getOption(tsTypeKey)
+    spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+    val tWrite0 = System.nanoTime()
+    try staged.write.mode("overwrite").partitionBy(GP, GF).parquet(stagingDir.toString)
+    finally prevTsType match {
+      case Some(v) => spark.conf.set(tsTypeKey, v)
+      case None    => spark.conf.unset(tsTypeKey)
+    }
+    val tWrite = (System.nanoTime() - tWrite0) / 1e9
 
     // empty input leaves only _SUCCESS behind; nothing to publish
+    val tList0 = System.nanoTime()
     val groupDirs = fs.globStatus(new Path(stagingDir, s"$GP=*/$GF=*")).toSeq
     if (groupDirs.isEmpty) {
       fs.delete(stagingDir, true)
@@ -292,6 +312,9 @@ class GraftTable private (
         futures.map(_.get())
       } finally pool.shutdown()
     fs.delete(stagingDir, true)
+    if (sys.env.contains("GRAFT_PUBLISH_DEBUG"))
+      System.err.println(f"[publish] groups=${groupDirs.size} write=$tWrite%.2fs " +
+        f"tail=${(System.nanoTime() - tList0) / 1e9}%.2fs")
     out
   }
 
@@ -381,19 +404,29 @@ class GraftTable private (
       val newIds = (0 until newBuckets).map(i => s"g$commitTime-${offset + i}")
       offset += newBuckets
       val ids = fills.map(_._1) ++ newIds
-      val caps = fills.map(_._2) ++ Seq.fill(newBuckets)(target)
-      val cums = caps.scanLeft(0L)(_ + _).tail
-      (part, ids, cums, cums.last, fills.size)
+      // only the FILL buckets carry per-bucket capacities; new buckets
+      // are uniform (target rows each), so their index is arithmetic
+      val fillCums = fills.map(_._2).scanLeft(0L)(_ + _).tail
+      val total = fillCap + newBuckets.toLong * target
+      (part, ids, fillCums, fillCap, total, fills.size)
     }.toSeq
     val planDf = broadcast(
       spark.createDataFrame(plan)
-        .toDF(Partition + "_p", "_g_ids", "_g_cums", "_g_total", "_g_nfill"))
+        .toDF(Partition + "_p", "_g_ids", "_g_fcums", "_g_fcap", "_g_total", "_g_nfill"))
     val unit = pmod(xxhash64(col(Key)), col("_g_total"))
-    val idx = size(filter(col("_g_cums"), c => c <= unit))
+    // bucket index: the uniform new-bucket tail resolves with pure
+    // (codegen'd) arithmetic; the array scan — a non-codegen lambda —
+    // only runs for rows landing in the small fill prefix, so routing
+    // stays whole-stage-codegen for the bulk of a large load
+    val idx = least(
+      when(unit >= col("_g_fcap"),
+        col("_g_nfill") + floor((unit - col("_g_fcap")) / lit(target)).cast("int"))
+        .otherwise(size(filter(col("_g_fcums"), c => c <= unit))),
+      size(col("_g_ids")) - 1) // clamp: double division can misround at 2^53-scale units
     df.join(planDf, col(Partition) === col(Partition + "_p"), "left")
       .withColumn(File, element_at(col("_g_ids"), idx + lit(1)))
       .withColumn(NewGroup, idx >= col("_g_nfill"))
-      .drop(Partition + "_p", "_g_ids", "_g_cums", "_g_total", "_g_nfill")
+      .drop(Partition + "_p", "_g_ids", "_g_fcums", "_g_fcap", "_g_total", "_g_nfill")
   }
 
   // =========================================================================
@@ -907,13 +940,18 @@ object GraftTable {
       case DateType =>
         Some(java.time.LocalDate.ofEpochDay(v.asInstanceOf[java.lang.Integer].longValue).toString)
       case _: TimestampType | _: TimestampNTZType =>
-        // Spark 3+/4 writes INT64 micros; format as a UTC-naive wall time
+        // stageAndPublish forces outputTimestampType=TIMESTAMP_MICROS, so
+        // footer stats are INT64 micros; format as a UTC-naive wall time
         // (LocalDateTime ISO form — what StatsSkipping.compare re-parses)
-        val micros = v.asInstanceOf[java.lang.Long].longValue
-        Some(java.time.LocalDateTime.ofEpochSecond(
-          Math.floorDiv(micros, 1000000L),
-          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
-          java.time.ZoneOffset.UTC).toString)
+        v match {
+          case l: java.lang.Long =>
+            val micros = l.longValue
+            Some(java.time.LocalDateTime.ofEpochSecond(
+              Math.floorDiv(micros, 1000000L),
+              (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+              java.time.ZoneOffset.UTC).toString)
+          case _ => None // INT96 (legacy writer): no usable stats
+        }
       case _ => None
     }
   }

@@ -124,9 +124,9 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     var lastPred: Option[String] = None
     val base = Seq((1L, "o'brien"), (2L, "smith"), (3L, "o'hara"))
       .toDF("id", "name")
-    def loader(p: Option[String]): DataFrame = {
-      lastPred = p
-      p.fold(base)(pred => base.where(expr(pred)))
+    def loader(q: JdbcQuery): DataFrame = {
+      lastPred = q.predicate
+      q.predicate.fold(base)(pred => base.where(expr(pred)))
     }
 
     val numSrc = new JdbcIncrementalSource(loader, "id")
@@ -147,10 +147,82 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("JDBC incremental: broken incremental query degrades to a full scan") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
-    def loader(p: Option[String]): DataFrame =
-      p.fold(base)(_ => throw new RuntimeException("column dropped upstream"))
+    def loader(q: JdbcQuery): DataFrame =
+      q.predicate.fold(base)(_ => throw new RuntimeException("column dropped upstream"))
     val src = new JdbcIncrementalSource(loader, "id")
     val Some((batch, ck)) = src.fetch(Some("1")): @unchecked
     assert(batch.count() == 2 && ck == "2", "fallback must return the full scan")
+  }
+
+  test("JDBC incremental: one source execution per sync; no dups under insert") {
+    import spark.implicits._
+    // rows flowing OUT of the simulated database are counted by an
+    // accumulator attached below the source seam: if a sync executed the
+    // source query twice (once for the checkpoint, once for the write),
+    // the count would double
+    val rowsServed = spark.sparkContext.longAccumulator("jdbc-rows-served")
+    val upstream = new java.util.concurrent.atomic.AtomicLong(3L)
+    def loader(q: JdbcQuery): DataFrame = {
+      val hi = upstream.get()
+      val base = spark.range(1, hi + 1).toDF("id")
+        .withColumn("v", expr("concat('r', id)"))
+      // the predicate applies BELOW the counter, like a real database
+      // would: the counter sees exactly the rows the query returns
+      q.predicate.fold(base)(pred => base.where(expr(pred)))
+        .filter { _ => rowsServed.add(1); true }
+    }
+
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "jdbc", tableType = TableType.COW, keyFields = Seq("id"),
+      targetFileRows = 1000))
+    val ingest = new ContinuousIngest(tbl,
+      new JdbcIncrementalSource(loader, "id"), operation = "insert")
+
+    assert(ingest.syncOnce().isDefined)
+    assert(rowsServed.value == 3L,
+      s"sync must execute the source exactly once (3 rows), saw ${rowsServed.value}")
+    assert(ingest.checkpoint.contains("3"))
+
+    // upstream grows; the next sync under `insert` must ingest ONLY the
+    // new rows — and only read them from the source once
+    upstream.set(5L)
+    rowsServed.reset()
+    assert(ingest.syncOnce().isDefined)
+    assert(rowsServed.value == 2L,
+      s"incremental sync must serve only the 2 new rows once, saw ${rowsServed.value}")
+    assert(ingest.syncOnce().isEmpty, "caught up")
+
+    val r = GraftReader(tbl)
+    val got = r.dataOnly(r.snapshot()).select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L, 4L, 5L), "no duplicates under insert")
+  }
+
+  test("JDBC loader pushes ORDER BY/LIMIT into the dbtable subquery") {
+    val q = JdbcQuery(Some("id > 7"), Some(("id", 100L)))
+    assert(JdbcIncrementalSource.dbtable("events", q) ==
+      "(SELECT * FROM events WHERE id > 7 ORDER BY id LIMIT 100) graft_incr_src")
+    assert(JdbcIncrementalSource.dbtable("events", JdbcQuery(Some("id > 7"), None)) ==
+      "(SELECT * FROM events WHERE id > 7) graft_incr_src")
+    assert(JdbcIncrementalSource.dbtable("events", JdbcQuery(None, Some(("id", 5L)))) ==
+      "(SELECT * FROM events ORDER BY id LIMIT 5) graft_incr_src")
+    assert(JdbcIncrementalSource.dbtable("events", JdbcQuery()) == "events")
+
+    // the limit flows from the source into the loader's query
+    var seen: Option[(String, Long)] = None
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    def loader(jq: JdbcQuery): org.apache.spark.sql.DataFrame = {
+      seen = jq.orderLimit
+      val f = jq.predicate.fold(base)(p => base.where(expr(p)))
+      jq.orderLimit.fold(f) { case (c, n) =>
+        f.orderBy(org.apache.spark.sql.functions.col(c)).limit(n.toInt) }
+    }
+    val src = new JdbcIncrementalSource(loader, "id", limit = 2L)
+    val Some((b, ck)) = src.fetch(None): @unchecked
+    assert(seen.contains(("id", 2L)), s"orderLimit must reach the loader: $seen")
+    assert(b.count() == 2 && ck == "2", "backlog drains in bounded batches")
+    val Some((b2, ck2)) = src.fetch(Some(ck)): @unchecked
+    assert(b2.count() == 1 && ck2 == "3")
   }
 }
