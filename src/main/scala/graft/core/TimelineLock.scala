@@ -59,3 +59,13 @@ class ConcurrentWriteConflictException(mine: String, theirs: String)
   extends RuntimeException(
     s"commit $mine conflicts with concurrently-completed instant $theirs " +
       "(overlapping file groups); the write was rolled back — retry")
+
+/** The write targets file groups pinned by a pending clustering plan;
+  * mutating them would be lost when the plan's replacecommit lands
+  * (reference analog: SparkRejectUpdateStrategy.java:42). Retry after
+  * the clustering executes, or roll the plan back. */
+class ClusteringConflictException(op: String, groups: Iterable[(String, String)])
+  extends RuntimeException(
+    s"$op targets file groups pinned by a pending clustering plan " +
+      s"(e.g. ${groups.mkString(", ")}); wait for the clustering to " +
+      "execute or roll back its plan, then retry")

@@ -1140,6 +1140,48 @@ object TableFormat {
           FROM orders WHERE o_orderkey % 10 IN (6, 8, 9))
         ORDER BY o_orderkey"""))),
 
+    // ---- async clustering schedule/run split with the reject-update
+    //      strategy: inserts of new keys ride through while the plan is
+    //      pending, updates to pinned groups are rejected, and the
+    //      executed rewrite changes no answers (reference analog:
+    //      AsyncClusteringService.java:41 + SparkRejectUpdateStrategy.java:42)
+    "q76_async_clustering" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val c = cfg("orders_aclu", TableType.COW).copy(targetFileRows = 2000)
+        val tbl = GraftTable.create(s, freshDir(), c)
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        val svc = TableServices(tbl)
+        val ts = svc.scheduleClustering(Seq("o_orderkey"), targetFileRows = 5000)
+          .getOrElse(sys.error("nothing to cluster"))
+        // new keys ride through while the plan is pinned
+        tbl.insert(orders.filter(col("o_orderkey") % 10 === 8))
+        // an update to a pinned group must be rejected, not silently lost
+        val rejected =
+          try { tbl.upsert(orders.filter(col("o_orderkey") % 10 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 999)); false }
+          catch { case _: graft.core.ClusteringConflictException => true }
+        require(rejected, "update to a pinned group must raise")
+        svc.runScheduledClustering(ts)
+        require(svc.pendingClusterings().isEmpty, "plan must be consumed")
+        // unpinned again: the update applies now
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 222))
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 222
+                      ELSE o_totalprice END AS price
+          FROM orders WHERE o_orderkey % 10 < 9)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
     // ---- hive-style + url-encoded partition layout: values with spaces
     //      round-trip through encoded directory names; answers unchanged
     "q65_hive_url_partitions" -> ((

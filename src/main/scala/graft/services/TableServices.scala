@@ -245,16 +245,96 @@ class TableServices(table: GraftTable) {
         * COW analog of compaction's purge. Bounds marker growth; CDC
         * reads older than this rewrite lose their D rows for the
         * purged keys, same contract as compaction on MOR. */
+      purgeTombstones: Boolean = false): Option[String] =
+    scheduleClustering(sortCols, layout, rankMode, targetFileRows,
+      smallFileRows, purgeTombstones).flatMap(runScheduledClustering)
+
+  /** Pin a clustering plan (input file groups + layout parameters) in a
+    * `replacecommit.requested` instant for a later — possibly
+    * concurrent — executor (reference analog:
+    * ClusteringPlanActionExecutor + async/AsyncClusteringService.java:41).
+    * While the plan is pending, updates/deletes targeting the pinned
+    * groups are REJECTED at write time and insert fills skip them
+    * (reference analog: SparkRejectUpdateStrategy.java:42), so the
+    * rewrite can replace the groups without losing concurrent writes.
+    * Writers that minted an instant before the schedule are waited out,
+    * mirroring compaction's schedule guard. */
+  def scheduleClustering(
+      sortCols: Seq[String],
+      layout: String = "linear",
+      rankMode: String = "map",
+      targetFileRows: Long = 0L,
+      smallFileRows: Long = Long.MaxValue,
       purgeTombstones: Boolean = false): Option[String] = {
     require(Seq("linear", "zorder", "hilbert").contains(layout), s"bad layout $layout")
-    val snap = Snapshot.resolve(timeline)
-    val candidates = snap.slices.filter(s =>
-      s.deltas.isEmpty && s.baseFile.exists(_.rows < smallFileRows))
-    if (candidates.isEmpty || (layout == "linear" && sortCols.isEmpty)) return None
+    if (layout == "hilbert")
+      require(sortCols.size == 2, "hilbert layout needs exactly 2 sort columns")
+    var attempt = 0
+    while (true) {
+      val snap = Snapshot.resolve(timeline)
+      val candidates = snap.slices.filter(s =>
+        s.deltas.isEmpty && s.baseFile.exists(_.rows < smallFileRows))
+      if (candidates.isEmpty || (layout == "linear" && sortCols.isEmpty)) return None
+      val stats = candidates.flatMap(_.baseFile)
+      val t = timeline.startRequested(Action.ReplaceCommit,
+        CommitMetadata("clustering_plan", "", stats, extra = Map(
+          "sortCols" -> sortCols.mkString(","),
+          "layout" -> layout,
+          "rankMode" -> rankMode,
+          "targetFileRows" -> targetFileRows.toString,
+          "purgeTombstones" -> purgeTombstones.toString)))
+      // earlier-minted writers may still commit into (or replace) the
+      // planned groups; wait for them, then confirm the plan is fresh
+      val settled = awaitEarlierData(t)
+      val stale = !settled || {
+        val liveNow = Snapshot.resolve(timeline).slices
+          .flatMap(s => s.baseFile.map(b => ((s.partition, s.fileId), b.path)))
+          .toMap
+        !stats.forall(st => liveNow.get((st.partition, st.fileId)).contains(st.path))
+      }
+      if (!stale) return Some(t)
+      timeline.deletePending(t, Action.ReplaceCommit)
+      attempt += 1
+      if (attempt >= 3) throw new IllegalStateException(
+        "could not schedule clustering: concurrent writers kept racing the plan")
+    }
+    None // unreachable
+  }
 
-    val t = timeline.start(Action.ReplaceCommit)
+  /** Pending clustering plans (requested replacecommits), time asc. */
+  def pendingClusterings(): Seq[String] =
+    timeline.instants()
+      .filter(i => i.action == Action.ReplaceCommit &&
+        i.state == graft.core.State.Requested)
+      .map(_.time).distinct.sorted
+      .filter { t =>
+        val inst = graft.core.Instant(t, Action.ReplaceCommit, graft.core.State.Requested)
+        scala.util.Try(timeline.metadataOf(inst).operation).toOption
+          .contains("clustering_plan")
+      }
+
+  /** Execute a pinned clustering plan: rewrite EXACTLY the pinned base
+    * files into target-sized, layout-sorted groups via one
+    * replacecommit. The write-path reject strategy keeps the pinned
+    * groups immutable while the plan is pending; publication still
+    * verifies under the timeline lock that every pinned file is live and
+    * untouched, aborting (plan kept for retry) if a straggler writer
+    * slipped through. */
+  def runScheduledClustering(time: String): Option[String] = {
+    val inst = graft.core.Instant(time, Action.ReplaceCommit, graft.core.State.Requested)
+    val meta = timeline.metadataOf(inst)
+    require(meta.operation == "clustering_plan", s"$time is not a clustering plan")
+    val stats = meta.stats
+    if (stats.isEmpty) { timeline.deletePending(time, Action.ReplaceCommit); return None }
+    val sortCols = meta.extra("sortCols").split(",").toSeq.filter(_.nonEmpty)
+    val layout = meta.extra("layout")
+    val rankMode = meta.extra("rankMode")
+    val targetFileRows = meta.extra("targetFileRows").toLong
+    val purgeTombstones = meta.extra("purgeTombstones").toBoolean
+
+    timeline.markInflight(time, Action.ReplaceCommit)
+    val snap = Snapshot.resolve(timeline)
     val schema = table.readSchema(snap)
-    val stats = candidates.flatMap(_.baseFile)
     val raw = table.readStatsDf(schema, stats)
     val df = if (purgeTombstones) raw.filter(!col(Deleted)) else raw
 
@@ -271,8 +351,6 @@ class TableServices(table: GraftTable) {
         val withRanks = addRanks(df, stats, sortCols, rankMode, buckets)
         val rankNames = sortCols.indices.map(i => s"`_g_r_$i`")
         val fn = if (curve == "hilbert") "hilbert_value" else "z_value"
-        if (curve == "hilbert")
-          require(sortCols.size == 2, "hilbert layout needs exactly 2 sort columns")
         (withRanks.withColumn("_g_sort", expr(s"$fn(${rankNames.mkString(",")})")),
           sortCols.indices.map(i => s"_g_r_$i") :+ "_g_sort")
     }
@@ -282,15 +360,38 @@ class TableServices(table: GraftTable) {
     }
     val assigned = keyed
       .repartitionByRange(nb, rangeCols: _*)
-      .withColumn(File, concat(lit(s"c$t-"), spark_partition_id().cast("string")))
+      .withColumn(File, concat(lit(s"c$time-"), spark_partition_id().cast("string")))
       .drop(rankCols: _*)
 
-    val written = table.stageAndPublish(assigned, t)
-    val replaced = candidates.groupBy(_.partition)
-      .map { case (p, ss) => p -> ss.map(_.fileId) }
-    timeline.complete(t, Action.ReplaceCommit,
-      CommitMetadata("cluster", "", written, replaced))
-    Some(t)
+    val written = table.stageAndPublish(assigned, time)
+    val published = new TimelineLock(timeline).withLock {
+      // every pinned file must still be the live base of its group (no
+      // replace/rewrite slipped past the reject strategy)
+      val liveNow = Snapshot.resolve(timeline).slices
+        .map(s => (s.partition, s.fileId) -> s).toMap
+      val intact = stats.forall { st =>
+        liveNow.get((st.partition, st.fileId))
+          .exists(s => s.deltas.isEmpty && s.baseFile.exists(_.path == st.path))
+      }
+      if (!intact) false
+      else {
+        val replaced = stats.map(st => (st.partition, st.fileId)).distinct
+          .groupBy(_._1).map { case (p, ks) => p -> ks.map(_._2) }
+        timeline.complete(time, Action.ReplaceCommit,
+          CommitMetadata("cluster", "", written, replaced))
+        true
+      }
+    }
+    if (published) Some(time)
+    else {
+      // a pinned file changed: the plan is permanently stale — drop it
+      // (unpinning the groups for writers) and ask for a re-schedule
+      written.foreach(st => fs.delete(abs(st), false))
+      timeline.deletePending(time, Action.ReplaceCommit)
+      throw new IllegalStateException(
+        s"clustering $time aborted: a concurrent writer touched a pinned " +
+          "file group; the stale plan was dropped — re-schedule")
+    }
   }
 
   /** Long-typed curve cell ranks `_g_r_i` for each sort column. "map":

@@ -357,18 +357,51 @@ class GraftTable private (
     if (config.smallFileRows < 0) target * 3 / 4
     else config.smallFileRows
 
+  /** File groups pinned by a PENDING clustering plan (requested
+    * replacecommit with a `clustering_plan` payload): while the plan is
+    * outstanding, updates/deletes targeting them are rejected and insert
+    * fills skip them, so the clustering rewrite can replace the groups
+    * without losing a concurrent write (reference analog:
+    * SparkRejectUpdateStrategy.java:42 +
+    * ClusteringUtils.getAllPendingClusteringPlans). Empty in the common
+    * no-pending-plan case, costing one O(#instants) listing. */
+  private[graft] def pendingClusteringGroups(): Set[(String, String)] =
+    timeline.instants()
+      .filter(i => i.action == Action.ReplaceCommit && i.state == State.Requested)
+      .flatMap { i =>
+        scala.util.Try(timeline.metadataOf(i)).toOption.toSeq
+          .filter(_.operation == "clustering_plan")
+          .flatMap(_.stats.map(st => (st.partition, st.fileId)))
+      }.toSet
+
+  /** Reject a mutation that targets clustering-pinned groups. One small
+    * driver collect of the distinct target groups; skipped entirely when
+    * no clustering plan is pending. */
+  private def rejectPinnedTargets(df: DataFrame, op: String): Unit = {
+    val pinned = pendingClusteringGroups()
+    if (pinned.isEmpty) return
+    val touched = df.select(col(Partition), col(File)).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val clash = touched.intersect(pinned)
+    if (clash.nonEmpty) throw new ClusteringConflictException(op, clash.take(3))
+  }
+
   /** Existing fill targets for bin packing: per partition, the live
     * groups under the small-file limit with their remaining row capacity
-    * toward target size — computed from commit-metadata stats only. */
+    * toward target size — computed from commit-metadata stats only.
+    * Clustering-pinned groups are excluded (their files must stay
+    * immutable until the plan executes). */
   private def fillTargets(
       snap: Option[Snapshot], target: Long): Map[String, Seq[(String, Long)]] = {
     val limit = smallFileLimit(target)
+    lazy val pinned = pendingClusteringGroups()
     snap match {
       case Some(sn) if limit > 0 =>
         sn.slices
           // external (bootstrapped) groups stay zero-copy until a real
           // update touches them — filling one would force its rewrite
           .filterNot(_.allFiles.exists(_.external))
+          .filterNot(s => pinned((s.partition, s.fileId)))
           .map(s => (s.partition, s.fileId, s.allFiles.map(_.rows).sum))
           .filter { case (_, _, rows) => rows > 0 && rows < limit && rows < target }
           .groupBy(_._1)
@@ -684,6 +717,7 @@ class GraftTable private (
         .withColumn(Partition,
           if (config.globalIndex) col("_g_loc_part") else col(Partition))
         .drop("_g_loc", "_g_loc_part")
+      rejectPinnedTargets(updates, "upsert")
       val target = effectiveTargetRows(Some(snap))
       val fills = fillTargets(Some(snap), target)
       val assigned = assignInsertGroups(
@@ -760,6 +794,7 @@ class GraftTable private (
       .drop("_g_loc", "_g_loc_part")
       .persist()
     try {
+      rejectPinnedTargets(tagged, "delete")
       val (stats, replaced) =
         if (isMor) (stageAndPublish(tagged, t, delta = true), Map.empty[String, Seq[String]])
         else {

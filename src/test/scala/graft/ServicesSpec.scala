@@ -321,6 +321,97 @@ class ServicesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshot.resolve(tbl.timeline).slices.forall(_.deltas.isEmpty))
   }
 
+  test("scheduled clustering pins groups: updates rejected, inserts ride, run replaces") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "aclust", tableType = TableType.COW, keyFields = Seq("id"),
+      orderingField = "ts", targetFileRows = 3))
+    def df(rows: (Long, String, Long)*) = rows.toDF("id", "v", "ts")
+    tbl.bulkInsert(df((1L to 9L).map(i => (i, "a", 1L)): _*))
+    assert(Snapshot.resolve(tbl.timeline).slices.size == 3, "3 groups of 3")
+
+    val svc = TableServices(tbl)
+    val ts = svc.scheduleClustering(Seq("id"), targetFileRows = 100).get
+    assert(svc.pendingClusterings() == Seq(ts))
+
+    // updates and deletes targeting pinned groups are REJECTED
+    intercept[ClusteringConflictException] { tbl.upsert(df((1L, "x", 9L))) }
+    intercept[ClusteringConflictException] {
+      tbl.delete(Seq((2L, "a")).toDF("id", "v").select("id"))
+    }
+    // an insert of NEW keys rides through (fills skip pinned groups)
+    tbl.insert(df((100L, "n", 1L)))
+
+    assert(svc.runScheduledClustering(ts).contains(ts))
+    assert(svc.pendingClusterings().isEmpty)
+    // groups unpinned: the previously-rejected update now applies
+    tbl.upsert(df((1L, "x", 9L)))
+
+    val r = GraftReader(tbl)
+    val got = r.dataOnly(r.snapshot()).select("id", "v")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val want = (1L to 9L).map(i => (i, if (i == 1L) "x" else "a")) :+ ((100L, "n"))
+    assert(got == want, "clustered + inserted + post-clustering update")
+    // the 3 pinned groups were replaced by one clustered group (+ the
+    // insert's fresh group + the post-clustering upsert rewrite)
+    val slices = Snapshot.resolve(tbl.timeline).slices
+    assert(slices.size == 2, s"expected clustered+insert groups, got ${slices.size}")
+  }
+
+  test("stale clustering plan aborts loudly and unpins (no data loss)") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "aclust2", tableType = TableType.COW, keyFields = Seq("id"),
+      orderingField = "ts", targetFileRows = 3))
+    def df(rows: (Long, String, Long)*) = rows.toDF("id", "v", "ts")
+    tbl.bulkInsert(df((1L to 6L).map(i => (i, "a", 1L)): _*))
+    val svc = TableServices(tbl)
+    val ts = svc.scheduleClustering(Seq("id"), targetFileRows = 100).get
+    // simulate a straggler that bypassed the reject strategy: an
+    // insert_overwrite_table replaces the pinned groups outright
+    tbl.insertOverwriteTable(df((10L, "z", 1L)))
+    val e = intercept[IllegalStateException] { svc.runScheduledClustering(ts) }
+    assert(e.getMessage.contains("re-schedule"))
+    assert(svc.pendingClusterings().isEmpty, "stale plan must be dropped")
+    val r = GraftReader(tbl)
+    val got = r.dataOnly(r.snapshot()).select("id", "v")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((10L, "z")), "the overwrite's state must be untouched")
+  }
+
+  test("snapshot resolution is O(keepMin) after archiving a long timeline") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "longtl", tableType = TableType.COW, keyFields = Seq("id")))
+    val tl = tbl.timeline
+    // synthesize 600 commits (driver-side metadata only — the probe
+    // measures timeline resolution, not data IO)
+    (1 to 600).foreach { i =>
+      val t = tl.start(Action.Commit)
+      tl.complete(t, Action.Commit, CommitMetadata("upsert", "",
+        Seq(WriteStat("", s"g$i", s"g${i}_$t.parquet", rows = 1, bytes = 10))))
+    }
+    def timeResolve(): (Double, Snapshot) = {
+      val t0 = System.nanoTime()
+      val s = Snapshot.resolve(tl)
+      ((System.nanoTime() - t0) / 1e6, s)
+    }
+    val (preMs, preSnap) = timeResolve()
+    assert(preSnap.slices.size == 600 && preSnap.instants.size == 600)
+
+    TableServices(tbl).archive(keepMin = 20, keepMax = 30)
+    val (postMs, postSnap) = timeResolve()
+    // resolution work after archiving = checkpoint + O(keepMin) instants,
+    // independent of the 600-commit history
+    assert(postSnap.instants.size <= 30,
+      s"active replay must be bounded, saw ${postSnap.instants.size}")
+    assert(postSnap.slices.size == 600, "state identical through the checkpoint")
+    assert(postMs < preMs,
+      f"checkpointed resolve ($postMs%.1f ms) must beat full replay ($preMs%.1f ms)")
+  }
+
   test("upgrade/downgrade migrates the format version with audited instants") {
     import spark.implicits._
     val dir = tmp()

@@ -198,6 +198,70 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(1L, 2L, 3L, 4L, 5L), "no duplicates under insert")
   }
 
+  test("continuous-ingest soak: async compaction runs concurrently; a crash resumes the checkpoint") {
+    import spark.implicits._
+    import graft.services.TableServices
+    val log = new FakeLog
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "soak", tableType = TableType.MOR, keyFields = Seq("id"),
+      orderingField = "ts", targetFileRows = 40))
+    val ingest = new ContinuousIngest(tbl, new PartitionedLogSource(log, "t", maxEvents = 50))
+    val svc = TableServices(tbl)
+
+    // background compactor: schedule → run in a loop, like the
+    // reference's AsyncCompactService riding DeltaStreamer --continuous.
+    // "kept racing" aborts are a legitimate contended outcome (the plan
+    // or instant is retried later); anything else is a failure.
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    var compactions = 0
+    val compactor = new Thread(() => {
+      while (!stop.get()) {
+        try svc.scheduleCompaction().flatMap(svc.runScheduledCompaction)
+          .foreach(_ => compactions += 1)
+        catch {
+          case e: IllegalStateException
+            if e.getMessage.contains("could not schedule") ||
+              e.getMessage.contains("kept losing") ||
+              e.getMessage.contains("still pending") => () // benign contention
+          case t: Throwable => errors.add(t)
+        }
+        Thread.sleep(10)
+      }
+    })
+    compactor.start()
+
+    var nextId = 0L
+    (1 to 8).foreach { round =>
+      log.append(round % 2,
+        (nextId until nextId + 30L).map(i => (i, s"v$round")): _*)
+      nextId += 30
+      ingest.runContinuous(maxRounds = 1)
+    }
+    stop.set(true); compactor.join()
+    assert(errors.isEmpty, s"compactor errors: ${errors.toArray.mkString(", ")}")
+
+    // crash mid-round: data is FETCHED but never written — the
+    // checkpoint-in-commit contract means nothing advanced
+    log.append(0, (nextId, "late"))
+    new PartitionedLogSource(log, "t", maxEvents = 50).fetch(ingest.checkpoint)
+    val ckBefore = ingest.checkpoint
+
+    // fresh process: reload the table; the new ingest resumes exactly
+    // where the table state is and re-ingests the unwritten batch
+    val tbl2 = GraftTable.load(spark, dir)
+    val ingest2 = new ContinuousIngest(tbl2,
+      new PartitionedLogSource(log, "t", maxEvents = 50))
+    assert(ingest2.checkpoint == ckBefore, "checkpoint recovers from commits")
+    ingest2.runContinuous(maxRounds = 1)
+
+    val r = GraftReader(tbl2)
+    val ids = r.dataOnly(r.snapshot()).select("id").as[Long].collect()
+    assert(ids.length == nextId + 1, s"exactly-once: ${ids.length} vs ${nextId + 1}")
+    assert(ids.distinct.length == ids.length, "no duplicate ids after resume")
+  }
+
   test("JDBC loader pushes ORDER BY/LIMIT into the dbtable subquery") {
     val q = JdbcQuery(Some("id > 7"), Some(("id", 100L)))
     assert(JdbcIncrementalSource.dbtable("events", q) ==
