@@ -55,6 +55,41 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     1.0 - kept.toDouble / stats.size
   }
 
+  test("timestamp stats columns keep footer min/max (INT96 would lose them)") {
+    val dir = tmp()
+    val conf = TableConfig(name = "tstats", tableType = TableType.COW,
+      keyFields = Seq("id"), partitionFields = Nil, orderingField = "",
+      targetFileRows = 500, statsColumns = Seq("ts", "d"))
+    val tbl = GraftTable.create(spark, dir, conf)
+    tbl.bulkInsert(spark.range(2000).select(
+      col("id"),
+      expr("timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id)").as("ts"),
+      expr("date_add(date'2026-01-01', CAST(id % 40 AS INT))").as("d")))
+    // cluster linearly on ts so per-file time ranges are tight
+    TableServices(tbl).cluster(sortCols = Seq("ts"), targetFileRows = 500)
+    val stats = Snapshot.resolve(tbl.timeline).slices.flatMap(_.baseFile)
+    assert(stats.size >= 3)
+    stats.foreach { st =>
+      val ts = st.columnStats.get("ts")
+      assert(ts.exists(s => s.min != null && s.max != null),
+        s"timestamp footer stats must be present, got $ts in ${st.path}")
+      assert(ts.exists(s => s.min.startsWith("2026-01-01T")),
+        s"timestamp stat must re-parse as a wall time: ${ts.map(_.min)}")
+      val d = st.columnStats.get("d")
+      assert(d.exists(s => s.min != null && s.min.startsWith("2026-")),
+        s"date footer stats must be present: $d")
+    }
+    // and the FileIndex actually prunes on them: a narrow time window
+    // should keep a small fraction of the files
+    val snap = Snapshot.resolve(tbl.timeline)
+    val idx = new GraftFileIndex(tbl.basePath, stats, tbl.readSchema(snap))
+    val pred = spark.sessionState.sqlParser
+      .parseExpression("ts < TIMESTAMP '2026-01-01 00:01:00'")
+    val kept = idx.listFiles(Nil, Seq(pred)).head.files.size
+    assert(kept < stats.size,
+      s"timestamp window must prune files: kept $kept of ${stats.size}")
+  }
+
   test("z-order map-ranked layout reaches reference skip fraction") {
     val (tbl, svc) = mkTable()
     assert(skipFraction(tbl) < 0.2, "pre-clustering files barely skippable")
