@@ -269,6 +269,8 @@ class TableServices(table: GraftTable) {
     require(Seq("linear", "zorder", "hilbert").contains(layout), s"bad layout $layout")
     if (layout == "hilbert")
       require(sortCols.size == 2, "hilbert layout needs exactly 2 sort columns")
+    if (layout != "linear")
+      require(sortCols.nonEmpty, s"$layout layout needs sort columns")
     var attempt = 0
     while (true) {
       val snap = Snapshot.resolve(timeline)

@@ -18,6 +18,9 @@ import graft.write.GraftTable
   *   RUN COMPACTION ON '<path>'
   *   SCHEDULE COMPACTION ON '<path>'
   *   SHOW COMPACTION ON '<path>'
+  *   RUN CLUSTERING ON '<path>' SORT BY (col [, ...]) [LAYOUT zorder|hilbert|linear]
+  *   SCHEDULE CLUSTERING ON '<path>' SORT BY (col [, ...]) [LAYOUT ...]
+  *   SHOW CLUSTERING ON '<path>'
   *   UPDATE '<path>' SET col = expr [, ...] [WHERE expr]
   *   DELETE FROM '<path>' [WHERE expr]
   *   SHOW PARTITIONS '<path>'
@@ -30,6 +33,11 @@ object GraftSql {
   private val RunCompaction = """(?is)\s*RUN\s+COMPACTION\s+ON\s+'([^']+)'\s*""".r
   private val ScheduleCompaction = """(?is)\s*SCHEDULE\s+COMPACTION\s+ON\s+'([^']+)'\s*""".r
   private val ShowCompaction = """(?is)\s*SHOW\s+COMPACTION\s+ON\s+'([^']+)'\s*""".r
+  private val RunClustering =
+    """(?is)\s*RUN\s+CLUSTERING\s+ON\s+'([^']+)'\s+SORT\s+BY\s*\(([^)]+)\)(?:\s+LAYOUT\s+(\w+))?\s*""".r
+  private val ScheduleClustering =
+    """(?is)\s*SCHEDULE\s+CLUSTERING\s+ON\s+'([^']+)'\s+SORT\s+BY\s*\(([^)]+)\)(?:\s+LAYOUT\s+(\w+))?\s*""".r
+  private val ShowClustering = """(?is)\s*SHOW\s+CLUSTERING\s+ON\s+'([^']+)'\s*""".r
   private val Update = """(?is)\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*""".r
   private val Delete = """(?is)\s*DELETE\s+FROM\s+'([^']+)'(?:\s+WHERE\s+(.+))?\s*""".r
   private val ShowPartitions = """(?is)\s*SHOW\s+PARTITIONS\s+'([^']+)'\s*""".r
@@ -47,6 +55,8 @@ object GraftSql {
     * session-extension parser to decide interception). */
   def handles(statement: String): Boolean = statement match {
     case RunCompaction(_) | ScheduleCompaction(_) | ShowCompaction(_) |
+         RunClustering(_, _, _) | ScheduleClustering(_, _, _) |
+         ShowClustering(_) |
          Update(_, _, _) | Delete(_, _) | ShowPartitions(_) |
          Truncate(_) | AlterAdd(_, _) | AlterRename(_, _) |
          AlterColType(_, _, _) | AlterDropPartition(_, _) => true
@@ -81,6 +91,38 @@ object GraftSql {
       result(spark, "compaction_instant",
         tl.completed().filter(_.action == Action.Compaction).map(_.time) ++
           svc.pendingCompactions().map(t => s"$t (requested)"))
+    case RunClustering(path, cols, layout) =>
+      // execute anything scheduled first; otherwise plan-and-run inline
+      val svc = TableServices(GraftTable.load(spark, path))
+      val pending = svc.pendingClusterings()
+      val instants =
+        if (pending.nonEmpty) pending.flatMap(svc.runScheduledClustering)
+        else svc.cluster(
+          sortCols = cols.split(",").map(_.trim).toSeq,
+          layout = Option(layout).map(_.toLowerCase).getOrElse("linear")).toSeq
+      result(spark, "instant", instants)
+    case ScheduleClustering(path, cols, layout) =>
+      val tbl = GraftTable.load(spark, path)
+      val pinned = TableServices(tbl).scheduleClustering(
+        sortCols = cols.split(",").map(_.trim).toSeq,
+        layout = Option(layout).map(_.toLowerCase).getOrElse("linear")) match {
+        case Some(t) =>
+          val inst = graft.core.Instant(
+            t, Action.ReplaceCommit, graft.core.State.Requested)
+          tbl.timeline.metadataOf(inst).stats
+            .map(s => s"${s.partition}/${s.fileId}").distinct
+        case None => Nil
+      }
+      result(spark, "file_group", pinned)
+    case ShowClustering(path) =>
+      val tbl = GraftTable.load(spark, path)
+      val svc = TableServices(tbl)
+      val completedClusterings = tbl.timeline.completed()
+        .filter(i => i.action == Action.ReplaceCommit)
+        .filter(i => tbl.timeline.metadataOf(i).operation == "cluster")
+        .map(_.time)
+      result(spark, "clustering_instant",
+        completedClusterings ++ svc.pendingClusterings().map(t => s"$t (requested)"))
     case Update(path, setClause, whereClause) =>
       val dml = GraftDml(GraftTable.load(spark, path))
       val assignments = splitTopLevel(setClause, ',').map { kv =>

@@ -85,6 +85,9 @@ class CsvDirSource(spark: SparkSession, dir: String,
     schema: Option[org.apache.spark.sql.types.StructType] = None)
   extends DfsDirSource(spark, dir, "csv", ".csv", options, schema)
 
+class OrcDirSource(spark: SparkSession, dir: String)
+  extends DfsDirSource(spark, dir, "orc", ".orc")
+
 /** One-shot SQL source: fetches the query result once, then reports
   * caught-up forever (reference analog: sources/SqlSource.java:52 —
   * used for backfills riding the same ingest harness). */

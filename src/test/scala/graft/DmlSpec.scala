@@ -147,4 +147,19 @@ class DmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftSql.sql(spark, s"SHOW COMPACTION ON '$dir'").count() == 1)
     assert(state(tbl).map(_._1) == Seq(1L, 2L)) // state unchanged by compaction
   }
+
+  test("SQL surface: clustering statements (schedule pins, run executes)") {
+    val dir = tmp()
+    val tbl = seed(dir, TableType.COW)
+    val plan = GraftSql.sql(spark, s"SCHEDULE CLUSTERING ON '$dir' SORT BY (id)")
+    assert(plan.count() > 0, "schedule lists the pinned file groups")
+    assert(GraftSql.sql(spark, s"SHOW CLUSTERING ON '$dir'").collect()
+      .exists(_.getString(0).endsWith("(requested)")))
+    val ran = GraftSql.sql(spark, s"RUN CLUSTERING ON '$dir' SORT BY (id)")
+    assert(ran.count() == 1)
+    assert(state(tbl).map(_._1) == Seq(1L, 2L, 3L), "state unchanged by clustering")
+    val shown = GraftSql.sql(spark, s"SHOW CLUSTERING ON '$dir'").collect().map(_.getString(0))
+    assert(shown.length == 1 && !shown.head.contains("requested"),
+      s"one completed clustering, no pending: ${shown.mkString(",")}")
+  }
 }

@@ -117,6 +117,25 @@ class TransformersSpec extends AnyFunSuite with BeforeAndAfterAll {
     // JSON form of the provider round-trips the same schema
     Files.writeString(Paths.get(s"$csvDir/schema.json"), schema.json)
     assert(new FileBasedSchemaProvider(spark, s"$csvDir/schema.json").sourceSchema == schema)
+
+    // orc source: same loop over Spark's built-in ORC reader
+    val dir3 = tmp(); val orcDir = tmp()
+    val tbl3 = GraftTable.create(spark, dir3, TableConfig(
+      name = "t3", tableType = TableType.COW, keyFields = Seq("id"),
+      orderingField = "", targetFileRows = 1000))
+    val stage = tmp()
+    Seq((20L, "p"), (21L, "q")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").orc(stage)
+    val fsys = new org.apache.hadoop.fs.Path(orcDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val part = fsys.globStatus(new org.apache.hadoop.fs.Path(stage, "part-*.orc")).head.getPath
+    fsys.rename(part, new org.apache.hadoop.fs.Path(orcDir, "000001.orc"))
+    val orcIngest = new ContinuousIngest(tbl3, new OrcDirSource(spark, orcDir))
+    assert(orcIngest.syncOnce().isDefined)
+    assert(orcIngest.syncOnce().isEmpty)
+    val r3 = GraftReader(tbl3)
+    assert(r3.dataOnly(r3.snapshot()).as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((20L, "p"), (21L, "q")))
   }
 
   test("sql source backfills once; multi-table round advances each table") {
