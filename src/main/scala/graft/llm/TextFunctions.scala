@@ -103,4 +103,78 @@ object TextFunctions {
 
   def fingerprintMax(tokens: Column, k: Int): Column =
     array_max(transform(shingles(tokens, k), s => hash60(s)))
+
+  // ---- repetition / quality-filter rules ----------------------------------
+  // The Gopher/MassiveText-style repetition signals (Rae et al. 2021,
+  // §A1.1 "repetition" filters): fraction of duplicated tokens and of
+  // duplicated n-grams, and the mass of the single most frequent token.
+  // All are pure per-row array expressions — shuffle-free, so a quality
+  // pass over 100 TB is embarrassingly parallel.
+
+  /** Fraction of tokens that are repeats of an earlier token:
+    * 1 - distinct/total. 0.0 for empty docs. */
+  def dupTokenFrac(tokens: Column): Column =
+    when(size(tokens) > 0,
+      lit(1.0) - size(array_distinct(tokens)).cast("double") / size(tokens))
+      .otherwise(lit(0.0))
+
+  /** Fraction of word n-grams that are repeats (the "duplicate n-gram
+    * fraction" rule; high values = boilerplate / looped generations). */
+  def dupNgramFrac(tokens: Column, n: Int): Column = {
+    val grams = shingles(tokens, n)
+    when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+      .otherwise(lit(0.0))
+  }
+
+  /** Occurrence count of the single most frequent token: sort the
+    * tokens, then one fold tracking the longest equal-run — O(n log n)
+    * per row instead of the O(n·distinct) count-per-distinct shape. */
+  def topTokenCount(tokens: Column): Column =
+    aggregate(
+      array_sort(tokens),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+
+  /** The standard keep/drop decision from the repetition rules (the
+    * thresholds are the caller's; the defaults mirror the published
+    * filter: drop token-repeat-heavy docs, duplicate-2-gram-dominated
+    * docs, and docs dominated by one token). */
+  def repetitionKeep(
+      tokens: Column,
+      maxDupTokenFrac: Double = 0.85,
+      maxDup2gramFrac: Double = 0.65,
+      maxTopTokenFrac: Double = 0.30): Column =
+    (dupTokenFrac(tokens) <= maxDupTokenFrac) &&
+      (dupNgramFrac(tokens, 2) <= maxDup2gramFrac) &&
+      (size(tokens) === 0 ||
+        topTokenCount(tokens).cast("double") / size(tokens) <= maxTopTokenFrac)
+
+  // ---- PII scrubbing -------------------------------------------------------
+  // Pattern-based redaction for the classic training-data scrub pass
+  // (emails, IPv4s, US-style phone numbers). Patterns stick to syntax
+  // valid in both Java regex and RE2 so oracles can mirror the counts.
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhonePattern = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0))).cast("long"))
+
+  /** Replace each PII match with a typed placeholder token. Order
+    * matters: emails first (an email's domain must not be half-eaten by
+    * another rule), then IPs, then phones. */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "[EMAIL]")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "[IP]")
+    regexp_replace(noIp, PhonePattern, "[PHONE]")
+  }
 }

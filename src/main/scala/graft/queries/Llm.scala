@@ -112,6 +112,57 @@ object Llm {
                list_max(list_transform(ss, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT))) AS fp_max
         FROM sh ORDER BY doc_id"""))),
 
+    // ---- Gopher-style repetition quality rules: duplicate-token /
+    //      duplicate-2-gram fractions, top-token mass, keep decision
+    //      (Rae et al. 2021 §A1.1 repetition filters — the standard
+    //      pre-training scrub pass; pure per-row array math, so the
+    //      100 TB pass is shuffle-free)
+    "q77_quality_rules" -> ((
+      (s: SparkSession, d: String) => {
+        val toks = TF.wsTokens(col("text"))
+        t(s, d, "documents").select(
+            col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            TF.dupTokenFrac(toks).as("dup_token_frac"),
+            TF.dupNgramFrac(toks, 2).as("dup_2gram_frac"),
+            TF.topTokenCount(toks).as("top_token_count"),
+            TF.repetitionKeep(toks).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        top AS (
+          SELECT doc_id, max(c) AS top_cnt FROM (
+            SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w)
+          GROUP BY doc_id),
+        base AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i + 1]) AS g2
+          FROM base),
+        m AS (
+          SELECT b.doc_id,
+                 len(tk) AS n_tokens,
+                 CASE WHEN len(tk) > 0
+                      THEN 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+                      ELSE 0.0 END AS dup_token_frac,
+                 CASE WHEN len(g.g2) > 0
+                      THEN 1.0 - CAST(len(list_distinct(g.g2)) AS DOUBLE) / len(g.g2)
+                      ELSE 0.0 END AS dup_2gram_frac,
+                 t.top_cnt AS top_token_count
+          FROM base b
+          JOIN grams g ON b.doc_id = g.doc_id
+          JOIN top t ON b.doc_id = t.doc_id)
+        SELECT doc_id, n_tokens, dup_token_frac, dup_2gram_frac,
+               top_token_count,
+               (dup_token_frac <= 0.85 AND dup_2gram_frac <= 0.65 AND
+                (n_tokens = 0 OR
+                 CAST(top_token_count AS DOUBLE) / n_tokens <= 0.30)) AS keep
+        FROM m ORDER BY doc_id"""))),
+
     // ---- exact dedup over a simulated re-crawl (each doc appears twice)
     "q24_dedup_exact" -> ((
       (s: SparkSession, d: String) => {

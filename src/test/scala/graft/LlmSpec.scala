@@ -98,6 +98,51 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == "und")
   }
 
+  test("repetition rules: dup fractions, top-token mass, keep decision") {
+    import spark.implicits._
+    import graft.llm.{TextFunctions => TF}
+    val rows = Seq(
+      (1L, "a a a a a a a a a a"),                    // one token repeated: drop
+      (2L, "one two three four five six seven eight"), // all distinct: keep
+      (3L, "x y x y x y x y x y"),                    // 2-gram loop: drop
+      (4L, "")                                         // empty-ish (one "" token)
+    ).toDF("doc_id", "text")
+    val toks = TF.wsTokens(col("text"))
+    val got = rows.select(
+        col("doc_id"),
+        TF.dupTokenFrac(toks).as("dt"),
+        TF.dupNgramFrac(toks, 2).as("d2"),
+        TF.topTokenCount(toks).as("top"),
+        TF.repetitionKeep(toks).as("keep"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getBoolean(4))).sortBy(_._1)
+    assert(got(0) == ((1L, 0.9, 8.0 / 9.0, 10L, false)), s"got ${got(0)}")
+    assert(got(1) == ((2L, 0.0, 0.0, 1L, true)), s"got ${got(1)}")
+    assert(got(2)._5 == false, "2-gram loop must be dropped")
+    assert(got(2)._2 == 0.8 && got(2)._3 > 0.7, s"got ${got(2)}")
+    assert(got(3)._4 == 1L && got(3)._2 == 0.0, s"got ${got(3)}")
+  }
+
+  test("PII scrubbing: counts and redaction for emails, IPs, phones") {
+    import spark.implicits._
+    import graft.llm.{TextFunctions => TF}
+    val rows = Seq(
+      (1L, "contact jane.doe+x@example.co.uk or 10.0.255.1 or 555-867-5309 now"),
+      (2L, "no pii here, just text with an @ sign and 1.2 decimals"),
+      (3L, "two mails a@b.io c.d@e.org and ip 192.168.0.1")
+    ).toDF("doc_id", "text")
+    val (em, ip, ph) = TF.piiCounts(col("text"))
+    val got = rows.select(col("doc_id"), em.as("e"), ip.as("i"), ph.as("p"),
+        TF.redactPii(col("text")).as("red"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sortBy(_._1)
+    assert(got(0)._2 == 1 && got(0)._3 == 1 && got(0)._4 == 1, s"got ${got(0)}")
+    assert(got(0)._5 == "contact [EMAIL] or [IP] or [PHONE] now", got(0)._5)
+    assert(got(1) == ((2L, 0L, 0L, 0L, "no pii here, just text with an @ sign and 1.2 decimals")))
+    assert(got(2)._2 == 2 && got(2)._3 == 1, s"got ${got(2)}")
+    assert(got(2)._5 == "two mails [EMAIL] [EMAIL] and ip [IP]", got(2)._5)
+  }
+
   test("brute-force top-k is exact and deterministic") {
     import spark.implicits._
     val vecs = Seq(
