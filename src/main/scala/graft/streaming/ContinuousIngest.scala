@@ -35,10 +35,43 @@ class FileBasedSchemaProvider(spark: SparkSession, path: String) extends SchemaP
       try new String(org.apache.commons.io.IOUtils.toByteArray(in),
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
-    if (text.trim.startsWith("{"))
-      org.apache.spark.sql.types.DataType.fromJson(text)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-    else org.apache.spark.sql.types.StructType.fromDDL(text)
+    SchemaText.parse(text)
+  }
+}
+
+/** Shared schema-document parsing: a registry envelope
+  * `{"schema": "<payload>", ...}`, a raw StructType JSON document, or a
+  * Spark DDL string — whichever the source serves. */
+private[streaming] object SchemaText {
+  def parse(text: String): org.apache.spark.sql.types.StructType = {
+    val t = text.trim
+    if (!t.startsWith("{")) return org.apache.spark.sql.types.StructType.fromDDL(t)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(t)
+    if (node.has("schema") && node.get("schema").isTextual)
+      parse(node.get("schema").asText()) // registry envelope: unwrap payload
+    else org.apache.spark.sql.types.DataType.fromJson(t)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+  }
+}
+
+/** Schema fetched over HTTP from a registry endpoint (reference analog:
+  * utilities/schema/SchemaRegistryProvider.java:45, which GETs a
+  * Confluent-style `{"schema": "<escaped>"}` envelope). Spark-first
+  * deviation: the payload is a Spark DDL string or StructType JSON
+  * rather than an Avro schema — there is no Avro IR in this engine.
+  * Re-fetches on every call so ingest picks up registry updates between
+  * sync rounds, like the reference. */
+class HttpSchemaProvider(url: String, timeoutMs: Long = 5000L) extends SchemaProvider {
+  override def sourceSchema: org.apache.spark.sql.types.StructType = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new IllegalStateException(
+        s"schema registry GET $url returned ${resp.statusCode()}: ${resp.body()}")
+    SchemaText.parse(resp.body())
   }
 }
 

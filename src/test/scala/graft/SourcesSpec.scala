@@ -198,6 +198,68 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(1L, 2L, 3L, 4L, 5L), "no duplicates under insert")
   }
 
+  test("HTTP bindings: commit callback posts per instant; registry provider parses envelopes") {
+    import spark.implicits._
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val keys = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/callback", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        received.add(new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        keys.add(Option(ex.getRequestHeaders.getFirst("X-Graft-Callback-Key")).getOrElse(""))
+        ex.sendResponseHeaders(200, -1); ex.close()
+      }
+    })
+    server.createContext("/schema/envelope", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = """{"subject":"t","version":3,"schema":"id BIGINT, v STRING"}"""
+        val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes); ex.close()
+      }
+    })
+    server.createContext("/schema/json", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val bytes = org.apache.spark.sql.types.StructType
+          .fromDDL("id BIGINT, v STRING").json
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes); ex.close()
+      }
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      val dir = tmp()
+      val tbl = GraftTable.create(spark, dir, TableConfig(
+        name = "cbk", tableType = TableType.COW, keyFields = Seq("id"),
+        orderingField = "ts", targetFileRows = 1000))
+      tbl.timeline.register(new graft.sync.HttpCommitCallback(
+        s"http://127.0.0.1:$port/callback", "cbk", dir, apiKey = "s3cret"))
+      tbl.bulkInsert(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ts"))
+      tbl.upsert(Seq((2L, "b2", 2L)).toDF("id", "v", "ts"))
+      assert(received.size == 2, s"one POST per commit, got ${received.size}")
+      val msgs = received.toArray(Array.empty[String])
+      assert(msgs.head.contains("\"operation\":\"bulk_insert\"") &&
+        msgs.head.contains("\"totalRows\":2"), msgs.head)
+      assert(msgs(1).contains("\"operation\":\"upsert\""), msgs(1))
+      assert(keys.toArray(Array.empty[String]).forall(_ == "s3cret"))
+
+      val want = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING")
+      assert(new HttpSchemaProvider(
+        s"http://127.0.0.1:$port/schema/envelope").sourceSchema == want,
+        "Confluent-style envelope unwraps to the payload schema")
+      assert(new HttpSchemaProvider(
+        s"http://127.0.0.1:$port/schema/json").sourceSchema == want,
+        "raw StructType JSON parses directly")
+      intercept[IllegalStateException] {
+        new HttpSchemaProvider(s"http://127.0.0.1:$port/nope").sourceSchema
+      }
+    } finally server.stop(0)
+  }
+
   test("continuous-ingest soak: async compaction runs concurrently; a crash resumes the checkpoint") {
     import spark.implicits._
     import graft.services.TableServices

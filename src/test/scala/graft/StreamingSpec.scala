@@ -130,6 +130,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((1L, "A", 1L), (2L, "B2", 2L), (3L, "C", 2L)))
   }
 
+  test("watermarked windowed aggregation over the graft stream source") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg("wm"))
+    def batch(rows: (Long, String, Long)*) =
+      rows.toDF("id", "v", "ts")
+        .withColumn("event_time", timestamp_seconds(col("ts")))
+
+    tbl.bulkInsert(batch((1L, "a", 100L), (2L, "a", 130L), (3L, "a", 200L)))
+    val sinkName = s"wm_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // standard Structured Streaming late-data handling composes directly
+    // on the source: watermark on an event-time column, tumbling window,
+    // append mode emits a window only once the watermark passes it
+    val q = spark.readStream
+      .format(classOf[GraftStreamProvider].getName)
+      .option("path", dir)
+      .load()
+      .withWatermark("event_time", "30 seconds")
+      .groupBy(window(col("event_time"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("w"), col("n"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append")
+      .option("checkpointLocation", tmp() + "/ckpt")
+      .start()
+    q.processAllAvailable()
+    // watermark = 200 - 30 = 170: append mode emits a window once the
+    // watermark passes its END — [60,120) closes; [120,180) (end 180)
+    // and [180,240) stay open
+    val after1 = spark.table(sinkName).as[(Long, Long)].collect().sortBy(_._1)
+    assert(after1.toSeq == Seq((60L, 1L)),
+      s"only fully-passed windows emit: ${after1.toSeq}")
+
+    // a LATE row whose whole window is below the watermark (ts=70 →
+    // [60,120), end 120 ≤ 170) must be DROPPED — its window already
+    // emitted; ts=290 advances the watermark to 260, closing
+    // [120,180) and [180,240)
+    tbl.upsert(batch((4L, "late", 70L), (5L, "b", 290L)))
+    q.processAllAvailable()
+    q.stop()
+    val after2 = spark.table(sinkName).as[(Long, Long)].collect().sortBy(_._1)
+    assert(after2.toSeq == Seq((60L, 1L), (120L, 1L), (180L, 1L)),
+      s"late row dropped, closed windows emitted without it: ${after2.toSeq}")
+  }
+
   test("graft-to-graft incremental chaining (table as ingest source)") {
     import spark.implicits._
     val upstream = tmp(); val downstream = tmp()
