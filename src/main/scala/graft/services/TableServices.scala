@@ -632,6 +632,11 @@ class TableServices(table: GraftTable) {
       val meta = timeline.metadataOf(target)
       meta.stats.filterNot(_.external).foreach(st => fs.delete(abs(st), false))
       timeline.deleteCompleted(target)
+      // service plans scheduled after this instant may pin the files just
+      // deleted — drop them (same contract as restoreTo)
+      timeline.instants()
+        .filter(i => !i.isCompleted && Action.dataActions(i.action) && i.time > time)
+        .foreach(i => timeline.deletePending(i.time, i.action))
       dropCheckpointsFrom(time)
     } else {
       timeline.deletePending(target.time, target.action)
@@ -644,7 +649,12 @@ class TableServices(table: GraftTable) {
   }
 
   /** Roll the table back TO `time`: undo every data instant after it,
-    * newest first (reference analog: BaseRestoreActionExecutor.java:51). */
+    * newest first (reference analog: BaseRestoreActionExecutor.java:51).
+    * Pending instants after `time` — including scheduled compaction /
+    * clustering plans — are dropped too: their plans pin files the
+    * restore removes, so executing them later would fail against
+    * missing state (and a stale clustering plan would keep rejecting
+    * writers for groups that no longer exist). */
   def restoreTo(time: String): String = {
     val doomed = timeline.completed()
       .filter(i => Action.dataActions(i.action) && i.time > time)
@@ -654,6 +664,9 @@ class TableServices(table: GraftTable) {
         .foreach(st => fs.delete(abs(st), false))
       timeline.deleteCompleted(inst)
     }
+    timeline.instants()
+      .filter(i => !i.isCompleted && Action.dataActions(i.action) && i.time > time)
+      .foreach(i => timeline.deletePending(i.time, i.action))
     doomed.lastOption.foreach(i => dropCheckpointsFrom(i.time))
     val t = timeline.start(Action.Restore)
     timeline.complete(t, Action.Restore,

@@ -49,6 +49,18 @@ EXPECT: 1,A|3,c!
 RUN: SHOW COMPACTION ON '$T'
 EXPECT_ROWS: 1
 
+RUN: SCHEDULE CLUSTERING ON '$T' SORT BY (id)
+EXPECT_ROWS: 2
+
+RUN: RUN CLUSTERING ON '$T' SORT BY (id)
+EXPECT_ROWS: 1
+
+RUN: SELECT id, v FROM gtab ORDER BY id
+EXPECT: 1,A|3,c!
+
+RUN: SHOW CLUSTERING ON '$T'
+EXPECT_ROWS: 1
+
 RUN: TRUNCATE TABLE '$T'
 EXPECT: -
 

@@ -381,6 +381,70 @@ class ServicesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((10L, "z")), "the overwrite's state must be untouched")
   }
 
+  test("restore drops pending service plans scheduled after the target") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "rplan", tableType = TableType.MOR, keyFields = Seq("id"),
+      orderingField = "ts", targetFileRows = 1000))
+    def df(rows: (Long, String, Long)*) = rows.toDF("id", "v", "ts")
+    val t1 = tbl.bulkInsert(df((1L, "a", 1L), (2L, "a", 1L)))
+    tbl.upsert(df((1L, "b", 2L)))
+    val svc = TableServices(tbl)
+    assert(svc.scheduleCompaction().isDefined)
+    assert(svc.pendingCompactions().nonEmpty)
+    svc.restoreTo(t1)
+    assert(svc.pendingCompactions().isEmpty,
+      "a plan pinning restored-away files must not survive the restore")
+    // the table keeps working: upsert again and compact cleanly
+    tbl.upsert(df((2L, "c", 3L)))
+    svc.compact()
+    val r = GraftReader(tbl)
+    assert(r.dataOnly(r.snapshot()).select("id", "v").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq == Seq((1L, "a"), (2L, "c")))
+  }
+
+  test("cleaning runs concurrently with live writers without breaking state") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "aclean", tableType = TableType.COW, keyFields = Seq("id"),
+      orderingField = "ts", targetFileRows = 100))
+    def df(lo: Long, hi: Long, tag: String) =
+      (lo until hi).map(i => (i, tag, hi)).toDF("id", "v", "ts")
+    tbl.bulkInsert(df(0, 300, "v0"))
+
+    // background cleaner: the async-clean service shape — repeatedly
+    // clean old file versions while upserts rewrite groups
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val cleans = new java.util.concurrent.atomic.AtomicInteger
+    val cleaner = new Thread(() => {
+      val svc = TableServices(GraftTable.load(spark, dir))
+      while (!stop.get()) {
+        try svc.clean(retainCommits = 2).foreach(_ => cleans.incrementAndGet())
+        catch { case t: Throwable => errors.add(t) }
+        Thread.sleep(5)
+      }
+    })
+    cleaner.start()
+    (1 to 6).foreach { r => tbl.upsert(df(0, 300, s"v$r")) }
+    stop.set(true); cleaner.join()
+    assert(errors.isEmpty, s"cleaner errors: ${errors.toArray.mkString(", ")}")
+    assert(cleans.get() > 0, "the cleaner must have actually cleaned")
+
+    val r = GraftReader(tbl)
+    val got = r.dataOnly(r.snapshot()).select("id", "v").as[(Long, String)]
+      .collect().sortBy(_._1)
+    assert(got.length == 300 && got.forall(_._2 == "v6"),
+      s"latest state intact after concurrent cleaning: ${got.take(3).toSeq}")
+    // every file the final snapshot references must still exist on disk
+    val missing = Snapshot.resolve(tbl.timeline).slices.flatMap(_.allFiles)
+      .filterNot(st => tbl.timeline.fileSystem.exists(
+        new org.apache.hadoop.fs.Path(dir, st.path)))
+    assert(missing.isEmpty, s"cleaner must never delete live files: $missing")
+  }
+
   test("snapshot resolution is O(keepMin) after archiving a long timeline") {
     val dir = tmp()
     val tbl = GraftTable.create(spark, dir, TableConfig(
