@@ -159,7 +159,20 @@ class GraftTable private (
     * OverwriteNonDefaultsWithLatestAvroPayload.java:31): each data
     * column takes its FIRST non-null value in merge-priority order, so
     * an update row with null fields inherits the stored values. One
-    * whole-group window per column — no per-key driver state. */
+    * whole-group window per column — no per-key driver state.
+    *
+    * Contract note: the coalesce runs in PRIORITY order (ordering desc,
+    * then commit desc) over every retained version, which makes the
+    * result stable under compaction and identical however the versions
+    * are physically laid out. The reference is path-dependent here (its
+    * MOR log scan combines the ordering winner against the base record
+    * only, so an earlier partial update's field can vanish when a later
+    * one arrives null); we pick the deterministic order-insensitive
+    * semantics instead. COW collapse and MOR merge agree except in the
+    * out-of-order corner where a stale update sets a field every
+    * higher-ordering version left null — priority order resolves that
+    * corner in favor of the stale value (it IS the highest-priority
+    * version that set the field). */
   private def partialUpdate(
       df: DataFrame,
       ordered: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {

@@ -112,4 +112,75 @@ class MergeFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     test(s"fuzz: random upsert/delete sequences match the model ($tt seed=$seed)") {
       runFuzz(tt, seed)
     }
+
+  // ---------------------------------------------------------------------
+  // tie-semantics fuzz: ordering values from a SMALL domain so
+  // cross-commit ties are common. Contract under ties:
+  //  - overwrite_latest: equal ordering -> the NEWER commit wins
+  //  - event_time: equal ordering -> the STORED (older commit) row wins
+  //    (DefaultHoodieRecordPayload's >= comparison)
+  // Batches carry one row per key (intra-batch ties would race on a
+  // hash tiebreaker the model cannot predict).
+  // ---------------------------------------------------------------------
+
+  final class TieModel(eventTime: Boolean) {
+    var live: Map[Long, Version] = Map.empty
+    def upsert(batch: Seq[(Long, Long, String)]): Unit =
+      batch.foreach { case (k, ord, v) =>
+        live.get(k) match {
+          case Some(cur) if ord > cur.ord               => live += k -> Version(ord, v)
+          case Some(cur) if ord == cur.ord && !eventTime => live += k -> Version(ord, v)
+          case None                                      => live += k -> Version(ord, v)
+          case _                                         => () // stale or event-time tie: stored wins
+        }
+      }
+    def delete(keys: Seq[Long]): Unit = live --= keys
+  }
+
+  def runTieFuzz(tableType: String, strategy: String, seed: Int): Unit = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = s"tie$seed", tableType = tableType, keyFields = Seq("id"),
+      orderingField = "ord", mergeStrategy = strategy, targetFileRows = 7))
+    val r = GraftReader(tbl)
+    val model = new TieModel(eventTime = strategy == "event_time")
+    val keySpace = 25
+    var step = 0
+
+    (1 to 8).foreach { _ =>
+      step += 1
+      if (model.live.nonEmpty && rnd.nextInt(4) == 0) {
+        val keys = rnd.shuffle(model.live.keys.toSeq).take(1 + rnd.nextInt(4))
+        tbl.delete(keys.map(Tuple1(_)).toDF("id"))
+        model.delete(keys)
+      } else {
+        // one row per key; ord from {1..4} -> ties across commits abound
+        val keys = rnd.shuffle((0 until keySpace).toList).take(3 + rnd.nextInt(8))
+        val batch = keys.map(k => (k.toLong, 1L + rnd.nextInt(4), s"s$step-k$k"))
+        tbl.upsert(batch.toDF("id", "ord", "v"))
+        model.upsert(batch)
+      }
+      val got = r.dataOnly(r.snapshot()).select("id", "ord", "v")
+        .as[(Long, Long, String)].collect().map(t => t._1 -> Version(t._2, t._3)).toMap
+      assert(got == model.live,
+        s"[$tableType/$strategy seed=$seed step=$step] " +
+          s"diff=${(model.live.toSet diff got.toSet).take(4)} " +
+          s"extra=${(got.toSet diff model.live.toSet).take(4)}")
+    }
+    // folding deltas / rewriting layout must preserve tie decisions
+    if (tableType == TableType.MOR) graft.services.TableServices(tbl).compact()
+    else graft.services.TableServices(tbl).cluster(Seq("id"), purgeTombstones = true)
+    val after = r.dataOnly(r.snapshot()).select("id", "ord", "v")
+      .as[(Long, Long, String)].collect().map(t => t._1 -> Version(t._2, t._3)).toMap
+    assert(after == model.live, s"[$tableType/$strategy seed=$seed] post-maintenance")
+  }
+
+  for (
+    tt <- Seq(TableType.COW, TableType.MOR);
+    strat <- Seq("overwrite_latest", "event_time")
+  ) test(s"tie fuzz: $strat resolves equal orderings per contract ($tt)") {
+    runTieFuzz(tt, strat, seed = 13)
+  }
 }
