@@ -34,9 +34,43 @@ class GraftDataSource
   extends RelationProvider
   with SchemaRelationProvider
   with CreatableRelationProvider
+  with org.apache.spark.sql.sources.StreamSinkProvider
   with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** `df.writeStream.format("graft")` (reference analog:
+    * HoodieStreamingSink.scala:41): every micro-batch runs the full
+    * table write with the batchId recorded in commit metadata, so a
+    * replayed batch after restart is skipped — exactly-once table state
+    * on at-least-once delivery. Accepts the same `operation` and
+    * table-creation options as batch writes; the first batch creates
+    * the table when needed. */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+    : org.apache.spark.sql.execution.streaming.Sink = {
+    val p = path(parameters)
+    val operation = parameters.getOrElse("operation", "upsert")
+    // idempotency scope: one logical stream; the checkpoint location is
+    // stable across restarts, which is exactly the contract needed
+    val queryId = parameters.getOrElse("query.id",
+      parameters.getOrElse("checkpointLocation", s"graft-sink-$p"))
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        val spark = sqlContext.sparkSession
+        val table = ensureTable(spark, p, parameters, SaveMode.Append)
+        // the incoming frame has a streaming plan; re-wrap its physical
+        // rows as a batch frame so the write path can analyze it
+        val batch = org.apache.spark.sql.graft.StreamingBatch.rebatch(data)
+        graft.streaming.GraftStreamSink.writeBatch(
+          table, queryId, operation, batch, batchId)
+      }
+      override def toString: String = s"GraftSink[$p]"
+    }
+  }
 
   private def path(parameters: Map[String, String]): String =
     parameters.getOrElse("path",

@@ -130,6 +130,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((1L, "A", 1L), (2L, "B2", 2L), (3L, "C", 2L)))
   }
 
+  test("writeStream.format(graft): first batch creates the table; restart replays idempotently") {
+    import spark.implicits._
+    val dir = tmp()
+    val ckpt = tmp() + "/ckpt"
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    def start() = mem.toDF().toDF("id", "v", "ts")
+      .writeStream.format("graft")
+      .option("path", dir)
+      .option("key.fields", "id")
+      .option("ordering.field", "ts")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+
+    val q1 = start()
+    mem.addData((1L, "a", 1L), (2L, "a", 1L))
+    q1.processAllAvailable()
+    mem.addData((2L, "b", 2L), (3L, "b", 2L))
+    q1.processAllAvailable()
+    q1.stop()
+
+    val tbl = GraftTable.load(spark, dir)
+    val r = GraftReader(tbl)
+    def state(): Seq[(Long, String)] =
+      r.dataOnly(r.snapshot()).select("id", "v").as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+    assert(state() == Seq((1L, "a"), (2L, "b"), (3L, "b")))
+    val commitsBefore = tbl.timeline.completed().size
+
+    // restart from the same checkpoint: the unacknowledged tail may be
+    // replayed; table state and commit count must not change for
+    // already-committed batches, and new data still lands
+    val q2 = start()
+    mem.addData((4L, "c", 3L))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(state() == Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "c")))
+    assert(tbl.timeline.completed().size == commitsBefore + 1,
+      "exactly one new commit for the new batch; replays skipped")
+  }
+
   test("watermarked windowed aggregation over the graft stream source") {
     import spark.implicits._
     val dir = tmp()
