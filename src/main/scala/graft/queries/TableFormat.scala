@@ -1182,6 +1182,24 @@ object TableFormat {
                CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
         FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
 
+    // ---- SHOW PARTITIONS statement: the live partition list after a
+    //      drop, through the SQL surface (reference analog:
+    //      ShowHoodieTablePartitionsCommand.scala:36)
+    "q78_show_partitions" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val dir = freshDir()
+        val tbl = GraftTable.create(s, dir, cfg("orders_shp", TableType.COW))
+        tbl.bulkInsert(orders)
+        graft.sql.GraftSql.sql(s,
+          s"ALTER TABLE '$dir' DROP PARTITION (o_orderpriority = '3-MEDIUM')")
+        graft.sql.GraftSql.sql(s, s"SHOW PARTITIONS '$dir'")
+          .withColumnRenamed("partition", "p").orderBy(col("p"))
+      },
+      Some("""
+        SELECT DISTINCT o_orderpriority AS p FROM orders
+        WHERE o_orderpriority <> '3-MEDIUM' ORDER BY p"""))),
+
     // ---- hive-style + url-encoded partition layout: values with spaces
     //      round-trip through encoded directory names; answers unchanged
     "q65_hive_url_partitions" -> ((
