@@ -80,21 +80,24 @@ class GraftDataSource
       sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val table = GraftTable.load(spark, path(parameters))
-    val reader = GraftReader(table)
-    val df = parameters.getOrElse("query.type", "snapshot") match {
-      case "snapshot" =>
-        reader.snapshot(asOf = parameters.get("as.of.instant"))
-      case "read_optimized" =>
-        reader.readOptimized(asOf = parameters.get("as.of.instant"))
-      case "incremental" =>
-        reader.incremental(
-          parameters.getOrElse("begin.instant", ""),
-          parameters.get("end.instant"))
-      case other =>
-        throw new IllegalArgumentException(s"unknown query.type: $other")
+    // re-planned per scan: the table handle and snapshot resolve FRESH
+    // on every query, so cached catalog relations never serve stale state
+    val mkDf: () => org.apache.spark.sql.DataFrame = () => {
+      val reader = GraftReader(GraftTable.load(spark, path(parameters)))
+      parameters.getOrElse("query.type", "snapshot") match {
+        case "snapshot" =>
+          reader.snapshot(asOf = parameters.get("as.of.instant"))
+        case "read_optimized" =>
+          reader.readOptimized(asOf = parameters.get("as.of.instant"))
+        case "incremental" =>
+          reader.incremental(
+            parameters.getOrElse("begin.instant", ""),
+            parameters.get("end.instant"))
+        case other =>
+          throw new IllegalArgumentException(s"unknown query.type: $other")
+      }
     }
-    new GraftRelation(sqlContext, df)
+    new GraftRelation(sqlContext, mkDf)
   }
 
   /** Catalog re-resolution passes back the stored schema; the live
@@ -157,7 +160,7 @@ class GraftDataSource
   }
 }
 
-/** Thin BaseRelation over an already-planned DataFrame: scans delegate
+/** Thin BaseRelation over a LAZILY RE-PLANNED DataFrame: scans delegate
   * to the underlying plan, so FileIndex pruning / parquet pushdown
   * still apply — pushed `Filter`s are translated back into Column
   * predicates and applied INSIDE the wrapped plan (reaching the
@@ -165,16 +168,29 @@ class GraftDataSource
   * arrives via requiredColumns. Untranslatable filters are simply not
   * pushed; Spark re-applies every filter above the scan regardless
   * (unhandledFilters defaults to all), so pushdown is purely an IO
-  * optimization, never a correctness dependency. */
+  * optimization, never a correctness dependency.
+  *
+  * `mkDf` runs per SCAN, not per relation: Spark's session catalog
+  * caches the resolved relation per table name, so a
+  * construction-time plan would freeze the file list and serve STALE
+  * data after any write to the table. Re-resolving per query costs one
+  * driver metadata pass (timeline read — no storage listing) and makes
+  * `SELECT` on a catalog name always see the latest committed snapshot.
+  * The SCHEMA is still fixed at relation build (Spark requires it
+  * stable); after a schema evolution a cached entry refreshes via
+  * `refreshTable`, which our ALTER command issues itself. */
 class GraftRelation(
     val sqlContext: SQLContext,
-    df: DataFrame) extends BaseRelation with TableScan with PrunedFilteredScan {
+    mkDf: () => DataFrame) extends BaseRelation with TableScan with PrunedFilteredScan {
 
-  override def schema: StructType = df.schema
+  def this(sqlContext: SQLContext, df: DataFrame) = this(sqlContext, () => df)
 
-  override def buildScan(): RDD[Row] = df.rdd
+  override val schema: StructType = mkDf().schema
+
+  override def buildScan(): RDD[Row] = mkDf().rdd
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val df = mkDf()
     val filtered = filters.flatMap(GraftRelation.filterToColumn)
       .foldLeft(df)((acc, c) => acc.filter(c))
     val pruned =

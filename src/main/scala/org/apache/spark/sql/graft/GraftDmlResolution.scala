@@ -94,6 +94,31 @@ case class GraftDmlResolution(session: SparkSession) extends Rule[LogicalPlan] {
         case None => i
       }
 
+    // ALTER TABLE <name> ADD COLUMNS on a graft catalog table must evolve
+    // the TABLE's schema (a timeline schema commit), not just the catalog
+    // entry — Spark's own command would leave the two diverged (and in
+    // fact refuses unknown datasources). Matched in both shapes: the v2
+    // logical plan and the v1 command ResolveSessionCatalog may already
+    // have produced.
+    case a @ AddColumns(
+        t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, cols) =>
+      GraftDmlResolution.pathOfIdent(session, t.multipartIdentifier) match {
+        case Some(path) =>
+          val fields = cols.map { c =>
+            require(c.name.size == 1,
+              "nested ADD COLUMNS is not supported on graft tables")
+            org.apache.spark.sql.types.StructField(c.name.head, c.dataType, c.nullable)
+          }
+          GraftAddColumnsCommand(path, t.multipartIdentifier, fields)
+        case None => a
+      }
+    case c: org.apache.spark.sql.execution.command.AlterTableAddColumnsCommand =>
+      val parts = c.table.database.toSeq :+ c.table.table
+      GraftDmlResolution.pathOfIdent(session, parts) match {
+        case Some(path) => GraftAddColumnsCommand(path, parts, c.colsToAdd)
+        case None       => c
+      }
+
     case p => p
   }
 
@@ -130,6 +155,35 @@ private[graft] case class SqlMergeUpdate(cond: Option[Column], assigns: Map[Stri
 private[graft] case class SqlMergeDelete(cond: Option[Column]) extends SqlMergeAction
 private[graft] case class SqlMergeInsert(cond: Option[Column], assigns: Map[String, Column])
   extends SqlMergeAction
+
+/** Spark-grammar `ALTER TABLE <name> ADD COLUMNS` on a graft catalog
+  * table: records the schema-evolution commit on the timeline AND keeps
+  * the catalog's declared schema in step (DESCRIBE, and INSERT alignment
+  * on zero-commit tables, read it). */
+case class GraftAddColumnsCommand(
+    path: String, ident: Seq[String],
+    fields: Seq[org.apache.spark.sql.types.StructField]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftDmlResolution.instantOutput
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = graft.sql.GraftDdl.addColumns(GraftTable.load(session, path), fields)
+    val catalog = session.sessionState.catalog
+    val ti = ident match {
+      case Seq(tn)     => Some(org.apache.spark.sql.catalyst.TableIdentifier(tn))
+      case Seq(db, tn) => Some(org.apache.spark.sql.catalyst.TableIdentifier(tn, Some(db)))
+      case _           => None
+    }
+    ti.filter(catalog.tableExists).foreach { id =>
+      val meta = catalog.getTableMetadata(id)
+      val existing = meta.dataSchema.fieldNames.toSet
+      val fresh = fields.filterNot(f => existing.contains(f.name))
+      if (fresh.nonEmpty) catalog.alterTableDataSchema(id,
+        org.apache.spark.sql.types.StructType(meta.dataSchema.fields ++ fresh))
+      // drop the cached relation: its schema was fixed pre-evolution
+      session.catalog.refreshTable(id.unquotedString)
+    }
+    Seq(Row(t))
+  }
+}
 
 case class GraftUpdateCommand(
     path: String, alias: String, cond: Column,
@@ -255,6 +309,19 @@ object GraftDmlResolution {
     case lr: LogicalRelation =>
       lr.catalogTable.flatMap(ct => pathOf(ct).map((_, ct.identifier.table)))
     case _ => None
+  }
+
+  /** Base path of a graft catalog table addressed by name parts. */
+  private[graft] def pathOfIdent(
+      session: SparkSession, parts: Seq[String]): Option[String] = {
+    val catalog = session.sessionState.catalog
+    val ti = parts match {
+      case Seq(t)    => org.apache.spark.sql.catalyst.TableIdentifier(t)
+      case Seq(d, t) => org.apache.spark.sql.catalyst.TableIdentifier(t, Some(d))
+      case _         => return None
+    }
+    if (!catalog.tableExists(ti)) None
+    else pathOf(catalog.getTableMetadata(ti))
   }
 
   private def pathOf(ct: CatalogTable): Option[String] =

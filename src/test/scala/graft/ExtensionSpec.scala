@@ -62,4 +62,45 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(old.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")),
       s"VERSION AS OF '$t1' should see the initial load, got ${old.toSeq}")
   }
+
+  test("Spark-grammar ALTER TABLE ADD COLUMNS evolves the TABLE, not just the catalog") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "alt", tableType = TableType.COW, keyFields = Seq("id"),
+      orderingField = "ts", targetFileRows = 1000))
+    tbl.bulkInsert(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ts"))
+    spark.catalog.createTable("ext_alter", "graft", Map("path" -> dir))
+
+    spark.sql("ALTER TABLE ext_alter ADD COLUMNS (bonus double)")
+
+    // the TABLE carries the evolution: a schema commit landed, old rows
+    // read back null-padded, and a write with the new column round-trips
+    val snap = graft.core.Snapshot.resolve(tbl.timeline)
+    assert(tbl.readSchema(snap).fieldNames.contains("bonus"),
+      "timeline schema commit must include the new column")
+    tbl.upsert(Seq((2L, "b2", 2L, 9.5)).toDF("id", "v", "ts", "bonus"))
+    val got = spark.sql("SELECT id, v, bonus FROM ext_alter ORDER BY id")
+      .as[(Long, String, Option[Double])].collect().toSeq
+    assert(got == Seq((1L, "a", None), (2L, "b2", Some(9.5))), s"got $got")
+    // the catalog's declared schema followed along
+    assert(spark.table("ext_alter").schema.fieldNames.contains("bonus"))
+  }
+
+  test("catalog reads always see the latest commit (no stale cached relation)") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "fresh", tableType = TableType.COW, keyFields = Seq("id"),
+      orderingField = "ts", targetFileRows = 1000))
+    tbl.bulkInsert(Seq((1L, "a", 1L)).toDF("id", "v", "ts"))
+    spark.catalog.createTable("ext_fresh", "graft", Map("path" -> dir))
+    // first SELECT caches the resolved relation in the session catalog
+    assert(spark.sql("SELECT v FROM ext_fresh WHERE id = 1").head().getString(0) == "a")
+    // a write AFTER the cache fill must be visible WITHOUT refreshTable
+    tbl.upsert(Seq((1L, "a2", 2L), (2L, "b", 2L)).toDF("id", "v", "ts"))
+    assert(spark.sql("SELECT v FROM ext_fresh WHERE id = 1").head().getString(0) == "a2",
+      "cached relation must re-plan per scan, not serve the old snapshot")
+    assert(spark.sql("SELECT count(*) FROM ext_fresh").head().getLong(0) == 2L)
+  }
 }
