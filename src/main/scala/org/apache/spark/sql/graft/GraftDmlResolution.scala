@@ -119,6 +119,27 @@ case class GraftDmlResolution(session: SparkSession) extends Rule[LogicalPlan] {
         case None       => c
       }
 
+    // ALTER TABLE <name> ALTER COLUMN <c> TYPE <t>: a widening type
+    // change is a timeline schema commit on graft tables (Spark's v1
+    // command refuses dataType changes outright)
+    case c: org.apache.spark.sql.execution.command.AlterTableChangeColumnCommand =>
+      val parts = c.tableName.database.toSeq :+ c.tableName.table
+      GraftDmlResolution.pathOfIdent(session, parts) match {
+        case Some(path) =>
+          GraftAlterColumnTypeCommand(path, parts, c.columnName, c.newColumn.dataType)
+        case None => c
+      }
+
+    // ALTER TABLE <name> DROP PARTITION (...): a replacecommit on graft
+    // tables (the v1 command would fail — the catalog entry declares no
+    // partition columns; partitioning lives in the table format)
+    case c: org.apache.spark.sql.execution.command.AlterTableDropPartitionCommand =>
+      val parts = c.tableName.database.toSeq :+ c.tableName.table
+      GraftDmlResolution.pathOfIdent(session, parts) match {
+        case Some(path) => GraftDropPartitionCommand(path, c.specs)
+        case None       => c
+      }
+
     case p => p
   }
 
@@ -182,6 +203,41 @@ case class GraftAddColumnsCommand(
       session.catalog.refreshTable(id.unquotedString)
     }
     Seq(Row(t))
+  }
+}
+
+/** Spark-grammar `ALTER TABLE <name> ALTER COLUMN <c> TYPE <t>`:
+  * records the widening-change commit and keeps the catalog schema and
+  * cached relation in step. */
+case class GraftAlterColumnTypeCommand(
+    path: String, ident: Seq[String], column: String,
+    newType: org.apache.spark.sql.types.DataType) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftDmlResolution.instantOutput
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = graft.sql.GraftDdl.changeColumnType(
+      GraftTable.load(session, path), column, newType)
+    GraftDmlResolution.tableIdent(ident)
+      .filter(session.sessionState.catalog.tableExists).foreach { id =>
+        val catalog = session.sessionState.catalog
+        val meta = catalog.getTableMetadata(id)
+        catalog.alterTableDataSchema(id, org.apache.spark.sql.types.StructType(
+          meta.dataSchema.fields.map(f =>
+            if (f.name == column) f.copy(dataType = newType) else f)))
+        session.catalog.refreshTable(id.unquotedString)
+      }
+    Seq(Row(t))
+  }
+}
+
+/** Spark-grammar `ALTER TABLE <name> DROP PARTITION (spec)[, (spec)]`:
+  * one replacecommit per spec through the table format's partition
+  * model (the catalog entry declares no partition columns). */
+case class GraftDropPartitionCommand(
+    path: String, specs: Seq[Map[String, String]]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftDmlResolution.instantOutput
+  override def run(session: SparkSession): Seq[Row] = {
+    val table = GraftTable.load(session, path)
+    specs.map(spec => Row(graft.sql.GraftDdl.dropPartition(table, spec))).toSeq
   }
 }
 
@@ -311,17 +367,22 @@ object GraftDmlResolution {
     case _ => None
   }
 
+  /** Name parts → a (possibly db-qualified) v1 table identifier. */
+  private[graft] def tableIdent(
+      parts: Seq[String]): Option[org.apache.spark.sql.catalyst.TableIdentifier] =
+    parts match {
+      case Seq(t)    => Some(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      case Seq(d, t) => Some(org.apache.spark.sql.catalyst.TableIdentifier(t, Some(d)))
+      case _         => None
+    }
+
   /** Base path of a graft catalog table addressed by name parts. */
   private[graft] def pathOfIdent(
       session: SparkSession, parts: Seq[String]): Option[String] = {
     val catalog = session.sessionState.catalog
-    val ti = parts match {
-      case Seq(t)    => org.apache.spark.sql.catalyst.TableIdentifier(t)
-      case Seq(d, t) => org.apache.spark.sql.catalyst.TableIdentifier(t, Some(d))
-      case _         => return None
-    }
-    if (!catalog.tableExists(ti)) None
-    else pathOf(catalog.getTableMetadata(ti))
+    tableIdent(parts)
+      .filter(catalog.tableExists)
+      .flatMap(ti => pathOf(catalog.getTableMetadata(ti)))
   }
 
   private def pathOf(ct: CatalogTable): Option[String] =

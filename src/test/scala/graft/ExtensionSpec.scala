@@ -87,6 +87,31 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("ext_alter").schema.fieldNames.contains("bonus"))
   }
 
+  test("Spark-grammar ALTER COLUMN TYPE and DROP PARTITION route to the table") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "alt2", tableType = TableType.COW, keyFields = Seq("id"),
+      partitionFields = Seq("p"), orderingField = "ts", targetFileRows = 1000))
+    tbl.bulkInsert(Seq((1L, 10, "p1", 1L), (2L, 20, "p1", 1L), (3L, 30, "p2", 1L))
+      .toDF("id", "amt", "p", "ts"))
+    spark.catalog.createTable("ext_alter2", "graft", Map("path" -> dir))
+
+    // widening type change via Spark's own grammar
+    spark.sql("ALTER TABLE ext_alter2 ALTER COLUMN amt TYPE bigint")
+    val snap = graft.core.Snapshot.resolve(tbl.timeline)
+    assert(tbl.readSchema(snap).apply("amt").dataType ==
+      org.apache.spark.sql.types.LongType, "timeline schema widened")
+    assert(spark.table("ext_alter2").schema("amt").dataType ==
+      org.apache.spark.sql.types.LongType, "catalog schema widened")
+
+    // drop a partition via Spark's own grammar; reads reflect it at once
+    spark.sql("ALTER TABLE ext_alter2 DROP PARTITION (p = 'p1')")
+    val got = spark.sql("SELECT id FROM ext_alter2 ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(got == Seq(3L), s"p1 rows gone after DROP PARTITION: $got")
+  }
+
   test("catalog reads always see the latest commit (no stale cached relation)") {
     import spark.implicits._
     val dir = tmp()
