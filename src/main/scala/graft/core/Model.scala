@@ -112,6 +112,17 @@ case class TableConfig(
       * WriteStat, powering read-side data skipping (reference analog: the
       * .zindex column-stats table, ZOrderingIndexHelper.java:233) */
     statsColumns: Seq[String] = Nil,
+    /** per-file record-key bloom filters: written as `<file>.bloom`
+      * sidecars at commit time, probed during upsert/delete tagging and
+      * point lookups to drop files whose key RANGE overlaps the batch
+      * but whose keys don't — the pruning that survives random
+      * (non-clustered) keys, where ranges alone prune nothing
+      * (reference analog: the BLOOM index, Hudi's default —
+      * HoodieIndexConfig.java:53, HoodieBloomIndex.java) */
+    bloomIndex: Boolean = false,
+    /** bloom false-positive rate (reference default 1e-9,
+      * hoodie.index.bloom.fpp, HoodieIndexConfig.java:68-89) */
+    bloomFpp: Double = 0.000000001,
     /** optimistic concurrency for multi-writer: commits take a timeline
       * lock and fail on overlapping file groups (reference analog:
       * WriteConcurrencyMode.OPTIMISTIC_CONCURRENCY_CONTROL +

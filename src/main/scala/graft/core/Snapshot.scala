@@ -122,4 +122,30 @@ object Snapshot {
       else Nil
     archived ++ active
   }
+
+  /** The snapshot that WOULD result if a pending commit with `meta`
+    * completed at `time` on top of `base` — the same single-instant fold
+    * as `resolve`'s replay. Powers pre-commit validation: the "after"
+    * view is computed from staged (not yet visible) files without
+    * touching the timeline (reference analog: the inflight-commit view
+    * handed to SparkPreCommitValidator.validate,
+    * SparkPreCommitValidator.java:72). */
+  def applied(base: Snapshot, time: String, meta: CommitMetadata): Snapshot = {
+    var groups: Map[(String, String), FileSlice] =
+      base.slices.map(s => (s.partition, s.fileId) -> s).toMap
+    meta.stats.foreach { st =>
+      val k = (st.partition, st.fileId)
+      val g = groups.getOrElse(k, FileSlice(st.partition, st.fileId, None, Nil))
+      val g2 =
+        if (st.isDelta) g.copy(deltas = g.deltas :+ st)
+        else FileSlice(st.partition, st.fileId, Some(st), Nil)
+      groups += k -> g2
+    }
+    meta.replaced.foreach { case (partition, fileIds) =>
+      fileIds.foreach(fid => groups -= ((partition, fid)))
+    }
+    base.copy(
+      asOf = time,
+      slices = groups.values.toSeq.sortBy(s => (s.partition, s.fileId)))
+  }
 }

@@ -1217,6 +1217,183 @@ object TableFormat {
         summarize(r.dataOnly(r.snapshot())
           .withColumnRenamed("o_totalprice", "price"))
       },
+      Some(SummarySql))),
+
+    // ---- pre-commit validators: the standard mutation recipe runs with
+    //      invariant/effect validators armed on every commit; then a
+    //      deliberately unsatisfiable validator must ABORT its write —
+    //      the final state (and so the hash) matches the plain recipe
+    //      (reference analog: SparkPreCommitValidator.java:72 +
+    //      SqlQuery{Equality,Inequality,SingleResult}PreCommitValidator)
+    "q79_precommit_validators" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_val", TableType.COW))
+        tbl.withValidators(Seq(
+          new graft.write.SqlQueryEqualityValidator(Seq(
+            "SELECT count(*) FROM <TABLE_NAME> WHERE o_totalprice < 0")),
+          new graft.write.SqlQueryInequalityValidator(Seq(
+            "SELECT count(*), sum(o_orderkey), sum(floor(o_totalprice * 100)) FROM <TABLE_NAME>"))))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 >= 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        tbl.delete(orders.filter(col("o_orderkey") % 10 === 7)
+          .select("o_orderkey", "o_orderpriority"))
+        // this write violates the no-negative-price invariant: it must
+        // abort and leave the table exactly as the recipe built it
+        try {
+          tbl.upsert(orders.filter(col("o_orderkey") % 10 === 1)
+            .withColumn("o_totalprice", lit(-1.0)))
+          throw new IllegalStateException("validator should have aborted the commit")
+        } catch { case _: graft.write.PreCommitValidationException => () }
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some(SummarySql))),
+
+    // ---- BLOOM index: the standard mutation recipe on a table with
+    //      per-file key blooms armed — upsert/delete tagging goes
+    //      through the bloom probe (range prune → bloom prune → key
+    //      join) and must produce the identical final state
+    //      (reference analog: HoodieBloomIndex.java, the default index)
+    "q80_bloom_index" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(),
+          cfg("orders_bloom", TableType.COW).copy(bloomIndex = true))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 >= 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        tbl.delete(orders.filter(col("o_orderkey") % 10 === 7)
+          .select("o_orderkey", "o_orderpriority"))
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some(SummarySql))),
+
+    // ---- admin surface: SHOW COMMITS write accounting must equal the
+    //      source-side row counts — bulk load rows = 80% of orders,
+    //      pure-update MOR upsert delta rows = exactly the updated keys
+    //      (reference analog: hudi-cli CommitsCommand.java:72)
+    "q81_show_commits" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val dir = freshDir()
+        val tbl = GraftTable.create(s, dir, cfg("orders_cli", TableType.MOR))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        // every key exists -> no inserts, delta rows == updated keys
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 === 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        graft.sql.GraftSql.sql(s, s"SHOW COMMITS '$dir'")
+          .select(col("action"), col("rows").as("n_rows")).orderBy(col("action"))
+      },
+      Some("""
+        SELECT 'commit' AS action, count(*) AS n_rows
+        FROM orders WHERE o_orderkey % 10 < 8
+        UNION ALL
+        SELECT 'deltacommit' AS action, count(*) AS n_rows
+        FROM orders WHERE o_orderkey % 10 = 6
+        ORDER BY action"""))),
+
+    // ---- snapshot export: the mutated table exported to PLAIN parquet
+    //      (partition layout preserved, meta columns stripped) reads
+    //      back to the same answer (reference analog:
+    //      HoodieSnapshotExporter.java:103)
+    "q82_snapshot_export" -> ((
+      (s: SparkSession, d: String) => {
+        val tbl = mutated(s, d, TableType.COW)
+        val out = freshDir()
+        graft.sql.GraftSql.sql(s,
+          s"EXPORT TABLE '${tbl.basePath}' TO '$out' FORMAT parquet")
+        summarize(s.read.parquet(out)
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some(SummarySql))),
+
+    // ---- filter-dupes ingest: two overlapping landing files under
+    //      `insert` + filterDupes — re-delivered keys are DROPPED (first
+    //      version wins), never merged (reference analog: DeltaStreamer
+    //      --filter-dupes, DeltaSync.java:441)
+    "q83_filter_dupes_ingest" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val srcDir = freshDir() + "/landing"
+        val conf = s.sessionState.newHadoopConf()
+        val fsys = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
+        fsys.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+        // chunk 0: keys %10<6 at original price; chunk 1: keys %10<8
+        // REPRICED — the %10<6 overlap must be dropped by the dedupe
+        val chunks = Seq(
+          orders.filter(col("o_orderkey") % 10 < 6),
+          orders.filter(col("o_orderkey") % 10 < 8)
+            .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        chunks.zipWithIndex.foreach { case (df, i) =>
+          val tmpOut = freshDir() + s"/chunk$i"
+          df.coalesce(1).write.parquet(tmpOut)
+          val part = fsys.globStatus(
+            new org.apache.hadoop.fs.Path(tmpOut, "part-*.parquet")).head.getPath
+          fsys.rename(part, new org.apache.hadoop.fs.Path(srcDir, s"chunk-$i.parquet"))
+        }
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_fd", TableType.COW))
+        val ingest = new graft.streaming.ContinuousIngest(tbl,
+          // 1-byte budget -> exactly one landing file per sync: chunk-0
+          // commits before chunk-1's overlap arrives
+          new graft.streaming.ParquetDirSource(s, srcDir, maxBytesPerBatch = 1L),
+          operation = "insert", filterDupes = true)
+        ingest.runContinuous(maxRounds = 1)
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 10 < 6 THEN o_totalprice
+                      ELSE o_totalprice + 1000 END AS price
+          FROM orders WHERE o_orderkey % 10 < 8)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- incremental partition glob: change stream restricted to the
+    //      URGENT partitions by path pattern (reference analog:
+    //      hoodie.datasource.read.incr.path.glob)
+    "q84_incremental_glob" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_glob", TableType.COW))
+        val t1 = tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 >= 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        val r = GraftReader(tbl)
+        r.dataOnly(r.incremental(t1, partitionGlob = Some("*URGENT")))
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(floor((o_totalprice + 1000) * 100) AS BIGINT) AS price_c
+        FROM orders
+        WHERE o_orderkey % 10 >= 6 AND o_orderpriority LIKE '%URGENT'
+        ORDER BY o_orderkey"""))),
+
+    // ---- COPY TABLE backup: the copy is a real graft table whose
+    //      snapshot answers match the source's recipe state
+    //      (reference analog: HoodieSnapshotCopier.java:56)
+    "q85_copy_table" -> ((
+      (s: SparkSession, d: String) => {
+        val tbl = mutated(s, d, TableType.MOR) // deltas exercise slice copy
+        val dest = freshDir() + "/backup"
+        graft.sql.GraftSql.sql(s, s"COPY TABLE '${tbl.basePath}' TO '$dest'")
+        val copy = GraftTable.load(s, dest)
+        val r = GraftReader(copy)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
       Some(SummarySql)))
   )
 }

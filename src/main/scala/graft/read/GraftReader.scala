@@ -52,7 +52,17 @@ class GraftReader(table: GraftTable) {
       asOf: Option[String] = None,
       partitions: Option[Set[String]] = None): DataFrame = {
     val snap = Snapshot.resolve(timeline, asOf)
-    val schema = table.readSchema(snap)
+    snapshotOf(snap, table.readSchema(snap), partitions)
+  }
+
+  /** Snapshot read over an EXPLICIT resolution — lets callers view table
+    * states the timeline does not (yet) expose, e.g. the hypothetical
+    * post-commit view handed to pre-commit validators
+    * ([[graft.core.Snapshot.applied]]). */
+  def snapshotOf(
+      snap: Snapshot,
+      schema: StructType,
+      partitions: Option[Set[String]] = None): DataFrame = {
     if (snap.isEmpty || schema.isEmpty) return emptyWith(schema)
     val slices = partitions match {
       case Some(ps) => snap.slices.filter(s => ps.contains(s.partition))
@@ -83,14 +93,35 @@ class GraftReader(table: GraftTable) {
     * touched file groups from commit metadata, then a commit-time row
     * filter; replaced groups excluded by snapshot resolution). `begin=""`
     * reads from the table's origin. */
-  def incremental(begin: String, end: Option[String] = None): DataFrame = {
+  def incremental(
+      begin: String,
+      end: Option[String] = None,
+      /** glob over partition paths (star and ? wildcards) — prunes the touched
+        * file groups BEFORE any IO (reference analog:
+        * hoodie.datasource.read.incr.path.glob,
+        * DataSourceOptions.scala INCR_PATH_GLOB + IncrementalRelation's
+        * globPattern filter) */
+      partitionGlob: Option[String] = None): DataFrame = {
     val snap = Snapshot.resolve(timeline, end)
     val schema = table.readSchema(snap)
     if (snap.isEmpty || schema.isEmpty) return emptyWith(schema)
     val endT = snap.asOf
     val touched = Snapshot.commitsInRange(timeline, begin, endT)
       .flatMap(_._2.stats).map(s => (s.partition, s.fileId)).toSet
-    val slices = snap.slices.filter(s => touched.contains((s.partition, s.fileId)))
+    val globMatch: String => Boolean = partitionGlob match {
+      case None    => _ => true
+      case Some(g) =>
+        // glob → regex: only * and ? are wildcards, everything else literal
+        val rx = ("^" + g.flatMap {
+          case '*' => ".*"
+          case '?' => "."
+          case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+          case c => c.toString
+        } + "$").r
+        p => rx.findFirstIn(p).isDefined
+    }
+    val slices = snap.slices.filter(s =>
+      touched.contains((s.partition, s.fileId)) && globMatch(s.partition))
     val (dirty, cleanSlices) = slices.partition(_.deltas.nonEmpty)
     val cleanDf = readBase(schema, cleanSlices.flatMap(_.baseFile))
     val all =
@@ -169,8 +200,24 @@ class GraftReader(table: GraftTable) {
     val schema = table.readSchema(snap)
     if (snap.isEmpty || schema.isEmpty || keys.isEmpty) return emptyWith(schema)
     val ks = keys.sorted
+    // driver-side bloom probe on top of range pruning: a point lookup
+    // touches few candidate files, so loading their sidecars on the
+    // driver is metadata-scale work that can rule out range-overlapping
+    // files entirely (reference analog: bloom check before file read,
+    // HoodieBloomIndexCheckFunction.java:57)
+    val bloomCache = scala.collection.mutable.Map.empty[String, Option[graft.write.KeyBloom]]
+    def bloomMay(st: WriteStat): Boolean =
+      !table.config.bloomIndex || st.external || {
+        val p = new org.apache.hadoop.fs.Path(abs(st))
+        bloomCache.getOrElseUpdate(st.path,
+          graft.write.KeyBloom.read(timeline.fileSystem, p)) match {
+          case None    => true
+          case Some(b) => ks.exists(b.mightContain)
+        }
+      }
     def mayContain(st: WriteStat): Boolean =
-      st.minKey.isEmpty || ks.exists(k => k >= st.minKey && k <= st.maxKey)
+      (st.minKey.isEmpty || ks.exists(k => k >= st.minKey && k <= st.maxKey)) &&
+        bloomMay(st)
     val slices = snap.slices.filter(s =>
       s.baseFile.exists(mayContain) || s.deltas.exists(mayContain))
     val (dirty, clean) = slices.partition(_.deltas.nonEmpty)

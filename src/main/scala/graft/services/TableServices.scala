@@ -207,7 +207,7 @@ class TableServices(table: GraftTable) {
       if (published) return Some(time)
       // lost the race: a writer landed an earlier-time file after the
       // merge read its inputs — discard the staged output and re-merge
-      stats.foreach(st => fs.delete(abs(st), false))
+      stats.foreach(st => GraftTable.deleteDataFile(fs, abs(st)))
       attempt += 1
     }
     timeline.deleteInflight(time, Action.Compaction)
@@ -388,7 +388,7 @@ class TableServices(table: GraftTable) {
     else {
       // a pinned file changed: the plan is permanently stale — drop it
       // (unpinning the groups for writers) and ask for a re-schedule
-      written.foreach(st => fs.delete(abs(st), false))
+      written.foreach(st => GraftTable.deleteDataFile(fs, abs(st)))
       timeline.deletePending(time, Action.ReplaceCommit)
       throw new IllegalStateException(
         s"clustering $time aborted: a concurrent writer touched a pinned " +
@@ -517,7 +517,7 @@ class TableServices(table: GraftTable) {
 
   private def publishClean(doomed: Seq[String], extra: Map[String, String]): String = {
     val t = timeline.start(Action.Clean)
-    doomed.foreach(p => fs.delete(new Path(table.basePath, p), false))
+    doomed.foreach(p => GraftTable.deleteDataFile(fs, new Path(table.basePath, p)))
     timeline.complete(t, Action.Clean, CommitMetadata("clean",
       extra = extra + ("deleted" -> Json.write(doomed.toArray))))
     t
@@ -630,7 +630,7 @@ class TableServices(table: GraftTable) {
       require(all.filter(_.isCompleted).lastOption.exists(_.time == time),
         s"can only roll back the latest completed instant; use restore for $time")
       val meta = timeline.metadataOf(target)
-      meta.stats.filterNot(_.external).foreach(st => fs.delete(abs(st), false))
+      meta.stats.filterNot(_.external).foreach(st => GraftTable.deleteDataFile(fs, abs(st)))
       timeline.deleteCompleted(target)
       // service plans scheduled after this instant may pin the files just
       // deleted — drop them (same contract as restoreTo)
@@ -661,7 +661,7 @@ class TableServices(table: GraftTable) {
       .reverse
     doomed.foreach { inst =>
       timeline.metadataOf(inst).stats.filterNot(_.external)
-        .foreach(st => fs.delete(abs(st), false))
+        .foreach(st => GraftTable.deleteDataFile(fs, abs(st)))
       timeline.deleteCompleted(inst)
     }
     timeline.instants()

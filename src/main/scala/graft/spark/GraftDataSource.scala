@@ -19,6 +19,7 @@ import graft.write.GraftTable
   *   as.of.instant    time-travel pin (snapshot/read_optimized)
   *   begin.instant    incremental range start (exclusive; "" = origin)
   *   end.instant      incremental range end (inclusive; default latest)
+  *   incr.path.glob   partition-path glob pruning incremental reads
   * Write options:
   *   path             table base path (required)
   *   operation        upsert (default) | insert | bulk_insert |
@@ -92,7 +93,8 @@ class GraftDataSource
         case "incremental" =>
           reader.incremental(
             parameters.getOrElse("begin.instant", ""),
-            parameters.get("end.instant"))
+            parameters.get("end.instant"),
+            parameters.get("incr.path.glob"))
         case other =>
           throw new IllegalArgumentException(s"unknown query.type: $other")
       }

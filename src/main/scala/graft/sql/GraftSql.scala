@@ -24,6 +24,10 @@ import graft.write.GraftTable
   *   UPDATE '<path>' SET col = expr [, ...] [WHERE expr]
   *   DELETE FROM '<path>' [WHERE expr]
   *   SHOW PARTITIONS '<path>'
+  *   SHOW COMMITS / FSVIEW / CLEANS / SAVEPOINTS / ROLLBACKS '<path>'
+  *   SHOW ARCHIVED COMMITS '<path>'
+  *   EXPORT TABLE '<path>' TO '<dir>' [FORMAT fmt] [AS OF '<instant>']
+  *   COPY TABLE '<path>' TO '<dir>' [AS OF '<instant>']  (backup AS a graft table)
   *   TRUNCATE TABLE '<path>'
   *   ALTER TABLE '<path>' ADD COLUMNS (name type [, ...])
   * Expressions are full Spark SQL (parsed with functions.expr).
@@ -41,6 +45,16 @@ object GraftSql {
   private val Update = """(?is)\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*""".r
   private val Delete = """(?is)\s*DELETE\s+FROM\s+'([^']+)'(?:\s+WHERE\s+(.+))?\s*""".r
   private val ShowPartitions = """(?is)\s*SHOW\s+PARTITIONS\s+'([^']+)'\s*""".r
+  private val ShowCommits = """(?is)\s*SHOW\s+COMMITS\s+'([^']+)'\s*""".r
+  private val ShowFsView = """(?is)\s*SHOW\s+FSVIEW\s+'([^']+)'\s*""".r
+  private val ShowCleans = """(?is)\s*SHOW\s+CLEANS\s+'([^']+)'\s*""".r
+  private val ShowSavepoints = """(?is)\s*SHOW\s+SAVEPOINTS\s+'([^']+)'\s*""".r
+  private val ShowRollbacks = """(?is)\s*SHOW\s+ROLLBACKS\s+'([^']+)'\s*""".r
+  private val ShowArchived = """(?is)\s*SHOW\s+ARCHIVED\s+COMMITS\s+'([^']+)'\s*""".r
+  private val ExportTable =
+    """(?is)\s*EXPORT\s+TABLE\s+'([^']+)'\s+TO\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?(?:\s+AS\s+OF\s+'([^']+)')?\s*""".r
+  private val CopyTable =
+    """(?is)\s*COPY\s+TABLE\s+'([^']+)'\s+TO\s+'([^']+)'(?:\s+AS\s+OF\s+'([^']+)')?\s*""".r
   private val Truncate = """(?is)\s*TRUNCATE\s+TABLE\s+'([^']+)'\s*""".r
   private val AlterAdd =
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+COLUMNS\s*\((.+)\)\s*""".r
@@ -59,7 +73,10 @@ object GraftSql {
          ShowClustering(_) |
          Update(_, _, _) | Delete(_, _) | ShowPartitions(_) |
          Truncate(_) | AlterAdd(_, _) | AlterRename(_, _) |
-         AlterColType(_, _, _) | AlterDropPartition(_, _) => true
+         AlterColType(_, _, _) | AlterDropPartition(_, _) |
+         ShowCommits(_) | ShowFsView(_) | ShowCleans(_) |
+         ShowSavepoints(_) | ShowRollbacks(_) | ShowArchived(_) |
+         ExportTable(_, _, _, _) | CopyTable(_, _, _) => true
     case _ => false
   }
 
@@ -137,6 +154,28 @@ object GraftSql {
       result(spark, "instant", dml.deleteWhere(cond).toSeq)
     case ShowPartitions(path) =>
       GraftDdl.showPartitions(GraftTable.load(spark, path))
+    // admin/inspection statements (hudi-cli analog; see GraftAdmin)
+    case ShowCommits(path) =>
+      GraftAdmin.showCommits(spark, GraftTable.load(spark, path))
+    case ShowFsView(path) =>
+      GraftAdmin.showFsView(spark, GraftTable.load(spark, path))
+    case ShowCleans(path) =>
+      GraftAdmin.showCleans(spark, GraftTable.load(spark, path))
+    case ShowSavepoints(path) =>
+      GraftAdmin.showSavepoints(spark, GraftTable.load(spark, path))
+    case ShowRollbacks(path) =>
+      GraftAdmin.showRollbacks(spark, GraftTable.load(spark, path))
+    case ShowArchived(path) =>
+      GraftAdmin.showArchivedCommits(spark, GraftTable.load(spark, path))
+    case ExportTable(path, outDir, fmt, asOf) =>
+      val n = GraftExporter.export(GraftTable.load(spark, path), outDir,
+        format = Option(fmt).map(_.toLowerCase).getOrElse("parquet"),
+        asOf = Option(asOf))
+      result(spark, "rows_exported", Seq(n.toString))
+    case CopyTable(path, destDir, asOf) =>
+      val t = GraftExporter.copyTable(GraftTable.load(spark, path), destDir,
+        asOf = Option(asOf))
+      result(spark, "instant", Seq(t))
     case Truncate(path) =>
       result(spark, "instant",
         Seq(GraftDdl.truncate(GraftTable.load(spark, path))))

@@ -85,29 +85,45 @@ class DfsDirSource(
     spark: SparkSession, dir: String,
     format: String, suffix: String,
     options: Map[String, String] = Map.empty,
-    schema: Option[org.apache.spark.sql.types.StructType] = None) extends IngestSource {
+    schema: Option[org.apache.spark.sql.types.StructType] = None,
+    /** per-sync byte budget: files (in name order) accumulate until the
+      * budget is exceeded, always taking at least one — backlog catch-up
+      * proceeds in bounded batches instead of one giant read (reference
+      * analog: `--source-limit`, DFSPathSelector.java:118
+      * getNextFilePathsAndMaxModificationTime's sourceLimit cut) */
+    maxBytesPerBatch: Long = Long.MaxValue) extends IngestSource {
   override def fetch(checkpoint: Option[String]): Option[(DataFrame, String)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return None
     val files = fs.listStatus(p).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(suffix))
-      .map(_.getPath.toString).sorted
+      .sortBy(_.getPath.toString)
     val fresh = checkpoint match {
-      case Some(ck) => files.filter(_ > ck)
+      case Some(ck) => files.filter(_.getPath.toString > ck)
       case None     => files
     }
-    if (fresh.isEmpty) None
-    else {
-      val reader = spark.read.format(format).options(options)
-      val withSchema = schema.fold(reader)(reader.schema)
-      Some((withSchema.load(fresh: _*), fresh.last))
+    if (fresh.isEmpty) return None
+    var budget = maxBytesPerBatch
+    val take = fresh.takeWhile { st =>
+      val fits = budget >= st.getLen
+      budget -= st.getLen
+      fits
+    } match {
+      case Seq() => fresh.take(1) // budget below one file: still progress
+      case ts    => ts
     }
+    val paths = take.map(_.getPath.toString)
+    val reader = spark.read.format(format).options(options)
+    val withSchema = schema.fold(reader)(reader.schema)
+    Some((withSchema.load(paths: _*), paths.last))
   }
 }
 
-class ParquetDirSource(spark: SparkSession, dir: String)
-  extends DfsDirSource(spark, dir, "parquet", ".parquet")
+class ParquetDirSource(spark: SparkSession, dir: String,
+    maxBytesPerBatch: Long = Long.MaxValue)
+  extends DfsDirSource(spark, dir, "parquet", ".parquet",
+    maxBytesPerBatch = maxBytesPerBatch)
 
 class JsonDirSource(spark: SparkSession, dir: String,
     schema: Option[org.apache.spark.sql.types.StructType] = None)
@@ -167,7 +183,18 @@ class ContinuousIngest(
     table: GraftTable,
     source: IngestSource,
     transform: DataFrame => DataFrame = identity,
-    operation: String = "upsert") {
+    operation: String = "upsert",
+    /** drop incoming records whose key ALREADY exists in the table
+      * before writing — the insert-dedupe mode for append-style
+      * pipelines (reference analog: DeltaStreamer `--filter-dupes`,
+      * HoodieDeltaStreamer.java:413 + DeltaSync.java:441
+      * filterDupeRecords). Rejected for `upsert`, as in the reference
+      * (updates would be silently dropped). */
+    filterDupes: Boolean = false) {
+
+  require(!(filterDupes && operation == "upsert"),
+    "filter-dupes with upsert would drop updates (reference: " +
+      "DeltaSync rejects this combination)")
 
   val CheckpointKey = "ingest.checkpoint"
 
@@ -186,10 +213,16 @@ class ContinuousIngest(
   def syncOnce(): Option[String] = {
     source.fetch(checkpoint).map { case (df, newCk) =>
       val extra = Map(CheckpointKey -> newCk)
-      try operation match {
-        case "insert"      => table.insert(transform(df), extra)
-        case "bulk_insert" => table.bulkInsert(transform(df), extra = extra)
-        case _             => table.upsert(transform(df), extra)
+      try {
+        val batch0 = transform(df)
+        val batch =
+          if (filterDupes) graft.read.GraftReader(table).filterExists(batch0)
+          else batch0
+        operation match {
+          case "insert"      => table.insert(batch, extra)
+          case "bulk_insert" => table.bulkInsert(batch, extra = extra)
+          case _             => table.upsert(batch, extra)
+        }
       } finally df.unpersist() // sources may cache the batch (e.g. JDBC)
     }
   }

@@ -50,6 +50,13 @@ class GraftTable private (
 
   lazy val config: TableConfig = timeline.config
   private def isMor: Boolean = config.tableType == TableType.MOR
+
+  /** Per-writer pre-commit validators (reference analog:
+    * hoodie.precommit.validators — writer config, not table state). */
+  @volatile private var validators: Seq[PreCommitValidator] = Nil
+  def withValidators(vs: Seq[PreCommitValidator]): this.type = {
+    validators = vs; this
+  }
   private def fs = timeline.fileSystem
 
   // =========================================================================
@@ -325,10 +332,45 @@ class GraftTable private (
         futures.map(_.get())
       } finally pool.shutdown()
     fs.delete(stagingDir, true)
+    if (config.bloomIndex && out.nonEmpty) buildBlooms(out)
     if (sys.env.contains("GRAFT_PUBLISH_DEBUG"))
       System.err.println(f"[publish] groups=${groupDirs.size} write=$tWrite%.2fs " +
         f"tail=${(System.nanoTime() - tList0) / 1e9}%.2fs")
     out
+  }
+
+  /** Build one key bloom per just-published file and write it as a
+    * `<file>.bloom` sidecar — a distributed job reading ONLY the key
+    * column of the commit's own output (columnar single-column scan; the
+    * reference streams keys into the filter inside its write handle, an
+    * option Spark's writer doesn't expose — one narrow extra pass over
+    * freshly written, page-cache-warm files buys the same index). Blooms
+    * are sized from each file's ACTUAL row count (already known from its
+    * parquet footer) at the configured fpp. Grouping by file is a
+    * keys-only shuffle, so correctness never depends on Spark's input
+    * split planning (a row-group-split file would otherwise build a
+    * partial filter). */
+  private def buildBlooms(stats: Seq[WriteStat]): Unit = {
+    import spark.implicits._
+    val native = stats.filterNot(_.external)
+    if (native.isEmpty) return
+    val rowsByName: Map[String, Long] =
+      native.map(st => new Path(st.path).getName -> st.rows).toMap
+    val fpp = config.bloomFpp
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    spark.read.parquet(native.map(absPath): _*)
+      .select(input_file_name().as("_g_bf"), col(Key))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (file, it) =>
+        val uri = new java.net.URI(file)
+        val dataPath = new Path(uri)
+        val bloom = KeyBloom.sized(rowsByName.getOrElse(dataPath.getName, 1L), fpp)
+        it.foreach(kv => bloom.add(kv._2))
+        KeyBloom.write(org.apache.hadoop.fs.FileSystem.get(uri, conf.value), dataPath, bloom)
+        file
+      }
+      .collect()
   }
 
   /** Match Spark's partition-dir escaping so staged dirs resolve. */
@@ -544,7 +586,8 @@ class GraftTable private (
   private def keyIndex(
       snap: Snapshot,
       partitions: Option[Set[String]],
-      keyRangeOf: String => Option[(String, String)] = _ => None): DataFrame = {
+      keyRangeOf: String => Option[(String, String)] = _ => None,
+      incoming: Option[DataFrame] = None): DataFrame = {
     val slices = partitions match {
       case Some(ps) => snap.slices.filter(s => ps.contains(s.partition))
       case None     => snap.slices
@@ -556,7 +599,15 @@ class GraftTable private (
     // KeyRangeLookupTree interval pruning). At scale this is what keeps
     // the tag join from reading the whole table's key projection on
     // every trickle upsert of time-ordered keys.
-    val stats = GraftTable.pruneByKeyRange(slices.flatMap(_.allFiles), keyRangeOf)
+    val ranged = GraftTable.pruneByKeyRange(slices.flatMap(_.allFiles), keyRangeOf)
+    // bloom pruning: among range-surviving files, keep only those whose
+    // key bloom might contain AT LEAST ONE incoming key — the pruning
+    // that still works when keys are random (UUIDs) and every file's
+    // [minKey, maxKey] spans the whole keyspace
+    val stats = incoming match {
+      case Some(batch) if config.bloomIndex => bloomPrune(ranged, batch)
+      case _                                => ranged
+    }
     if (stats.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -572,6 +623,56 @@ class GraftTable private (
   }
 
   private def abs(st: WriteStat): String = absPath(st)
+
+  /** (candidate files, files kept) of the last bloom probe — test/debug
+    * visibility into pruning effectiveness. */
+  @volatile private[graft] var lastBloomProbe: Option[(Int, Int)] = None
+
+  /** Probe each candidate file's key bloom with the incoming batch's
+    * keys; drop files no incoming key can be in. The probe is the
+    * reference's explode pattern (HoodieBloomIndexCheckFunction.java:57:
+    * (file, candidate-key) pairs checked on executors against the file's
+    * filter): keys × same-partition candidate files, candidate list
+    * broadcast, filters loaded executor-side with a per-task cache.
+    * Files without a sidecar (pre-bloom commits) are always kept —
+    * soundness over pruning. Output is only the surviving file list
+    * (metadata-bounded), never data rows. */
+  private def bloomPrune(stats: Seq[WriteStat], incoming: DataFrame): Seq[WriteStat] = {
+    import spark.implicits._
+    val (external, native) = stats.partition(_.external)
+    if (native.isEmpty) return stats
+    val candDf = native.map(st => (st.partition, absPath(st)))
+      .toDF("_g_bf_part", "_g_bf_path")
+    val global = config.partitionFields.isEmpty || config.globalIndex
+    val keys = incoming.select(col(Partition), col(Key)).distinct()
+    val pairs =
+      if (global) keys.crossJoin(broadcast(candDf))
+      else keys.join(broadcast(candDf), col(Partition) === col("_g_bf_part"))
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val kept = pairs.select(col("_g_bf_path"), col(Key)).as[(String, String)]
+      .mapPartitions { it =>
+        val cache = scala.collection.mutable.Map.empty[String, Option[KeyBloom]]
+        val hits = scala.collection.mutable.Set.empty[String]
+        it.foreach { case (file, key) =>
+          if (!hits.contains(file)) {
+            val bloom = cache.getOrElseUpdate(file, {
+              val p = new Path(file)
+              KeyBloom.read(
+                org.apache.hadoop.fs.FileSystem.get(p.toUri, conf.value), p)
+            })
+            bloom match {
+              case None    => hits += file // no sidecar: cannot rule out
+              case Some(b) => if (b.mightContain(key)) hits += file
+            }
+          }
+        }
+        hits.iterator
+      }
+      .collect().toSet
+    val keptNative = native.filter(st => kept.contains(absPath(st)))
+    lastBloomProbe = Some((stats.size, keptNative.size + external.size))
+    keptNative ++ external
+  }
 
   /** One driver aggregate over the incoming batch yielding BOTH the
     * touched partitions (index restriction) and the incoming key ranges
@@ -614,6 +715,39 @@ class GraftTable private (
     * SimpleConcurrentFileWritesConflictResolutionStrategy.hasConflict :73).
     * Insert-only ops skip the guard: their file groups are brand new
     * (fileIds embed the instant time), so they cannot overlap. */
+  /** Commit finalization for every public write op: run pre-commit
+    * validators over the before/hypothetical-after snapshot views, then
+    * complete the instant (through the OCC guard when `guarded`). A
+    * validator failure removes the staged files and the pending instant
+    * — the bad batch never becomes visible (reference analog:
+    * SparkPreCommitValidator.java:72; failure → rollback of the inflight
+    * instant). */
+  private def finishCommit(
+      t: String, action: String, meta: CommitMetadata,
+      plannedAsOf: String, guarded: Boolean): Unit = {
+    if (validators.nonEmpty) {
+      val before = Snapshot.resolve(timeline)
+      val beforeSchema = readSchema(before)
+      val afterSchema =
+        if (meta.schemaJson.nonEmpty) DataTypeJson.parse(meta.schemaJson)
+        else beforeSchema
+      val reader = graft.read.GraftReader(this)
+      val beforeDf = reader.snapshotOf(
+        before, if (beforeSchema.isEmpty) afterSchema else beforeSchema)
+      val afterDf = reader.snapshotOf(Snapshot.applied(before, t, meta), afterSchema)
+      try validators.foreach(_.validate(spark, beforeDf, afterDf))
+      catch {
+        case e: Throwable =>
+          meta.stats.filterNot(_.external)
+            .foreach(st => GraftTable.deleteDataFile(fs, new Path(basePath, st.path)))
+          timeline.deletePending(t, action)
+          throw e
+      }
+    }
+    if (guarded) publish(t, action, meta, plannedAsOf)
+    else timeline.complete(t, action, meta)
+  }
+
   private def publish(
       t: String, action: String, meta: CommitMetadata,
       plannedAsOf: String): Unit = {
@@ -629,7 +763,7 @@ class GraftTable private (
         .find(i => groupsOf(timeline.metadataOf(i)).intersect(mine).nonEmpty)
       conflicting match {
         case Some(other) =>
-          meta.stats.foreach(st => fs.delete(new Path(basePath, st.path), false))
+          meta.stats.foreach(st => GraftTable.deleteDataFile(fs, new Path(basePath, st.path)))
           timeline.deletePending(t, action)
           throw new ConcurrentWriteConflictException(t, other.time)
         case None =>
@@ -659,8 +793,9 @@ class GraftTable private (
       case _        => prepared
     }
     val stats = stageAndPublish(sorted, t)
-    timeline.complete(t, Action.Commit,
-      CommitMetadata("bulk_insert", schemaJson(prepared), stats, extra = extra))
+    finishCommit(t, Action.Commit,
+      CommitMetadata("bulk_insert", schemaJson(prepared), stats, extra = extra),
+      plannedAsOf = "", guarded = false)
     t
   }
 
@@ -698,8 +833,8 @@ class GraftTable private (
         extra = extra)
       // brand-new groups cannot conflict; a small-file FILL rewrites an
       // existing group and must go through the OCC conflict guard
-      if (usedFillIds.isEmpty) timeline.complete(t, Action.Commit, meta)
-      else publish(t, Action.Commit, meta, snap.map(_.asOf).getOrElse(""))
+      finishCommit(t, Action.Commit, meta, snap.map(_.asOf).getOrElse(""),
+        guarded = usedFillIds.nonEmpty)
       t
     } finally assigned.unpersist()
   }
@@ -714,7 +849,7 @@ class GraftTable private (
     val prepared = precombine(prepare(df, t))
 
     val (touched, keyRangeOf) = batchIndexProbe(prepared)
-    val idx = keyIndex(snap, touched, keyRangeOf)
+    val idx = keyIndex(snap, touched, keyRangeOf, incoming = Some(prepared))
       .withColumnRenamed(Key, "_g_idx_key")
       .withColumnRenamed(File, "_g_loc")
       .withColumnRenamed(Partition, "_g_loc_part")
@@ -768,9 +903,9 @@ class GraftTable private (
           stageAndPublish(
             merged.unionByName(inserts, allowMissingColumns = true), t)
         }
-      publish(t, action,
+      finishCommit(t, action,
         CommitMetadata("upsert", schemaJson(prepared), stats, extra = extra),
-        snap.asOf)
+        snap.asOf, guarded = true)
       t
     } finally tagged.unpersist()
   }
@@ -791,7 +926,7 @@ class GraftTable private (
       .select((Seq(CommitTime, Seqno, Key, Partition, Deleted) ++ keepData).map(col): _*)
 
     val (touched, keyRangeOf) = batchIndexProbe(prepared)
-    val idx = keyIndex(snap, touched, keyRangeOf)
+    val idx = keyIndex(snap, touched, keyRangeOf, incoming = Some(prepared))
       .withColumnRenamed(Key, "_g_idx_key")
       .withColumnRenamed(File, "_g_loc")
       .withColumnRenamed(Partition, "_g_loc_part")
@@ -824,8 +959,8 @@ class GraftTable private (
             (stageAndPublish(merged, t), Map.empty[String, Seq[String]])
           }
         }
-      publish(t, action, CommitMetadata("delete", "", stats, replaced),
-        snap.asOf)
+      finishCommit(t, action, CommitMetadata("delete", "", stats, replaced),
+        snap.asOf, guarded = true)
       t
     } finally tagged.unpersist()
   }
@@ -841,9 +976,9 @@ class GraftTable private (
     val stats = stageAndPublish(prepared, t)
     val replaced = snap.slices.filter(s => parts.contains(s.partition))
       .groupBy(_.partition).map { case (p, ss) => p -> ss.map(_.fileId).toSeq }
-    publish(t, Action.ReplaceCommit,
+    finishCommit(t, Action.ReplaceCommit,
       CommitMetadata("insert_overwrite", schemaJson(prepared), stats, replaced),
-      snap.asOf)
+      snap.asOf, guarded = true)
     t
   }
 
@@ -856,9 +991,9 @@ class GraftTable private (
     val stats = stageAndPublish(prepared, t)
     val replaced = snap.slices.groupBy(_.partition)
       .map { case (p, ss) => p -> ss.map(_.fileId).toSeq }
-    publish(t, Action.ReplaceCommit,
+    finishCommit(t, Action.ReplaceCommit,
       CommitMetadata("insert_overwrite_table", schemaJson(prepared), stats, replaced),
-      snap.asOf)
+      snap.asOf, guarded = true)
     t
   }
 
@@ -871,9 +1006,9 @@ class GraftTable private (
     val ps = partitions.toSet
     val replaced = snap.slices.filter(s => ps.contains(s.partition))
       .groupBy(_.partition).map { case (p, ss) => p -> ss.map(_.fileId).toSeq }
-    publish(t, Action.ReplaceCommit,
+    finishCommit(t, Action.ReplaceCommit,
       CommitMetadata("delete_partition", "", Nil, replaced),
-      snap.asOf)
+      snap.asOf, guarded = true)
     t
   }
 
@@ -1021,6 +1156,14 @@ object GraftTable {
 
   /** Driver-side parallelism for publish renames. */
   private[write] val PublishThreads = 16
+
+  /** Remove a data file AND its bloom sidecar (if any) — every physical
+    * data-file removal (clean, rollback, restore, aborted commit) goes
+    * through here so sidecars never outlive their file. */
+  private[graft] def deleteDataFile(fs: org.apache.hadoop.fs.FileSystem, p: Path): Unit = {
+    fs.delete(p, false)
+    KeyBloom.delete(fs, p)
+  }
 
   def create(spark: SparkSession, path: String, config: TableConfig): GraftTable = {
     val tl = new Timeline(path, spark.sessionState.newHadoopConf())

@@ -112,3 +112,24 @@ EXPECT: -
 
 RUN: SELECT id, v FROM gtab ORDER BY id
 EXPECT: 12,z|20,o
+
+RUN: SHOW COMMITS '$T'
+EXPECT: -
+
+RUN: SHOW FSVIEW '$T'
+EXPECT: -
+
+RUN: SHOW SAVEPOINTS '$T'
+EXPECT_ROWS: 0
+
+RUN: SHOW ROLLBACKS '$T'
+EXPECT_ROWS: 0
+
+RUN: SHOW CLEANS '$T'
+EXPECT_ROWS: 0
+
+RUN: EXPORT TABLE '$T' TO '$T-export' FORMAT parquet
+EXPECT: 2
+
+RUN: COPY TABLE '$T' TO '$T-backup'
+EXPECT: -

@@ -120,4 +120,22 @@ class DataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("id").as[Long].collect().sorted
     assert(got.toSeq == Seq(9L))
   }
+
+  test("incr.path.glob prunes incremental reads by partition path") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "a", "2021-01"), (2L, "b", "2021-02"), (3L, "c", "2022-01"))
+      .toDF("id", "v", "p")
+      .write.format("graft").option("path", dir)
+      .option("key.fields", "id").option("partition.fields", "p")
+      .option("operation", "bulk_insert").mode(SaveMode.Append).save()
+    Seq((4L, "d", "2021-03"), (5L, "e", "2022-02")).toDF("id", "v", "p")
+      .write.format("graft").option("path", dir).mode(SaveMode.Append).save()
+    val inc = spark.read.format("graft").option("path", dir)
+      .option("query.type", "incremental")
+      .option("begin.instant", "")
+      .option("incr.path.glob", "2021*")
+      .load().select("id").as[Long].collect().sorted
+    assert(inc.toSeq == Seq(1L, 2L, 4L))
+  }
 }

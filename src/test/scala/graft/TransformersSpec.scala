@@ -159,6 +159,35 @@ class TransformersSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.dataOnly(r.snapshot()).count() == 2)
     }
   }
+
+  test("filter-dupes ingest drops already-present keys under insert") {
+    import spark.implicits._
+    val dir = tmp(); val srcDir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "t", tableType = TableType.COW, keyFields = Seq("id"),
+      orderingField = "", targetFileRows = 1000))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id bigint, v string")
+    Files.writeString(Paths.get(s"$srcDir/000001.json"),
+      """{"id": 1, "v": "a"}""" + "\n" + """{"id": 2, "v": "b"}""" + "\n")
+    val ingest = new ContinuousIngest(tbl,
+      new JsonDirSource(spark, srcDir, Some(schema)),
+      operation = "insert", filterDupes = true)
+    assert(ingest.syncOnce().isDefined)
+    // a re-delivery of key 1 with new payload must be DROPPED, not merged
+    Files.writeString(Paths.get(s"$srcDir/000002.json"),
+      """{"id": 1, "v": "CHANGED"}""" + "\n" + """{"id": 3, "v": "c"}""" + "\n")
+    assert(ingest.syncOnce().isDefined)
+    val r = GraftReader(tbl)
+    assert(r.dataOnly(r.snapshot()).as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the checkpoint still advanced past the dropped batch
+    assert(ingest.syncOnce().isEmpty)
+    // upsert + filter-dupes is rejected, as in the reference
+    intercept[IllegalArgumentException] {
+      new ContinuousIngest(tbl, new JsonDirSource(spark, srcDir, Some(schema)),
+        filterDupes = true)
+    }
+  }
 }
 
 object TransformersSpec {
