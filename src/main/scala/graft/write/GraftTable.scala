@@ -25,6 +25,10 @@ object Meta {
     * columns from file contents; we want them stored too) */
   val GP = "_gp"
   val GF = "_gf"
+  /** staging-only delta flag: lets ONE staged write carry base and delta
+    * groups together (a MOR upsert lands update deltas and fresh-group
+    * bases in a single Spark job instead of two) */
+  val GD = "_gd"
   /** sentinel staging dir value for the empty (non-partitioned) path —
     * Spark writes empty-string partition values to the default-partition
     * dir, so we substitute a printable token and decode on publish */
@@ -239,14 +243,24 @@ class GraftTable private (
   // =========================================================================
 
   /** Write `df` (which must carry all meta columns incl. `_g_file`) into
-    * the table layout: staged `partitionBy(partition, fileGroup)` parquet
-    * write, one file per group (rows are co-located by the repartition),
-    * then rename into `<partition>/<fileId>_<commit>[.delta].parquet`.
-    * Returns per-file WriteStats. */
+    * the table layout: staged `partitionBy(partition, fileGroup, delta)`
+    * parquet write, one file per group (rows are co-located by the
+    * repartition), then rename into
+    * `<partition>/<fileId>_<commit>[.delta].parquet`. Returns per-file
+    * WriteStats.
+    *
+    * A pre-existing boolean `_gd` column overrides `delta` PER ROW, so
+    * one staged write (one Spark job) can carry delta and base groups
+    * together — the MOR upsert path lands update deltas and fresh-group
+    * bases in a single job. A group must be all-delta or all-base. */
   private[graft] def stageAndPublish(
       df: DataFrame,
       commitTime: String,
-      delta: Boolean = false): Seq[WriteStat] = {
+      delta: Boolean = false,
+      /** df carries a boolean `_gd` column routing each group to delta
+        * or base; costs one extra staging dir level, so only mixed
+        * writers opt in */
+      mixed: Boolean = false): Seq[WriteStat] = {
     val stagingDir = new Path(basePath, s"${Timeline.MetaDir}/.tmp/$commitTime")
     // explicit partition count: an implicit repartition(cols) is subject
     // to AQE coalescing, which at many-small-groups commits folds the
@@ -267,20 +281,26 @@ class GraftTable private (
     val prevTsType = spark.conf.getOption(tsTypeKey)
     spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
     val tWrite0 = System.nanoTime()
-    try staged.write.mode("overwrite").partitionBy(GP, GF).parquet(stagingDir.toString)
+    val stagingCols = if (mixed) Seq(GP, GF, GD) else Seq(GP, GF)
+    try staged.write.mode("overwrite").partitionBy(stagingCols: _*).parquet(stagingDir.toString)
     finally prevTsType match {
       case Some(v) => spark.conf.set(tsTypeKey, v)
       case None    => spark.conf.unset(tsTypeKey)
     }
     val tWrite = (System.nanoTime() - tWrite0) / 1e9
 
-    // empty input leaves only _SUCCESS behind; nothing to publish
+    // empty input leaves only _SUCCESS behind; nothing to publish.
+    // ONE glob pass resolves every staged part file (at thousands of
+    // groups, a per-group second listing was measurable publish tail)
     val tList0 = System.nanoTime()
-    val groupDirs = fs.globStatus(new Path(stagingDir, s"$GP=*/$GF=*")).toSeq
-    if (groupDirs.isEmpty) {
+    val partGlob =
+      if (mixed) s"$GP=*/$GF=*/$GD=*/part-*" else s"$GP=*/$GF=*/part-*"
+    val partFiles = fs.globStatus(new Path(stagingDir, partGlob)).toSeq
+    if (partFiles.isEmpty) {
       fs.delete(stagingDir, true)
       return Nil
     }
+    val byGroup = partFiles.groupBy(_.getPath.getParent)
 
     // Per-group stats come from the parquet FOOTERS of the files just
     // written — a metadata-only read of a few KB per group on the publish
@@ -296,23 +316,27 @@ class GraftTable private (
         df.schema.fields.find(_.name == c).map(f => c -> f.dataType)).toMap
     val hconf = spark.sessionState.newHadoopConf()
 
-    val suffix = if (delta) s"_$commitTime.delta.parquet" else s"_$commitTime.parquet"
     // publish renames run on a driver-side pool: at thousands of file
     // groups per commit a serial rename loop becomes the publish tail
     // (Hadoop FileSystem instances are thread-safe)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(GraftTable.PublishThreads, math.max(1, groupDirs.length)))
+      math.min(GraftTable.PublishThreads, math.max(1, byGroup.size)))
     val out =
       try {
-        val futures = groupDirs.map { gDir =>
+        val futures = byGroup.toSeq.map { case (gDir, parts) =>
           pool.submit(new java.util.concurrent.Callable[WriteStat] {
             override def call(): WriteStat = {
-              val partRaw = unescapePath(gDir.getPath.getParent.getName.stripPrefix(s"$GP="))
+              val isDelta =
+                if (mixed) gDir.getName.stripPrefix(s"$GD=").toBoolean else delta
+              val fDir = if (mixed) gDir.getParent else gDir
+              val fileId = unescapePath(fDir.getName.stripPrefix(s"$GF="))
+              val partRaw = unescapePath(
+                fDir.getParent.getName.stripPrefix(s"$GP="))
               val part = if (partRaw == RootPartition) "" else partRaw
-              val fileId = unescapePath(gDir.getPath.getName.stripPrefix(s"$GF="))
-              val parts = fs.globStatus(new Path(gDir.getPath, "part-*")).toSeq
               require(parts.size == 1,
-                s"expected 1 staged file per group, got ${parts.size} in ${gDir.getPath}")
+                s"expected 1 staged file per group, got ${parts.size} in $gDir")
+              val suffix =
+                if (isDelta) s"_$commitTime.delta.parquet" else s"_$commitTime.parquet"
               val destDir = if (part == "") new Path(basePath) else new Path(basePath, part)
               fs.mkdirs(destDir)
               val dest = new Path(destDir, s"$fileId$suffix")
@@ -322,7 +346,7 @@ class GraftTable private (
               val rel = if (part == "") dest.getName else s"$part/${dest.getName}"
               val (rows, colStats) = GraftTable.footerStats(dest, hconf, statTypes)
               val keyStat = colStats.get(Key)
-              WriteStat(part, fileId, rel, isDelta = delta, rows = rows, bytes = bytes,
+              WriteStat(part, fileId, rel, isDelta = isDelta, rows = rows, bytes = bytes,
                 minKey = keyStat.flatMap(s => Option(s.min)).getOrElse(""),
                 maxKey = keyStat.flatMap(s => Option(s.max)).getOrElse(""),
                 columnStats = colStats.filter { case (c, _) => c != Key })
@@ -334,7 +358,7 @@ class GraftTable private (
     fs.delete(stagingDir, true)
     if (config.bloomIndex && out.nonEmpty) buildBlooms(out)
     if (sys.env.contains("GRAFT_PUBLISH_DEBUG"))
-      System.err.println(f"[publish] groups=${groupDirs.size} write=$tWrite%.2fs " +
+      System.err.println(f"[publish] groups=${byGroup.size} write=$tWrite%.2fs " +
         f"tail=${(System.nanoTime() - tList0) / 1e9}%.2fs")
     out
   }
@@ -877,11 +901,13 @@ class GraftTable private (
         if (isMor) {
           // MOR: updates — and inserts filled into existing small groups
           // (bin packing) — land as delta files on their group; no base
-          // read. Fresh groups open as base files.
-          val deltaStats = stageAndPublish(
-            if (fills.isEmpty) updates else updates.unionByName(fillIns), t, delta = true)
-          val baseStats = stageAndPublish(inserts, t)
-          deltaStats ++ baseStats
+          // read. Fresh groups open as base files. Both land in ONE
+          // staged write via the per-row delta flag (one Spark job, not
+          // two; the flag routes each group to its suffix at publish).
+          val deltas = if (fills.isEmpty) updates else updates.unionByName(fillIns)
+          stageAndPublish(
+            deltas.withColumn(GD, lit(true))
+              .unionByName(inserts.withColumn(GD, lit(false))), t, mixed = true)
         } else {
           // COW: rewrite each affected group = old slice ∪ incoming → latest-wins.
           // Affected = groups with updates plus small groups receiving fill inserts.
@@ -1155,7 +1181,7 @@ object GraftTable {
     }
 
   /** Driver-side parallelism for publish renames. */
-  private[write] val PublishThreads = 16
+  private[write] val PublishThreads = 32
 
   /** Remove a data file AND its bloom sidecar (if any) — every physical
     * data-file removal (clean, rollback, restore, aborted commit) goes
