@@ -139,6 +139,24 @@ case class TableConfig(
       * (reference analog: URL_ENCODE_PARTITIONING,
       * DataSourceOptions.scala:636) */
     urlEncodePartitioning: Boolean = false,
+    /** MOR: compact inline after a write once this many delta commits
+      * stack since the last compaction (reference analog:
+      * hoodie.compact.inline + hoodie.compact.inline.max.delta.commits,
+      * HoodieCompactionConfig.java:76,83 — reference default 5 when
+      * inline is on). 0 = off. */
+    inlineCompactDeltaCommits: Int = 0,
+    /** run clean automatically after every data commit, retaining this
+      * many commits (reference analog: hoodie.clean.automatic +
+      * hoodie.cleaner.commits.retained, HoodieCompactionConfig.java:60,
+      * 100). 0 = off. */
+    autoCleanRetainCommits: Int = 0,
+    /** auto-archive after commit once the active timeline exceeds max
+      * completed instants, trimming to min (reference analog:
+      * hoodie.keep.min.commits=20 / hoodie.keep.max.commits=30 —
+      * archival runs at every commit in the reference,
+      * HoodieCompactionConfig.java:107,114). Both > 0 to enable. */
+    autoArchiveMinCommits: Int = 0,
+    autoArchiveMaxCommits: Int = 0,
     version: Int = 1)
 
 object TableType { val COW = "COW"; val MOR = "MOR" }

@@ -1394,6 +1394,58 @@ object TableFormat {
         summarize(r.dataOnly(r.snapshot())
           .withColumnRenamed("o_totalprice", "price"))
       },
-      Some(SummarySql)))
+      Some(SummarySql))),
+
+    // ---- inline auto-services: a MOR table configured to compact every
+    //      2 delta commits, auto-clean to 2 retained commits, and
+    //      auto-archive at a 4/6 window runs a 5-commit lifecycle with
+    //      NO explicit service calls; the query require()s that each
+    //      service actually fired (so the gate covers the trigger logic,
+    //      not just the data), then hash-matches the final state
+    //      (reference analog: postCommit-driven inline compaction +
+    //      auto clean + archiveIfRequired, SparkRDDWriteClient.java:512)
+    "q86_inline_services" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val conf = cfg("orders_auto", TableType.MOR).copy(
+          inlineCompactDeltaCommits = 2, autoCleanRetainCommits = 2,
+          autoArchiveMinCommits = 4, autoArchiveMaxCommits = 6)
+        val tbl = GraftTable.create(s, freshDir(), conf)
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        // four updating upserts = four delta commits -> two inline
+        // compactions (after the 2nd and 4th); the LAST write's values
+        // are the final state (arrival order, incoming wins on ties)
+        (1 to 4).foreach { i =>
+          tbl.upsert(orders.filter(col("o_orderkey") % 10 === 6)
+            .withColumn("o_totalprice", col("o_totalprice") + 1000 * i))
+        }
+        val tl = tbl.timeline
+        // earlier service instants may already be ARCHIVED by the later
+        // auto-archive runs — count across active + archived
+        val compactions =
+          tl.completed().count(_.action == graft.core.Action.Compaction) +
+            tl.archivedInstants().count(_._1.action == graft.core.Action.Compaction)
+        require(compactions == 2,
+          s"expected 2 inline compactions, saw $compactions")
+        require(tl.completed().exists(_.action == graft.core.Action.Clean) ||
+            tl.archivedInstants().exists(_._1.action == graft.core.Action.Clean),
+          "auto clean never fired")
+        require(tl.archivedTimes().nonEmpty, "auto archive never fired")
+        require(tl.completed().size <= 6,
+          s"active timeline not bounded: ${tl.completed().size}")
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 10 = 6 THEN o_totalprice + 4000
+                      ELSE o_totalprice END AS price
+          FROM orders WHERE o_orderkey % 10 < 8)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority""")))
   )
 }

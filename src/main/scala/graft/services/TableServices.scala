@@ -554,10 +554,16 @@ class TableServices(table: GraftTable) {
       .filterNot(_.action == Action.Savepoint)
       .filter(i => savepointBound.forall(i.time < _))
     if (candidates.isEmpty) return None
-    // checkpoint the CURRENT state first: it covers everything we archive
+    // checkpoint the CURRENT state first: it covers everything we archive.
+    // Stamped at the last DATA instant, not completed.last — the state
+    // IS that instant's state (clean/savepoint don't change it), and an
+    // as-of read at that data commit must find a covering checkpoint
+    // (with auto-clean a trailing clean instant would otherwise push the
+    // stamp past the last data commit and strand it)
     val snap = Snapshot.resolve(timeline)
     Checkpoint.write(timeline, SnapshotCheckpoint(
-      asOf = completed.last.time,
+      asOf = completed.filter(i => Action.dataActions(i.action))
+        .lastOption.getOrElse(completed.last).time,
       schemaJson = table.readSchema(snap).json,
       slices = snap.slices))
     candidates.foreach(timeline.archiveCompleted)

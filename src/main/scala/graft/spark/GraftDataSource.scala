@@ -30,6 +30,9 @@ import graft.write.GraftTable
   *   ordering.field   precombine/ordering column
   *   table.type       COW (default) | MOR
   *   merge.strategy   overwrite_latest (default) | event_time
+  *   compact.inline.delta.commits  MOR: compact after N delta commits (0=off)
+  *   clean.retain.commits          auto-clean after commit, keep N (0=off)
+  *   archive.min.commits / archive.max.commits   auto-archive window
   */
 class GraftDataSource
   extends RelationProvider
@@ -157,7 +160,15 @@ class GraftDataSource
         partitionFields = parameters.get("partition.fields")
           .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
         orderingField = parameters.getOrElse("ordering.field", ""),
-        mergeStrategy = parameters.getOrElse("merge.strategy", "overwrite_latest")))
+        mergeStrategy = parameters.getOrElse("merge.strategy", "overwrite_latest"),
+        inlineCompactDeltaCommits =
+          parameters.getOrElse("compact.inline.delta.commits", "0").toInt,
+        autoCleanRetainCommits =
+          parameters.getOrElse("clean.retain.commits", "0").toInt,
+        autoArchiveMinCommits =
+          parameters.getOrElse("archive.min.commits", "0").toInt,
+        autoArchiveMaxCommits =
+          parameters.getOrElse("archive.max.commits", "0").toInt))
     }
   }
 }

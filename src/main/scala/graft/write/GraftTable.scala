@@ -770,6 +770,41 @@ class GraftTable private (
     }
     if (guarded) publish(t, action, meta, plannedAsOf)
     else timeline.complete(t, action, meta)
+    maybeRunInlineServices()
+  }
+
+  /** Post-commit inline table services (reference analog: the reference
+    * runs compaction/clean/archive as part of every write client commit
+    * when configured — SparkRDDWriteClient.postCommit :512 →
+    * autoCleanOnCommit + inline compaction + archiveIfRequired). Runs
+    * AFTER the instant is durable: a service failure never un-commits
+    * the write. Inline compaction skips (to the next commit) when
+    * concurrent writers race the plan. */
+  private def maybeRunInlineServices(): Unit = {
+    val c = config
+    val any = c.inlineCompactDeltaCommits > 0 || c.autoCleanRetainCommits > 0 ||
+      (c.autoArchiveMinCommits > 0 && c.autoArchiveMaxCommits > 0)
+    if (!any) return
+    val svc = graft.services.TableServices(this)
+    if (isMor && c.inlineCompactDeltaCommits > 0) {
+      val completed = timeline.completed()
+      val lastCompaction = completed.filter(_.action == Action.Compaction)
+        .map(_.time).maxOption.getOrElse("")
+      val deltasSince = completed
+        .count(i => i.action == Action.DeltaCommit && i.time > lastCompaction)
+      if (deltasSince >= c.inlineCompactDeltaCommits)
+        try svc.compact()
+        catch {
+          // concurrent writers kept racing the plan: skip — the NEXT
+          // commit re-attempts (matches the reference's inline path
+          // deferring to a later ingestion round)
+          case _: IllegalStateException => ()
+        }
+    }
+    if (c.autoCleanRetainCommits > 0) svc.clean(c.autoCleanRetainCommits)
+    if (c.autoArchiveMinCommits > 0 && c.autoArchiveMaxCommits > 0 &&
+        timeline.config.version >= 1)
+      svc.archive(c.autoArchiveMinCommits, c.autoArchiveMaxCommits)
   }
 
   private def publish(

@@ -524,5 +524,58 @@ class ServicesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.dataOnly(r2.snapshot()).count() == 2L, "full replay still resolves")
   }
 
+  test("inline compaction fires after N delta commits and then resets") {
+    val dir = tmp()
+    val conf = cfg(TableType.MOR).copy(inlineCompactDeltaCommits = 3)
+    val tbl = GraftTable.create(spark, dir, conf)
+    val base = orders.filter(col("o_orderkey") % 2 === 0)
+    tbl.bulkInsert(base)
+    def compactions: Int =
+      tbl.timeline.completed().count(_.action == Action.Compaction)
+    // three updating upserts = three delta commits → threshold reached
+    (1 to 3).foreach { i =>
+      tbl.upsert(base.limit(40).withColumn("o_totalprice", col("o_totalprice") + i))
+      if (i < 3) assert(compactions == 0, s"no compaction after $i delta commits")
+    }
+    assert(compactions == 1, "inline compaction fired at the threshold")
+    assert(Snapshot.resolve(tbl.timeline).slices.forall(_.deltas.isEmpty),
+      "deltas folded inline")
+    // the counter restarts from the compaction instant
+    tbl.upsert(base.limit(10).withColumn("o_totalprice", lit(1.0)))
+    assert(compactions == 1, "one delta commit after compaction does not re-fire")
+    val r = GraftReader(tbl)
+    assert(r.dataOnly(r.snapshot()).count() == base.count(), "row count stable")
+  }
+
+  test("auto clean + auto archive bound storage and timeline across commits") {
+    val dir = tmp()
+    val conf = cfg(TableType.COW).copy(
+      partitionFields = Nil, targetFileRows = 100000,
+      autoCleanRetainCommits = 2,
+      autoArchiveMinCommits = 4, autoArchiveMaxCommits = 6)
+    val tbl = GraftTable.create(spark, dir, conf)
+    val base = orders.limit(200)
+    tbl.bulkInsert(base)
+    // each upsert rewrites the single COW group → one obsolete file per
+    // commit; auto clean must keep only the versions the last 2 commits
+    // can still see, auto archive must keep the active timeline <= 6
+    (1 to 9).foreach { i =>
+      tbl.upsert(base.limit(20).withColumn("o_totalprice", lit(i.toDouble)))
+    }
+    val fs = tbl.timeline.fileSystem
+    val dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isFile).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+    assert(dataFiles.length <= 3,
+      s"auto clean retains only reachable versions, saw ${dataFiles.mkString(",")}")
+    val active = tbl.timeline.completed().size
+    assert(active <= 6, s"auto archive bounds the active timeline, saw $active")
+    val r = GraftReader(tbl)
+    val got = r.dataOnly(r.snapshot())
+    assert(got.count() == 200, "snapshot intact under auto services")
+    assert(got.filter(col("o_totalprice") === 9.0).count() == 20,
+      "last upsert visible")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
