@@ -38,13 +38,27 @@ class TableServices(table: GraftTable) {
     * picks the day partitions to fold first). */
   def planCompaction(maxGroups: Int = Int.MaxValue,
                      maxDeltaBytes: Long = Long.MaxValue,
-                     partitions: Option[Set[String]] = None): Seq[FileSlice] = {
+                     partitions: Option[Set[String]] = None,
+                     strategy: String = "size"): Seq[FileSlice] = {
     val snap = Snapshot.resolve(timeline)
     val withDeltas = snap.slices.filter(_.deltas.nonEmpty)
       .filter(s => partitions.forall(_.contains(s.partition)))
-      .sortBy(s => -s.deltas.map(_.bytes).sum)
+    val ordered = strategy match {
+      // newest partitions first (date-formatted partition paths sort
+      // lexicographically = chronologically), heaviest groups within a
+      // partition — the budget then lands on the hot recent partitions
+      // (reference analog: DayBasedCompactionStrategy.java:39 +
+      // BoundedPartitionAwareCompactionStrategy.java:40)
+      case "day" => withDeltas.sortBy(s =>
+        (s.partition, s.deltas.map(_.bytes).sum))(
+        Ordering.Tuple2(Ordering.String.reverse, Ordering.Long.reverse))
+      // heaviest delta load first, maximizing folded bytes under the IO
+      // budget (reference analog:
+      // LogFileSizeBasedCompactionStrategy.java:37)
+      case _ => withDeltas.sortBy(s => -s.deltas.map(_.bytes).sum)
+    }
     var budget = maxDeltaBytes
-    withDeltas.take(maxGroups).takeWhile { s =>
+    ordered.take(maxGroups).takeWhile { s =>
       val b = s.deltas.map(_.bytes).sum
       val ok = budget > 0
       budget -= b
@@ -60,8 +74,9 @@ class TableServices(table: GraftTable) {
     * HoodieCompactor.java:99). Implemented as schedule + run, so the
     * inline path shares the executor's concurrent-writer safety. */
   def compact(maxGroups: Int = Int.MaxValue,
-              partitions: Option[Set[String]] = None): Option[String] =
-    scheduleCompaction(maxGroups, partitions = partitions)
+              partitions: Option[Set[String]] = None,
+              strategy: String = "size"): Option[String] =
+    scheduleCompaction(maxGroups, partitions = partitions, strategy = strategy)
       .flatMap(runScheduledCompaction)
 
   /** Data instants minted BEFORE `time` but not yet completed: if one of
@@ -97,10 +112,11 @@ class TableServices(table: GraftTable) {
     * Returns the scheduled instant, or None when nothing has deltas. */
   def scheduleCompaction(maxGroups: Int = Int.MaxValue,
                          maxDeltaBytes: Long = Long.MaxValue,
-                         partitions: Option[Set[String]] = None): Option[String] = {
+                         partitions: Option[Set[String]] = None,
+                         strategy: String = "size"): Option[String] = {
     var attempt = 0
     while (true) {
-      val plan = planCompaction(maxGroups, maxDeltaBytes, partitions)
+      val plan = planCompaction(maxGroups, maxDeltaBytes, partitions, strategy)
       if (plan.isEmpty) return None
       // the requested payload pins the exact files to fold
       val stats = plan.flatMap(s => s.baseFile.toSeq ++ s.deltas)

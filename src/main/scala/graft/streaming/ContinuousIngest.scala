@@ -179,6 +179,52 @@ class GraftIncrSource(spark: SparkSession, tablePath: String) extends IngestSour
   * source → optional transform → upsert with the new checkpoint stored
   * IN the commit }. Crash-safe: data and checkpoint commit atomically
   * together, so restart resumes exactly where the table state is. */
+/** Background compaction executor for the continuous-ingest loop: the
+  * ingest thread SCHEDULES plans inline (cheap, driver-only) and this
+  * worker EXECUTES them off the ingest path, so folding never blocks a
+  * sync round (reference analog: async/AsyncCompactService.java:41 —
+  * DeltaStreamer continuous mode enqueues pending compaction instants
+  * to a background executor). `shutdown()` drains queued plans before
+  * returning, so a bounded run ends with every scheduled fold applied. */
+class AsyncCompactor(table: GraftTable) {
+  private val svc = graft.services.TableServices(table)
+  private val queue = new java.util.concurrent.LinkedBlockingQueue[String]()
+  @volatile private var stopped = false
+  @volatile private var failure: Option[Throwable] = None
+  private val worker = new Thread(() => {
+    while (!stopped || !queue.isEmpty) {
+      val t = queue.poll(25, java.util.concurrent.TimeUnit.MILLISECONDS)
+      if (t != null)
+        try svc.runScheduledCompaction(t)
+        catch { case e: Throwable => failure = Some(e) }
+    }
+  }, "graft-async-compactor")
+  worker.setDaemon(true)
+  worker.start()
+
+  /** Schedule a plan when `every` delta commits have stacked since the
+    * last compaction — completed, queued, or still pending — and hand it
+    * to the worker. Never throws: a plan raced by concurrent writers is
+    * simply retried at a later sync. */
+  def maybeSchedule(every: Int): Unit = {
+    val tl = table.timeline
+    val mark = (tl.completed().filter(_.action == Action.Compaction).map(_.time) ++
+      svc.pendingCompactions()).maxOption.getOrElse("")
+    val deltas = tl.completed()
+      .count(i => i.action == Action.DeltaCommit && i.time > mark)
+    if (deltas >= every)
+      try svc.scheduleCompaction().foreach(queue.put)
+      catch { case _: IllegalStateException => () }
+  }
+
+  /** Stop accepting work, drain the queue, surface any executor error. */
+  def shutdown(): Unit = {
+    stopped = true
+    worker.join()
+    failure.foreach(throw _)
+  }
+}
+
 class ContinuousIngest(
     table: GraftTable,
     source: IngestSource,
@@ -190,7 +236,13 @@ class ContinuousIngest(
       * HoodieDeltaStreamer.java:413 + DeltaSync.java:441
       * filterDupeRecords). Rejected for `upsert`, as in the reference
       * (updates would be silently dropped). */
-    filterDupes: Boolean = false) {
+    filterDupes: Boolean = false,
+    /** >0 on a MOR table: [[runContinuous]] schedules a compaction once
+      * this many delta commits stack and executes it on an
+      * [[AsyncCompactor]] background thread — ingestion never waits for
+      * the fold (reference analog: HoodieDeltaStreamer.java:178
+      * continuous loop + AsyncCompactService). */
+    asyncCompactDeltaCommits: Int = 0) {
 
   require(!(filterDupes && operation == "upsert"),
     "filter-dupes with upsert would drop updates (reference: " +
@@ -232,15 +284,21 @@ class ContinuousIngest(
     * [[syncOnce]] in its own scheduler, as the reference's
     * `--continuous` loop does). */
   def runContinuous(maxRounds: Int, sleepMs: Long = 0L): Seq[String] = {
-    var done = 0
-    val commits = Seq.newBuilder[String]
-    while (done < maxRounds) {
-      syncOnce() match {
-        case Some(c) => commits += c
-        case None    => done += 1; if (sleepMs > 0) Thread.sleep(sleepMs)
+    val compactor =
+      if (asyncCompactDeltaCommits > 0) Some(new AsyncCompactor(table)) else None
+    try {
+      var done = 0
+      val commits = Seq.newBuilder[String]
+      while (done < maxRounds) {
+        syncOnce() match {
+          case Some(c) =>
+            commits += c
+            compactor.foreach(_.maybeSchedule(asyncCompactDeltaCommits))
+          case None    => done += 1; if (sleepMs > 0) Thread.sleep(sleepMs)
+        }
+        if (done == 0 && sleepMs > 0) Thread.sleep(sleepMs)
       }
-      if (done == 0 && sleepMs > 0) Thread.sleep(sleepMs)
-    }
-    commits.result()
+      commits.result()
+    } finally compactor.foreach(_.shutdown())
   }
 }

@@ -524,6 +524,33 @@ class ServicesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.dataOnly(r2.snapshot()).count() == 2L, "full replay still resolves")
   }
 
+  test("day strategy plans newest partitions first; size strategy biggest deltas") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.MOR))
+    tbl.bulkInsert(orders)
+    // heavy deltas in the lexicographically SMALLEST partition, light in
+    // the largest — the two strategies must disagree on who goes first
+    val parts = orders.select("o_orderpriority").distinct()
+      .collect().map(_.getString(0)).sorted
+    val (oldest, newest) = (parts.head, parts.last)
+    tbl.upsert(orders.filter(col("o_orderpriority") === oldest)
+      .withColumn("o_totalprice", col("o_totalprice") + 1))
+    tbl.upsert(orders.filter(col("o_orderpriority") === newest).limit(5)
+      .withColumn("o_totalprice", col("o_totalprice") + 1))
+    val svc = TableServices(tbl)
+    assert(svc.planCompaction(maxGroups = 1).head.partition == oldest,
+      "size strategy: heaviest delta group first")
+    assert(svc.planCompaction(maxGroups = 1, strategy = "day").head.partition == newest,
+      "day strategy: newest partition first")
+    // a day-scoped fold leaves the older partition's deltas for later
+    svc.compact(maxGroups = 1, strategy = "day")
+    val after = Snapshot.resolve(tbl.timeline).slices
+    assert(after.filter(_.partition == newest).forall(_.deltas.isEmpty),
+      "newest partition folded")
+    assert(after.exists(s => s.partition == oldest && s.deltas.nonEmpty),
+      "older partition deltas untouched")
+  }
+
   test("inline compaction fires after N delta commits and then resets") {
     val dir = tmp()
     val conf = cfg(TableType.MOR).copy(inlineCompactDeltaCommits = 3)

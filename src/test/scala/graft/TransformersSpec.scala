@@ -24,6 +24,37 @@ class TransformersSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   def tmp(): String = Files.createTempDirectory("graft-tf").toString
 
+  test("continuous ingest schedules compactions inline, executes them async") {
+    import spark.implicits._
+    val dir = tmp(); val srcDir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "t", tableType = TableType.MOR, keyFields = Seq("id"),
+      orderingField = "", targetFileRows = 1000))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id bigint, v string")
+    // batch 1 opens groups; batches 2-5 are pure updates -> delta commits
+    (1 to 5).foreach { b =>
+      Files.writeString(Paths.get(f"$srcDir/$b%06d.json"),
+        (1L to 20L).map(id => s"""{"id": $id, "v": "b$b"}""").mkString("", "\n", "\n"))
+    }
+    // 1-byte batch budget -> one landing file per sync round
+    val ingest = new ContinuousIngest(
+      tbl, new DfsDirSource(spark, srcDir, "json", ".json",
+        schema = Some(schema), maxBytesPerBatch = 1L),
+      asyncCompactDeltaCommits = 2)
+    val commits = ingest.runContinuous(maxRounds = 1)
+    assert(commits.size == 5, s"five sync rounds committed, got $commits")
+    // shutdown() drained the queue: every scheduled plan has executed
+    val tl = tbl.timeline
+    val compactions = tl.completed().count(_.action == Action.Compaction)
+    assert(compactions >= 1, "async compactor folded at least one plan")
+    assert(graft.services.TableServices(tbl).pendingCompactions().isEmpty,
+      "no plan left behind after shutdown drain")
+    val r = GraftReader(tbl)
+    val got = r.dataOnly(r.snapshot()).as[(Long, String)].collect()
+    assert(got.length == 20 && got.forall(_._2 == "b5"),
+      "final state = last batch wins for every key")
+  }
+
   test("sqlQuery transformer uses the <SRC> placeholder") {
     import spark.implicits._
     val out = Transformers.sqlQuery(
