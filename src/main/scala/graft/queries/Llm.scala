@@ -631,6 +631,36 @@ object Llm {
                count(*) AS n_media,
                CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                count(*) * 10 AS total_feature_dims
-        FROM documents GROUP BY 1 ORDER BY 1""")))
+        FROM documents GROUP BY 1 ORDER BY 1"""))),
+
+    // ---- token-budget sharding: contiguous ~5k-token shards via the
+    //      parallel prefix-sum (bucketed cumsum + driver offset fold —
+    //      NO global single-partition window); the oracle recomputes the
+    //      same assignment with a plain global window, proving the
+    //      decomposition exact
+    "q87_token_shards" -> ((
+      (s: SparkSession, d: String) =>
+        graft.llm.Sharding
+          .tokenShards(t(s, d, "documents"), col("text"), col("doc_id"),
+            budget = 5000L, buckets = 8)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("tok"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("shard")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                 sum(len(string_split(text, ' ')))
+                   OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM documents)
+        SELECT CAST(floor((cum - n_tokens) / 5000) AS BIGINT) AS shard,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tok,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM t GROUP BY 1 ORDER BY 1""")))
   )
 }

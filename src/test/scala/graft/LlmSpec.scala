@@ -229,4 +229,38 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rejoined = byId(m.media_id).sortBy(_.frame_idx).flatMap(_.frame_bytes)
     assert(rejoined.sameElements(m.payload.take(rejoined.length)))
   }
+
+  test("token sharding: bucketed prefix-sum equals the global window exactly") {
+    val documents = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Sharding.tokenShards(
+        documents, col("text"), col("doc_id"), budget = 3000L, buckets = 5)
+      .select(col("doc_id"), col("n_tokens"), col("token_start"), col("shard"))
+    // the naive single-partition global window is the spec
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      .rowsBetween(Long.MinValue, 0)
+    val want = documents
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("token_start",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("shard", (col("token_start") / 3000L).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("token_start"), col("shard"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "parallel prefix-sum must match the global window bit for bit")
+    // shards are order-contiguous: doc ranges never interleave
+    val ranges = got.groupBy(col("shard"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .orderBy(col("shard"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, "contiguous shards")
+      case _ => ()
+    }
+    // scale shape: every window in the plan is partitioned (no global
+    // single-task window stage)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [") ||
+      !plan.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+      s"found an unpartitioned window in:\n$plan")
+  }
 }
