@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** SQL registrations for the custom Catalyst kernels, so pure-SQL users
+  * get the same codegen'd fast paths the DataFrame API uses (reference
+  * analog: the hudi-spark `hudi_query`-style function surface; our
+  * kernels replace payload/keygen classloading with expressions).
+  *
+  * Registered by [[org.apache.spark.sql.graft.GraftSparkSessionExtension]]
+  * via `injectFunction`, e.g.:
+  * {{{
+  *   SELECT dot_product(a.embedding, b.embedding)
+  *        / (sqrt(sum_squares(a.embedding)) * sqrt(sum_squares(b.embedding)))
+  *   FROM emb a JOIN emb b ON a.id < b.id
+  * }}}
+  *
+  * Shape arguments (plane counts, shingle sizes) must be literal
+  * integers — they parameterize the generated code itself.
+  */
+object GraftFunctions {
+
+  type Builder = Seq[Expression] => Expression
+  type Registration = (FunctionIdentifier, ExpressionInfo, Builder)
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType)   => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument <$arg> must be a literal integer, got $other")
+  }
+
+  private def expect(args: Seq[Expression], n: Int, fn: String): Unit =
+    require(args.length == n, s"$fn takes $n arguments, got ${args.length}")
+
+  private def reg(name: String, usage: String)(b: Builder): Registration =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(getClass.getName, null, name, usage, ""),
+      b)
+
+  /** Every registration, in one place so the extension and tests agree. */
+  val all: Seq[Registration] = Seq(
+    reg("dot_product",
+      "dot_product(a, b) - IEEE-double dot product of two float/double arrays, " +
+        "left-to-right fold; null on length mismatch or null element") { args =>
+      expect(args, 2, "dot_product"); DotProductD(args(0), args(1))
+    },
+    reg("sum_squares",
+      "sum_squares(a) - squared L2 norm of a float/double array") { args =>
+      expect(args, 1, "sum_squares"); SumSquaresD(args(0))
+    },
+    reg("z_value",
+      "z_value(r1, r2, ...) - bit-interleaved Z-order value of long cell ranks") {
+      args => ZValue(args)
+    },
+    reg("hilbert_value",
+      "hilbert_value(rx, ry) - distance along the order-31 2-D Hilbert curve") {
+      args => expect(args, 2, "hilbert_value"); HilbertValue(args(0), args(1))
+    },
+    reg("lsh_band_buckets",
+      "lsh_band_buckets(vec, planes, bands, dims) - random-hyperplane LSH band " +
+        "bucket keys of an embedding, one pass over the array") { args =>
+      expect(args, 4, "lsh_band_buckets")
+      val planes = intLit(args(1), "lsh_band_buckets", "planes")
+      val bands = intLit(args(2), "lsh_band_buckets", "bands")
+      val dims = intLit(args(3), "lsh_band_buckets", "dims")
+      LshBandBuckets(args(0),
+        graft.llm.Similarity.planeMatrix(planes, dims), planes, bands, dims)
+    },
+    reg("minhash_sig",
+      "minhash_sig(tokens, n, k) - k-hash MinHash signature over the token " +
+        "array's word n-gram shingles; null when too short to shingle") { args =>
+      expect(args, 3, "minhash_sig")
+      val n = intLit(args(1), "minhash_sig", "n")
+      val k = intLit(args(2), "minhash_sig", "k")
+      val (as, bs) = (0 until k).map(graft.llm.Dedup.minhashParam).unzip
+      MinHashSig(args(0), n, as, bs, graft.llm.Dedup.MinhashPrime)
+    },
+    reg("simhash48",
+      "simhash48(tokens) - 48-bit SimHash fingerprint of a token array") { args =>
+      expect(args, 1, "simhash48"); SimHash48(args(0))
+    }
+  )
+}

@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFunctions.hash60
+
+/** Deterministic corpus sampling and source mixing for training-data
+  * pipelines.
+  *
+  * Every sampling decision is a pure function of (salt, row id): keep a
+  * row iff `hash60(md5(salt:id)) mod 1e6 < rate_ppm`. That makes samples
+  *  - reproducible across engines (the DuckDB oracles inline the same
+  *    md5 arithmetic — no RNG state, no float thresholds),
+  *  - stable under retries/re-partitioning (no `rand()` anywhere),
+  *  - monotone in the rate (raising the rate only ADDS rows — a re-mix
+  *    at a higher budget is a superset, which downstream incremental
+  *    pipelines rely on).
+  *
+  * Rates are integral parts-per-million, so membership is pure integer
+  * arithmetic. At 100 TB all of these are embarrassingly parallel
+  * scans — no shuffle, no driver data movement; only
+  * [[temperatureMix]] collects the per-source COUNTS (a handful of
+  * rows) to plan its rates.
+  */
+object Mixing {
+
+  /** Uniform bucket in [0, 1e6): leading 60 md5 bits of "salt:id" mod
+    * 1e6. Integral and engine-portable. */
+  def ppmBucket(id: Column, salt: String): Column =
+    hash60(concat_ws(":", lit(salt), id.cast("string"))) % 1000000L
+
+  /** Deterministic Bernoulli sample: keep iff bucket < rate_ppm. */
+  def hashSample(df: DataFrame, idCol: String, ratePpm: Long,
+      salt: String = "mix"): DataFrame =
+    df.filter(ppmBucket(col(idCol), salt) < ratePpm)
+
+  /** Deterministic train/val/test split: assign each row the first
+    * label whose cumulative ppm range contains its bucket. `splits` are
+    * (label, ppm) and must sum to ≤ 1e6; rows past the last boundary
+    * get `rest`. Adds a `split` column. */
+  def split(df: DataFrame, idCol: String, splits: Seq[(String, Long)],
+      rest: String = "train", salt: String = "split"): DataFrame = {
+    val b = ppmBucket(col(idCol), salt)
+    val bounds = splits.scanLeft(0L) { case (acc, (_, ppm)) => acc + ppm }.tail
+    require(bounds.lastOption.forall(_ <= 1000000L), "splits exceed 1e6 ppm")
+    val labeled = splits.zip(bounds).foldRight(lit(rest): Column) {
+      case (((label, _), hi), alt) => when(b < hi, label).otherwise(alt)
+    }
+    df.withColumn("split", labeled)
+  }
+
+  /** Stratified sample: per-stratum ppm rates (missing strata get
+    * `defaultPpm`). One scan, no shuffle; the rate table rides the
+    * closure as a CASE expression. */
+  def stratifiedSample(
+      df: DataFrame, strataCol: String, idCol: String,
+      ratesPpm: Map[String, Long], defaultPpm: Long = 0L,
+      salt: String = "mix"): DataFrame = {
+    val rate = ratesPpm.foldLeft(lit(defaultPpm): Column) {
+      case (alt, (stratum, ppm)) =>
+        when(col(strataCol) === stratum, lit(ppm)).otherwise(alt)
+    }
+    df.filter(ppmBucket(col(idCol), salt) < rate)
+  }
+
+  /** Temperature-weighted source mixing (the Pile/ROOTS recipe): target
+    * composition p_s ∝ n_s^(1/tau) — tau = 1 keeps natural proportions,
+    * tau → ∞ approaches uniform across sources — scaled to an expected
+    * `targetTotal` rows, capped at each source's actual size (no
+    * upsampling; a rate is at most 1e6 ppm).
+    *
+    * The per-source COUNTS (a handful of rows) come to the driver to
+    * plan integral ppm rates; membership is then the same one-scan
+    * integer filter as [[hashSample]]. Returns the sampled rows plus
+    * the planned `rate_ppm` column for auditability. */
+  def temperatureMix(
+      df: DataFrame, sourceCol: String, idCol: String,
+      tau: Double, targetTotal: Long,
+      salt: String = "mix"): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1) // deterministic fold order for the weight sum
+    val inv = 1.0 / tau
+    // pow(x, 0.5) == sqrt(x) per fdlibm, but route explicitly so the
+    // oracle's sqrt() is bit-identical beyond doubt
+    val weights = counts.map { case (s, n) =>
+      s -> (if (inv == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, inv))
+    }
+    val wSum = weights.map(_._2).sum
+    val rates = counts.zip(weights).map { case ((s, n), (_, w)) =>
+      val expect = targetTotal.toDouble * (w / wSum)
+      s -> math.min(1000000L, math.max(0L, math.floor(expect / n * 1000000.0).toLong))
+    }.toMap
+    val rate = rates.foldLeft(lit(0L): Column) {
+      case (alt, (stratum, ppm)) =>
+        when(col(sourceCol) === stratum, lit(ppm)).otherwise(alt)
+    }
+    df.withColumn("rate_ppm", rate)
+      .filter(ppmBucket(col(idCol), salt) < col("rate_ppm"))
+  }
+}

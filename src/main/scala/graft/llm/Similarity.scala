@@ -80,19 +80,11 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 16, bands: Int = 4,
       dims: Int = 64): DataFrame = {
-    val bitsPerBand = planes / bands
-    val sig = lshSignature(col(vecCol), planes, dims)
-    val bandCols = (0 until bands).map { b =>
-      concat_ws("", (0 until bitsPerBand).map(r =>
-        sig(b * bitsPerBand + r).cast("string")): _*)
-    }
     // bands carry ONLY (id, band, bucket): candidate pairs are deduped as
     // bare id pairs and the vectors join back afterwards — the wide
     // embedding arrays never ride the bucket join or the distinct
     val banded = corpus.select(col(idCol).as("id"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("b"), bandCols(b).as("bucket"))): _*)).as("bb"))
-      .select(col("id"), col("bb.b").as("b"), col("bb.bucket").as("bucket"))
+        posexplode(bandBuckets(col(vecCol), planes, bands, dims)).as(Seq("b", "bucket")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
@@ -111,7 +103,7 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dim i): an integer in [-1000, 1000] derived from md5 — identical
     * in any engine, no RNG state. */
-  private def planeComponent(p: Int, i: Int): Double = {
+  private[graft] def planeComponent(p: Int, i: Int): Double = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$p:$i".getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString.substring(0, 15)
@@ -129,6 +121,22 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
       when(dot > 0, 1).otherwise(0)
     }
+
+  /** All LSH band bucket keys in one codegen'd pass over the vector
+    * ([[graft.functions.LshBandBuckets]]) — bit-identical to banding
+    * [[lshSignature]] but without the per-plane array traversals. */
+  def bandBuckets(vec: Column, planes: Int, bands: Int, dims: Int): Column =
+    toCol(graft.functions.LshBandBuckets(
+      toExpr(vec), planeMatrix(planes, dims), planes, bands, dims))
+
+  /** The transposed hyperplane matrix [[graft.functions.LshBandBuckets]]
+    * consumes: entry (i·planes + p) = component i+1 of plane p. */
+  private[graft] def planeMatrix(planes: Int, dims: Int): IndexedSeq[Double] = {
+    val compsT = new Array[Double](planes * dims)
+    for (i <- 0 until dims; p <- 0 until planes)
+      compsT(i * planes + p) = planeComponent(p, i + 1)
+    compsT.toIndexedSeq
+  }
 
   /** Deterministic Lloyd iterations training an IVF coarse quantizer:
     * init = the `cells` lowest-id vectors, then `iters` rounds of
@@ -233,18 +241,10 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       planes: Int = 16, bands: Int = 4, dims: Int = 64): DataFrame = {
-    val bitsPerBand = planes / bands
-    def withBands(df: DataFrame, id: String): DataFrame = {
-      val sig = lshSignature(col(vecCol), planes, dims)
-      val bandCols = (0 until bands).map { b =>
-        concat_ws("", (0 until bitsPerBand).map(r => sig(b * bitsPerBand + r).cast("string")): _*)
-      }
+    def withBands(df: DataFrame, id: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(s"${id}_vec"),
-          explode(array((0 until bands).map(b =>
-            struct(lit(b).as("b"), bandCols(b).as("bucket"))): _*)).as("bb"))
-        .select(col(id), col(s"${id}_vec"),
-          col("bb.b").as(s"${id}_b"), col("bb.bucket").as(s"${id}_bucket"))
-    }
+        posexplode(bandBuckets(col(vecCol), planes, bands, dims))
+          .as(Seq(s"${id}_b", s"${id}_bucket")))
     val qb = withBands(queries, "q_id")
     val cb = withBands(corpus, "n_id")
     val cand = cb.join(broadcast(qb),

@@ -661,6 +661,130 @@ object Llm {
                count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS tok,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        FROM t GROUP BY 1 ORDER BY 1""")))
+        FROM t GROUP BY 1 ORDER BY 1"""))),
+
+    // ---- train/eval contamination: every 10th doc plays the eval set;
+    //      a corpus doc is flagged when ≥30% of an eval doc's distinct
+    //      trigrams appear verbatim in it (GPT-3-style decontamination,
+    //      via the same inverted-index join shape as q25)
+    "q88_contamination" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        graft.llm.Contamination.ngramOverlap(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text", n = 3, minFrac = 0.3)
+          .orderBy(col("doc_id"), col("eval_id"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        sh AS (SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+            i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])) AS s FROM toks)),
+        ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 10 = 0),
+        ev_sizes AS (SELECT eval_id, count(*) AS eval_ngrams FROM ev GROUP BY eval_id),
+        hits AS (
+          SELECT c.doc_id, e.eval_id, count(*) AS common
+          FROM sh c JOIN ev e ON c.s = e.s
+          WHERE c.doc_id % 10 <> 0
+          GROUP BY 1, 2)
+        SELECT h.doc_id, h.eval_id, h.common, z.eval_ngrams,
+               CAST(h.common AS DOUBLE) / z.eval_ngrams AS overlap_frac
+        FROM hits h JOIN ev_sizes z ON z.eval_id = h.eval_id
+        WHERE CAST(h.common AS DOUBLE) / z.eval_ngrams >= 0.3
+        ORDER BY h.doc_id, h.eval_id"""))),
+
+    // ---- deterministic stratified sampling + hash split: per-source
+    //      ppm rates over md5 buckets — reproducible across engines,
+    //      monotone in the rate, no RNG state anywhere
+    "q89_stratified_sample" -> ((
+      (s: SparkSession, d: String) => {
+        val sampled = graft.llm.Mixing.stratifiedSample(
+          t(s, d, "documents"), "source", "doc_id",
+          ratesPpm = Map("web" -> 250000L, "books" -> 750000L, "code" -> 500000L),
+          defaultPpm = 100000L, salt = "mix")
+        graft.llm.Mixing.split(sampled, "doc_id",
+            splits = Seq("val" -> 50000L, "test" -> 50000L), rest = "train",
+            salt = "split")
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"),
+            sum(col("n_chars")).as("chars"))
+          .orderBy(col("source"), col("split"))
+      },
+      Some("""
+        WITH sampled AS (
+          SELECT *,
+                 CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+                   % 1000000 AS sb
+          FROM documents
+          WHERE CAST('0x'||substr(md5('mix:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+                  % 1000000
+                < CASE source WHEN 'web' THEN 250000 WHEN 'books' THEN 750000
+                              WHEN 'code' THEN 500000 ELSE 100000 END)
+        SELECT source,
+               CASE WHEN sb < 50000 THEN 'val'
+                    WHEN sb < 100000 THEN 'test' ELSE 'train' END AS split,
+               count(*) AS n, min(doc_id) AS first_doc,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM sampled GROUP BY 1, 2 ORDER BY 1, 2"""))),
+
+    // ---- temperature-weighted source mixing (tau=2): rates planned
+    //      from per-source counts on the driver (metadata-sized), then
+    //      the same integral md5-ppm membership filter; the oracle
+    //      re-derives the rates with identical sqrt/floor arithmetic
+    "q90_temperature_mix" -> ((
+      (s: SparkSession, d: String) =>
+        graft.llm.Mixing.temperatureMix(
+            t(s, d, "documents"), "source", "doc_id",
+            tau = 2.0, targetTotal = 2000L, salt = "mix")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"),
+            max(col("rate_ppm")).as("rate_ppm"))
+          .orderBy(col("source")),
+      Some("""
+        WITH counts AS (
+          SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+        wsum AS (SELECT sum(sqrt(CAST(cnt AS DOUBLE)) ORDER BY source) AS ws
+                 FROM counts),
+        rates AS (
+          SELECT source, cnt,
+                 LEAST(1000000, GREATEST(0, CAST(floor(
+                   2000.0 * (sqrt(CAST(cnt AS DOUBLE)) / ws.ws) / cnt * 1000000.0
+                 ) AS BIGINT))) AS rate_ppm
+          FROM counts, wsum ws)
+        SELECT d.source, count(*) AS n, min(d.doc_id) AS first_doc,
+               max(r.rate_ppm) AS rate_ppm
+        FROM documents d JOIN rates r ON r.source = d.source
+        WHERE CAST('0x'||substr(md5('mix:'||CAST(d.doc_id AS VARCHAR)),1,15) AS BIGINT)
+                % 1000000 < r.rate_ppm
+        GROUP BY d.source ORDER BY d.source"""))),
+
+    // ---- the codegen kernels through PURE SQL (injectFunction surface):
+    //      pairwise cosine over a thinned id grid — same arithmetic the
+    //      DataFrame API gates via q28/q29
+    "q91_sql_vector_functions" -> ((
+      (s: SparkSession, d: String) => {
+        t(s, d, "embeddings").createOrReplaceTempView("q91_emb")
+        s.sql("""
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 dot_product(a.embedding, b.embedding) /
+                   (sqrt(sum_squares(a.embedding)) *
+                    sqrt(sum_squares(b.embedding))) AS cos
+          FROM q91_emb a JOIN q91_emb b ON a.vec_id < b.vec_id
+          WHERE a.vec_id % 40 = 0 AND b.vec_id % 40 = 0
+          ORDER BY id_a, id_b""")
+      },
+      Some("""
+        WITH sub AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * x))) AS nrm
+          FROM embeddings WHERE vec_id % 40 = 0)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(range(1, 65),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+                 / (a.nrm * b.nrm) AS cos
+        FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+        ORDER BY id_a, id_b""")))
   )
 }

@@ -29,6 +29,9 @@ class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
     // graft resolve into GraftDml commands (reference analog:
     // HoodieAnalysis.scala:64-68)
     extensions.injectResolutionRule { session => GraftDmlResolution(session) }
+    // the custom codegen kernels (vector math, LSH banding, minhash/
+    // simhash, space-filling curves) as SQL functions
+    graft.functions.GraftFunctions.all.foreach(extensions.injectFunction)
   }
 }
 

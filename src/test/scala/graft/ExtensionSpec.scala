@@ -128,4 +128,63 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
       "cached relation must re-plan per scan, not serve the old snapshot")
     assert(spark.sql("SELECT count(*) FROM ext_fresh").head().getLong(0) == 2L)
   }
+
+  test("custom kernels are callable from pure SQL and match the API forms") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+
+    assert(spark.sql(
+      "SELECT dot_product(array(1.0F, 2.0F), array(3.0F, 4.0F))")
+      .head().getDouble(0) == 11.0)
+    assert(spark.sql("SELECT sum_squares(array(3.0F, 4.0F))")
+      .head().getDouble(0) == 25.0)
+
+    // LSH banding via SQL == the DataFrame kernel column
+    val emb = Seq((1L, Array.tabulate(8)(i => (i - 3) * 0.5f)))
+      .toDF("id", "vec")
+    emb.createOrReplaceTempView("ext_fn_emb")
+    val viaSql = spark.sql(
+      "SELECT lsh_band_buckets(vec, 8, 4, 8) AS kb FROM ext_fn_emb")
+      .head().getSeq[String](0)
+    val viaApi = emb.select(
+      graft.llm.Similarity.bandBuckets(col("vec"), 8, 4, 8).as("kb"))
+      .head().getSeq[String](0)
+    assert(viaSql == viaApi)
+
+    // minhash/simhash via SQL == the Dedup signature paths
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("ext_fn_docs")
+    val sigSql = spark.sql(
+      "SELECT minhash_sig(split(text, ' '), 3, 8) AS sig FROM ext_fn_docs")
+      .head().getSeq[Long](0)
+    val sigApi = graft.llm.Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = 8)
+      .head().getSeq[Long](1)
+    assert(sigSql == sigApi)
+    val shSql = spark.sql(
+      "SELECT simhash48(split(text, ' ')) AS f FROM ext_fn_docs")
+      .head().getLong(0)
+    val shApi = graft.llm.Dedup.simhash(docs, "doc_id", "text")
+      .head().getLong(1)
+    assert(shSql == shApi)
+
+    // curve kernels: z_value/hilbert_value agree with the expression API
+    val ranks = Seq((3L, 5L)).toDF("rx", "ry")
+    val bridge = org.apache.spark.sql.graft.ColumnBridge
+    ranks.createOrReplaceTempView("ext_fn_ranks")
+    assert(spark.sql("SELECT z_value(rx, ry) FROM ext_fn_ranks").head().getLong(0) ==
+      ranks.select(bridge.toColumn(graft.functions.ZValue(
+        Seq(bridge.toExpr(col("rx")), bridge.toExpr(col("ry")))))).head().getLong(0))
+    assert(spark.sql("SELECT hilbert_value(rx, ry) FROM ext_fn_ranks").head().getLong(0) ==
+      ranks.select(bridge.toColumn(graft.functions.HilbertValue(
+        bridge.toExpr(col("rx")), bridge.toExpr(col("ry"))))).head().getLong(0))
+
+    // shape args must be literals — a column there is a loud error
+    val err = intercept[Exception] {
+      spark.sql("SELECT lsh_band_buckets(vec, CAST(id AS INT), 4, 8) FROM ext_fn_emb")
+        .collect()
+    }
+    assert(err.getMessage.contains("literal integer"),
+      s"expected a literal-arg error, got: ${err.getMessage}")
+  }
 }

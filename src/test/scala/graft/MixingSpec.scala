@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Contamination, Mixing}
+
+class MixingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = Tables.configure(
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("mixing-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs = {
+    import spark.implicits._
+    (0L until 400L).map { i =>
+      val src = (i % 4) match {
+        case 0 => "web"; case 1 => "web"; case 2 => "books"; case _ => "code"
+      }
+      (i, src, s"document number $i from $src with some words")
+    }.toDF("doc_id", "source", "text")
+  }
+
+  test("hash sampling is deterministic and monotone in the rate") {
+    val s25 = Mixing.hashSample(docs, "doc_id", 250000L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s25again = Mixing.hashSample(docs, "doc_id", 250000L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s50 = Mixing.hashSample(docs, "doc_id", 500000L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s25 == s25again, "same salt+rate must reproduce the same sample")
+    assert(s25.subsetOf(s50), "raising the rate must only add rows")
+    // md5 buckets are uniform: 400 rows at 25% should land near 100
+    assert(s25.size > 60 && s25.size < 140, s"got ${s25.size} of 400 at 25%")
+    // a different salt draws a different (but equally sized-ish) sample
+    val other = Mixing.hashSample(docs, "doc_id", 250000L, salt = "other")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(other != s25)
+  }
+
+  test("split partitions every row exactly once with stable labels") {
+    val out = Mixing.split(docs, "doc_id",
+      splits = Seq("val" -> 100000L, "test" -> 100000L), rest = "train")
+    assert(out.count() == 400)
+    val byLabel = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet == Set("val", "test", "train"))
+    assert(byLabel("train") > byLabel("val") && byLabel("train") > byLabel("test"))
+    // membership is per-row deterministic: re-evaluating agrees
+    val again = Mixing.split(docs, "doc_id",
+      splits = Seq("val" -> 100000L, "test" -> 100000L), rest = "train")
+    assert(out.select("doc_id", "split").except(again.select("doc_id", "split")).isEmpty)
+  }
+
+  test("stratified sample applies per-stratum rates") {
+    val out = Mixing.stratifiedSample(docs, "source", "doc_id",
+      ratesPpm = Map("web" -> 1000000L, "books" -> 0L), defaultPpm = 500000L)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("web") == 200L, "rate 1e6 keeps every web row")
+    assert(!bySrc.contains("books"), "rate 0 drops the stratum")
+    val code = bySrc("code")
+    assert(code > 20 && code < 80, s"default 50% of 100 code rows, got $code")
+  }
+
+  test("temperature mix follows n^(1/tau) composition and caps at the source size") {
+    // sources sized 200/100/100; tau=2 weights sqrt(200):sqrt(100):sqrt(100)
+    val out = Mixing.temperatureMix(docs, "source", "doc_id",
+      tau = 2.0, targetTotal = 200L)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wWeb = math.sqrt(200.0)
+    val wOther = math.sqrt(100.0)
+    val expWeb = 200.0 * wWeb / (wWeb + 2 * wOther)
+    val expOther = 200.0 * wOther / (wWeb + 2 * wOther)
+    assert(math.abs(bySrc("web") - expWeb) < 30, s"web ${bySrc("web")} vs ~$expWeb")
+    assert(math.abs(bySrc("books") - expOther) < 25, s"books ${bySrc("books")} vs ~$expOther")
+    assert(math.abs(bySrc("code") - expOther) < 25, s"code ${bySrc("code")} vs ~$expOther")
+    // a target beyond the corpus caps every rate at 1e6 = the full table
+    val all = Mixing.temperatureMix(docs, "source", "doc_id",
+      tau = 2.0, targetTotal = 10000L)
+    assert(all.count() == 400)
+    assert(all.select(max(col("rate_ppm"))).head().getLong(0) == 1000000L)
+  }
+
+  test("contamination flags verbatim n-gram overlap with the eval set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // contains eval 100 fully
+      (2L, "totally unrelated words about storage engines and columns"),
+      (3L, "alpha beta gamma something else entirely here now")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "beta gamma delta epsilon zeta"),
+      (200L, "unmatched benchmark prompt nothing shares this")
+    ).toDF("doc_id", "text")
+
+    val overlaps = Contamination.ngramOverlap(corpus, eval, "doc_id", "text",
+        n = 3, minFrac = 0.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    // doc 1 contains all 3 of eval-100's trigrams
+    assert(overlaps((1L, 100L)) == 1.0)
+    // doc 3 shares only "alpha beta gamma"? that trigram is NOT in eval 100
+    // (eval 100 starts at beta) -> no pair for doc 3
+    assert(!overlaps.contains((3L, 100L)))
+    assert(!overlaps.exists { case ((_, e), _) => e == 200L })
+
+    val flagged = Contamination.contaminatedDocs(corpus, eval, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged == Map(1L -> 100L))
+  }
+
+  test("contamination doc-frequency cap drops boilerplate shingles") {
+    import spark.implicits._
+    // the same boilerplate trigram in every corpus doc would fan out the
+    // join; the cap removes it while the rare overlap stays
+    val corpus = (1L to 5L).map(i =>
+      (i, s"shared boiler plate text plus unique token$i rare overlap phrase"))
+      .toDF("doc_id", "text")
+    val eval = Seq((9L, "unique token3 rare overlap phrase tail")).toDF("doc_id", "text")
+    val capped = Contamination.ngramOverlap(corpus, eval, "doc_id", "text",
+      n = 3, minFrac = 0.0, maxShingleDocFreq = Some(2))
+    val hits = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((3L, 9L)), "the rare doc-3 overlap must survive the cap")
+    // "rare overlap phrase" appears in all 5 corpus docs -> capped away,
+    // so docs 1,2,4,5 (which share ONLY capped shingles with eval) vanish
+    assert(hits == Set((3L, 9L)))
+  }
+}

@@ -79,4 +79,55 @@ class VectorMathSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.orderBy(col("d")).collect().map(_.getDouble(0)).toSeq ==
       Seq(8.0, 11.0, 14.0))
   }
+
+  test("one-pass LSH band buckets match the per-plane lambda signature") {
+    import spark.implicits._
+    val dims = 16
+    val planes = 8
+    val bands = 4
+    // vectors spanning signs, magnitudes, and exact-zero dots
+    val vecs = (0 until 12).map { s =>
+      (s.toLong, Array.tabulate(dims)(i => ((s * 31 + i * 7) % 13 - 6) * 0.25f))
+    } :+ (99L, Array.fill(dims)(0.0f))
+    val df = vecs.toDF("id", "vec")
+
+    val sig = Similarity.lshSignature(col("vec"), planes, dims)
+    val bitsPerBand = planes / bands
+    val wantBands = (0 until bands).map { b =>
+      concat_ws("", (0 until bitsPerBand).map(r =>
+        sig(b * bitsPerBand + r).cast("string")): _*)
+    }
+    val got = df.select(col("id"),
+        Similarity.bandBuckets(col("vec"), planes, bands, dims).as("kb"),
+        array(wantBands: _*).as("wb"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"kernel buckets diverge for id=${r.getLong(0)}")
+    }
+
+    // degenerate inputs produce ALL-ZERO buckets exactly like the
+    // when(null > 0).otherwise(0) lambda form: null vec, null element,
+    // wrong length
+    val zero = Seq.fill(bands)("0" * bitsPerBand)
+    val edge = spark.sql(
+      """SELECT * FROM VALUES
+           (CAST(NULL AS ARRAY<FLOAT>)),
+           (CAST(array(1.0, NULL) AS ARRAY<FLOAT>)),
+           (CAST(array(1.0) AS ARRAY<FLOAT>)) AS t(vec)""")
+    edge.select(Similarity.bandBuckets(col("vec"), planes, bands, dims).as("kb"))
+      .collect()
+      .foreach(r => assert(r.getSeq[String](0) == zero))
+  }
+
+  test("LSH bucket kernel stays inside whole-stage codegen") {
+    val df = spark.range(4)
+      .select(array((0 until 8).map(i =>
+        (col("id") * (i + 1)).cast("float") - 14.0f): _*).as("vec"))
+      .select(Similarity.bandBuckets(col("vec"), 8, 4, 8).as("kb"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [lshbandbuckets("),
+      s"expected the LSH kernel fused into a codegen span:\n$plan")
+    assert(df.collect().forall(_.getSeq[String](0).length == 4))
+  }
 }
