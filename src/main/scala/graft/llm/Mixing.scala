@@ -64,6 +64,36 @@ object Mixing {
     df.filter(ppmBucket(col(idCol), salt) < rate)
   }
 
+  /** Deterministic fractional upsampling: each row repeats
+    * `floor(weight)` times, plus once more when its ppm bucket falls
+    * under the fractional remainder — so a source weighted 2.3 (its
+    * "epoch count" in a training recipe) contributes each doc 2 or 3
+    * times, expected 2.3. Weights are per-stratum ppm (1e6 = 1.0×;
+    * values < 1e6 downsample exactly like [[stratifiedSample]]). An
+    * `epoch` column (0-based repeat index) keeps the copies
+    * distinguishable for downstream shuffling/sharding.
+    *
+    * Scale shape: one scan; the repeat is a `sequence`+`explode` whose
+    * fan-out per row is `ceil(weight)` — no join, no shuffle, no driver
+    * state. */
+  def upsample(
+      df: DataFrame, strataCol: String, idCol: String,
+      weightsPpm: Map[String, Long], defaultPpm: Long = 1000000L,
+      salt: String = "epoch"): DataFrame = {
+    require((weightsPpm.values ++ Seq(defaultPpm)).forall(_ >= 0), "negative weight")
+    val w = weightsPpm.foldLeft(lit(defaultPpm): Column) {
+      case (alt, (stratum, ppm)) =>
+        when(col(strataCol) === stratum, lit(ppm)).otherwise(alt)
+    }
+    val whole = (w / 1000000L).cast("long")
+    val frac = w % 1000000L
+    val extra = when(ppmBucket(col(idCol), salt) < frac, 1L).otherwise(0L)
+    df.withColumn("_g_rep", whole + extra)
+      .filter(col("_g_rep") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("_g_rep") - 1)))
+      .drop("_g_rep")
+  }
+
   /** Temperature-weighted source mixing (the Pile/ROOTS recipe): target
     * composition p_s ∝ n_s^(1/tau) — tau = 1 keeps natural proportions,
     * tau → ∞ approaches uniform across sources — scaled to an expected

@@ -785,6 +785,40 @@ object Llm {
                  i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
                  / (a.nrm * b.nrm) AS cos
         FROM sub a JOIN sub b ON a.vec_id < b.vec_id
-        ORDER BY id_a, id_b""")))
+        ORDER BY id_a, id_b"""))),
+
+    // ---- fractional upsampling (training-recipe epochs): books repeat
+    //      ~2.5x, web downsamples to 0.3x, the rest passes through once;
+    //      the epoch index stays observable so shards can interleave
+    "q92_upsample_epochs" -> ((
+      (s: SparkSession, d: String) =>
+        graft.llm.Mixing.upsample(
+            t(s, d, "documents"), "source", "doc_id",
+            weightsPpm = Map("web" -> 300000L, "books" -> 2500000L),
+            defaultPpm = 1000000L, salt = "epoch")
+          .groupBy(col("source"), col("epoch"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"),
+            sum(col("n_chars")).as("chars"))
+          .orderBy(col("source"), col("epoch")),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, source, n_chars,
+                 CASE source WHEN 'web' THEN 300000
+                             WHEN 'books' THEN 2500000
+                             ELSE 1000000 END AS wppm,
+                 CAST('0x'||substr(md5('epoch:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+                   % 1000000 AS b
+          FROM documents),
+        r AS (
+          SELECT doc_id, source, n_chars,
+                 (wppm // 1000000) +
+                   CASE WHEN b < (wppm % 1000000) THEN 1 ELSE 0 END AS rep
+          FROM w),
+        x AS (
+          SELECT doc_id, source, n_chars, unnest(range(rep)) AS epoch
+          FROM r WHERE rep > 0)
+        SELECT source, epoch, count(*) AS n, min(doc_id) AS first_doc,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM x GROUP BY 1, 2 ORDER BY 1, 2""")))
   )
 }

@@ -91,6 +91,30 @@ class MixingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.select(max(col("rate_ppm"))).head().getLong(0) == 1000000L)
   }
 
+  test("upsample repeats rows by weight with observable epochs") {
+    val out = Mixing.upsample(docs, "source", "doc_id",
+      weightsPpm = Map("books" -> 2500000L, "web" -> 500000L))
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // books ×2.5 over 100 rows → between strictly-2 and strictly-3 copies
+    assert(bySrc("books") > 200 && bySrc("books") < 300, s"books ${bySrc("books")}")
+    // web ×0.5 over 200 rows → a strict subset, roughly half
+    assert(bySrc("web") > 60 && bySrc("web") < 140, s"web ${bySrc("web")}")
+    // default weight 1.0 passes code through exactly once
+    assert(bySrc("code") == 100L)
+    // epochs are dense 0..rep-1 per row: every books doc has epochs {0,1}
+    // at least, and any third copy is epoch 2
+    val epochs = out.filter(col("source") === "books")
+      .groupBy("doc_id").agg(collect_set(col("epoch")).as("es"))
+      .collect().map(_.getSeq[Long](1).sorted)
+    assert(epochs.forall(es => es == (0L until es.length.toLong)))
+    assert(epochs.forall(es => es.length == 2 || es.length == 3))
+    // weight 0 drops the stratum entirely
+    val none = Mixing.upsample(docs, "source", "doc_id",
+      weightsPpm = Map("code" -> 0L))
+    assert(none.filter(col("source") === "code").count() == 0)
+  }
+
   test("contamination flags verbatim n-gram overlap with the eval set") {
     import spark.implicits._
     val corpus = Seq(
