@@ -819,6 +819,60 @@ object Llm {
           FROM r WHERE rep > 0)
         SELECT source, epoch, count(*) AS n, min(doc_id) AS first_doc,
                CAST(sum(n_chars) AS BIGINT) AS chars
-        FROM x GROUP BY 1, 2 ORDER BY 1, 2""")))
+        FROM x GROUP BY 1, 2 ORDER BY 1, 2"""))),
+
+    // ---- the data-loader materialization chain end-to-end: quality
+    //      gate → stratified mix → epoch upsampling → token-budget
+    //      shards (q36's dedup pipeline covers cleaning; this covers
+    //      the serving side). seq_id = doc_id*4 + epoch keeps repeated
+    //      copies uniquely ordered for the prefix-sum sharder
+    "q93_training_mix_pipeline" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").filter(length(col("text")) >= 50)
+        val mixed = graft.llm.Mixing.stratifiedSample(docs, "source", "doc_id",
+          ratesPpm = Map("web" -> 500000L, "books" -> 1000000L),
+          defaultPpm = 800000L, salt = "mix")
+        val epochs = graft.llm.Mixing.upsample(mixed, "source", "doc_id",
+          weightsPpm = Map("books" -> 2000000L), defaultPpm = 1000000L,
+          salt = "epoch")
+          .withColumn("seq_id", col("doc_id") * 4 + col("epoch"))
+        graft.llm.Sharding
+          .tokenShards(epochs, col("text"), col("seq_id"),
+            budget = 20000L, buckets = 8)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok"),
+            countDistinct(col("source")).as("n_sources"),
+            min(col("seq_id")).as("first_seq"))
+          .orderBy(col("shard"))
+      },
+      Some("""
+        WITH sampled AS (
+          SELECT doc_id, source, text FROM documents
+          WHERE len(text) >= 50
+            AND CAST('0x'||substr(md5('mix:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+                  % 1000000
+                < CASE source WHEN 'web' THEN 500000
+                              WHEN 'books' THEN 1000000 ELSE 800000 END),
+        w AS (
+          SELECT doc_id, source, text,
+                 CASE source WHEN 'books' THEN 2000000 ELSE 1000000 END AS wppm,
+                 CAST('0x'||substr(md5('epoch:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+                   % 1000000 AS b
+          FROM sampled),
+        e AS (
+          SELECT doc_id, source, text,
+                 unnest(range((wppm // 1000000) +
+                   CASE WHEN b < (wppm % 1000000) THEN 1 ELSE 0 END)) AS epoch
+          FROM w),
+        k AS (SELECT doc_id*4 + epoch AS seq_id, source,
+                     len(string_split(text, ' ')) AS n_tokens FROM e),
+        c AS (SELECT seq_id, source, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY seq_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM k)
+        SELECT CAST(floor((cum - n_tokens) / 20000) AS BIGINT) AS shard,
+               count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tok,
+               count(DISTINCT source) AS n_sources, min(seq_id) AS first_seq
+        FROM c GROUP BY 1 ORDER BY 1""")))
   )
 }

@@ -29,7 +29,9 @@ import graft.write.GraftTable
   *   partition.fields comma-separated partition fields
   *   ordering.field   precombine/ordering column
   *   table.type       COW (default) | MOR
-  *   merge.strategy   overwrite_latest (default) | event_time
+  *   merge.strategy   overwrite_latest (default) | event_time |
+  *                    partial_update | any name registered via
+  *                    graft.write.MergeStrategies.register
   *   compact.inline.delta.commits  MOR: compact after N delta commits (0=off)
   *   clean.retain.commits          auto-clean after commit, keep N (0=off)
   *   archive.min.commits / archive.max.commits   auto-archive window

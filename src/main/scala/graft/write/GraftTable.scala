@@ -148,53 +148,42 @@ class GraftTable private (
     * Null ordering sorts LAST: a data row with no event time never beats a
     * stored row that has one. */
   private[graft] def mergeLatest(df: DataFrame): DataFrame = {
-    val ord = orderingCol(df)
-    val tiebreak = config.mergeStrategy match {
-      case "event_time" => Seq(col(CommitTime).asc, col(Seqno).asc)
-      case _            => Seq(col(CommitTime).desc, col(Seqno).desc)
-    }
+    val strat = MergeStrategies(config.mergeStrategy)
     val keyW = Window.partitionBy(col(Key), col(Partition))
-    val rnW = keyW.orderBy(ord.desc_nulls_last +: tiebreak: _*)
+    val rnW = keyW.orderBy(
+      strat.priority(orderingCol(df), col(CommitTime), col(Seqno)): _*)
     val alive = df
       .withColumn("_g_tomb", max(when(col(Deleted), col(CommitTime))).over(keyW))
       .filter(col("_g_tomb").isNull || col(CommitTime) > col("_g_tomb"))
-    val projected =
-      if (config.mergeStrategy == "partial_update") partialUpdate(alive, rnW)
-      else alive
+    // dead rows are pre-filtered above, so every frame row is live
+    val frame = rnW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val projected = strat.project(alive, frame,
+      dataColumns(alive), col(Deleted), lit(true))
     projected
       .withColumn("_g_rn", row_number().over(rnW)).filter(col("_g_rn") === 1)
       .drop("_g_rn", "_g_tomb")
   }
 
-  /** Partial-update semantics (reference analog:
-    * OverwriteNonDefaultsWithLatestAvroPayload.java:31): each data
-    * column takes its FIRST non-null value in merge-priority order, so
-    * an update row with null fields inherits the stored values. One
-    * whole-group window per column — no per-key driver state.
-    *
-    * Contract note: the coalesce runs in PRIORITY order (ordering desc,
-    * then commit desc) over every retained version, which makes the
-    * result stable under compaction and identical however the versions
-    * are physically laid out. The reference is path-dependent here (its
-    * MOR log scan combines the ordering winner against the base record
-    * only, so an earlier partial update's field can vanish when a later
-    * one arrives null); we pick the deterministic order-insensitive
-    * semantics instead. COW collapse and MOR merge agree except in the
-    * out-of-order corner where a stale update sets a field every
-    * higher-ordering version left null — priority order resolves that
-    * corner in favor of the stale value (it IS the highest-priority
-    * version that set the field). */
-  private def partialUpdate(
-      df: DataFrame,
-      ordered: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
-    val wAll = ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+  /** Non-meta columns a merge strategy's projection may transform. */
+  private def dataColumns(df: DataFrame): Seq[String] = {
     val metaSet = Meta.all.toSet + "_g_tomb" + "_g_live"
-    df.select(df.columns.toSeq.map { c =>
-      if (metaSet.contains(c)) col(c)
-      else when(col(Deleted), col(c))
-        .otherwise(first(col(c), ignoreNulls = true).over(wAll)).as(c)
-    }: _*)
+    df.columns.toSeq.filterNot(metaSet.contains)
   }
+
+  // Partial-update contract note (reference analog:
+  // OverwriteNonDefaultsWithLatestAvroPayload.java:31, now
+  // [[PartialUpdateStrategy]]): the column coalesce runs in PRIORITY
+  // order (ordering desc, then commit desc) over every retained version,
+  // which makes the result stable under compaction and identical however
+  // the versions are physically laid out. The reference is
+  // path-dependent here (its MOR log scan combines the ordering winner
+  // against the base record only, so an earlier partial update's field
+  // can vanish when a later one arrives null); we pick the deterministic
+  // order-insensitive semantics instead. COW collapse and MOR merge
+  // agree except in the out-of-order corner where a stale update sets a
+  // field every higher-ordering version left null — priority order
+  // resolves that corner in favor of the stale value (it IS the
+  // highest-priority version that set the field).
 
   /** [[mergeLatest]] variant that KEEPS a key's newest tombstone when no
     * live row survives it — used by the COW rewrite path so deletes
@@ -203,35 +192,23 @@ class GraftTable private (
     * D operation; compaction and clustering purge markers for keys whose
     * history is folded. */
   private[graft] def mergeLatestKeepTombstones(df: DataFrame): DataFrame = {
-    val ord = orderingCol(df)
-    val tiebreak = config.mergeStrategy match {
-      case "event_time" => Seq(col(CommitTime).asc, col(Seqno).asc)
-      case _            => Seq(col(CommitTime).desc, col(Seqno).desc)
-    }
+    val strat = MergeStrategies(config.mergeStrategy)
     val keyW = Window.partitionBy(col(Key), col(Partition))
     // live rows outrank dead ones; among dead rows the tombstone itself
     // wins (Deleted desc, newest commit) so the marker is what survives
     val priority = col("_g_live").desc +: col(Deleted).desc +:
       when(col(Deleted), col(CommitTime)).desc_nulls_last +:
-      ord.desc_nulls_last +: tiebreak
+      strat.priority(orderingCol(df), col(CommitTime), col(Seqno))
     val marked = df
       .withColumn("_g_tomb", max(when(col(Deleted), col(CommitTime))).over(keyW))
       .withColumn("_g_live",
         (col("_g_tomb").isNull || col(CommitTime) > col("_g_tomb")).cast("int"))
-    val projected =
-      if (config.mergeStrategy == "partial_update") {
-        // coalesce ONLY across live rows: a dead pre-tombstone value
-        // must not resurrect through a later partial update
-        val wAll = keyW.orderBy(priority: _*)
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        val metaSet = Meta.all.toSet + "_g_tomb" + "_g_live"
-        marked.select(marked.columns.toSeq.map { c =>
-          if (metaSet.contains(c)) col(c)
-          else when(col(Deleted), col(c))
-            .otherwise(first(when(col("_g_live") === 1, col(c)), ignoreNulls = true).over(wAll))
-            .as(c)
-        }: _*)
-      } else marked
+    // projection sees live = false for tombstone-shadowed rows: a dead
+    // pre-tombstone value must not resurrect through a later projection
+    val frame = keyW.orderBy(priority: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val projected = strat.project(marked, frame,
+      dataColumns(marked), col(Deleted), col("_g_live") === 1)
     projected
       .withColumn("_g_rn", row_number().over(keyW.orderBy(priority: _*)))
       .filter(col("_g_rn") === 1)

@@ -61,4 +61,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "expected broadcast hash join")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("contamination joins through the shingle inverted index, no cartesian") {
+    val p = planOf("q88_contamination")
+    assert(!p.contains("CartesianProduct"), "contamination plans a CartesianProduct")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "contamination plans a nested-loop join")
+  }
+
+  test("sampling/split/upsample stay joinless single-scan pipelines") {
+    for (q <- Seq("q89_stratified_sample", "q92_upsample_epochs")) {
+      val p = planOf(q)
+      assert(!p.contains("Join"), s"$q plans a join — membership must be a filter")
+    }
+  }
+
+  test("the one-pass LSH kernel runs fused in the banded plans") {
+    val p = planOf("q29b_embed_neardup_bucketed")
+    assert(p.contains("lshbandbuckets("), s"expected the LSH kernel in the plan")
+  }
 }
