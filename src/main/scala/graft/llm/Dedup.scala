@@ -131,26 +131,58 @@ object Dedup {
   def minhashLsh(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, bands: Int = 4,
-      minEst: Double = 0.5): DataFrame = {
+      minEst: Double = 0.5): DataFrame =
+    minhashLshFromSigs(
+      minhashSignatures(df, idCol, textCol, n, k).cache(), k, bands, minEst)
+
+  /** [[minhashLsh]] over PRECOMPUTED signatures `(doc_id, sig)` — the
+    * operating mode where signatures persist in a graft table and each
+    * crawl batch upserts its own, so dedup cost tracks the BATCH, not
+    * the corpus.
+    *
+    * `probeIds` = incremental mode: only candidate pairs with at least
+    * one side in `probeIds` (a `doc_id` frame) are considered — new-vs-
+    * all plus new-vs-new, never old-vs-old (those were reported when
+    * the old docs were themselves new). The banded-collision criterion
+    * is symmetric, so incremental rounds compose exactly: the union of
+    * per-batch probe results over a growing store equals the one-shot
+    * full recompute (q94 gates that equality against DuckDB). */
+  def minhashLshFromSigs(
+      sigs: DataFrame, k: Int, bands: Int, minEst: Double,
+      probeIds: Option[DataFrame] = None): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rows = k / bands
-    val sig = minhashSignatures(df, idCol, textCol, n, k).cache()
-    val banded = sig.select(col("doc_id"), col("sig"),
+    val banded = sigs.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("b"))
       .withColumn("bucket",
         concat_ws(",", (0 until rows).map(r =>
           element_at(col("sig"), col("b") * rows + lit(r + 1)).cast("string")): _*))
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.b") === col("y.b") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+      .select(col("doc_id"), col("b"), col("bucket"))
+    val cand = probeIds match {
+      case None =>
+        banded.as("x").join(banded.as("y"),
+            col("x.b") === col("y.b") && col("x.bucket") === col("y.bucket") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+      case Some(probe) =>
+        // probe side is the (small) new batch: bucket join against the
+        // full store, pair oriented a<b afterwards so new-new pairs
+        // arriving from both directions collapse in the distinct
+        banded.join(probe.select(col("doc_id")), Seq("doc_id")).as("x")
+          .join(banded.as("y"),
+            col("x.b") === col("y.b") && col("x.bucket") === col("y.bucket") &&
+              col("x.doc_id") =!= col("y.doc_id"))
+          .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+            greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+          .distinct()
+    }
     val matches = (1 to k).map(i =>
       when(element_at(col("sa"), i) === element_at(col("sb"), i), 1).otherwise(0))
       .reduce(_ + _)
     cand
-      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
-      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
       .withColumn("n_match", matches.cast("long"))
       .withColumn("est_jaccard", col("n_match") / lit(k.toDouble))
       .filter(col("est_jaccard") >= minEst)

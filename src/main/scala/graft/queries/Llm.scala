@@ -873,6 +873,64 @@ object Llm {
         SELECT CAST(floor((cum - n_tokens) / 20000) AS BIGINT) AS shard,
                count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tok,
                count(DISTINCT source) AS n_sources, min(seq_id) AS first_seq
-        FROM c GROUP BY 1 ORDER BY 1""")))
+        FROM c GROUP BY 1 ORDER BY 1"""))),
+
+    // ---- INCREMENTAL dedup over a persisted signature store (the 100 TB
+    //      operating mode: each crawl batch upserts its signatures into a
+    //      graft table and LSH-probes only new-vs-all — old-vs-old never
+    //      recomputes). Two batches arriving in sequence must produce
+    //      EXACTLY the one-shot full-corpus answer (the oracle below =
+    //      q26's full recompute, same n/k/bands/threshold)
+    "q94_incremental_dedup" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val batch1 = docs.filter(col("doc_id") % 3 =!= 0)
+        val batch2 = docs.filter(col("doc_id") % 3 === 0)
+        val dir = java.nio.file.Files.createTempDirectory("graft-q94").toString
+        val tbl = graft.write.GraftTable.create(s, dir, graft.core.TableConfig(
+          name = "sig_store", tableType = graft.core.TableType.COW,
+          keyFields = Seq("doc_id"), targetFileRows = 500000))
+        // crawl 1: signatures land in the store; its pairs are reported
+        tbl.bulkInsert(Dedup.minhashSignatures(batch1, "doc_id", "text", n = 3, k = 16))
+        val r = graft.read.GraftReader(tbl)
+        val pairs1 = Dedup.minhashLshFromSigs(
+          r.dataOnly(r.snapshot()).select(col("doc_id"), col("sig")),
+          k = 16, bands = 4, minEst = 0.5)
+        // crawl 2: upsert the new batch, probe new-vs-all only
+        val sig2 = Dedup.minhashSignatures(batch2, "doc_id", "text", n = 3, k = 16)
+        tbl.upsert(sig2)
+        val pairs2 = Dedup.minhashLshFromSigs(
+          r.dataOnly(r.snapshot()).select(col("doc_id"), col("sig")),
+          k = 16, bands = 4, minEst = 0.5,
+          probeIds = Some(sig2.select(col("doc_id"))))
+        pairs1.unionByName(pairs2).orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        sh AS (SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+            i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])) AS s FROM toks)),
+        mh AS (
+          SELECT doc_id, i,
+                 min((a * (CAST('0x'||substr(md5(s),1,15) AS BIGINT) % ${Dedup.MinhashPrime})
+                      + b) % ${Dedup.MinhashPrime}) AS h
+          FROM sh, (VALUES ${Dedup.minhashParamsSql(16)}) params(i, a, b)
+          GROUP BY doc_id, i),
+        sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, b,
+                 CAST(sig[b*4+1] AS VARCHAR)||','||CAST(sig[b*4+2] AS VARCHAR)||','||
+                 CAST(sig[b*4+3] AS VARCHAR)||','||CAST(sig[b*4+4] AS VARCHAR) AS bucket
+          FROM sig, range(0, 4) r(b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_filter(range(1,17), i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS n_match,
+               len(list_filter(range(1,17), i -> sa.sig[i] = sb.sig[i])) / 16.0 AS est_jaccard
+        FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
+        WHERE len(list_filter(range(1,17), i -> sa.sig[i] = sb.sig[i])) >= 8
+        ORDER BY doc_a, doc_b""")))
   )
 }

@@ -52,6 +52,24 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental LSH probe rounds compose to the one-shot answer") {
+    import spark.implicits._
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = 16)
+    val full = Dedup.minhashLshFromSigs(sigs, k = 16, bands = 4, minEst = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch split {1,3} then {2,4}: round 1 = pairs within the old set,
+    // round 2 = probe of the new ids against everything
+    val oldSigs = sigs.filter(col("doc_id") % 2 === 1)
+    val round1 = Dedup.minhashLshFromSigs(oldSigs, 16, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val round2 = Dedup.minhashLshFromSigs(sigs, 16, 4, 0.5,
+        probeIds = Some(Seq(2L, 4L).toDF("doc_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(round1.union(round2) == full, "incremental rounds must compose exactly")
+    assert(round1.intersect(round2).isEmpty, "probe mode must not re-report old pairs")
+    assert(round2.forall { case (a, b) => a == 2 || a == 4 || b == 2 || b == 4 })
+  }
+
   test("simhash: exact dup at distance 0; banded variant agrees with all-pairs") {
     val all = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
