@@ -63,14 +63,17 @@ object Contamination {
       maxShingleDocFreq: Option[Int] = None): DataFrame = {
     val overlaps = ngramOverlap(corpus, eval, idCol, textCol, n,
       minFrac = 0.0, maxShingleDocFreq = maxShingleDocFreq)
-    // max_by via struct-max: one hash aggregate, no window shuffle
+    // worst-overlap pick via window: id-type-agnostic (string/UUID doc
+    // ids tie-break fine; an arithmetic-negation trick would not), and
+    // the shuffle is the same (doc_id, ·) exchange the groupBy needs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("overlap_frac").desc, col("eval_id").asc)
     overlaps
-      .groupBy(col("doc_id"))
-      .agg(max(struct(col("overlap_frac"), (-col("eval_id")).as("neg_eval")))
-        .as("worst"))
-      .select(col("doc_id"),
-        (-col("worst.neg_eval")).cast("long").as("worst_eval_id"),
-        col("worst.overlap_frac").as("overlap_frac"))
+      .withColumn("_g_rk", row_number().over(w))
+      .filter(col("_g_rk") === 1)
+      .select(col("doc_id"), col("eval_id").as("worst_eval_id"),
+        col("overlap_frac"))
       .filter(col("overlap_frac") >= threshold)
   }
 }

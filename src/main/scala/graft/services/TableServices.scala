@@ -81,10 +81,21 @@ class TableServices(table: GraftTable) {
 
   /** Data instants minted BEFORE `time` but not yet completed: if one of
     * them later commits, its files carry an instant time under `time` and
-    * snapshot replay would fold them beneath a base published at `time`. */
+    * snapshot replay would fold them beneath a base published at `time`.
+    *
+    * PARKED service plans (Requested-state compaction/clustering — only
+    * services mint Requested instants; data writes open Inflight) do NOT
+    * count: they may legitimately sit for hours awaiting their async
+    * executor, and instant-time-ordered replay keeps a later base
+    * consistent with an earlier-time service output (the earlier base
+    * lands beneath and is shadowed). Counting them would let one parked
+    * plan block every later schedule/run — a cross-service deadlock.
+    * Inflight services DO count (they are actively writing files under
+    * `time` and complete in bounded time). */
   private def earlierPendingData(time: String): Boolean =
     timeline.instants().exists(i =>
-      !i.isCompleted && Action.dataActions(i.action) && i.time < time)
+      !i.isCompleted && Action.dataActions(i.action) && i.time < time &&
+        i.state != graft.core.State.Requested)
 
   /** Wait (bounded) for earlier-minted pending data instants to resolve. */
   private def awaitEarlierData(time: String, timeoutMs: Long = 10000L): Boolean = {

@@ -61,9 +61,17 @@ class GraftDataSource
     val p = path(parameters)
     val operation = parameters.getOrElse("operation", "upsert")
     // idempotency scope: one logical stream; the checkpoint location is
-    // stable across restarts, which is exactly the contract needed
+    // stable across restarts, which is exactly the contract needed. There
+    // is deliberately NO per-path fallback: two independent queries
+    // writing one table would share it, and the second query's batch 0
+    // would be silently skipped as a "replay" — config error beats data
+    // loss.
     val queryId = parameters.getOrElse("query.id",
-      parameters.getOrElse("checkpointLocation", s"graft-sink-$p"))
+      parameters.getOrElse("checkpointLocation",
+        throw new IllegalArgumentException(
+          "graft streaming sink needs an explicit idempotency scope: set " +
+            "the 'checkpointLocation' option (per-query, stable across " +
+            "restarts) or a 'query.id' option")))
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         val spark = sqlContext.sparkSession

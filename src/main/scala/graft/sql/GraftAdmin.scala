@@ -123,13 +123,18 @@ object GraftExporter {
       s"unsupported export format: $format")
     val reader = graft.read.GraftReader(table)
     val snap = reader.snapshot(asOf)
-    val out = reader.dataOnly(snap)
+    // row count rides the write itself as an observed metric — no second
+    // scan of the freshly written output (for json/csv that re-read even
+    // re-infers schemas over every file)
+    val obs = org.apache.spark.sql.Observation()
+    val out = reader.dataOnly(snap).observe(obs,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
     val partitioned = table.config.partitionFields.filter(out.columns.contains)
     val writer = out.write.mode("overwrite").format(format)
     (if (partitioned.nonEmpty) writer.partitionBy(partitioned: _*) else writer)
       .save(outDir)
-    table.spark.read.format(format)
-      .load(outDir).count()
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** Back up a snapshot AS a graft table: copy the live slice files

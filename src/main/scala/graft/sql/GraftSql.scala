@@ -18,7 +18,8 @@ import graft.write.GraftTable
   *   RUN COMPACTION ON '<path>'
   *   SCHEDULE COMPACTION ON '<path>'
   *   SHOW COMPACTION ON '<path>'
-  *   RUN CLUSTERING ON '<path>' SORT BY (col [, ...]) [LAYOUT zorder|hilbert|linear]
+  *   RUN CLUSTERING ON '<path>' [SORT BY (col [, ...])] [LAYOUT zorder|hilbert|linear]
+  *     (no SORT BY = execute scheduled plans; with SORT BY = inline run)
   *   SCHEDULE CLUSTERING ON '<path>' SORT BY (col [, ...]) [LAYOUT ...]
   *   SHOW CLUSTERING ON '<path>'
   *   UPDATE '<path>' SET col = expr [, ...] [WHERE expr]
@@ -38,7 +39,7 @@ object GraftSql {
   private val ScheduleCompaction = """(?is)\s*SCHEDULE\s+COMPACTION\s+ON\s+'([^']+)'\s*""".r
   private val ShowCompaction = """(?is)\s*SHOW\s+COMPACTION\s+ON\s+'([^']+)'\s*""".r
   private val RunClustering =
-    """(?is)\s*RUN\s+CLUSTERING\s+ON\s+'([^']+)'\s+SORT\s+BY\s*\(([^)]+)\)(?:\s+LAYOUT\s+(\w+))?\s*""".r
+    """(?is)\s*RUN\s+CLUSTERING\s+ON\s+'([^']+)'(?:\s+SORT\s+BY\s*\(([^)]+)\))?(?:\s+LAYOUT\s+(\w+))?\s*""".r
   private val ScheduleClustering =
     """(?is)\s*SCHEDULE\s+CLUSTERING\s+ON\s+'([^']+)'\s+SORT\s+BY\s*\(([^)]+)\)(?:\s+LAYOUT\s+(\w+))?\s*""".r
   private val ShowClustering = """(?is)\s*SHOW\s+CLUSTERING\s+ON\s+'([^']+)'\s*""".r
@@ -109,14 +110,28 @@ object GraftSql {
         tl.completed().filter(_.action == Action.Compaction).map(_.time) ++
           svc.pendingCompactions().map(t => s"$t (requested)"))
     case RunClustering(path, cols, layout) =>
-      // execute anything scheduled first; otherwise plan-and-run inline
+      // no SORT BY -> execute scheduled plans; with SORT BY -> inline
+      // clustering with exactly that spec. A pending plan never silently
+      // substitutes for an explicit user spec (the user would believe
+      // their layout applied when the stale plan's did).
       val svc = TableServices(GraftTable.load(spark, path))
       val pending = svc.pendingClusterings()
-      val instants =
-        if (pending.nonEmpty) pending.flatMap(svc.runScheduledClustering)
-        else svc.cluster(
-          sortCols = cols.split(",").map(_.trim).toSeq,
-          layout = Option(layout).map(_.toLowerCase).getOrElse("linear")).toSeq
+      val instants = Option(cols) match {
+        case None =>
+          if (pending.isEmpty) throw new IllegalArgumentException(
+            "RUN CLUSTERING without SORT BY executes scheduled plans, " +
+              "but none are pending — SCHEDULE CLUSTERING first or give " +
+              "SORT BY (...) to cluster inline")
+          pending.flatMap(svc.runScheduledClustering)
+        case Some(c) =>
+          if (pending.nonEmpty) throw new IllegalStateException(
+            s"scheduled clustering plan(s) pending (${pending.mkString(", ")}): " +
+              "RUN CLUSTERING without SORT BY executes them; refusing to run " +
+              "a different inline spec over pinned file groups")
+          svc.cluster(
+            sortCols = c.split(",").map(_.trim).toSeq,
+            layout = Option(layout).map(_.toLowerCase).getOrElse("linear")).toSeq
+      }
       result(spark, "instant", instants)
     case ScheduleClustering(path, cols, layout) =>
       val tbl = GraftTable.load(spark, path)

@@ -189,14 +189,23 @@ class GraftIncrSource(spark: SparkSession, tablePath: String) extends IngestSour
 class AsyncCompactor(table: GraftTable) {
   private val svc = graft.services.TableServices(table)
   private val queue = new java.util.concurrent.LinkedBlockingQueue[String]()
+  private val queued =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   @volatile private var stopped = false
   @volatile private var failure: Option[Throwable] = None
   private val worker = new Thread(() => {
     while (!stopped || !queue.isEmpty) {
       val t = queue.poll(25, java.util.concurrent.TimeUnit.MILLISECONDS)
       if (t != null)
-        try svc.runScheduledCompaction(t)
-        catch { case e: Throwable => failure = Some(e) }
+        try { svc.runScheduledCompaction(t); queued.remove(t) }
+        catch {
+          // IllegalStateException = the documented benign contention
+          // states ("still pending" / "kept losing to earlier writers"):
+          // the plan stays parked and maybeSchedule re-offers it at a
+          // later sync. Anything else is a real failure to surface.
+          case _: IllegalStateException => queued.remove(t)
+          case e: Throwable => queued.remove(t); failure = Some(e)
+        }
     }
   }, "graft-async-compactor")
   worker.setDaemon(true)
@@ -204,16 +213,19 @@ class AsyncCompactor(table: GraftTable) {
 
   /** Schedule a plan when `every` delta commits have stacked since the
     * last compaction — completed, queued, or still pending — and hand it
-    * to the worker. Never throws: a plan raced by concurrent writers is
-    * simply retried at a later sync. */
+    * to the worker. Parked plans (scheduled earlier but skipped on
+    * benign contention, or left by a previous run) are re-offered first.
+    * Never throws: a plan raced by concurrent writers is simply retried
+    * at a later sync. */
   def maybeSchedule(every: Int): Unit = {
+    svc.pendingCompactions().foreach(t => if (queued.add(t)) queue.put(t))
     val tl = table.timeline
     val mark = (tl.completed().filter(_.action == Action.Compaction).map(_.time) ++
       svc.pendingCompactions()).maxOption.getOrElse("")
     val deltas = tl.completed()
       .count(i => i.action == Action.DeltaCommit && i.time > mark)
     if (deltas >= every)
-      try svc.scheduleCompaction().foreach(queue.put)
+      try svc.scheduleCompaction().foreach(t => if (queued.add(t)) queue.put(t))
       catch { case _: IllegalStateException => () }
   }
 

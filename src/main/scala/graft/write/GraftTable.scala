@@ -252,18 +252,19 @@ class GraftTable private (
       .sortWithinPartitions(col(GP), col(GF), col(Key))
     // timestamps must be stored as INT64 micros: Spark's default (INT96)
     // writes NO usable parquet footer min/max, which would silently drop
-    // timestamp columns from data skipping. Session-scoped set/restore —
-    // the write below runs synchronously inside this window.
+    // timestamp columns from data skipping. Parquet's prepareWrite reads
+    // this key ONLY from the session conf (a per-write option is
+    // overwritten), so it is pinned for the session — idempotently and
+    // WITHOUT restore, because a set/restore window races the concurrent
+    // writers this engine supports (async compactor + ingest on one
+    // session): interleaved restores can leave INT96 active mid-write,
+    // silently dropping stats. Same-value sets cannot race.
     val tsTypeKey = "spark.sql.parquet.outputTimestampType"
-    val prevTsType = spark.conf.getOption(tsTypeKey)
-    spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+    if (!spark.conf.getOption(tsTypeKey).contains("TIMESTAMP_MICROS"))
+      spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
     val tWrite0 = System.nanoTime()
     val stagingCols = if (mixed) Seq(GP, GF, GD) else Seq(GP, GF)
-    try staged.write.mode("overwrite").partitionBy(stagingCols: _*).parquet(stagingDir.toString)
-    finally prevTsType match {
-      case Some(v) => spark.conf.set(tsTypeKey, v)
-      case None    => spark.conf.unset(tsTypeKey)
-    }
+    staged.write.mode("overwrite").partitionBy(stagingCols: _*).parquet(stagingDir.toString)
     val tWrite = (System.nanoTime() - tWrite0) / 1e9
 
     // empty input leaves only _SUCCESS behind; nothing to publish.
@@ -778,10 +779,21 @@ class GraftTable private (
           case _: IllegalStateException => ()
         }
     }
-    if (c.autoCleanRetainCommits > 0) svc.clean(c.autoCleanRetainCommits)
-    if (c.autoArchiveMinCommits > 0 && c.autoArchiveMaxCommits > 0 &&
-        timeline.config.version >= 1)
-      svc.archive(c.autoArchiveMinCommits, c.autoArchiveMaxCommits)
+    // clean/archive failures must not escape either: the data commit is
+    // already durable, and a thrown write call would read as "write
+    // failed" — a retry would then double-insert the batch. Both
+    // services are retried by construction on the next commit.
+    try {
+      if (c.autoCleanRetainCommits > 0) svc.clean(c.autoCleanRetainCommits)
+      if (c.autoArchiveMinCommits > 0 && c.autoArchiveMaxCommits > 0 &&
+          timeline.config.version >= 1)
+        svc.archive(c.autoArchiveMinCommits, c.autoArchiveMaxCommits)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] inline clean/archive failed (commit is durable; " +
+            s"retried next commit): ${e.getClass.getName}: ${e.getMessage}")
+    }
   }
 
   private def publish(

@@ -52,7 +52,7 @@ EXPECT_ROWS: 1
 RUN: SCHEDULE CLUSTERING ON '$T' SORT BY (id)
 EXPECT_ROWS: 2
 
-RUN: RUN CLUSTERING ON '$T' SORT BY (id)
+RUN: RUN CLUSTERING ON '$T'
 EXPECT_ROWS: 1
 
 RUN: SELECT id, v FROM gtab ORDER BY id

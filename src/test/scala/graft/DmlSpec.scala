@@ -155,7 +155,13 @@ class DmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.count() > 0, "schedule lists the pinned file groups")
     assert(GraftSql.sql(spark, s"SHOW CLUSTERING ON '$dir'").collect()
       .exists(_.getString(0).endsWith("(requested)")))
-    val ran = GraftSql.sql(spark, s"RUN CLUSTERING ON '$dir' SORT BY (id)")
+    // an explicit spec must not silently substitute the pending plan
+    val refused = intercept[IllegalStateException] {
+      GraftSql.sql(spark, s"RUN CLUSTERING ON '$dir' SORT BY (v) LAYOUT hilbert")
+    }
+    assert(refused.getMessage.contains("pending"))
+    // bare RUN CLUSTERING executes what was scheduled
+    val ran = GraftSql.sql(spark, s"RUN CLUSTERING ON '$dir'")
     assert(ran.count() == 1)
     assert(state(tbl).map(_._1) == Seq(1L, 2L, 3L), "state unchanged by clustering")
     val shown = GraftSql.sql(spark, s"SHOW CLUSTERING ON '$dir'").collect().map(_.getString(0))

@@ -604,5 +604,41 @@ class ServicesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "last upsert visible")
   }
 
+  test("a parked service plan never blocks later scheduling or execution") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "parked", tableType = TableType.MOR, keyFields = Seq("id"),
+      orderingField = "ts", targetFileRows = 3))
+    def df(rows: (Long, String, Long)*) = rows.toDF("id", "v", "ts")
+    tbl.bulkInsert(df((1L, "a", 1L), (2L, "a", 1L), (3L, "a", 1L),
+      (4L, "a", 1L), (5L, "a", 1L), (6L, "a", 1L)))
+    val svc = TableServices(tbl)
+    // park a clustering plan (delta-free groups) and LEAVE it parked —
+    // the normal long-lived async Requested state
+    val parked = svc.scheduleClustering(sortCols = Seq("id"), layout = "linear")
+    assert(parked.nonEmpty, "clustering plan parks")
+    // make a group delta-bearing OUTSIDE the pinned set: inserts of new
+    // keys open fresh groups; their deltas are compactable
+    tbl.upsert(df((7L, "b", 2L), (8L, "b", 2L), (9L, "b", 2L)))
+    tbl.upsert(df((7L, "c", 3L)))
+    // a compaction must schedule AND run promptly despite the
+    // earlier-time parked plan (a Requested service instant is not a
+    // pending data writer; a 30s stall + IllegalStateException here was
+    // the cross-service deadlock)
+    val t0 = System.currentTimeMillis()
+    val compacted = svc.compact()
+    val took = System.currentTimeMillis() - t0
+    assert(compacted.nonEmpty, "compaction must run under a parked clustering plan")
+    assert(took < 8000, s"compaction stalled ${took}ms behind the parked plan")
+    // the parked plan still executes to the SAME final state
+    svc.runScheduledClustering(parked.get)
+    val r = GraftReader(tbl)
+    val got = r.dataOnly(r.snapshot()).select("id", "v").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(1L -> "a", 2L -> "a", 3L -> "a", 4L -> "a", 5L -> "a",
+      6L -> "a", 7L -> "c", 8L -> "b", 9L -> "b"))
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

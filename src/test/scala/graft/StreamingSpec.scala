@@ -237,4 +237,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = r.dataOnly(r.snapshot()).as[(Long, String, Long)].collect().sortBy(_._1)
     assert(got.toSeq == Seq((1L, "a2", 2L), (2L, "b", 2L)))
   }
+
+  test("streaming sink refuses to start without an explicit idempotency scope") {
+    // session-conf checkpoint defaults never reach sink options, so two
+    // queries on one table would share a per-path fallback scope and the
+    // second query's early batches would be "replays" — the sink must
+    // demand an explicit checkpointLocation/query.id instead
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val err = intercept[IllegalArgumentException] {
+      mem.toDF().toDF("id", "v", "ts")
+        .writeStream.format("graft")
+        .option("path", tmp())
+        .option("key.fields", "id")
+        .option("ordering.field", "ts")
+        .outputMode("append")
+        .start()
+    }
+    assert(err.getMessage.contains("idempotency"), err.getMessage)
+  }
 }
