@@ -286,4 +286,62 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ---- exact substring (token-span) dedup ---------------------------------
+
+  /** Per-document duplicated-span statistics: split each doc into
+    * non-overlapping `width`-token spans (the line-dedup unit of
+    * CCNet/RefinedWeb — this corpus has no newlines, so the unit is a
+    * fixed token window), hash each span, and count how many of a doc's
+    * spans occur at least `minCount` times corpus-wide (same-doc repeats
+    * included). Emits (doc_id, n_spans, n_dup_spans, dup_frac) for every
+    * doc with ≥1 full span; a high dup_frac marks boilerplate to drop or
+    * trim. Scale shape: explode → hash-aggregate on the span hash → join
+    * back by hash → per-doc aggregate; span hashes are 32-char md5
+    * strings, so the exchanges carry id-sized rows and never the raw
+    * text. */
+  def spanStats(df: DataFrame, idCol: String, textCol: String,
+      width: Int, minCount: Int = 2): DataFrame = {
+    require(width > 0, "span width must be positive")
+    val toks = wsTokens(col(textCol))
+    val nSpans = floor(size(toks) / width).cast("int")
+    val spans = when(nSpans > 0,
+      transform(sequence(lit(0), nSpans - 1),
+        i => md5(concat_ws(" ", slice(toks, i * width + 1, lit(width))))))
+      .otherwise(array().cast("array<string>"))
+    val exploded = df
+      .select(col(idCol).as("doc_id"), explode(spans).as("h"))
+    val counts = exploded.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    exploded.join(counts, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("c") >= minCount, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        col("n_dup_spans").cast("double") / col("n_spans"))
+  }
+
+  // ---- canonical-document selection ---------------------------------------
+
+  /** Canonical-doc selection over near-dup clusters: connected
+    * components over `pairs` (via [[nearDupClusters]]), every unpaired
+    * doc its own singleton component, then ONE canonical doc kept per
+    * component — the highest `pref` (e.g. token count), ties to the
+    * smallest id. Returns `docs` plus `component` and `is_canonical`;
+    * `filter(col("is_canonical"))` is the dedup'd corpus. The per-
+    * component window shuffles by component — clusters are tiny by
+    * construction (bounded by the pair graph's fan-out guards), so no
+    * skew at scale. */
+  def canonicalize(docs: DataFrame, pairs: DataFrame, idCol: String,
+      pref: Column): DataFrame = {
+    val comps = nearDupClusters(pairs)
+      .withColumnRenamed("node", "_g_node")
+    val labeled = docs
+      .join(comps, docs(idCol) === col("_g_node"), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .drop("_g_node")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(pref.desc, col(idCol).asc)
+    labeled.withColumn("is_canonical", row_number().over(w) === 1)
+  }
 }

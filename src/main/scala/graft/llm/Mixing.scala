@@ -130,4 +130,30 @@ object Mixing {
     df.withColumn("rate_ppm", rate)
       .filter(ppmBucket(col(idCol), salt) < col("rate_ppm"))
   }
+
+  /** Deterministic reproducible global shuffle for training-data
+    * loading: each row's sort key is hash60(md5(salt:id)) — uniform,
+    * engine-portable, stable under retries and re-partitioning, and a
+    * new salt (e.g. the epoch number) is a fresh independent
+    * permutation. Emits `shard` (= key mod nShards — the loader file
+    * the row lands in) and `pos` (1-based position within the shard;
+    * key ties break by id). Readers streaming shard files in pos order
+    * reproduce the exact permutation without any coordination.
+    *
+    * Scale shape: the per-shard rank is a window partitioned by shard —
+    * pick nShards well above the executor count so each shard's sort is
+    * one task-sized run (at 100 TB: thousands of shards, which is the
+    * file count a loader wants anyway). No global ordering pass exists
+    * anywhere. */
+  def deterministicShuffle(df: DataFrame, idCol: String, nShards: Int,
+      salt: String): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val key = hash60(concat_ws(":", lit(salt), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_g_key"), col(idCol))
+    df.withColumn("_g_key", key)
+      .withColumn("shard", col("_g_key") % nShards)
+      .withColumn("pos", row_number().over(w))
+      .drop("_g_key")
+  }
 }

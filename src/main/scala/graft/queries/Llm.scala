@@ -931,6 +931,128 @@ object Llm {
                len(list_filter(range(1,17), i -> sa.sig[i] = sb.sig[i])) / 16.0 AS est_jaccard
         FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
         WHERE len(list_filter(range(1,17), i -> sa.sig[i] = sb.sig[i])) >= 8
-        ORDER BY doc_a, doc_b""")))
+        ORDER BY doc_a, doc_b"""))),
+
+    // ---- exact substring (token-span) dedup: the line-dedup analog
+    //      (no newlines in this corpus, so the unit is a 10-token
+    //      window); flags docs whose spans repeat corpus-wide
+    "q95_span_dedup" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.spanStats(t(s, d, "documents"), "doc_id", "text", width = 10)
+          .filter(col("n_dup_spans") > 0)
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        sp AS (SELECT doc_id, unnest(list_transform(range(0, len(tk)//10),
+                 i -> md5(array_to_string(list_slice(tk, i*10+1, i*10+10), ' ')))) AS h
+               FROM toks),
+        cnt AS (SELECT h, count(*) AS c FROM sp GROUP BY h),
+        agg AS (SELECT doc_id, count(*) AS n_spans,
+                       CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+                FROM sp JOIN cnt USING (h) GROUP BY doc_id)
+        SELECT doc_id, n_spans, n_dup_spans,
+               CAST(n_dup_spans AS DOUBLE) / n_spans AS dup_frac
+        FROM agg WHERE n_dup_spans > 0 ORDER BY doc_id"""))),
+
+    // ---- canonical-doc selection per near-dup cluster: CC over the
+    //      q39 pair graph, keep the longest member (ties: lowest id);
+    //      the gate reports every multi-doc cluster's pick and the
+    //      token mass the dedup removed
+    "q96_canonical_docs" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+          .withColumn("n_tokens", size(TF.wsTokens(col("text"))).cast("long"))
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.7)
+        Dedup.canonicalize(docs, pairs, "doc_id", col("n_tokens"))
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("n_members"),
+            max(when(col("is_canonical"), col("doc_id"))).as("canonical_doc"),
+            sum(when(!col("is_canonical"), col("n_tokens"))
+              .otherwise(0L)).as("dropped_tokens"))
+          .filter(col("n_members") > 1)
+          .orderBy(col("component"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        sh AS (SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+            i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])) AS s FROM toks)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        edges AS (
+          SELECT doc_a, doc_b FROM pairs
+          JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.7),
+        sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+                UNION SELECT doc_b, doc_a FROM edges),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        reach AS (
+          WITH RECURSIVE r(node, target) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT r.node, s.dst FROM r JOIN sym s ON s.src = r.target)
+          SELECT node, min(target) AS component FROM r GROUP BY node),
+        lab AS (
+          SELECT t.doc_id, coalesce(rc.component, t.doc_id) AS component,
+                 len(tk) AS n_tokens
+          FROM toks t LEFT JOIN reach rc ON rc.node = t.doc_id),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY component
+                 ORDER BY n_tokens DESC, doc_id ASC) AS rk FROM lab)
+        SELECT component, count(*) AS n_members,
+               max(CASE WHEN rk = 1 THEN doc_id END) AS canonical_doc,
+               CAST(sum(CASE WHEN rk > 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+                 AS dropped_tokens
+        FROM rk GROUP BY component HAVING count(*) > 1 ORDER BY component"""))),
+
+    // ---- unigram-LM cross-entropy quality score (CCNet's lm-score
+    //      shape with the corpus itself as the model): low = boiler-
+    //      plate, high = noise; the oracle replays the identical
+    //      frequency join and -ln sum
+    "q97_unigram_xent" -> ((
+      (s: SparkSession, d: String) =>
+        graft.llm.QualityModel
+          .unigramXent(t(s, d, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+                      FROM documents),
+        freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq)
+        SELECT doc_id, count(*) AS n_tokens,
+               sum(-ln(CAST(cnt AS DOUBLE) / total)) / count(*) AS xent
+        FROM toks JOIN freq USING (tok), tot
+        GROUP BY doc_id ORDER BY doc_id"""))),
+
+    // ---- deterministic reproducible shuffle: md5-keyed permutation
+    //      into loader shards; the integer order_check fingerprints the
+    //      EXACT within-shard order, so both engines must agree on the
+    //      full permutation, not just membership
+    "q98_deterministic_shuffle" -> ((
+      (s: SparkSession, d: String) =>
+        graft.llm.Mixing
+          .deterministicShuffle(t(s, d, "documents"), "doc_id",
+            nShards = 8, salt = "epoch0")
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n"),
+            max(when(col("pos") === 1, col("doc_id"))).as("first_doc"),
+            sum(col("pos") * col("doc_id")).as("order_check"))
+          .orderBy(col("shard")),
+      Some("""
+        WITH k AS (
+          SELECT doc_id,
+                 CAST('0x'||substr(md5('epoch0:'||CAST(doc_id AS VARCHAR)),1,15)
+                   AS BIGINT) AS key
+          FROM documents),
+        p AS (SELECT doc_id, key % 8 AS shard,
+                     row_number() OVER (PARTITION BY key % 8
+                       ORDER BY key, doc_id) AS pos
+              FROM k)
+        SELECT shard, count(*) AS n,
+               max(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
+               CAST(sum(pos * doc_id) AS BIGINT) AS order_check
+        FROM p GROUP BY shard ORDER BY shard""")))
   )
 }

@@ -281,4 +281,66 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       !plan.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
       s"found an unpartitioned window in:\n$plan")
   }
+
+  test("span stats count corpus-wide duplicate token spans") {
+    import spark.implicits._
+    // width=3 spans; "a b c" opens docs 11 and 12 (cross-doc dup), and
+    // doc 13 repeats "x y z" twice within itself (same-doc dup); doc 14
+    // is too short for a full span and must not appear
+    val d = Seq(
+      (11L, "a b c d e f"),
+      (12L, "a b c q r s"),
+      (13L, "x y z x y z"),
+      (14L, "t u")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanStats(d, "doc_id", "text", width = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(11L, 12L, 13L))
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(byId(11L) == ((2L, 1L, 0.5)), "one of doc 11's two spans dups")
+    assert(byId(12L) == ((2L, 1L, 0.5)))
+    assert(byId(13L) == ((2L, 2L, 1.0)), "same-doc repeats count")
+  }
+
+  test("canonicalize keeps the longest doc per cluster, ties to min id") {
+    import spark.implicits._
+    val d = docs.withColumn("n_tokens",
+      size(split(col("text"), " ")).cast("long"))
+    val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.7)
+    val out = Dedup.canonicalize(d, pairs, "doc_id", col("n_tokens"))
+      .select("doc_id", "component", "is_canonical")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // docs 1,2,4 cluster (component = min id 1); 1 and 4 tie on length
+    // with 2 (all 13 tokens) -> min id 1 is canonical; 3 is a singleton
+    assert(out == Set(
+      (1L, 1L, true), (2L, 1L, false), (4L, 1L, false), (3L, 3L, true)))
+  }
+
+  test("unigram xent: uniform corpus scores ln(V); rare tokens score higher") {
+    import spark.implicits._
+    // 4 docs over a 4-token uniform vocabulary: every token has p=1/4,
+    // so every doc's xent is exactly ln(4)
+    val uni = Seq((1L, "aa bb"), (2L, "cc dd"), (3L, "aa cc"), (4L, "bb dd"))
+      .toDF("doc_id", "text")
+    val scored = QualityModel.unigramXent(uni, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(scored.length == 4)
+    scored.foreach { case (_, n, x) =>
+      assert(n == 2L && math.abs(x - math.log(4)) < 1e-12)
+    }
+    // a doc of one common + one rare token outranks an all-common doc
+    val skew = Seq((1L, "the the"), (2L, "the the"), (3L, "the zyx"))
+      .toDF("doc_id", "text")
+    val byId = QualityModel.unigramXent(skew, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byId(3L) > byId(1L), "rare token raises xent")
+    assert(math.abs(byId(1L) - byId(2L)) < 1e-15, "identical docs tie")
+    // band labels split on the given boundaries
+    val bands = QualityModel.unigramXent(skew, "doc_id", "text")
+      .withColumn("band", QualityModel.xentBand(col("xent"),
+        headBelow = byId(1L) + 1e-9, tailAbove = byId(3L) - 1e-9))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(bands(1L) == "head" && bands(3L) == "tail")
+  }
 }

@@ -160,4 +160,29 @@ class MixingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // so docs 1,2,4,5 (which share ONLY capped shingles with eval) vanish
     assert(hits == Set((3L, 9L)))
   }
+
+  test("deterministic shuffle is a stable permutation into dense shard positions") {
+    val out = Mixing.deterministicShuffle(docs, "doc_id", nShards = 7,
+      salt = "epoch0")
+    val rows = out.select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length == 400 && rows.map(_._1).distinct.length == 400,
+      "a permutation: every row exactly once")
+    // positions are dense 1..n within each shard
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length).toSeq)
+    }
+    // re-running with the same salt reproduces the identical assignment
+    val again = Mixing.deterministicShuffle(docs, "doc_id", nShards = 7,
+      salt = "epoch0")
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.toSet == again.toSet)
+    // a different salt is a genuinely different permutation
+    val other = Mixing.deterministicShuffle(docs, "doc_id", nShards = 7,
+      salt = "epoch1")
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.toSet != other.toSet)
+  }
 }
