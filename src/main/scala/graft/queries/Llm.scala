@@ -1053,6 +1053,56 @@ object Llm {
         SELECT shard, count(*) AS n,
                max(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
                CAST(sum(pos * doc_id) AS BIGINT) AS order_check
-        FROM p GROUP BY shard ORDER BY shard""")))
+        FROM p GROUP BY shard ORDER BY shard"""))),
+
+    // ---- CCNet-style corpus partition: per-source head/middle/tail
+    //      split on the unigram xent (fixed band boundaries from the
+    //      corpus distribution, inlined in both engines — the label is
+    //      a pure per-row expression, no quantile pass at filter time)
+    "q99_xent_bands" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        graft.llm.QualityModel.unigramXent(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .withColumn("band", graft.llm.QualityModel.xentBand(col("xent"),
+            headBelow = 3.396, tailAbove = 3.410))
+          .groupBy(col("source"), col("band"))
+          .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("tok"))
+          .orderBy(col("source"), col("band"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+                      FROM documents),
+        freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+        sc AS (SELECT doc_id, count(*) AS n_tokens,
+                      sum(-ln(CAST(cnt AS DOUBLE) / total)) / count(*) AS xent
+               FROM toks JOIN freq USING (tok), tot GROUP BY doc_id),
+        lab AS (SELECT sc.doc_id, d.source, sc.n_tokens,
+                       CASE WHEN xent < 3.396 THEN 'head'
+                            WHEN xent > 3.410 THEN 'tail'
+                            ELSE 'middle' END AS band
+                FROM sc JOIN documents d ON d.doc_id = sc.doc_id)
+        SELECT source, band, count(*) AS n, CAST(sum(n_tokens) AS BIGINT) AS tok
+        FROM lab GROUP BY 1, 2 ORDER BY 1, 2"""))),
+
+    // ---- vocabulary building: top merge candidates by adjacent-pair
+    //      frequency (the first BPE merge step, distributed: one hash
+    //      aggregate + TakeOrdered — composition of existing shingles)
+    "q100_pair_vocab" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(explode(TF.shingles(TF.wsTokens(col("text")), 2)).as("pair"))
+          .groupBy(col("pair"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair").asc)
+          .limit(20),
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        p AS (SELECT unnest(list_transform(range(1, len(tk)),
+                i -> tk[i]||' '||tk[i+1])) AS pair
+              FROM toks)
+        SELECT pair, count(*) AS cnt FROM p
+        GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""")))
   )
 }
