@@ -75,6 +75,28 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("span dedup and canonical selection join by hash/component, no cartesian") {
+    for (q <- Seq("q95_span_dedup", "q96_canonical_docs")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+
+  test("unigram xent rides a broadcast of the vocab-sized frequency table") {
+    val p = planOf("q97_unigram_xent")
+    assert(p.contains("BroadcastHashJoin"),
+      "the frequency join must broadcast, not shuffle the corpus tokens")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("deterministic shuffle windows are partitioned by shard (no global sort)") {
+    val p = planOf("q98_deterministic_shuffle")
+    assert(!p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+      s"found an unpartitioned window in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("the one-pass LSH kernel runs fused in the banded plans") {
     val p = planOf("q29b_embed_neardup_bucketed")
     assert(p.contains("lshbandbuckets("), s"expected the LSH kernel in the plan")
