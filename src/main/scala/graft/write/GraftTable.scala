@@ -100,6 +100,18 @@ class GraftTable private (
       col(config.orderingField)
     else lit(0)
 
+  /** True when the type holds a MAP anywhere (top level or nested in
+    * struct/array) — those columns are un-hashable in Spark. */
+  private def containsMapType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => containsMapType(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        containsMapType(a.elementType)
+      case _ => false
+    }
+
   /** Stamp meta columns for a new write at `commitTime`. A pre-existing
     * `_g_deleted` column is honored (mixed upsert+delete batches, e.g.
     * MERGE INTO with WHEN MATCHED DELETE); otherwise every row gets
@@ -114,10 +126,17 @@ class GraftTable private (
       .withColumn(CommitTime, lit(commitTime))
       // deterministic tiebreaker: stable across task retries/recomputation
       // (monotonically_increasing_id is not); identical duplicate rows
-      // collide, but then either copy is the same winner
+      // collide, but then either copy is the same winner. Spark forbids
+      // hashing MAP-bearing types (entry order is unspecified across
+      // DIFFERENT maps), so those columns hash their to_json form — a
+      // recomputed row re-derives the same entries in the same order, so
+      // retry stability holds
       .withColumn(Seqno, concat(lit(commitTime), lit("_"),
         lpad(org.apache.spark.sql.functions.abs(
-          xxhash64(df.columns.toSeq.map(c => col(c)): _*)).cast("string"), 20, "0")))
+          xxhash64(df.schema.fields.toSeq.map { f =>
+            if (containsMapType(f.dataType)) to_json(col(f.name))
+            else col(f.name)
+          }: _*)).cast("string"), 20, "0")))
       .withColumn(Deleted, del)
     base
   }
