@@ -155,6 +155,39 @@ object TextFunctions {
       (size(tokens) === 0 ||
         topTokenCount(tokens).cast("double") / size(tokens) <= maxTopTokenFrac)
 
+  // ---- full Gopher rule chain ---------------------------------------------
+
+  /** The complete MassiveText quality-filter chain (Rae et al. 2021
+    * §A1.1 — the rule set beyond the repetition filters above):
+    * document word-count bounds, mean-word-length band, minimum
+    * fraction of words containing an alphabetic character, minimum
+    * distinct stopwords, then the repetition rules. Returns the FIRST
+    * failing rule's name ('word_count' | 'mean_word_len' | 'alpha_frac'
+    * | 'stopwords' | 'repetition') or 'keep'. Pure per-row array math —
+    * a quality pass stays shuffle-free at any scale. */
+  def gopherVerdict(tokens: Column, stopwords: Seq[String],
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minDistinctStops: Int = 2): Column = {
+    val n = size(tokens)
+    // integer length sum then one division: bit-identical to the
+    // oracle's list_sum/len arithmetic
+    val meanLen = when(n > 0,
+      aggregate(tokens, lit(0L), (acc, w) => acc + length(w))
+        .cast("double") / n).otherwise(lit(0.0))
+    val alphaFrac = when(n > 0,
+      size(filter(tokens, w => w.rlike("[a-zA-Z]"))).cast("double") / n)
+      .otherwise(lit(0.0))
+    val stops = size(array_intersect(array_distinct(tokens),
+      array(stopwords.map(lit(_)): _*)))
+    when(n < minWords || n > maxWords, lit("word_count"))
+      .when(meanLen < minMeanLen || meanLen > maxMeanLen, lit("mean_word_len"))
+      .when(alphaFrac < minAlphaFrac, lit("alpha_frac"))
+      .when(stops < minDistinctStops, lit("stopwords"))
+      .when(!repetitionKeep(tokens), lit("repetition"))
+      .otherwise(lit("keep"))
+  }
+
   // ---- PII scrubbing -------------------------------------------------------
   // Pattern-based redaction for the classic training-data scrub pass
   // (emails, IPv4s, US-style phone numbers). Patterns stick to syntax

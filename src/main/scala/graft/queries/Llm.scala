@@ -1103,6 +1103,57 @@ object Llm {
                 i -> tk[i]||' '||tk[i+1])) AS pair
               FROM toks)
         SELECT pair, count(*) AS cnt FROM p
-        GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""")))
+        GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20"""))),
+
+    // ---- the complete Gopher/MassiveText filter chain (q77 gates the
+    //      repetition subset; this gates the whole ordered verdict):
+    //      per-source outcome census with the token mass at stake
+    "q101_gopher_census" -> ((
+      (s: SparkSession, d: String) => {
+        val toks = TF.wsTokens(col("text"))
+        t(s, d, "documents").select(
+            col("source"), size(toks).cast("long").as("n_tokens"),
+            TF.gopherVerdict(toks, Stopwords).as("verdict"))
+          .groupBy(col("source"), col("verdict"))
+          .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("tok"))
+          .orderBy(col("source"), col("verdict"))
+      },
+      Some("""
+        WITH base AS (SELECT doc_id, source, string_split(text,' ') AS tk
+                      FROM documents),
+        top AS (
+          SELECT doc_id, max(c) AS top_cnt FROM (
+            SELECT doc_id, w, count(*) AS c FROM (
+              SELECT doc_id, unnest(tk) AS w FROM base) GROUP BY doc_id, w)
+          GROUP BY doc_id),
+        m AS (
+          SELECT b.doc_id, b.source, len(tk) AS n_tokens,
+                 list_sum(list_transform(tk, w -> len(w))) * 1.0 / len(tk)
+                   AS mean_len,
+                 len(list_filter(tk, w -> regexp_matches(w, '[a-zA-Z]')))
+                   * 1.0 / len(tk) AS alpha_frac,
+                 len(list_intersect(list_distinct(tk), ['the','a'])) AS stops,
+                 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+                   AS dup_tok,
+                 1.0 - CAST(len(list_distinct(list_transform(
+                     generate_series(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i+1]))) AS DOUBLE)
+                   / (len(tk) - 1) AS dup_2g,
+                 t.top_cnt
+          FROM base b JOIN top t ON t.doc_id = b.doc_id),
+        v AS (
+          SELECT source, n_tokens,
+                 CASE
+                   WHEN n_tokens < 50 OR n_tokens > 100000 THEN 'word_count'
+                   WHEN mean_len < 3.0 OR mean_len > 10.0 THEN 'mean_word_len'
+                   WHEN alpha_frac < 0.8 THEN 'alpha_frac'
+                   WHEN stops < 2 THEN 'stopwords'
+                   WHEN NOT (dup_tok <= 0.85 AND dup_2g <= 0.65 AND
+                             CAST(top_cnt AS DOUBLE) / n_tokens <= 0.30)
+                     THEN 'repetition'
+                   ELSE 'keep' END AS verdict
+          FROM m)
+        SELECT source, verdict, count(*) AS n, CAST(sum(n_tokens) AS BIGINT) AS tok
+        FROM v GROUP BY 1, 2 ORDER BY 1, 2""")))
   )
 }

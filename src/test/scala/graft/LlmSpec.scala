@@ -282,6 +282,26 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"found an unpartitioned window in:\n$plan")
   }
 
+  test("gopher verdict fires rules in order: each branch reachable") {
+    import spark.implicits._
+    val stops = Seq("the", "a")
+    val longDoc = ("the a " + (1 to 60).map(i => s"word$i").mkString(" "))
+    val d = Seq(
+      (1L, longDoc),                                       // keep
+      (2L, "the a short doc"),                             // word_count
+      (3L, ("the a " + (1 to 60).map(_ => "xy").mkString(" "))), // mean_word_len < 3
+      (4L, ("the a " + (1 to 60).map(i => s"12345$i").mkString(" "))), // alpha_frac (digits)
+      (5L, (1 to 62).map(i => s"word$i").mkString(" ")),   // stopwords (none)
+      (6L, ("the a " + (1 to 60).map(_ => "loop loop").mkString(" "))) // repetition
+    ).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+        graft.llm.TextFunctions.gopherVerdict(
+          graft.llm.TextFunctions.wsTokens(col("text")), stops).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "keep", 2L -> "word_count", 3L -> "mean_word_len",
+      4L -> "alpha_frac", 5L -> "stopwords", 6L -> "repetition"))
+  }
+
   test("span stats count corpus-wide duplicate token spans") {
     import spark.implicits._
     // width=3 spans; "a b c" opens docs 11 and 12 (cross-doc dup), and
