@@ -159,6 +159,26 @@ class TripFixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       trips(200, 1000L).filter(col("timestamp") >= 1025L).count())
   }
 
+  test("schema evolution on the map-bearing schema: add column, evolved upsert") {
+    val tbl = GraftTable.create(spark, freshDir(), cfg("trip_evo", TableType.COW))
+    tbl.bulkInsert(trips(60, tsBase = 1000L))
+    // evolved batch carries a NEW column; old files lack it
+    val evolved = trips(60, tsBase = 2000L)
+      .filter(col("distance_in_meters") % 4 === 0)
+      .withColumn("surge", (col("distance_in_meters") % 3).cast("double"))
+    tbl.upsert(evolved)
+    val r = GraftReader(tbl)
+    val got = r.dataOnly(r.snapshot())
+    assert(got.columns.contains("surge"), "new column visible after evolution")
+    assert(got.count() == 60)
+    // untouched rows read the new column as null; updated rows carry it
+    assert(got.filter(col("surge").isNotNull).count() == evolved.count())
+    val updKeys = evolved.select("_row_key")
+    assert(got.join(updKeys, Seq("_row_key"), "left_semi")
+      .filter(col("timestamp") < 2000L).count() == 0,
+      "every updated key shows the evolved row")
+  }
+
   test("incremental read surfaces exactly the upsert's changed trip rows") {
     val tbl = GraftTable.create(spark, freshDir(), cfg("trip_inc", TableType.COW))
     val t1 = tbl.bulkInsert(trips(90, tsBase = 1000L))
