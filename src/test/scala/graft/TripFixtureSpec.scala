@@ -179,6 +179,24 @@ class TripFixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       "every updated key shows the evolved row")
   }
 
+  test("nested schema pruning reaches the scan through the graft reader") {
+    val tbl = GraftTable.create(spark, freshDir(), cfg("trip_prune", TableType.COW))
+    tbl.bulkInsert(trips(60, tsBase = 1000L))
+    val r = GraftReader(tbl)
+    val q = r.dataOnly(r.snapshot()).select(col("fare.amount"))
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "expected a parquet scan")
+    val read = scans.head.requiredSchema.catalogString
+    // the scan must read fare.amount only — not currency, not the map,
+    // not tip_history (at 100 TB an unpruned struct scan reads the table)
+    assert(read.contains("amount"), s"fare.amount missing from ReadSchema: $read")
+    assert(!read.contains("currency") && !read.contains("city_to_state") &&
+      !read.contains("tip_history"),
+      s"nested pruning lost through the graft reader; ReadSchema: $read")
+  }
+
   test("incremental read surfaces exactly the upsert's changed trip rows") {
     val tbl = GraftTable.create(spark, freshDir(), cfg("trip_inc", TableType.COW))
     val t1 = tbl.bulkInsert(trips(90, tsBase = 1000L))
