@@ -1154,6 +1154,110 @@ object Llm {
                    ELSE 'keep' END AS verdict
           FROM m)
         SELECT source, verdict, count(*) AS n, CAST(sum(n_tokens) AS BIGINT) AS tok
-        FROM v GROUP BY 1, 2 ORDER BY 1, 2""")))
+        FROM v GROUP BY 1, 2 ORDER BY 1, 2"""))),
+
+    // ---- the round-7 operators composed into the full modern cleaning
+    //      recipe (C4/CCNet shape): Gopher gate → span-dup drop →
+    //      near-dup canonicalization → LM tail filter → deterministic
+    //      shuffle into loader shards. One declarative plan end to end;
+    //      the integer order_check pins the exact final permutation
+    "q102_clean_pipeline" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        def toks = TF.wsTokens(col("text"))
+        val kept = docs.filter(TF.gopherVerdict(toks, Stopwords) === "keep")
+        val spanDrop = Dedup.spanStats(kept, "doc_id", "text", width = 10)
+          .filter(col("dup_frac") > 0.5).select(col("doc_id"))
+        val c1 = kept.join(spanDrop, Seq("doc_id"), "left_anti")
+          .withColumn("n_tokens", size(toks).cast("long"))
+        val pairs = Dedup.jaccardPairs(c1, "doc_id", "text",
+          n = 3, threshold = 0.7)
+        val canon = Dedup.canonicalize(c1, pairs, "doc_id", col("n_tokens"))
+          .filter(col("is_canonical"))
+        val scored = graft.llm.QualityModel.unigramXent(canon, "doc_id", "text")
+        val fin = canon
+          .join(scored.select(col("doc_id"), col("xent")), "doc_id")
+          .filter(col("xent") <= 3.41)
+        graft.llm.Mixing
+          .deterministicShuffle(fin, "doc_id", nShards = 4, salt = "ep0")
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("tok"),
+            countDistinct(col("source")).as("n_sources"),
+            sum(col("pos") * col("doc_id")).as("order_check"))
+          .orderBy(col("shard"))
+      },
+      Some("""
+        WITH base AS (SELECT doc_id, source, text, string_split(text,' ') AS tk
+                      FROM documents),
+        top AS (
+          SELECT doc_id, max(c) AS top_cnt FROM (
+            SELECT doc_id, w, count(*) AS c FROM (
+              SELECT doc_id, unnest(tk) AS w FROM base) GROUP BY doc_id, w)
+          GROUP BY doc_id),
+        gq AS (
+          SELECT b.doc_id, b.source, b.text, b.tk, len(tk) AS n_tokens
+          FROM base b JOIN top t USING (doc_id)
+          WHERE NOT (len(tk) < 50 OR len(tk) > 100000)
+            AND list_sum(list_transform(tk, w -> len(w))) * 1.0 / len(tk)
+                  BETWEEN 3.0 AND 10.0
+            AND len(list_filter(tk, w -> regexp_matches(w, '[a-zA-Z]')))
+                  * 1.0 / len(tk) >= 0.8
+            AND len(list_intersect(list_distinct(tk), ['the','a'])) >= 2
+            AND (1.0 - CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk)) <= 0.85
+            AND (1.0 - CAST(len(list_distinct(list_transform(
+                  generate_series(1,len(tk)-1), i -> tk[i]||' '||tk[i+1])))
+                  AS DOUBLE)/(len(tk)-1)) <= 0.65
+            AND CAST(t.top_cnt AS DOUBLE)/len(tk) <= 0.30),
+        sp AS (SELECT doc_id, unnest(list_transform(range(0, len(tk)//10),
+                 i -> md5(array_to_string(list_slice(tk, i*10+1, i*10+10),' ')))) AS h
+               FROM gq),
+        cnt AS (SELECT h, count(*) AS c FROM sp GROUP BY h),
+        sdup AS (SELECT doc_id,
+                   sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)*1.0/count(*) AS dup_frac
+                 FROM sp JOIN cnt USING (h) GROUP BY doc_id),
+        c1 AS (SELECT gq.* FROM gq JOIN sdup USING (doc_id) WHERE dup_frac <= 0.5),
+        sh AS (SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+            i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])) AS s FROM c1)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1,2),
+        edges AS (SELECT doc_a, doc_b FROM prs
+          JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(common AS DOUBLE)/(sa.n_sh + sb.n_sh - common) >= 0.7),
+        sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+                UNION SELECT doc_b, doc_a FROM edges),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        reach AS (
+          WITH RECURSIVE r(node, target) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT r.node, s.dst FROM r JOIN sym s ON s.src = r.target)
+          SELECT node, min(target) AS component FROM r GROUP BY node),
+        lab AS (SELECT c1.doc_id, c1.source, c1.n_tokens,
+                       coalesce(rc.component, c1.doc_id) AS component
+                FROM c1 LEFT JOIN reach rc ON rc.node = c1.doc_id),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY component
+                 ORDER BY n_tokens DESC, doc_id ASC) AS rk FROM lab),
+        canon AS (SELECT doc_id, source, n_tokens FROM rk WHERE rk = 1),
+        ctoks AS (SELECT c.doc_id, unnest(string_split(b.text,' ')) AS tok
+                  FROM canon c JOIN base b USING (doc_id)),
+        freq AS (SELECT tok, count(*) AS cnt FROM ctoks GROUP BY tok),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+        sc AS (SELECT doc_id, sum(-ln(CAST(cnt AS DOUBLE)/total))/count(*) AS xent
+               FROM ctoks JOIN freq USING (tok), tot GROUP BY doc_id),
+        fin AS (SELECT c.doc_id, c.source, c.n_tokens
+                FROM canon c JOIN sc USING (doc_id) WHERE sc.xent <= 3.41),
+        k AS (SELECT doc_id, source, n_tokens,
+                CAST('0x'||substr(md5('ep0:'||CAST(doc_id AS VARCHAR)),1,15)
+                  AS BIGINT) AS key FROM fin),
+        p AS (SELECT doc_id, source, n_tokens, key % 4 AS shard,
+                row_number() OVER (PARTITION BY key % 4
+                  ORDER BY key, doc_id) AS pos FROM k)
+        SELECT shard, count(*) AS n, CAST(sum(n_tokens) AS BIGINT) AS tok,
+               count(DISTINCT source) AS n_sources,
+               CAST(sum(pos * doc_id) AS BIGINT) AS order_check
+        FROM p GROUP BY shard ORDER BY shard""")))
   )
 }
