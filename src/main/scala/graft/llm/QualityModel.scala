@@ -37,12 +37,18 @@ object QualityModel {
     val toks = df.select(col(idCol).as("doc_id"),
       explode(TextFunctions.wsTokens(col(textCol))).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    // corpus size: one scalar off the vocab aggregate (metadata-sized)
-    val total = freq.agg(sum(col("cnt"))).collect()(0).getLong(0)
+    // corpus size rides the plan as a broadcast 1-row aggregate (the
+    // oracle's `tot` CTE shape): fully lazy — no driver job at
+    // construction time, and cnt/total always evaluate against the SAME
+    // corpus state (an eagerly collected total could go stale between
+    // plan construction and execution). The long sum casts exactly to
+    // double in both engines.
+    val tot = freq.agg(sum(col("cnt")).cast("double").as("_g_total"))
     toks.join(broadcast(freq), "tok")
+      .crossJoin(broadcast(tot))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        sum(-log(col("cnt").cast("double") / lit(total.toDouble)))
+        sum(-log(col("cnt").cast("double") / col("_g_total")))
           .as("_g_nll"))
       .withColumn("xent", col("_g_nll") / col("n_tokens"))
       .drop("_g_nll")

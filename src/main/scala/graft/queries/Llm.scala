@@ -1215,7 +1215,8 @@ object Llm {
         sdup AS (SELECT doc_id,
                    sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)*1.0/count(*) AS dup_frac
                  FROM sp JOIN cnt USING (h) GROUP BY doc_id),
-        c1 AS (SELECT gq.* FROM gq JOIN sdup USING (doc_id) WHERE dup_frac <= 0.5),
+        c1 AS (SELECT gq.* FROM gq LEFT JOIN sdup USING (doc_id)
+               WHERE coalesce(dup_frac, 0.0) <= 0.5),
         sh AS (SELECT DISTINCT doc_id, s FROM (
           SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
             i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])) AS s FROM c1)),

@@ -282,6 +282,12 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"found an unpartitioned window in:\n$plan")
   }
 
+  test("unigram xent on an empty corpus returns an empty frame, no crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(QualityModel.unigramXent(empty, "doc_id", "text").count() == 0)
+  }
+
   test("gopher verdict fires rules in order: each branch reachable") {
     import spark.implicits._
     val stops = Seq("the", "a")
