@@ -81,6 +81,52 @@ object GraftFunctions {
     reg("simhash48",
       "simhash48(tokens) - 48-bit SimHash fingerprint of a token array") { args =>
       expect(args, 1, "simhash48"); SimHash48(args(0))
+    },
+    // ---- text-quality / sampling family: composed Catalyst columns
+    //      (built-in functions end to end, so they stay codegen'd)
+    //      exposed to pure SQL through the Column bridge
+    reg("span_hashes",
+      "span_hashes(tokens, width) - md5 hashes of the non-overlapping " +
+        "width-token spans (exact-substring dedup unit); empty when " +
+        "shorter than one span") { args =>
+      expect(args, 2, "span_hashes")
+      val width = intLit(args(1), "span_hashes", "width")
+      bridge(graft.llm.TextFunctions.spanHashes(asCol(args(0)), width))
+    },
+    reg("repetition_keep",
+      "repetition_keep(tokens) - Gopher repetition-rule keep/drop verdict " +
+        "(duplicate token/2-gram fractions, top-token mass)") { args =>
+      expect(args, 1, "repetition_keep")
+      bridge(graft.llm.TextFunctions.repetitionKeep(asCol(args(0))))
+    },
+    reg("gopher_verdict",
+      "gopher_verdict(tokens, stopwords) - full Gopher/MassiveText filter " +
+        "chain; returns the first failing rule's name or 'keep'") { args =>
+      expect(args, 2, "gopher_verdict")
+      bridge(graft.llm.TextFunctions.gopherVerdict(
+        asCol(args(0)), asCol(args(1)),
+        minWords = 50, maxWords = 100000, minMeanLen = 3.0,
+        maxMeanLen = 10.0, minAlphaFrac = 0.8, minDistinctStops = 2))
+    },
+    reg("lang_id",
+      "lang_id(tokens) - stopword-profile language guess ('und' when no " +
+        "profile hits)") { args =>
+      expect(args, 1, "lang_id")
+      bridge(graft.llm.TextFunctions.langId(asCol(args(0))))
+    },
+    reg("ppm_bucket",
+      "ppm_bucket(id, salt) - deterministic uniform bucket in [0, 1e6) " +
+        "from md5(salt:id); the membership primitive behind hash " +
+        "sampling / splits / mixing") { args =>
+      expect(args, 2, "ppm_bucket")
+      bridge(graft.llm.TextFunctions.hash60(
+        org.apache.spark.sql.functions.concat_ws(":",
+          asCol(args(1)), asCol(args(0)).cast("string"))) % 1000000L)
     }
   )
+
+  private def asCol(e: Expression) =
+    org.apache.spark.sql.graft.ColumnBridge.toColumn(e)
+  private def bridge(c: org.apache.spark.sql.Column): Expression =
+    org.apache.spark.sql.graft.ColumnBridge.toCatalyst(c)
 }

@@ -303,14 +303,8 @@ object Dedup {
   def spanStats(df: DataFrame, idCol: String, textCol: String,
       width: Int, minCount: Int = 2): DataFrame = {
     require(width > 0, "span width must be positive")
-    val toks = wsTokens(col(textCol))
-    val nSpans = floor(size(toks) / width).cast("int")
-    val spans = when(nSpans > 0,
-      transform(sequence(lit(0), nSpans - 1),
-        i => md5(concat_ws(" ", slice(toks, i * width + 1, lit(width))))))
-      .otherwise(array().cast("array<string>"))
-    val exploded = df
-      .select(col(idCol).as("doc_id"), explode(spans).as("h"))
+    val exploded = df.select(col(idCol).as("doc_id"),
+      explode(spanHashes(wsTokens(col(textCol)), width)).as("h"))
     val counts = exploded.groupBy(col("h")).agg(count(lit(1)).as("c"))
     exploded.join(counts, "h")
       .groupBy(col("doc_id"))

@@ -41,6 +41,17 @@ object TextFunctions {
         i => concat_ws(" ", slice(tokens, i, lit(n)))))
       .otherwise(array())
 
+  /** md5 hashes of the non-overlapping `width`-token spans of a token
+    * array (the exact-substring dedup unit — see
+    * [[Dedup.spanStats]]); empty for docs shorter than one span. */
+  def spanHashes(tokens: Column, width: Int): Column = {
+    val nSpans = floor(size(tokens) / width).cast("int")
+    when(nSpans > 0,
+      transform(sequence(lit(0), nSpans - 1),
+        i => md5(concat_ws(" ", slice(tokens, i * width + 1, lit(width))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** A GPT-style pre-tokenizer: letter runs | digit runs | single
     * non-alphanumeric glyphs. Counts approximate BPE token counts well
     * enough for length filtering. */
@@ -168,7 +179,15 @@ object TextFunctions {
   def gopherVerdict(tokens: Column, stopwords: Seq[String],
       minWords: Int = 50, maxWords: Int = 100000,
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
-      minAlphaFrac: Double = 0.8, minDistinctStops: Int = 2): Column = {
+      minAlphaFrac: Double = 0.8, minDistinctStops: Int = 2): Column =
+    gopherVerdict(tokens, array(stopwords.map(lit(_)): _*), minWords,
+      maxWords, minMeanLen, maxMeanLen, minAlphaFrac, minDistinctStops)
+
+  /** Core form with the stopword set as an array column (the SQL
+    * function surface binds here). */
+  def gopherVerdict(tokens: Column, stopwords: Column, minWords: Int,
+      maxWords: Int, minMeanLen: Double, maxMeanLen: Double,
+      minAlphaFrac: Double, minDistinctStops: Int): Column = {
     val n = size(tokens)
     // integer length sum then one division: bit-identical to the
     // oracle's list_sum/len arithmetic
@@ -178,8 +197,7 @@ object TextFunctions {
     val alphaFrac = when(n > 0,
       size(filter(tokens, w => w.rlike("[a-zA-Z]"))).cast("double") / n)
       .otherwise(lit(0.0))
-    val stops = size(array_intersect(array_distinct(tokens),
-      array(stopwords.map(lit(_)): _*)))
+    val stops = size(array_intersect(array_distinct(tokens), stopwords))
     when(n < minWords || n > maxWords, lit("word_count"))
       .when(meanLen < minMeanLen || meanLen > maxMeanLen, lit("mean_word_len"))
       .when(alphaFrac < minAlphaFrac, lit("alpha_frac"))

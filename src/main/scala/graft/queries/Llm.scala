@@ -1259,6 +1259,71 @@ object Llm {
         SELECT shard, count(*) AS n, CAST(sum(n_tokens) AS BIGINT) AS tok,
                count(DISTINCT source) AS n_sources,
                CAST(sum(pos * doc_id) AS BIGINT) AS order_check
-        FROM p GROUP BY shard ORDER BY shard""")))
+        FROM p GROUP BY shard ORDER BY shard"""))),
+
+    // ---- the text-quality/sampling family through PURE SQL (the
+    //      injectFunction surface, q91's pattern): hash-sampled quality
+    //      census mixing gopher_verdict, span_hashes, repetition_keep,
+    //      and ppm_bucket in one statement
+    "q103_sql_text_functions" -> ((
+      (s: SparkSession, d: String) => {
+        t(s, d, "documents").createOrReplaceTempView("q103_docs")
+        s.sql("""
+          SELECT source,
+                 gopher_verdict(split(text, ' '), array('the', 'a')) AS verdict,
+                 count(*) AS n,
+                 sum(size(span_hashes(split(text, ' '), 10))) AS n_spans,
+                 sum(CASE WHEN repetition_keep(split(text, ' '))
+                     THEN 1 ELSE 0 END) AS n_rep_ok
+          FROM q103_docs
+          WHERE ppm_bucket(doc_id, 'mix') < 500000
+          GROUP BY source, verdict
+          ORDER BY source, verdict""")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, source, string_split(text,' ') AS tk FROM documents
+          WHERE CAST('0x'||substr(md5('mix:'||CAST(doc_id AS VARCHAR)),1,15)
+                  AS BIGINT) % 1000000 < 500000),
+        top AS (
+          SELECT doc_id, max(c) AS top_cnt FROM (
+            SELECT doc_id, w, count(*) AS c FROM (
+              SELECT doc_id, unnest(tk) AS w FROM base) GROUP BY doc_id, w)
+          GROUP BY doc_id),
+        m AS (
+          SELECT b.doc_id, b.source, len(tk) AS n_tokens,
+                 len(tk) // 10 AS n_spans,
+                 list_sum(list_transform(tk, w -> len(w))) * 1.0 / len(tk)
+                   AS mean_len,
+                 len(list_filter(tk, w -> regexp_matches(w, '[a-zA-Z]')))
+                   * 1.0 / len(tk) AS alpha_frac,
+                 len(list_intersect(list_distinct(tk), ['the','a'])) AS stops,
+                 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+                   AS dup_tok,
+                 1.0 - CAST(len(list_distinct(list_transform(
+                     generate_series(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i+1]))) AS DOUBLE)
+                   / (len(tk) - 1) AS dup_2g,
+                 t.top_cnt
+          FROM base b JOIN top t ON t.doc_id = b.doc_id),
+        v AS (
+          SELECT source, n_tokens, n_spans,
+                 (dup_tok <= 0.85 AND dup_2g <= 0.65 AND
+                  CAST(top_cnt AS DOUBLE) / n_tokens <= 0.30) AS rep_ok,
+                 CASE
+                   WHEN n_tokens < 50 OR n_tokens > 100000 THEN 'word_count'
+                   WHEN mean_len < 3.0 OR mean_len > 10.0 THEN 'mean_word_len'
+                   WHEN alpha_frac < 0.8 THEN 'alpha_frac'
+                   WHEN stops < 2 THEN 'stopwords'
+                   WHEN NOT (dup_tok <= 0.85 AND dup_2g <= 0.65 AND
+                             CAST(top_cnt AS DOUBLE) / n_tokens <= 0.30)
+                     THEN 'repetition'
+                   ELSE 'keep' END AS verdict
+          FROM m)
+        SELECT source, verdict, count(*) AS n,
+               CAST(sum(n_spans) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN rep_ok THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_rep_ok
+        FROM v GROUP BY 1, 2 ORDER BY 1, 2""")))
   )
 }
