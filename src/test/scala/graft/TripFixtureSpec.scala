@@ -197,6 +197,24 @@ class TripFixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"nested pruning lost through the graft reader; ReadSchema: $read")
   }
 
+  test("MERGE INTO drives update+delete+insert over the map-bearing schema") {
+    val tbl = GraftTable.create(spark, freshDir(), cfg("trip_merge", TableType.COW))
+    tbl.bulkInsert(trips(60, tsBase = 1000L))
+    val source = trips(80, tsBase = 2000L) // ids 60-79 are fresh inserts
+    graft.sql.GraftDml(tbl)
+      .merge(source, col("s._row_key") === col("t._row_key"))
+      .whenMatchedDelete(Some(col("s.distance_in_meters") % 10 === 1))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    val r = GraftReader(tbl)
+    val got = r.dataOnly(r.snapshot())
+    val expected = trips(80, tsBase = 2000L)
+      .filter(!(col("distance_in_meters") % 10 === 1) ||
+        col("distance_in_meters") >= 60) // deletes hit only matched (id<60) rows
+    assertSame(got.select(expected.columns.map(col): _*), expected)
+  }
+
   test("incremental read surfaces exactly the upsert's changed trip rows") {
     val tbl = GraftTable.create(spark, freshDir(), cfg("trip_inc", TableType.COW))
     val t1 = tbl.bulkInsert(trips(90, tsBase = 1000L))
