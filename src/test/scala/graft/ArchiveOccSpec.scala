@@ -62,6 +62,26 @@ class ArchiveOccSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(svc.archive(keepMin = 3, keepMax = 5).isEmpty)
   }
 
+  test("incremental read spans the archive boundary (begin archived)") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg())
+    tbl.bulkInsert(rows(1L, 2L)) // c1
+    val times = (3L to 9L).map(i => tbl.upsert(rows(i))) // c2..c8
+    TableServices(tbl).archive(keepMin = 3, keepMax = 5) // c1..c5 archived
+    val begin = times.head // c2 — now only in the archive
+    assert(tbl.timeline.archivedTimes().contains(begin))
+    val r = GraftReader(tbl)
+    // change set of (c2, c8]: touched groups come from BOTH archived commit
+    // metadata (c3..c5) and the active tail (c6..c8); per-row commit-time
+    // filter drops records last written at or before `begin`
+    val got = r.incremental(begin).select("id").as[Long].collect().sorted.toSeq
+    assert(got == (4L to 9L))
+    // begin = "" reads from the table's origin through the archive
+    val all = r.incremental("").select("id").as[Long].collect().sorted.toSeq
+    assert(all == (1L to 9L))
+  }
+
   test("time travel beyond the archived boundary fails loudly") {
     val dir = tmp()
     val tbl = GraftTable.create(spark, dir, cfg())
