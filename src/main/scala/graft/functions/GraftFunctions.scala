@@ -103,10 +103,11 @@ object GraftFunctions {
       "gopher_verdict(tokens, stopwords) - full Gopher/MassiveText filter " +
         "chain; returns the first failing rule's name or 'keep'") { args =>
       expect(args, 2, "gopher_verdict")
-      bridge(graft.llm.TextFunctions.gopherVerdict(
+      val tf = graft.llm.TextFunctions
+      bridge(tf.gopherVerdict(
         asCol(args(0)), asCol(args(1)),
-        minWords = 50, maxWords = 100000, minMeanLen = 3.0,
-        maxMeanLen = 10.0, minAlphaFrac = 0.8, minDistinctStops = 2))
+        tf.GopherMinWords, tf.GopherMaxWords, tf.GopherMinMeanLen,
+        tf.GopherMaxMeanLen, tf.GopherMinAlphaFrac, tf.GopherMinDistinctStops))
     },
     reg("lang_id",
       "lang_id(tokens) - stopword-profile language guess ('und' when no " +
@@ -119,9 +120,7 @@ object GraftFunctions {
         "from md5(salt:id); the membership primitive behind hash " +
         "sampling / splits / mixing") { args =>
       expect(args, 2, "ppm_bucket")
-      bridge(graft.llm.TextFunctions.hash60(
-        org.apache.spark.sql.functions.concat_ws(":",
-          asCol(args(1)), asCol(args(0)).cast("string"))) % 1000000L)
+      bridge(graft.llm.Mixing.ppmBucket(asCol(args(0)), asCol(args(1))))
     }
   )
 

@@ -26,9 +26,14 @@ import TextFunctions.hash60
 object Mixing {
 
   /** Uniform bucket in [0, 1e6): leading 60 md5 bits of "salt:id" mod
-    * 1e6. Integral and engine-portable. */
-  def ppmBucket(id: Column, salt: String): Column =
-    hash60(concat_ws(":", lit(salt), id.cast("string"))) % 1000000L
+    * 1e6. Integral and engine-portable. The Column-salt form is the
+    * single source of the bucket arithmetic — the SQL `ppm_bucket`
+    * registration binds here too, so DataFrame and SQL sampling can
+    * never diverge. */
+  def ppmBucket(id: Column, salt: Column): Column =
+    hash60(concat_ws(":", salt, id.cast("string"))) % 1000000L
+
+  def ppmBucket(id: Column, salt: String): Column = ppmBucket(id, lit(salt))
 
   /** Deterministic Bernoulli sample: keep iff bucket < rate_ppm. */
   def hashSample(df: DataFrame, idCol: String, ratePpm: Long,
@@ -137,8 +142,15 @@ object Mixing {
     * new salt (e.g. the epoch number) is a fresh independent
     * permutation. Emits `shard` (= key mod nShards — the loader file
     * the row lands in) and `pos` (1-based position within the shard;
-    * key ties break by id). Readers streaming shard files in pos order
-    * reproduce the exact permutation without any coordination.
+    * key ties break by id, then by `tiebreak`). Readers streaming shard
+    * files in pos order reproduce the exact permutation without any
+    * coordination.
+    *
+    * When `idCol` is NOT unique in `df` — e.g. the output of
+    * [[upsample]], where the same doc appears once per epoch — pass the
+    * disambiguating columns as `tiebreak` (the epoch column), or the
+    * copies' relative order is input order and the permutation is no
+    * longer stable under retries.
     *
     * Scale shape: the per-shard rank is a window partitioned by shard —
     * pick nShards well above the executor count so each shard's sort is
@@ -146,14 +158,17 @@ object Mixing {
     * file count a loader wants anyway). No global ordering pass exists
     * anywhere. */
   def deterministicShuffle(df: DataFrame, idCol: String, nShards: Int,
-      salt: String): DataFrame = {
+      salt: String, tiebreak: Seq[String] = Nil): DataFrame = {
     require(nShards > 0, "nShards must be positive")
     val key = hash60(concat_ws(":", lit(salt), col(idCol).cast("string")))
+    // scratch column name must stay clear of the graft meta columns
+    // (_g_key IS the record-key meta column on graft-read frames)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("_g_key"), col(idCol))
-    df.withColumn("_g_key", key)
-      .withColumn("shard", col("_g_key") % nShards)
+      .partitionBy(col("shard"))
+      .orderBy(col("_g_shuf") +: col(idCol) +: tiebreak.map(col): _*)
+    df.withColumn("_g_shuf", key)
+      .withColumn("shard", col("_g_shuf") % nShards)
       .withColumn("pos", row_number().over(w))
-      .drop("_g_key")
+      .drop("_g_shuf")
   }
 }

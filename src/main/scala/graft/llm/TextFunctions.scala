@@ -176,10 +176,22 @@ object TextFunctions {
     * failing rule's name ('word_count' | 'mean_word_len' | 'alpha_frac'
     * | 'stopwords' | 'repetition') or 'keep'. Pure per-row array math —
     * a quality pass stays shuffle-free at any scale. */
+  // canonical Gopher thresholds — the ONLY place they are written down;
+  // the SQL `gopher_verdict` registration and the overload defaults
+  // below both read these
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+  val GopherMinMeanLen = 3.0
+  val GopherMaxMeanLen = 10.0
+  val GopherMinAlphaFrac = 0.8
+  val GopherMinDistinctStops = 2
+
   def gopherVerdict(tokens: Column, stopwords: Seq[String],
-      minWords: Int = 50, maxWords: Int = 100000,
-      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
-      minAlphaFrac: Double = 0.8, minDistinctStops: Int = 2): Column =
+      minWords: Int = GopherMinWords, maxWords: Int = GopherMaxWords,
+      minMeanLen: Double = GopherMinMeanLen,
+      maxMeanLen: Double = GopherMaxMeanLen,
+      minAlphaFrac: Double = GopherMinAlphaFrac,
+      minDistinctStops: Int = GopherMinDistinctStops): Column =
     gopherVerdict(tokens, array(stopwords.map(lit(_)): _*), minWords,
       maxWords, minMeanLen, maxMeanLen, minAlphaFrac, minDistinctStops)
 

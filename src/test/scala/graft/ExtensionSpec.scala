@@ -168,6 +168,16 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getLong(1)
     assert(shSql == shApi)
 
+    // lang_id via SQL == the Column form (the one text registration the
+    // q103 oracle query does not exercise)
+    val langSql = spark.sql(
+      "SELECT lang_id(split(text, ' ')) AS l FROM ext_fn_docs")
+      .head().getString(0)
+    val langApi = docs.select(
+      graft.llm.TextFunctions.langId(split(col("text"), " ")).as("l"))
+      .head().getString(0)
+    assert(langSql == langApi && langSql == "en")
+
     // curve kernels: z_value/hilbert_value agree with the expression API
     val ranks = Seq((3L, 5L)).toDF("rx", "ry")
     val bridge = org.apache.spark.sql.graft.ColumnBridge

@@ -185,4 +185,31 @@ class MixingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(rows.toSet != other.toSet)
   }
+
+  test("deterministic shuffle preserves graft meta columns and breaks id ties") {
+    import spark.implicits._
+    // a graft-read frame carries _g_key; the shuffle's scratch column
+    // must not clobber it
+    val withMeta = docs.withColumn("_g_key", col("doc_id").cast("string"))
+    val kept = Mixing.deterministicShuffle(withMeta, "doc_id", nShards = 3,
+      salt = "ep0")
+    assert(kept.columns.contains("_g_key"))
+    assert(kept.select("_g_key").as[String].collect().sorted.toSeq ==
+      (0L until 400L).map(_.toString).sorted)
+
+    // upsampled input: same doc_id appears once per epoch — the epoch
+    // tiebreak pins the copies' relative order deterministically
+    val epochs = docs.limit(20)
+      .withColumn("epoch", explode(array(lit(0), lit(1), lit(2))))
+    val a = Mixing.deterministicShuffle(epochs, "doc_id", nShards = 2,
+      salt = "s", tiebreak = Seq("epoch"))
+      .select("doc_id", "epoch", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    val b = Mixing.deterministicShuffle(
+      epochs.repartition(5), // different input layout, same permutation
+      "doc_id", nShards = 2, salt = "s", tiebreak = Seq("epoch"))
+      .select("doc_id", "epoch", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    assert(a == b, "epoch tiebreak must make duplicate-id shuffles stable")
+  }
 }
