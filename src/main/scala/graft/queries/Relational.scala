@@ -472,6 +472,52 @@ object Relational {
       Some("""
         SELECT n_name, count(c_custkey) AS n_cust
         FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
-        GROUP BY n_name ORDER BY n_name""")))
+        GROUP BY n_name ORDER BY n_name"""))),
+
+    // ---- as-of (temporal) join: each purchase matched to the user's
+    //      latest click at-or-before it (graft.operators.AsofJoin —
+    //      union + keyed-window carry-forward, ONE shuffle, no
+    //      inequality join). Times compared at MICROS: the parquet
+    //      nanos get truncated by DuckDB's TIMESTAMP, so both engines
+    //      floor-divide to the same axis.
+    "q104_asof_purchase_click" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events")
+        val l = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("us"))
+        val r = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("r_event_id"), col("user_id"),
+            expr("ts div 1000").as("r_us"))
+        graft.operators.AsofJoin.asof(l, r, on = Seq("user_id"),
+            leftTime = "us", rightTime = "r_us",
+            tiebreak = Seq("r_event_id"))
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_purchases"),
+            count(col("r_event_id")).as("n_matched"),
+            sum(coalesce(col("us") - col("r_us"), lit(0L))).as("lag_us"),
+            sum(coalesce(col("r_event_id"), lit(0L)) * col("event_id"))
+              .as("asof_check"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us
+                   FROM events WHERE event_type = 'purchase'),
+             r AS (SELECT event_id AS r_event_id, user_id,
+                          epoch_us(ts) AS r_us
+                   FROM events WHERE event_type = 'click'),
+        j AS (SELECT l.event_id, l.user_id, l.us, r.r_event_id, r.r_us,
+                     row_number() OVER (PARTITION BY l.event_id
+                       ORDER BY r.r_us DESC, r.r_event_id DESC) AS rn
+              FROM l JOIN r ON r.user_id = l.user_id AND r.r_us <= l.us)
+        SELECT l.user_id,
+               count(*) AS n_purchases,
+               count(m.r_event_id) AS n_matched,
+               CAST(sum(COALESCE(l.us - m.r_us, 0)) AS BIGINT) AS lag_us,
+               CAST(sum(COALESCE(m.r_event_id, 0) * l.event_id) AS BIGINT)
+                 AS asof_check
+        FROM l LEFT JOIN (SELECT * FROM j WHERE rn = 1) m USING (event_id)
+        GROUP BY l.user_id ORDER BY l.user_id""")))
   )
 }
