@@ -518,6 +518,51 @@ object Relational {
                CAST(sum(COALESCE(m.r_event_id, 0) * l.event_id) AS BIGINT)
                  AS asof_check
         FROM l LEFT JOIN (SELECT * FROM j WHERE rn = 1) m USING (event_id)
+        GROUP BY l.user_id ORDER BY l.user_id"""))),
+
+    // ---- forward as-of with a tolerance: conversion attribution — each
+    //      click matched to the user's NEXT purchase within 24h.
+    //      Exercises the AsofJoin modes q104 doesn't (direction=forward,
+    //      tolerance nulling). Tie rule: earliest time, greatest id.
+    "q105_click_conversion" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events")
+        val l = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("us"))
+        val r = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"), col("user_id"),
+            expr("ts div 1000").as("p_us"))
+        graft.operators.AsofJoin.asof(l, r, on = Seq("user_id"),
+            leftTime = "us", rightTime = "p_us", direction = "forward",
+            tolerance = Some(86400000000L), tiebreak = Seq("p_event_id"))
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_clicks"),
+            count(col("p_event_id")).as("n_converted"),
+            sum(coalesce(col("p_us") - col("us"), lit(0L))).as("lag_us"),
+            sum(coalesce(col("p_event_id"), lit(0L)) * col("event_id"))
+              .as("conv_check"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us
+                   FROM events WHERE event_type = 'click'),
+             r AS (SELECT event_id AS p_event_id, user_id,
+                          epoch_us(ts) AS p_us
+                   FROM events WHERE event_type = 'purchase'),
+        j AS (SELECT l.event_id, l.user_id, l.us, r.p_event_id, r.p_us,
+                     row_number() OVER (PARTITION BY l.event_id
+                       ORDER BY r.p_us ASC, r.p_event_id DESC) AS rn
+              FROM l JOIN r ON r.user_id = l.user_id AND r.p_us >= l.us),
+        m AS (SELECT * FROM j WHERE rn = 1 AND p_us - us <= 86400000000)
+        SELECT l.user_id,
+               count(*) AS n_clicks,
+               count(m.p_event_id) AS n_converted,
+               CAST(sum(COALESCE(m.p_us - m.us, 0)) AS BIGINT) AS lag_us,
+               CAST(sum(COALESCE(m.p_event_id, 0) * l.event_id) AS BIGINT)
+                 AS conv_check
+        FROM l LEFT JOIN m USING (event_id)
         GROUP BY l.user_id ORDER BY l.user_id""")))
   )
 }
