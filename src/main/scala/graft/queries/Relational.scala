@@ -563,6 +563,47 @@ object Relational {
                CAST(sum(COALESCE(m.p_event_id, 0) * l.event_id) AS BIGINT)
                  AS conv_check
         FROM l LEFT JOIN m USING (event_id)
-        GROUP BY l.user_id ORDER BY l.user_id""")))
+        GROUP BY l.user_id ORDER BY l.user_id"""))),
+
+    // ---- point-in-interval (range) join: purchases landing inside any
+    //      12h view window of the same user (graft.operators
+    //      .IntervalJoin — bucketized equi-join, no inequality join;
+    //      bucket == window length so each interval explodes into ≤2
+    //      rows). True 1:N containment multiplicity.
+    "q106_purchase_in_view_window" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events")
+        val win = 43200000000L // 12h in micros
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("us"))
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("v_event_id"), col("user_id"),
+            expr("ts div 1000").as("v_start"),
+            (expr("ts div 1000") + win).as("v_end"))
+        graft.operators.IntervalJoin.pointInInterval(p, v,
+            on = Seq("user_id"), pointCol = "us", startCol = "v_start",
+            endCol = "v_end", bucket = win)
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            countDistinct(col("event_id")).as("n_covered"),
+            sum(col("event_id") * col("v_event_id")).as("pair_check"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us
+                   FROM events WHERE event_type = 'purchase'),
+             v AS (SELECT event_id AS v_event_id, user_id,
+                          epoch_us(ts) AS v_start,
+                          epoch_us(ts) + 43200000000 AS v_end
+                   FROM events WHERE event_type = 'view')
+        SELECT p.user_id,
+               count(*) AS n_pairs,
+               count(DISTINCT p.event_id) AS n_covered,
+               CAST(sum(p.event_id * v.v_event_id) AS BIGINT) AS pair_check
+        FROM p JOIN v ON v.user_id = p.user_id
+                      AND p.us >= v.v_start AND p.us <= v.v_end
+        GROUP BY p.user_id ORDER BY p.user_id""")))
   )
 }
