@@ -7,9 +7,10 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Standard session config every graft session needs. The events table
-    * carries parquet TIMESTAMP(NANOS) which Spark 4 only reads as long
-    * (nanos since epoch) behind this legacy flag.
+  /** Standard session config every graft session needs. Current testdata
+    * stores events.ts as parquet timestamp[us] (read as timestamp_ntz);
+    * the nanosAsLong flag is kept so older TIMESTAMP(NANOS) drops of the
+    * same table still load (as long nanos) instead of crashing the scan.
     */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -21,6 +21,13 @@ object Relational {
   /** Exact integer cents from a double money column. */
   private def cents(c: Column): Column = floor(c * lit(100)).cast("long")
 
+  /** events.ts as exact BIGINT micros-since-epoch. The testdata stores
+    * parquet timestamp[us] isAdjustedToUTC=false (Spark 4: timestamp_ntz);
+    * every graft session pins spark.sql.session.timeZone=UTC, so the
+    * ntz→timestamp cast is the identity instant mapping and this equals
+    * DuckDB's epoch_us(ts) bit-for-bit. */
+  private def tsUs(c: Column): Column = unix_micros(c.cast("timestamp"))
+
   /** Timestamp-NTZ literal (testdata date columns are parquet
     * isAdjustedToUTC=false, which Spark 4 reads as timestamp_ntz). */
   private def ntz(s: String): Column =
@@ -363,7 +370,7 @@ object Relational {
         // UTC day via exact integer division to micros.
         t(s, d, "events")
           .withColumn("day",
-            date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd"))
+            date_format(timestamp_micros(tsUs(col("ts"))), "yyyy-MM-dd"))
           .groupBy(col("day"), col("event_type"))
           .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("val_c"))
           .orderBy(col("day"), col("event_type")),
@@ -382,7 +389,7 @@ object Relational {
         val byUser = Window.partitionBy(col("user_id"))
           .orderBy(col("us"), col("event_id"))
         t(s, d, "events")
-          .withColumn("us", expr("ts div 1000"))
+          .withColumn("us", tsUs(col("ts")))
           .withColumn("prev", lag(col("us"), 1).over(byUser))
           .withColumn("new_sess",
             when(col("prev").isNull ||
@@ -485,10 +492,10 @@ object Relational {
         val ev = t(s, d, "events")
         val l = ev.filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"),
-            expr("ts div 1000").as("us"))
+            tsUs(col("ts")).as("us"))
         val r = ev.filter(col("event_type") === "click")
           .select(col("event_id").as("r_event_id"), col("user_id"),
-            expr("ts div 1000").as("r_us"))
+            tsUs(col("ts")).as("r_us"))
         graft.operators.AsofJoin.asof(l, r, on = Seq("user_id"),
             leftTime = "us", rightTime = "r_us",
             tiebreak = Seq("r_event_id"))
@@ -529,10 +536,10 @@ object Relational {
         val ev = t(s, d, "events")
         val l = ev.filter(col("event_type") === "click")
           .select(col("event_id"), col("user_id"),
-            expr("ts div 1000").as("us"))
+            tsUs(col("ts")).as("us"))
         val r = ev.filter(col("event_type") === "purchase")
           .select(col("event_id").as("p_event_id"), col("user_id"),
-            expr("ts div 1000").as("p_us"))
+            tsUs(col("ts")).as("p_us"))
         graft.operators.AsofJoin.asof(l, r, on = Seq("user_id"),
             leftTime = "us", rightTime = "p_us", direction = "forward",
             tolerance = Some(86400000000L), tiebreak = Seq("p_event_id"))
@@ -576,11 +583,11 @@ object Relational {
         val win = 43200000000L // 12h in micros
         val p = ev.filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"),
-            expr("ts div 1000").as("us"))
+            tsUs(col("ts")).as("us"))
         val v = ev.filter(col("event_type") === "view")
           .select(col("event_id").as("v_event_id"), col("user_id"),
-            expr("ts div 1000").as("v_start"),
-            (expr("ts div 1000") + win).as("v_end"))
+            tsUs(col("ts")).as("v_start"),
+            (tsUs(col("ts")) + win).as("v_end"))
         graft.operators.IntervalJoin.pointInInterval(p, v,
             on = Seq("user_id"), pointCol = "us", startCol = "v_start",
             endCol = "v_end", bucket = win)

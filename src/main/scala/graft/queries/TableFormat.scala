@@ -1446,6 +1446,44 @@ object TableFormat {
         SELECT o_orderpriority, count(*) AS n,
                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
                CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- AWS DMS change-record ingest (reference analog:
+    //      AWSDmsAvroPayload.java:44): full-load batch carries NO Op
+    //      column; CDC batch carries full row images inline with
+    //      Op=I/U/D — D rows (sent lowercase here to exercise the
+    //      reference's case-insensitive match) become tombstones riding
+    //      the same upsert
+    "q107_dms_ingest" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val dms = graft.streaming.Transformers.dms()
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_dms", TableType.COW))
+        // full load: no Op column at all -> plain inserts
+        tbl.bulkInsert(dms(orders.filter(col("o_orderkey") % 10 < 8)))
+        // one CDC batch: inserts (%10 in 8..9), updates (%10 == 6,
+        // repriced), deletes (%10 == 7, before image)
+        val iEv = orders.filter(col("o_orderkey") % 10 >= 8)
+          .withColumn("Op", lit("I"))
+        val uEv = orders.filter(col("o_orderkey") % 10 === 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+          .withColumn("Op", lit("U"))
+        val dEv = orders.filter(col("o_orderkey") % 10 === 7)
+          .withColumn("Op", lit("d"))
+        tbl.upsert(dms(iEv.unionByName(uEv).unionByName(dEv)))
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 10 = 6 THEN o_totalprice + 1000
+                      ELSE o_totalprice END AS price
+          FROM orders WHERE o_orderkey % 10 <> 7)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
         FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority""")))
   )
 }

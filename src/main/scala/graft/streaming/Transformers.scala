@@ -64,4 +64,23 @@ object Transformers {
         col(ordCol),
         (col(opCol) === "d").as(graft.write.Meta.Deleted)): _*)
   }
+
+  /** AWS DMS change-record → graft upsert rows (reference analog:
+    * hudi-spark/src/main/java/org/apache/hudi/payload/AWSDmsAvroPayload.java:44).
+    * DMS emits FULL row images inline (no before/after envelope): full-load
+    * rows with a null/absent `Op`, inserts `Op=I`, updates `Op=U`, deletes
+    * `Op=D` (before image). `Op` is matched case-insensitively like the
+    * reference. Divergence from the reference, on purpose: Hudi stores the
+    * `Op` marker in the table because its payload can't reshape the Avro
+    * record; here the operation is transport metadata, so it maps to the
+    * tombstone flag and is dropped from the stored schema. */
+  def dms(opCol: String = "Op"): Transformer = { df =>
+    import org.apache.spark.sql.functions.{coalesce, lit, upper}
+    // full-load batches carry no Op column at all — pass them through
+    // as plain inserts (same effect as the reference's null check)
+    if (!df.columns.contains(opCol)) df
+    else df.withColumn(graft.write.Meta.Deleted,
+        upper(coalesce(col(opCol).cast("string"), lit(""))) === "D")
+      .drop(opCol)
+  }
 }

@@ -111,6 +111,33 @@ class TransformersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((1L, "a2", 12L)))
   }
 
+  test("dms transformer: full-load passthrough, I/U upserts, case-insensitive D deletes") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "dms", tableType = TableType.COW, keyFields = Seq("id"),
+      orderingField = "", targetFileRows = 1000))
+
+    // full-load batch has NO Op column at all
+    val full = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    tbl.bulkInsert(Transformers.dms()(full))
+
+    // CDC batch: insert, update, delete (lowercase d must match)
+    val cdc = Seq(
+      (4L, "d-row", "I"),
+      (1L, "a2", "U"),
+      (2L, "b", "d")
+    ).toDF("id", "v", "Op")
+    tbl.upsert(Transformers.dms()(cdc))
+
+    val r = GraftReader(tbl)
+    val got = r.dataOnly(r.snapshot()).select("id", "v")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a2"), (3L, "c"), (4L, "d-row")))
+    // the Op marker is transport metadata: it must NOT be stored
+    assert(!r.dataOnly(r.snapshot()).columns.contains("Op"))
+  }
+
   test("json and csv dir sources feed the ingest loop") {
     import spark.implicits._
     val dir = tmp(); val srcDir = tmp()
