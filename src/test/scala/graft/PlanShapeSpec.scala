@@ -97,6 +97,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("as-of joins are union+window: no join operator, one key shuffle") {
+    // AsofJoin's contract is O((|L|+|R|)·log) via a single window over
+    // the union — an inequality join sneaking in would be O(|L|·|R|)
+    for (q <- Seq("q104_asof_purchase_click", "q105_click_conversion")) {
+      val p = planOf(q)
+      assert(!p.contains("Join"), s"$q plans a join — as-of must be union+window")
+      val keyShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(keyShuffles == 1,
+        s"$q has $keyShuffles hash exchanges, want exactly 1 (the window)")
+    }
+  }
+
+  test("interval join buckets to an equi-join, no cartesian") {
+    val p = planOf("q106_purchase_in_view_window")
+    assert(!p.contains("CartesianProduct"), "interval join plans a CartesianProduct")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "interval join plans a nested-loop join")
+  }
+
   test("the one-pass LSH kernel runs fused in the banded plans") {
     val p = planOf("q29b_embed_neardup_bucketed")
     assert(p.contains("lshbandbuckets("), s"expected the LSH kernel in the plan")
