@@ -139,6 +139,16 @@ case class TableConfig(
       * (reference analog: URL_ENCODE_PARTITIONING,
       * DataSourceOptions.scala:636) */
     urlEncodePartitioning: Boolean = false,
+    /** don't store partition-field columns inside data files; readers
+      * reconstitute typed values from the stored partition path
+      * (reference analog: hoodie.datasource.write.drop.partition.columns,
+      * DataSourceOptions.scala DROP_PARTITION_COLUMNS). At scale this
+      * saves one stored column per partition field per record. Values
+      * hit by path sanitizing don't roundtrip (path value wins — same
+      * caveat as the reference); incompatible with
+      * partitionTimestampFormat, whose formatted paths aren't
+      * invertible. */
+    dropPartitionColumns: Boolean = false,
     /** MOR: compact inline after a write once this many delta commits
       * stack since the last compaction (reference analog:
       * hoodie.compact.inline + hoodie.compact.inline.max.delta.commits,

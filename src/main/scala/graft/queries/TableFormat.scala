@@ -1484,6 +1484,28 @@ object TableFormat {
         SELECT o_orderpriority, count(*) AS n,
                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
                CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
-        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority""")))
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- dropPartitionColumns lifecycle (reference analog:
+    //      hoodie.datasource.write.drop.partition.columns): the
+    //      partition field exists ONLY in the hive-style path; the
+    //      summary groups by the reconstituted column and the delete
+    //      round-trips through it
+    "q108_drop_partition_cols" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(),
+          cfg("orders_dpc", TableType.COW).copy(
+            dropPartitionColumns = true, hiveStylePartitioning = true))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 >= 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        tbl.delete(orders.filter(col("o_orderkey") % 10 === 7)
+          .select("o_orderkey", "o_orderpriority"))
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some(SummarySql)))
   )
 }

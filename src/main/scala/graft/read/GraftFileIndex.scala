@@ -18,15 +18,24 @@ import graft.write.Meta
   * against per-file stats (record-key range + configured column
   * min/max/nullCount) when Catalyst hands down data filters.
   *
-  * Partition schema is empty on purpose: partition values are stored IN
-  * the files (so schema evolution and repartitioning stay trivial), and
-  * predicates on the partition column arrive as data filters, pruned here
-  * via the per-file stats instead of directory layout.
-  */
+  * Partition schema is empty BY DEFAULT on purpose: partition values are
+  * stored IN the files (so schema evolution and repartitioning stay
+  * trivial), and predicates on the partition column arrive as data
+  * filters, pruned here via the per-file stats instead of directory
+  * layout. Tables written with `dropPartitionColumns` flip that: the
+  * fields exist ONLY in the partition path, so the index declares a real
+  * partition schema, hands Spark per-group values from commit metadata
+  * (the scan appends the columns natively — no per-row decode), and
+  * evaluates Catalyst's partitionFilters per file group for EXACT
+  * zero-IO pruning. */
 class GraftFileIndex(
     basePath: String,
     files: Seq[WriteStat],
-    schema: StructType) extends FileIndex {
+    schema: StructType,
+    override val partitionSchema: StructType = new StructType(),
+    /** partition path → typed partition values (one row per distinct
+      * path); required when partitionSchema is non-empty */
+    partValues: Map[String, InternalRow] = Map.empty) extends FileIndex {
 
   private val entries: Seq[(FileStatus, WriteStat)] = files.map { st =>
     // FileStatus built from metadata: no driver FS round-trip per file
@@ -35,16 +44,44 @@ class GraftFileIndex(
   }
 
   override def rootPaths: Seq[Path] = Seq(new Path(basePath))
-  override def partitionSchema: StructType = new StructType()
+
+  /** Bind a partition-filter expression's attributes to partitionSchema
+    * ordinals and evaluate it against one group's values. Anything that
+    * fails to bind or evaluate keeps the group (soundness). */
+  private def partMatch(filters: Seq[Expression], row: InternalRow): Boolean =
+    filters.forall { f =>
+      try {
+        val bound = f.transform {
+          case a: AttributeReference =>
+            val i = partitionSchema.fieldIndex(a.name)
+            BoundReference(i, partitionSchema(i).dataType, nullable = true)
+        }
+        bound.eval(row) == true
+      } catch { case _: Exception => true }
+    }
 
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val filters = partitionFilters ++ dataFilters
-    val kept = entries.filter { case (_, st) =>
-      filters.forall(f => StatsSkipping.mayMatch(f, st, schema))
+    if (partitionSchema.isEmpty) {
+      val filters = partitionFilters ++ dataFilters
+      val kept = entries.filter { case (_, st) =>
+        filters.forall(f => StatsSkipping.mayMatch(f, st, schema))
+      }
+      Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
+    } else {
+      entries.groupBy(_._2.partition).toSeq.flatMap { case (p, es) =>
+        val row = partValues.getOrElse(p, InternalRow.empty)
+        if (!partMatch(partitionFilters, row)) None
+        else {
+          val kept = es.filter { case (_, st) =>
+            dataFilters.forall(f => StatsSkipping.mayMatch(f, st, schema))
+          }
+          if (kept.isEmpty) None
+          else Some(PartitionDirectory(row, kept.map(_._1).toArray))
+        }
+      }
     }
-    Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
   }
 
   override def inputFiles: Array[String] =
@@ -54,16 +91,20 @@ class GraftFileIndex(
 }
 
 object GraftFileIndex {
-  /** DataFrame over `files` with stats-pruning + full Catalyst pushdown. */
+  /** DataFrame over `files` with stats-pruning + full Catalyst pushdown.
+    * `partitionSchema` fields (with `partValues` rows) are appended by
+    * the scan itself; `schema` is what is physically in the files. */
   def relation(
       spark: SparkSession,
       basePath: String,
       files: Seq[WriteStat],
-      schema: StructType): DataFrame = {
+      schema: StructType,
+      partitionSchema: StructType = new StructType(),
+      partValues: Map[String, InternalRow] = Map.empty): DataFrame = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val idx = new GraftFileIndex(basePath, files, schema)
+    val idx = new GraftFileIndex(basePath, files, schema, partitionSchema, partValues)
     val rel = HadoopFsRelation(
-      idx, new StructType(), schema, None, new ParquetFileFormat, Map.empty[String, String])(cs)
+      idx, partitionSchema, schema, None, new ParquetFileFormat, Map.empty[String, String])(cs)
     cs.baseRelationToDataFrame(rel)
   }
 }

@@ -38,9 +38,21 @@ class GraftReader(table: GraftTable) {
   private def readBase(schema: StructType, stats: Seq[WriteStat]): DataFrame = {
     if (stats.isEmpty) return emptyWith(schema)
     val (ext, native) = stats.partition(_.external)
-    val parts = Seq(
+    val nativeDf =
       if (native.isEmpty) None
-      else Some(GraftFileIndex.relation(spark, table.basePath, native, schema)),
+      else if (table.config.dropPartitionColumns &&
+        table.config.partitionFields.nonEmpty) {
+        // partition fields live only in the path: declare them as a real
+        // partition schema so the scan appends typed values from commit
+        // metadata and Catalyst's partition filters prune groups exactly
+        val (dataSchema, partSchema, rows) =
+          table.partitionedReadLayout(schema, native.map(_.partition))
+        Some(GraftFileIndex.relation(spark, table.basePath, native,
+            dataSchema, partSchema, rows)
+          .select(schema.fieldNames.toSeq.map(col): _*))
+      } else Some(GraftFileIndex.relation(spark, table.basePath, native, schema))
+    val parts = Seq(
+      nativeDf,
       if (ext.isEmpty) None else Some(table.readStatsDf(schema, ext))
     ).flatten
     parts.reduce(_.unionByName(_))

@@ -92,6 +92,30 @@ object GraftAdmin {
       .toDF("instant", "action", "target_instant")
   }
 
+  /** Write amplification per commit (reference: StatsCommand.java:58
+    * `stats wa` — total records written / records upserted): commits
+    * whose metadata carries the incoming batch size (upsert/delete; the
+    * index probe measures it for free) get an exact factor, others show
+    * null rather than a guess. Final row totals the known commits. */
+  def showWriteAmplification(spark: SparkSession, table: GraftTable): DataFrame = {
+    import spark.implicits._
+    val per = table.timeline.completed()
+      .filter(i => Action.dataActions(i.action))
+      .map { i =>
+        val m = table.timeline.metadataOf(i)
+        val written = m.stats.map(_.rows).sum
+        val incoming = m.extra.get("incoming_rows").map(_.toLong)
+        (i.time, m.operation, written, incoming,
+          incoming.filter(_ > 0).map(written.toDouble / _))
+      }
+    val knownW = per.filter(_._4.isDefined).map(_._3).sum
+    val knownI = per.flatMap(_._4).sum
+    val total = ("total", "", knownW, Some(knownI).filter(_ > 0),
+      Some(knownI).filter(_ > 0).map(knownW.toDouble / _))
+    (per :+ total)
+      .toDF("instant", "operation", "rows_written", "incoming_rows", "wa")
+  }
+
   /** Archived instants with their accounting — audit over the cold
     * timeline (reference: ArchivedCommitsCommand.java:53). */
   def showArchivedCommits(spark: SparkSession, table: GraftTable): DataFrame = {

@@ -27,6 +27,8 @@ import graft.write.GraftTable
   *   SHOW PARTITIONS '<path>'
   *   SHOW COMMITS / FSVIEW / CLEANS / SAVEPOINTS / ROLLBACKS '<path>'
   *   SHOW ARCHIVED COMMITS '<path>'
+  *   SHOW WRITE AMPLIFICATION '<path>'
+  *   REPAIR DEDUPLICATE '<path>' [PARTITION 'p'] [DRY RUN]
   *   EXPORT TABLE '<path>' TO '<dir>' [FORMAT fmt] [AS OF '<instant>']
   *   COPY TABLE '<path>' TO '<dir>' [AS OF '<instant>']  (backup AS a graft table)
   *   TRUNCATE TABLE '<path>'
@@ -52,6 +54,9 @@ object GraftSql {
   private val ShowSavepoints = """(?is)\s*SHOW\s+SAVEPOINTS\s+'([^']+)'\s*""".r
   private val ShowRollbacks = """(?is)\s*SHOW\s+ROLLBACKS\s+'([^']+)'\s*""".r
   private val ShowArchived = """(?is)\s*SHOW\s+ARCHIVED\s+COMMITS\s+'([^']+)'\s*""".r
+  private val ShowWa = """(?is)\s*SHOW\s+WRITE\s+AMPLIFICATION\s+'([^']+)'\s*""".r
+  private val RepairDedup =
+    """(?is)\s*REPAIR\s+DEDUPLICATE\s+'([^']+)'(?:\s+PARTITION\s+'([^']*)')?(\s+DRY\s+RUN)?\s*""".r
   private val ExportTable =
     """(?is)\s*EXPORT\s+TABLE\s+'([^']+)'\s+TO\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?(?:\s+AS\s+OF\s+'([^']+)')?\s*""".r
   private val CopyTable =
@@ -182,6 +187,16 @@ object GraftSql {
       GraftAdmin.showRollbacks(spark, GraftTable.load(spark, path))
     case ShowArchived(path) =>
       GraftAdmin.showArchivedCommits(spark, GraftTable.load(spark, path))
+    case ShowWa(path) =>
+      GraftAdmin.showWriteAmplification(spark, GraftTable.load(spark, path))
+    case RepairDedup(path, part, dry) =>
+      val (surplus, groups, instant) = GraftTable.load(spark, path)
+        .repairDeduplicate(
+          partitions = Option(part).map(p => Set(p)),
+          dryRun = dry != null)
+      import spark.implicits._
+      Seq((surplus, groups, instant.getOrElse("")))
+        .toDF("surplus_rows", "groups_rewritten", "instant")
     case ExportTable(path, outDir, fmt, asOf) =>
       val n = GraftExporter.export(GraftTable.load(spark, path), outDir,
         format = Option(fmt).map(_.toLowerCase).getOrElse("parquet"),

@@ -258,13 +258,21 @@ class GraftTable private (
         * writers opt in */
       mixed: Boolean = false): Seq[WriteStat] = {
     val stagingDir = new Path(basePath, s"${Timeline.MetaDir}/.tmp/$commitTime")
+    // partition-field columns leave the stored schema here (their values
+    // live on in the _g_partition path + the synthesized per-group stats
+    // below); every writer — upsert, compaction, clustering — funnels
+    // through this one staging point, so the invariant holds table-wide
+    val droppedPartCols: Seq[String] =
+      if (config.dropPartitionColumns) config.partitionFields.filter(df.columns.contains)
+      else Nil
+    val data = if (droppedPartCols.isEmpty) df else df.drop(droppedPartCols: _*)
     // explicit partition count: an implicit repartition(cols) is subject
     // to AQE coalescing, which at many-small-groups commits folds the
     // write into ONE task that opens thousands of parquet writers
     // serially — the staged write must keep cluster-wide parallelism
     // (hash co-location of a group into one task holds at any count)
     val shufflePartitions = spark.sessionState.conf.numShufflePartitions
-    val staged = df
+    val staged = data
       .withColumn(GP, when(col(Partition) === "", lit(RootPartition)).otherwise(col(Partition)))
       .withColumn(GF, col(File))
       .repartition(shufflePartitions, col(GP), col(GF))
@@ -307,10 +315,10 @@ class GraftTable private (
     // formats StatsSkipping.compare re-parses; columns whose footer stats
     // are absent (e.g. >4 KB binary values) are simply not tracked, which
     // StatsSkipping treats as "never skip" — conservative, never wrong.
-    val statsCols = config.statsColumns.filter(df.columns.contains)
+    val statsCols = config.statsColumns.filter(data.columns.contains)
     val statTypes: Map[String, DataType] =
       (Key +: statsCols).flatMap(c =>
-        df.schema.fields.find(_.name == c).map(f => c -> f.dataType)).toMap
+        data.schema.fields.find(_.name == c).map(f => c -> f.dataType)).toMap
     val hconf = spark.sessionState.newHadoopConf()
 
     // publish renames run on a driver-side pool: at thousands of file
@@ -343,10 +351,27 @@ class GraftTable private (
               val rel = if (part == "") dest.getName else s"$part/${dest.getName}"
               val (rows, colStats) = GraftTable.footerStats(dest, hconf, statTypes)
               val keyStat = colStats.get(Key)
+              // a file group lives in exactly ONE partition, so each
+              // dropped partition field is single-valued in this file:
+              // min = max = its (read-visible) path segment — stats
+              // skipping on partition-field predicates keeps working
+              // with the column gone from storage
+              val partStats: Map[String, ColStat] =
+                if (droppedPartCols.isEmpty) Map.empty
+                else {
+                  val segs = part.split("/", -1)
+                  droppedPartCols.zipWithIndex.flatMap { case (f, i) =>
+                    if (i >= segs.length) None
+                    else {
+                      val v = decodePartSegment(f, segs(i))
+                      Some(f -> ColStat(v, v, 0L))
+                    }
+                  }.toMap
+                }
               WriteStat(part, fileId, rel, isDelta = isDelta, rows = rows, bytes = bytes,
                 minKey = keyStat.flatMap(s => Option(s.min)).getOrElse(""),
                 maxKey = keyStat.flatMap(s => Option(s.max)).getOrElse(""),
-                columnStats = colStats.filter { case (c, _) => c != Key })
+                columnStats = colStats.filter { case (c, _) => c != Key } ++ partStats)
             }
           })
         }
@@ -560,7 +585,8 @@ class GraftTable private (
     val (ext, native) = stats.partition(_.external)
     val parts = Seq(
       if (native.isEmpty) None
-      else Some(spark.read.schema(schema).parquet(native.map(absPath): _*)),
+      else Some(restorePartitionCols(
+        spark.read.schema(schema).parquet(native.map(absPath): _*))),
       if (ext.isEmpty) None else Some(stampExternal(schema, ext))
     ).flatten
     parts match {
@@ -570,6 +596,70 @@ class GraftTable private (
       case many => many.reduce(_.unionByName(_))
     }
   }
+
+  /** Driver-side twin of [[restorePartitionCols]]'s per-row expression:
+    * path segment → read-visible partition value. */
+  private def decodePartSegment(f: String, seg: String): String = {
+    val raw = if (config.hiveStylePartitioning) seg.stripPrefix(s"$f=") else seg
+    if (config.urlEncodePartitioning) java.net.URLDecoder.decode(raw, "UTF-8")
+    else raw
+  }
+
+  /** For dropPartitionColumns tables: split the full read schema into
+    * (stored data schema, partition schema) and decode each distinct
+    * partition path into a typed values row for [[graft.read.GraftFileIndex]]
+    * to hand Spark's scan — the native partitioned-read path (columns
+    * appended from metadata, partitionFilters pruned exactly, zero IO). */
+  private[graft] def partitionedReadLayout(
+      schema: StructType,
+      partitions: Seq[String]): (StructType, StructType,
+        Map[String, org.apache.spark.sql.catalyst.InternalRow]) = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val pf = config.partitionFields
+    val partFields = pf.flatMap(f => schema.fields.find(_.name == f))
+    val dataSchema = StructType(schema.fields.filterNot(f => pf.contains(f.name)))
+    val rows = partitions.distinct.map { p =>
+      val segs = p.split("/", -1)
+      val vals = partFields.zipWithIndex.map { case (f, i) =>
+        if (i >= segs.length) null
+        else Cast(
+          Literal.create(
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              decodePartSegment(f.name, segs(i))),
+            org.apache.spark.sql.types.StringType),
+          f.dataType, Some("UTC")).eval(null)
+      }
+      p -> org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals)
+    }.toMap
+    (dataSchema, StructType(partFields), rows)
+  }
+
+  /** Reconstitute dropped partition-field columns from the stored
+    * `_g_partition` path (reference analog: the read side of
+    * hoodie.datasource.write.drop.partition.columns —
+    * HoodieBaseRelation's shouldExtractPartitionValuesFromPartitionPath).
+    * Files written with `dropPartitionColumns` carry the fields only in
+    * their path; the declared read schema surfaces them as nulls, which
+    * this replaces with the typed path value. Used on the plain-parquet
+    * read paths (delta merges, compaction, CDC); the [[graft.read.GraftFileIndex]]
+    * path appends the columns natively via [[partitionedReadLayout]]
+    * instead. No-op when the option is off. */
+  private[graft] def restorePartitionCols(df: DataFrame): DataFrame =
+    if (!config.dropPartitionColumns || config.partitionFields.isEmpty) df
+    else config.partitionFields.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
+      if (!d.columns.contains(f)) d
+      else {
+        val seg = split(col(Partition), "/").getItem(i)
+        val noPrefix =
+          if (config.hiveStylePartitioning)
+            regexp_replace(seg, "^" + java.util.regex.Pattern.quote(f) + "=", "")
+          else seg
+        val decoded =
+          if (config.urlEncodePartitioning) call_function("url_decode", noPrefix)
+          else noPrefix
+        d.withColumn(f, decoded.cast(d.schema(f).dataType))
+      }
+    }
 
   /** Key / partition derivation exposed for the bootstrap stats pass
     * (GraftDdl.bootstrap computes per-file key ranges and partition
@@ -701,11 +791,13 @@ class GraftTable private (
     * join's file list (reference analog: the bloom index computes the
     * same batch statistics before loadInvolvedFiles). */
   private def batchIndexProbe(
-      prepared: DataFrame): (Option[Set[String]], String => Option[(String, String)]) = {
+      prepared: DataFrame): (Option[Set[String]], String => Option[(String, String)], Long) = {
     val batchStats = prepared.groupBy(col(Partition))
-      .agg(min(col(Key)).as("_g_mn"), max(col(Key)).as("_g_mx"))
+      .agg(min(col(Key)).as("_g_mn"), max(col(Key)).as("_g_mx"),
+        count(lit(1)).as("_g_n"))
       .collect()
-      .map(r => (r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+      .map(r => (r.getString(0), Option(r.getString(1)), Option(r.getString(2)),
+        r.getLong(3)))
     val global = config.partitionFields.isEmpty || config.globalIndex
     val touched: Option[Set[String]] =
       if (global) None else Some(batchStats.map(_._1).toSet)
@@ -716,12 +808,12 @@ class GraftTable private (
         val g = if (mins.isEmpty) None else Some((mins.min, maxs.max))
         _ => g
       } else {
-        val m = batchStats.flatMap { case (p, mn, mx) =>
+        val m = batchStats.flatMap { case (p, mn, mx, _) =>
           for (a <- mn; b <- mx) yield p -> (a, b)
         }.toMap
         p => m.get(p)
       }
-    (touched, keyRangeOf)
+    (touched, keyRangeOf, batchStats.map(_._4).sum)
   }
 
   // =========================================================================
@@ -915,7 +1007,7 @@ class GraftTable private (
     val snap = Snapshot.resolve(timeline)
     val prepared = precombine(prepare(df, t))
 
-    val (touched, keyRangeOf) = batchIndexProbe(prepared)
+    val (touched, keyRangeOf, incomingRows) = batchIndexProbe(prepared)
     val idx = keyIndex(snap, touched, keyRangeOf, incoming = Some(prepared))
       .withColumnRenamed(Key, "_g_idx_key")
       .withColumnRenamed(File, "_g_loc")
@@ -973,7 +1065,10 @@ class GraftTable private (
             merged.unionByName(inserts, allowMissingColumns = true), t)
         }
       finishCommit(t, action,
-        CommitMetadata("upsert", schemaJson(prepared), stats, extra = extra),
+        CommitMetadata("upsert", schemaJson(prepared), stats,
+          // write-amplification accounting (stats wa): incoming batch
+          // size, measured by the index probe's already-paid aggregation
+          extra = extra + ("incoming_rows" -> incomingRows.toString)),
         snap.asOf, guarded = true)
       t
     } finally tagged.unpersist()
@@ -994,7 +1089,7 @@ class GraftTable private (
     val prepared = precombine(prepare(keys, t, deleted = true))
       .select((Seq(CommitTime, Seqno, Key, Partition, Deleted) ++ keepData).map(col): _*)
 
-    val (touched, keyRangeOf) = batchIndexProbe(prepared)
+    val (touched, keyRangeOf, incomingRows) = batchIndexProbe(prepared)
     val idx = keyIndex(snap, touched, keyRangeOf, incoming = Some(prepared))
       .withColumnRenamed(Key, "_g_idx_key")
       .withColumnRenamed(File, "_g_loc")
@@ -1028,7 +1123,8 @@ class GraftTable private (
             (stageAndPublish(merged, t), Map.empty[String, Seq[String]])
           }
         }
-      finishCommit(t, action, CommitMetadata("delete", "", stats, replaced),
+      finishCommit(t, action, CommitMetadata("delete", "", stats, replaced,
+          extra = Map("incoming_rows" -> incomingRows.toString)),
         snap.asOf, guarded = true)
       t
     } finally tagged.unpersist()
@@ -1079,6 +1175,64 @@ class GraftTable private (
       CommitMetadata("delete_partition", "", Nil, replaced),
       snap.asOf, guarded = true)
     t
+  }
+
+  /** Repair duplicate keys left by non-deduplicating ingestion (reference
+    * analog: hudi-cli RepairsCommand `repair deduplicate` +
+    * DedupeSparkJob.scala:54): bulk_insert skips the tag join by contract,
+    * so re-ingesting an existing key plants a physical duplicate that
+    * snapshot reads then surface twice. Finds (partition, key) pairs with
+    * more than one visible row, rewrites ONLY the file groups holding
+    * them through the merge strategy (the row an upsert would have kept
+    * wins), and publishes the rewrite as a replacecommit — duplicate-free
+    * groups are never touched or rewritten. Partition-scoped like the
+    * reference: the same key in two partitions of a non-global table is
+    * not a duplicate.
+    *
+    * One full scan of the (optionally partition-restricted) snapshot
+    * finds the duplicates; the rewrite reads only the affected groups.
+    * Returns (surplus rows removed, file groups rewritten, instant). */
+  def repairDeduplicate(
+      partitions: Option[Set[String]] = None,
+      dryRun: Boolean = false): (Long, Long, Option[String]) = {
+    val snap = Snapshot.resolve(timeline)
+    val schema = readSchema(snap)
+    if (snap.isEmpty || schema.isEmpty) return (0L, 0L, None)
+    val reader = graft.read.GraftReader(this)
+    val dupW = Window.partitionBy(col(Partition), col(Key))
+    val dup = reader.snapshotOf(snap, schema, partitions)
+      .withColumn("_g_dupc", count(lit(1)).over(dupW))
+      .filter(col("_g_dupc") > 1)
+      .select(col(Partition), col(Key), col(File))
+      .persist()
+    try {
+      val agg = dup.agg(count(lit(1)).as("rows"),
+        count_distinct(col(Partition), col(Key)).as("keys")).head()
+      val surplus = agg.getLong(0) - agg.getLong(1)
+      if (surplus == 0L) return (0L, 0L, None)
+      val affected: Map[String, Seq[String]] = dup
+        .select(col(Partition), col(File)).distinct().collect()
+        .groupBy(_.getString(0))
+        .map { case (p, rs) => p -> rs.map(_.getString(1)).toSeq.sorted }
+      val groupCount = affected.values.map(_.size).sum.toLong
+      if (dryRun) return (surplus, groupCount, None)
+
+      val t = timeline.start(Action.ReplaceCommit)
+      val affectedSet = affected.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
+      val sub = snap.copy(slices = snap.slices.filter(s =>
+        affectedSet.contains((s.partition, s.fileId))))
+      // visible rows of the affected groups, collapsed per key exactly as
+      // an upsert would have merged them, restamped into fresh groups
+      val repaired = mergeLatest(reader.snapshotOf(sub, schema)).drop(Meta.all: _*)
+      val prepared = assignInsertGroups(precombine(prepare(repaired, t)), t,
+        targetRows = effectiveTargetRows(Some(snap))).drop(NewGroup)
+      val stats = stageAndPublish(prepared, t)
+      finishCommit(t, Action.ReplaceCommit,
+        CommitMetadata("repair_deduplicate", schemaJson(prepared), stats,
+          affected, extra = Map("surplus_rows" -> surplus.toString)),
+        snap.asOf, guarded = true)
+      (surplus, groupCount, Some(t))
+    } finally dup.unpersist()
   }
 
   // =========================================================================
@@ -1234,7 +1388,13 @@ object GraftTable {
     KeyBloom.delete(fs, p)
   }
 
+  private def validateConfig(config: TableConfig): Unit =
+    require(!(config.dropPartitionColumns && config.partitionTimestampFormat.nonEmpty),
+      "dropPartitionColumns cannot combine with partitionTimestampFormat: " +
+        "formatted partition paths are not invertible back to column values")
+
   def create(spark: SparkSession, path: String, config: TableConfig): GraftTable = {
+    validateConfig(config)
     val tl = new Timeline(path, spark.sessionState.newHadoopConf())
     require(!tl.exists, s"table already exists at $path")
     tl.initTable(config)
@@ -1256,6 +1416,7 @@ object GraftTable {
   }
 
   def createOrLoad(spark: SparkSession, path: String, config: TableConfig): GraftTable = {
+    validateConfig(config)
     val tl = new Timeline(path, spark.sessionState.newHadoopConf())
     if (!tl.exists) tl.initTable(config)
     new GraftTable(spark, path, tl)

@@ -49,6 +49,64 @@ class AdminSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getLong(0) == 3L)
   }
 
+  test("SHOW WRITE AMPLIFICATION: exact factor for upserts, null for loads") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg())
+    tbl.bulkInsert(rows(1L to 100L: _*))
+    // COW upsert of 5 keys rewrites the single 100-row group → WA = 20
+    tbl.upsert(rows(1L, 2L, 3L, 4L, 5L))
+    val wa = GraftSql.sql(spark, s"SHOW WRITE AMPLIFICATION '$dir'")
+      .select("operation", "rows_written", "incoming_rows", "wa")
+      .collect()
+    val byOp = wa.map(r => (r.getString(0),
+      (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    assert(byOp("bulk_insert") == ((100L, -1L, -1.0)),
+      "bulk load has no incoming accounting — wa must be null, not guessed")
+    assert(byOp("upsert") == ((100L, 5L, 20.0)), s"got ${byOp("upsert")}")
+    assert(byOp("") == ((100L, 5L, 20.0)), "total row aggregates known commits")
+  }
+
+  test("REPAIR DEDUPLICATE rewrites only duplicate-bearing groups") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "t", tableType = TableType.COW, keyFields = Seq("id"),
+      partitionFields = Seq("p"), orderingField = "ts", targetFileRows = 1000))
+    def part(p: String, ids: Seq[Long], ts: Long): DataFrame =
+      ids.map(i => (i, p, s"v$i@$ts", ts)).toDF("id", "p", "v", "ts")
+    tbl.bulkInsert(part("a", 1L to 50L, 1L).unionByName(part("b", 1L to 50L, 1L)))
+    // bulk_insert skips the tag join → re-ingesting keys 1..10 of 'a'
+    // plants duplicates; partition 'b' stays clean
+    tbl.bulkInsert(part("a", 1L to 10L, 2L))
+    val r = graft.read.GraftReader(tbl)
+    assert(r.dataOnly(r.snapshot()).count() == 110, "precondition: dups visible")
+    val cleanGroups = Snapshot.resolve(tbl.timeline).slices
+      .filter(_.partition == "b").map(_.fileId).toSet
+
+    // dry run: counts, no commit
+    val dry = GraftSql.sql(spark,
+      s"REPAIR DEDUPLICATE '$dir' DRY RUN").collect().head
+    assert(dry.getLong(0) == 10 && dry.getString(2).isEmpty)
+    assert(r.dataOnly(r.snapshot()).count() == 110)
+
+    val res = GraftSql.sql(spark, s"REPAIR DEDUPLICATE '$dir'").collect().head
+    assert(res.getLong(0) == 10, s"surplus: ${res.getLong(0)}")
+    val after = r.dataOnly(r.snapshot())
+    assert(after.count() == 100)
+    // merge semantics: the later-ordered (ts=2) row won for repaired keys
+    assert(after.filter($"p" === "a" && $"id" === 3).select("v")
+      .head().getString(0) == "v3@2")
+    // untouched partition keeps its original file groups (no blind rewrite)
+    val bAfter = Snapshot.resolve(tbl.timeline).slices
+      .filter(_.partition == "b").map(_.fileId).toSet
+    assert(bAfter == cleanGroups, "clean groups were rewritten")
+    // idempotent: second repair finds nothing
+    val again = GraftSql.sql(spark, s"REPAIR DEDUPLICATE '$dir'").collect().head
+    assert(again.getLong(0) == 0 && again.getString(2).isEmpty)
+  }
+
   test("SHOW SAVEPOINTS / ROLLBACKS / CLEANS reflect service history") {
     import spark.implicits._
     val dir = tmp()
