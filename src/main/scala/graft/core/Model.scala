@@ -149,6 +149,16 @@ case class TableConfig(
       * partitionTimestampFormat, whose formatted paths aren't
       * invertible. */
     dropPartitionColumns: Boolean = false,
+    /** "virtual keys": store ZERO engine meta columns in data files —
+      * key/partition/commit-time are derived at read from the
+      * key-generator expressions and commit metadata (reference analog:
+      * hoodie.populate.meta.fields=false, HoodieTableConfig.java:159 —
+      * "only meant to be used for append only/immutable data"). COW
+      * only; upsert/delete/incremental/CDC refuse loudly. At 100 TB the
+      * six meta columns are a material fraction of narrow tables.
+      * (Inverted sense vs the reference key so that table.json files
+      * predating the field deserialize to the safe default.) */
+    virtualKeys: Boolean = false,
     /** MOR: compact inline after a write once this many delta commits
       * stack since the last compaction (reference analog:
       * hoodie.compact.inline + hoodie.compact.inline.max.delta.commits,

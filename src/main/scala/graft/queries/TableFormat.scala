@@ -1506,6 +1506,39 @@ object TableFormat {
         summarize(r.dataOnly(r.snapshot())
           .withColumnRenamed("o_totalprice", "price"))
       },
-      Some(SummarySql)))
+      Some(SummarySql))),
+
+    // ---- virtual keys + dropped partition columns (reference analog:
+    //      hoodie.populate.meta.fields=false, HoodieTableConfig.java:159):
+    //      files store PURE data columns — zero meta, no partition field;
+    //      the append-only lifecycle (bulk load, insert fill,
+    //      insert_overwrite of one partition) reads back exact
+    "q109_virtual_keys" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(),
+          cfg("orders_vk", TableType.COW).copy(
+            virtualKeys = true, dropPartitionColumns = true))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 6))
+        tbl.insert(orders.filter(col("o_orderkey") % 10 === 6))
+        // replace one partition wholesale with repriced rows
+        tbl.insertOverwrite(orders
+          .filter(col("o_orderpriority") === "3-MEDIUM" &&
+            col("o_orderkey") % 10 <= 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderpriority = '3-MEDIUM'
+                      THEN o_totalprice + 1000 ELSE o_totalprice END AS price
+          FROM orders WHERE o_orderkey % 10 <= 6)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority""")))
   )
 }

@@ -38,10 +38,26 @@ class GraftReader(table: GraftTable) {
   private def readBase(schema: StructType, stats: Seq[WriteStat]): DataFrame = {
     if (stats.isEmpty) return emptyWith(schema)
     val (ext, native) = stats.partition(_.external)
+    val cfg = table.config
     val nativeDf =
       if (native.isEmpty) None
-      else if (table.config.dropPartitionColumns &&
-        table.config.partitionFields.nonEmpty) {
+      else if (cfg.virtualKeys) {
+        // files hold only data columns; stats pruning still runs over
+        // them, then every meta column is stamped from commit metadata
+        val stored = table.virtualStoredSchema(schema)
+        val rel =
+          if (cfg.dropPartitionColumns && cfg.partitionFields.nonEmpty) {
+            // layout input = stored columns + the (typed) partition
+            // fields, so the split finds their declared types
+            val withPf = StructType(stored.fields ++
+              schema.fields.filter(f => cfg.partitionFields.contains(f.name)))
+            val (dataSchema, partSchema, rows) =
+              table.partitionedReadLayout(withPf, native.map(_.partition))
+            GraftFileIndex.relation(spark, table.basePath, native,
+              dataSchema, partSchema, rows)
+          } else GraftFileIndex.relation(spark, table.basePath, native, stored)
+        Some(table.stampVirtual(rel, schema, native))
+      } else if (cfg.dropPartitionColumns && cfg.partitionFields.nonEmpty) {
         // partition fields live only in the path: declare them as a real
         // partition schema so the scan appends typed values from commit
         // metadata and Catalyst's partition filters prune groups exactly
@@ -114,6 +130,10 @@ class GraftReader(table: GraftTable) {
         * DataSourceOptions.scala INCR_PATH_GLOB + IncrementalRelation's
         * globPattern filter) */
       partitionGlob: Option[String] = None): DataFrame = {
+    require(!table.config.virtualKeys,
+      "incremental queries are not functional on a virtualKeys table: row " +
+        "commit lineage is file-level and small-file fills rewrite rows " +
+        "(reference contract: hoodie.populate.meta.fields=false)")
     val snap = Snapshot.resolve(timeline, end)
     val schema = table.readSchema(snap)
     if (snap.isEmpty || schema.isEmpty) return emptyWith(schema)
@@ -158,6 +178,8 @@ class GraftReader(table: GraftTable) {
     * touched groups' pre-range snapshot) and the after image as `+U`. */
   def incrementalCdc(begin: String, end: Option[String] = None,
       preImage: Boolean = false): DataFrame = {
+    require(!table.config.virtualKeys,
+      "CDC is not functional on a virtualKeys table (no stored row lineage)")
     val snap = Snapshot.resolve(timeline, end)
     val schema = table.readSchema(snap)
     if (snap.isEmpty || schema.isEmpty)

@@ -260,23 +260,31 @@ class GraftTable private (
     val stagingDir = new Path(basePath, s"${Timeline.MetaDir}/.tmp/$commitTime")
     // partition-field columns leave the stored schema here (their values
     // live on in the _g_partition path + the synthesized per-group stats
-    // below); every writer — upsert, compaction, clustering — funnels
-    // through this one staging point, so the invariant holds table-wide
+    // below), and virtual-keys tables shed ALL meta columns; every
+    // writer — upsert, compaction, clustering — funnels through this one
+    // staging point, so the invariant holds table-wide
     val droppedPartCols: Seq[String] =
       if (config.dropPartitionColumns) config.partitionFields.filter(df.columns.contains)
       else Nil
-    val data = if (droppedPartCols.isEmpty) df else df.drop(droppedPartCols: _*)
+    val droppedMeta: Seq[String] =
+      if (config.virtualKeys) Meta.all.filter(df.columns.contains) else Nil
+    val dropped = droppedPartCols ++ droppedMeta
+    val data = if (dropped.isEmpty) df else df.drop(dropped: _*)
     // explicit partition count: an implicit repartition(cols) is subject
     // to AQE coalescing, which at many-small-groups commits folds the
     // write into ONE task that opens thousands of parquet writers
     // serially — the staged write must keep cluster-wide parallelism
     // (hash co-location of a group into one task holds at any count)
     val shufflePartitions = spark.sessionState.conf.numShufflePartitions
-    val staged = data
+    // GP/GF/sort derive from the meta columns, so the projection that
+    // sheds dropped columns from file contents goes AFTER the sort (a
+    // narrow projection preserves within-partition order)
+    val staged = df
       .withColumn(GP, when(col(Partition) === "", lit(RootPartition)).otherwise(col(Partition)))
       .withColumn(GF, col(File))
       .repartition(shufflePartitions, col(GP), col(GF))
       .sortWithinPartitions(col(GP), col(GF), col(Key))
+      .drop(dropped: _*)
     // timestamps must be stored as INT64 micros: Spark's default (INT96)
     // writes NO usable parquet footer min/max, which would silently drop
     // timestamp columns from data skipping. Parquet's prepareWrite reads
@@ -585,6 +593,11 @@ class GraftTable private (
     val (ext, native) = stats.partition(_.external)
     val parts = Seq(
       if (native.isEmpty) None
+      else if (config.virtualKeys)
+        Some(stampVirtual(
+          spark.read.schema(virtualStoredSchema(schema))
+            .parquet(native.map(absPath): _*),
+          schema, native))
       else Some(restorePartitionCols(
         spark.read.schema(schema).parquet(native.map(absPath): _*))),
       if (ext.isEmpty) None else Some(stampExternal(schema, ext))
@@ -644,22 +657,79 @@ class GraftTable private (
     * read paths (delta merges, compaction, CDC); the [[graft.read.GraftFileIndex]]
     * path appends the columns natively via [[partitionedReadLayout]]
     * instead. No-op when the option is off. */
+  /** The i-th partition field's read-visible value, as an expression over
+    * the `_g_partition` meta column (uncast). */
+  private def partSegmentRestoreExpr(f: String, i: Int): Column = {
+    val seg = split(col(Partition), "/").getItem(i)
+    val noPrefix =
+      if (config.hiveStylePartitioning)
+        regexp_replace(seg, "^" + java.util.regex.Pattern.quote(f) + "=", "")
+      else seg
+    if (config.urlEncodePartitioning) call_function("url_decode", noPrefix)
+    else noPrefix
+  }
+
   private[graft] def restorePartitionCols(df: DataFrame): DataFrame =
     if (!config.dropPartitionColumns || config.partitionFields.isEmpty) df
     else config.partitionFields.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
       if (!d.columns.contains(f)) d
-      else {
-        val seg = split(col(Partition), "/").getItem(i)
-        val noPrefix =
-          if (config.hiveStylePartitioning)
-            regexp_replace(seg, "^" + java.util.regex.Pattern.quote(f) + "=", "")
-          else seg
-        val decoded =
-          if (config.urlEncodePartitioning) call_function("url_decode", noPrefix)
-          else noPrefix
-        d.withColumn(f, decoded.cast(d.schema(f).dataType))
-      }
+      else d.withColumn(f,
+        partSegmentRestoreExpr(f, i).cast(d.schema(f).dataType))
     }
+
+  /** Columns physically present in a virtual-keys table's files: the
+    * declared schema minus every meta column (and minus dropped partition
+    * fields when both options combine). */
+  private[graft] def virtualStoredSchema(schema: StructType): StructType =
+    StructType(schema.fields.filterNot(f =>
+      Meta.all.contains(f.name) ||
+        (config.dropPartitionColumns && config.partitionFields.contains(f.name))))
+
+  /** Reconstitute EVERY meta column for a virtual-keys read (reference
+    * analog: hoodie.populate.meta.fields=false + virtual-key generation,
+    * HoodieTableConfig.java:159): partition/commit-time/file-id are
+    * per-file constants from commit metadata (stamped via an
+    * input_file_name lookup, like the bootstrap path), the key comes from
+    * the key-generator expression, and rows are never tombstoned
+    * (append-only contract). `df` must cover [[virtualStoredSchema]];
+    * output matches `schema`'s columns. */
+  private[graft] def stampVirtual(
+      df: DataFrame, schema: StructType, native: Seq[WriteStat]): DataFrame = {
+    import spark.implicits._
+    // per-file constants ride a BROADCAST join keyed on the file name —
+    // not a literal map: a literal embeds every file name into the
+    // serialized plan shipped with each task, which at metadata scale
+    // (10^5-10^6 files) is a driver/task-size liability; a broadcast
+    // ships once per executor
+    val info = native.map { st =>
+      val name = new Path(st.path).getName
+      val commit = name
+        .stripSuffix(".parquet").stripSuffix(".delta")
+        .stripPrefix(s"${st.fileId}_")
+      (name, st.fileId, commit, st.partition)
+    }.toDF("_g_vf_name", "_g_vf_file", "_g_vf_commit", "_g_vf_part")
+    val withPart = df
+      .withColumn("_g_vf_name", regexp_extract(input_file_name(), "[^/]+$", 0))
+      .join(broadcast(info), "_g_vf_name")
+      .withColumn(Partition, col("_g_vf_part"))
+    // dropped partition fields not already appended by the scan derive
+    // from the freshly stamped partition path
+    val withFields =
+      if (!config.dropPartitionColumns) withPart
+      else config.partitionFields.zipWithIndex.foldLeft(withPart) {
+        case (d, (f, i)) =>
+          if (d.columns.contains(f) || !schema.fieldNames.contains(f)) d
+          else d.withColumn(f,
+            partSegmentRestoreExpr(f, i).cast(schema(f).dataType))
+      }
+    withFields
+      .withColumn(Key, keyExpr)
+      .withColumn(CommitTime, col("_g_vf_commit"))
+      .withColumn(Seqno, concat(col(CommitTime), lit("_"), lpad(lit("0"), 20, "0")))
+      .withColumn(File, col("_g_vf_file"))
+      .withColumn(Deleted, lit(false))
+      .select(schema.fieldNames.toSeq.map(col): _*)
+  }
 
   /** Key / partition derivation exposed for the bootstrap stats pass
     * (GraftDdl.bootstrap computes per-file key ranges and partition
@@ -1002,6 +1072,9 @@ class GraftTable private (
     * file groups (COW) or append delta files (MOR), route new keys to new
     * groups. */
   def upsert(df: DataFrame, extra: Map[String, String] = Map.empty): String = {
+    require(!config.virtualKeys,
+      "upsert is not supported on a virtualKeys table (append-only contract " +
+        "— reference analog: hoodie.populate.meta.fields=false)")
     val action = if (isMor) Action.DeltaCommit else Action.Commit
     val t = timeline.start(action)
     val snap = Snapshot.resolve(timeline)
@@ -1079,6 +1152,9 @@ class GraftTable private (
     * MOR: tombstone delta rows (reference analog:
     * SparkRDDWriteClient.delete :252 + EmptyHoodieRecordPayload). */
   def delete(keys: DataFrame): String = {
+    require(!config.virtualKeys,
+      "delete is not supported on a virtualKeys table (append-only contract); " +
+        "use deletePartitions or insert_overwrite for bulk removal")
     val action = if (isMor) Action.DeltaCommit else Action.Commit
     val t = timeline.start(action)
     val snap = Snapshot.resolve(timeline)
@@ -1218,7 +1294,10 @@ class GraftTable private (
       if (dryRun) return (surplus, groupCount, None)
 
       val t = timeline.start(Action.ReplaceCommit)
-      val affectedSet = affected.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
+      // .toSeq first: flatMap on the Map itself re-keys by partition and
+      // silently collapses to ONE file group per partition
+      val affectedSet =
+        affected.toSeq.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
       val sub = snap.copy(slices = snap.slices.filter(s =>
         affectedSet.contains((s.partition, s.fileId))))
       // visible rows of the affected groups, collapsed per key exactly as
@@ -1388,10 +1467,17 @@ object GraftTable {
     KeyBloom.delete(fs, p)
   }
 
-  private def validateConfig(config: TableConfig): Unit =
+  private def validateConfig(config: TableConfig): Unit = {
     require(!(config.dropPartitionColumns && config.partitionTimestampFormat.nonEmpty),
       "dropPartitionColumns cannot combine with partitionTimestampFormat: " +
         "formatted partition paths are not invertible back to column values")
+    require(!(config.virtualKeys && config.tableType == TableType.MOR),
+      "virtualKeys is COW-only: MOR merge lineage needs stored meta columns " +
+        "(reference contract: append only/immutable data)")
+    require(!(config.virtualKeys && config.bloomIndex),
+      "virtualKeys cannot combine with bloomIndex: key bloom sidecars are " +
+        "built from the stored key column")
+  }
 
   def create(spark: SparkSession, path: String, config: TableConfig): GraftTable = {
     validateConfig(config)
