@@ -46,18 +46,31 @@ class GraftFileIndex(
   override def rootPaths: Seq[Path] = Seq(new Path(basePath))
 
   /** Bind a partition-filter expression's attributes to partitionSchema
-    * ordinals and evaluate it against one group's values. Anything that
-    * fails to bind or evaluate keeps the group (soundness). */
+    * ordinals and evaluate it against one group's values.
+    *
+    * Exactness contract: Spark REMOVES partition-only filters from
+    * post-scan evaluation (FileSourceStrategy's afterScanFilters), so
+    * for a deterministic filter this evaluation is the only application
+    * it gets — "keep on failure" here would return unfiltered rows, not
+    * merely over-scan. Deterministic filters therefore evaluate with
+    * errors PROPAGATED (an ANSI cast error on a partition value is the
+    * query's defined behavior). Filters we cannot evaluate exactly
+    * (nondeterministic, or carrying subquery/dynamic-pruning plans whose
+    * originating join still filters rows downstream) keep the group —
+    * sound for those shapes only. */
   private def partMatch(filters: Seq[Expression], row: InternalRow): Boolean =
     filters.forall { f =>
-      try {
+      val evaluable = f.deterministic &&
+        !f.exists(e => e.isInstanceOf[PlanExpression[_]])
+      if (!evaluable) true
+      else {
         val bound = f.transform {
           case a: AttributeReference =>
             val i = partitionSchema.fieldIndex(a.name)
             BoundReference(i, partitionSchema(i).dataType, nullable = true)
         }
         bound.eval(row) == true
-      } catch { case _: Exception => true }
+      }
     }
 
   override def listFiles(

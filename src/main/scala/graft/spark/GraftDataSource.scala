@@ -35,6 +35,9 @@ import graft.write.GraftTable
   *   compact.inline.delta.commits  MOR: compact after N delta commits (0=off)
   *   clean.retain.commits          auto-clean after commit, keep N (0=off)
   *   archive.min.commits / archive.max.commits   auto-archive window
+  *   hive.style.partitioning / url.encode.partitioning   path encoding
+  *   drop.partition.columns   partition fields live only in the path
+  *   virtual.keys             store zero meta columns (append-only COW)
   */
 class GraftDataSource
   extends RelationProvider
@@ -171,6 +174,13 @@ class GraftDataSource
           .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
         orderingField = parameters.getOrElse("ordering.field", ""),
         mergeStrategy = parameters.getOrElse("merge.strategy", "overwrite_latest"),
+        hiveStylePartitioning =
+          parameters.getOrElse("hive.style.partitioning", "false").toBoolean,
+        urlEncodePartitioning =
+          parameters.getOrElse("url.encode.partitioning", "false").toBoolean,
+        dropPartitionColumns =
+          parameters.getOrElse("drop.partition.columns", "false").toBoolean,
+        virtualKeys = parameters.getOrElse("virtual.keys", "false").toBoolean,
         inlineCompactDeltaCommits =
           parameters.getOrElse("compact.inline.delta.commits", "0").toInt,
         autoCleanRetainCommits =

@@ -117,6 +117,19 @@ class GraftTable private (
     * MERGE INTO with WHEN MATCHED DELETE); otherwise every row gets
     * `deleted`. */
   private def prepare(df: DataFrame, commitTime: String, deleted: Boolean = false): DataFrame = {
+    // a timestamp renders with ':' which path sanitizing replaces by '_'
+    // — not invertible, so a dropped timestamp partition column would
+    // read back NULL; url-encoding roundtrips exactly, so require it
+    // (checked here because column types only arrive with the data)
+    if (config.dropPartitionColumns && !config.urlEncodePartitioning)
+      config.partitionFields.foreach { f =>
+        df.schema.fields.find(_.name == f).foreach { fld =>
+          require(!fld.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType] &&
+            !fld.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType],
+            s"dropPartitionColumns with timestamp partition field '$f' requires " +
+              "urlEncodePartitioning: sanitized path characters are not invertible")
+        }
+      }
     val del: Column =
       if (df.columns.contains(Deleted)) coalesce(col(Deleted), lit(false))
       else lit(deleted)
@@ -368,8 +381,12 @@ class GraftTable private (
                 if (droppedPartCols.isEmpty) Map.empty
                 else {
                   val segs = part.split("/", -1)
-                  droppedPartCols.zipWithIndex.flatMap { case (f, i) =>
-                    if (i >= segs.length) None
+                  // segment position = the field's position in the FULL
+                  // partition spec (a batch carrying only a subset of
+                  // the partition columns must not shift the mapping)
+                  droppedPartCols.flatMap { f =>
+                    val i = config.partitionFields.indexOf(f)
+                    if (i < 0 || i >= segs.length) None
                     else {
                       val v = decodePartSegment(f, segs(i))
                       Some(f -> ColStat(v, v, 0L))
@@ -628,35 +645,34 @@ class GraftTable private (
       partitions: Seq[String]): (StructType, StructType,
         Map[String, org.apache.spark.sql.catalyst.InternalRow]) = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    // same zone as the write path's col.cast("string") rendering and the
+    // restorePartitionCols read path — a hardcoded zone would shift
+    // timestamp partition values between the two read paths
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
     val pf = config.partitionFields
-    val partFields = pf.flatMap(f => schema.fields.find(_.name == f))
+    // pair each found field with its position in the FULL partition spec
+    // (segment alignment must not shift if a field is missing from the
+    // declared schema)
+    val partFieldsIdx = pf.zipWithIndex
+      .flatMap { case (f, i) => schema.fields.find(_.name == f).map((_, i)) }
+    val partFields = partFieldsIdx.map(_._1)
     val dataSchema = StructType(schema.fields.filterNot(f => pf.contains(f.name)))
     val rows = partitions.distinct.map { p =>
       val segs = p.split("/", -1)
-      val vals = partFields.zipWithIndex.map { case (f, i) =>
+      val vals = partFieldsIdx.map { case (f, i) =>
         if (i >= segs.length) null
         else Cast(
           Literal.create(
             org.apache.spark.unsafe.types.UTF8String.fromString(
               decodePartSegment(f.name, segs(i))),
             org.apache.spark.sql.types.StringType),
-          f.dataType, Some("UTC")).eval(null)
+          f.dataType, tz).eval(null)
       }
       p -> org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals)
     }.toMap
     (dataSchema, StructType(partFields), rows)
   }
 
-  /** Reconstitute dropped partition-field columns from the stored
-    * `_g_partition` path (reference analog: the read side of
-    * hoodie.datasource.write.drop.partition.columns —
-    * HoodieBaseRelation's shouldExtractPartitionValuesFromPartitionPath).
-    * Files written with `dropPartitionColumns` carry the fields only in
-    * their path; the declared read schema surfaces them as nulls, which
-    * this replaces with the typed path value. Used on the plain-parquet
-    * read paths (delta merges, compaction, CDC); the [[graft.read.GraftFileIndex]]
-    * path appends the columns natively via [[partitionedReadLayout]]
-    * instead. No-op when the option is off. */
   /** The i-th partition field's read-visible value, as an expression over
     * the `_g_partition` meta column (uncast). */
   private def partSegmentRestoreExpr(f: String, i: Int): Column = {
@@ -669,6 +685,16 @@ class GraftTable private (
     else noPrefix
   }
 
+  /** Reconstitute dropped partition-field columns from the stored
+    * `_g_partition` path (reference analog: the read side of
+    * hoodie.datasource.write.drop.partition.columns —
+    * HoodieBaseRelation's shouldExtractPartitionValuesFromPartitionPath).
+    * Files written with `dropPartitionColumns` carry the fields only in
+    * their path; the declared read schema surfaces them as nulls, which
+    * this replaces with the typed path value. Used on the plain-parquet
+    * read paths (delta merges, compaction, CDC); the [[graft.read.GraftFileIndex]]
+    * path appends the columns natively via [[partitionedReadLayout]]
+    * instead. No-op when the option is off. */
   private[graft] def restorePartitionCols(df: DataFrame): DataFrame =
     if (!config.dropPartitionColumns || config.partitionFields.isEmpty) df
     else config.partitionFields.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
@@ -1298,11 +1324,24 @@ class GraftTable private (
       // silently collapses to ONE file group per partition
       val affectedSet =
         affected.toSeq.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
+      // same immutability contract as upsert/delete: a clustering plan's
+      // pinned groups must not be replaced under it (the plan would later
+      // re-materialize the pre-repair rows)
+      val pinnedClash = affectedSet.intersect(pendingClusteringGroups())
+      if (pinnedClash.nonEmpty)
+        throw new ClusteringConflictException("repair_deduplicate",
+          pinnedClash.take(3))
       val sub = snap.copy(slices = snap.slices.filter(s =>
         affectedSet.contains((s.partition, s.fileId))))
-      // visible rows of the affected groups, collapsed per key exactly as
-      // an upsert would have merged them, restamped into fresh groups
-      val repaired = mergeLatest(reader.snapshotOf(sub, schema)).drop(Meta.all: _*)
+      // RAW rows of the affected groups (tombstone markers included),
+      // collapsed per key exactly as an upsert would have merged them,
+      // restamped into fresh groups. mergeLatestKeepTombstones — not the
+      // visible snapshot — so a key's durable delete marker survives the
+      // rewrite and CDC windows ending after the repair still emit its D
+      // (the marker's commit time does move to the repair instant).
+      val repaired =
+        mergeLatestKeepTombstones(readStatsDf(schema, sub.slices.flatMap(_.allFiles)))
+          .drop(Meta.all.filterNot(_ == Deleted): _*)
       val prepared = assignInsertGroups(precombine(prepare(repaired, t)), t,
         targetRows = effectiveTargetRows(Some(snap))).drop(NewGroup)
       val stats = stageAndPublish(prepared, t)

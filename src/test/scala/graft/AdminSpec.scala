@@ -107,6 +107,32 @@ class AdminSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.getLong(0) == 0 && again.getString(2).isEmpty)
   }
 
+  test("REPAIR DEDUPLICATE preserves durable delete markers (CDC history)") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "t", tableType = TableType.COW, keyFields = Seq("id"),
+      partitionFields = Seq("p"), orderingField = "ts", targetFileRows = 1000))
+    def part(ids: Seq[Long], ts: Long): DataFrame =
+      ids.map(i => (i, "a", s"v$i@$ts", ts)).toDF("id", "p", "v", "ts")
+    val t0 = tbl.bulkInsert(part(1L to 20L, 1L))
+    // durable tombstone for key 5 lands in the group's rewrite
+    tbl.delete(Seq((5L, "a")).toDF("id", "p"))
+    // duplicate keys 1..3 via a second bulk load, then repair
+    tbl.bulkInsert(part(1L to 3L, 2L))
+    val res = GraftSql.sql(spark, s"REPAIR DEDUPLICATE '$dir'").collect().head
+    assert(res.getLong(0) == 3)
+    val r = graft.read.GraftReader(tbl)
+    assert(r.dataOnly(r.snapshot()).count() == 19, "key 5 stays deleted")
+    // the rewritten group still carries key 5's delete marker: a CDC
+    // window over the whole history must emit its D operation
+    val ops = r.incrementalCdc(begin = "")
+      .select("id", "_g_operation").as[(Long, String)]
+      .collect().toMap
+    assert(ops.get(5L).contains("D"),
+      s"delete marker lost by repair — CDC ops for key 5: ${ops.get(5L)}")
+  }
+
   test("SHOW SAVEPOINTS / ROLLBACKS / CLEANS reflect service history") {
     import spark.implicits._
     val dir = tmp()

@@ -130,6 +130,29 @@ class DropPartitionColsSpec extends AnyFunSuite {
       s"url-encoded values did not roundtrip: ${got.toSeq}")
   }
 
+  test("timestamp partition fields require url-encoding (sanitize is lossy)") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 10:30:00")
+    val df = Seq((1L, ts, 5L)).toDF("id", "t", "v")
+    // without url-encode: ':' would sanitize to '_' and read back null —
+    // the write must refuse instead of silently nulling the column
+    val plain = GraftTable.create(spark, tmp(), TableConfig(
+      name = "dpct", tableType = TableType.COW, keyFields = Seq("id"),
+      partitionFields = Seq("t"), targetFileRows = 100,
+      dropPartitionColumns = true))
+    val e = intercept[IllegalArgumentException](plain.bulkInsert(df))
+    assert(e.getMessage.contains("urlEncodePartitioning"))
+    // with url-encode: exact roundtrip
+    val enc = GraftTable.create(spark, tmp(), TableConfig(
+      name = "dpcte", tableType = TableType.COW, keyFields = Seq("id"),
+      partitionFields = Seq("t"), targetFileRows = 100,
+      dropPartitionColumns = true, urlEncodePartitioning = true))
+    enc.bulkInsert(df)
+    val r = GraftReader(enc)
+    val got = r.dataOnly(r.snapshot()).select("t").collect().head.getTimestamp(0)
+    assert(got == ts, s"timestamp did not roundtrip: $got vs $ts")
+  }
+
   test("incompatible with formatted timestamp partitioning (loud refusal)") {
     val e = intercept[IllegalArgumentException] {
       GraftTable.create(spark, tmp(), TableConfig(
