@@ -113,9 +113,15 @@ object Mixing {
       df: DataFrame, sourceCol: String, idCol: String,
       tau: Double, targetTotal: Long,
       salt: String = "mix"): DataFrame = {
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+    // planning keys go through a string cast (any source-column type
+    // plans correctly) and rows with a NULL source are excluded up
+    // front: they could never match the equality rate CASE below, so
+    // excluding them from the weight pool keeps plan and output
+    // consistent instead of crashing the driver sort on a null key
+    val counts = df.groupBy(col(sourceCol).cast("string").as("_g_src"))
+      .agg(count(lit(1)).as("n"))
       .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
+      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
       .sortBy(_._1) // deterministic fold order for the weight sum
     val inv = 1.0 / tau
     // pow(x, 0.5) == sqrt(x) per fdlibm, but route explicitly so the
@@ -130,7 +136,7 @@ object Mixing {
     }.toMap
     val rate = rates.foldLeft(lit(0L): Column) {
       case (alt, (stratum, ppm)) =>
-        when(col(sourceCol) === stratum, lit(ppm)).otherwise(alt)
+        when(col(sourceCol).cast("string") === stratum, lit(ppm)).otherwise(alt)
     }
     df.withColumn("rate_ppm", rate)
       .filter(ppmBucket(col(idCol), salt) < col("rate_ppm"))

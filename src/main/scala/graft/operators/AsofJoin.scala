@@ -80,7 +80,16 @@ object AsofJoin {
     // strict: lefts first (a right row at the same tick is NOT a match)
     val (rightSide, leftSide) = if (strict) (1, 0) else (0, 1)
 
-    val r = right.select(
+    // SQL join null semantics: a right row with a null equi key or a
+    // null time can never be anyone's match — dropped up front. (Without
+    // this, backward's ascending sort puts null times FIRST and their
+    // payload would carry into every otherwise-unmatched left; and
+    // window partitioning would group null keys together, matching
+    // null-keyed lefts to null-keyed rights, which an equality join
+    // never does.)
+    val rMatchable = (on :+ rightTime)
+      .map(col(_).isNotNull).reduce(_ && _)
+    val r = right.filter(rMatchable).select(
       on.map(col) ++ Seq(
         col(rightTime).as(t),
         lit(rightSide).as(side),

@@ -196,6 +196,24 @@ class TableServices(table: GraftTable) {
     }
 
     timeline.markInflight(time, Action.Compaction)
+    // unexpected failures (Spark job loss, FS errors) must not strand the
+    // inflight marker: a stranded marker makes every later
+    // scheduleCompaction wait out a pending instant that will never move
+    try runScheduledBody(time, plan, planGroups, planPaths, earlyExtras)
+    catch {
+      case e: Throwable =>
+        try timeline.deleteInflight(time, Action.Compaction)
+        catch { case _: Exception => () }
+        throw e
+    }
+  }
+
+  private def runScheduledBody(
+      time: String,
+      plan: Seq[WriteStat],
+      planGroups: Set[(String, String)],
+      planPaths: Set[String],
+      earlyExtras: Snapshot => Seq[WriteStat]): Option[String] = {
     var attempt = 0
     while (attempt < 3) {
       if (!awaitEarlierData(time)) {

@@ -502,9 +502,12 @@ class GraftTable private (
 
   /** Reject a mutation that targets clustering-pinned groups. One small
     * driver collect of the distinct target groups; skipped entirely when
-    * no clustering plan is pending. */
-  private def rejectPinnedTargets(df: DataFrame, op: String): Unit = {
-    val pinned = pendingClusteringGroups()
+    * no clustering plan is pending. Callers that also compute fill
+    * targets pass the pinned set through so the O(#instants) timeline
+    * listing happens once per write, not once per consumer. */
+  private def rejectPinnedTargets(
+      df: DataFrame, op: String,
+      pinned: Set[(String, String)]): Unit = {
     if (pinned.isEmpty) return
     val touched = df.select(col(Partition), col(File)).distinct()
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
@@ -518,9 +521,10 @@ class GraftTable private (
     * Clustering-pinned groups are excluded (their files must stay
     * immutable until the plan executes). */
   private def fillTargets(
-      snap: Option[Snapshot], target: Long): Map[String, Seq[(String, Long)]] = {
+      snap: Option[Snapshot], target: Long,
+      pinnedIn: Option[Set[(String, String)]] = None): Map[String, Seq[(String, Long)]] = {
     val limit = smallFileLimit(target)
-    lazy val pinned = pendingClusteringGroups()
+    lazy val pinned = pinnedIn.getOrElse(pendingClusteringGroups())
     snap match {
       case Some(sn) if limit > 0 =>
         sn.slices
@@ -980,10 +984,15 @@ class GraftTable private (
       if (deltasSince >= c.inlineCompactDeltaCommits)
         try svc.compact()
         catch {
-          // concurrent writers kept racing the plan: skip — the NEXT
-          // commit re-attempts (matches the reference's inline path
-          // deferring to a later ingestion round)
-          case _: IllegalStateException => ()
+          // ANY failure skips to the next commit: concurrent writers
+          // racing the plan (ISE) defer like the reference's inline
+          // path, and a Spark/FS failure must not escape a call whose
+          // data commit is already durable — the caller would read it
+          // as "write failed" and retry into a double-insert
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graft] inline compaction failed (commit is durable; " +
+                s"re-attempted next commit): ${e.getClass.getName}: ${e.getMessage}")
         }
     }
     // clean/archive failures must not escape either: the data commit is
@@ -1123,9 +1132,10 @@ class GraftTable private (
         .withColumn(Partition,
           if (config.globalIndex) col("_g_loc_part") else col(Partition))
         .drop("_g_loc", "_g_loc_part")
-      rejectPinnedTargets(updates, "upsert")
+      val pinned = pendingClusteringGroups()
+      rejectPinnedTargets(updates, "upsert", pinned)
       val target = effectiveTargetRows(Some(snap))
-      val fills = fillTargets(Some(snap), target)
+      val fills = fillTargets(Some(snap), target, Some(pinned))
       val assigned = assignInsertGroups(
         tagged.filter(col("_g_loc").isNull).drop("_g_loc", "_g_loc_part"), t, fills, target)
       val fillIns = assigned.filter(!col(NewGroup)).drop(NewGroup)
@@ -1208,7 +1218,7 @@ class GraftTable private (
       .drop("_g_loc", "_g_loc_part")
       .persist()
     try {
-      rejectPinnedTargets(tagged, "delete")
+      rejectPinnedTargets(tagged, "delete", pendingClusteringGroups())
       val (stats, replaced) =
         if (isMor) (stageAndPublish(tagged, t, delta = true), Map.empty[String, Seq[String]])
         else {

@@ -99,9 +99,13 @@ class SqlQuerySingleResultValidator(queriesWithExpected: Seq[String])
   def validate(spark: SparkSession, before: DataFrame, after: DataFrame): Unit =
     SqlValidator.withViews(spark, before, after) { (_, av) =>
       queriesWithExpected.foreach { spec =>
-        val parts = spec.split("#")
-        require(parts.length == 2, s"expected 'query#expected', got: $spec")
-        val (q, expected) = (parts(0), parts(1))
+        // split at the LAST '#': the query text may itself contain '#'
+        // (string literals, comments) — the reference's format puts the
+        // expected value after the final separator
+        val cut = spec.lastIndexOf('#')
+        require(cut > 0 && cut < spec.length - 1,
+          s"expected 'query#expected', got: $spec")
+        val (q, expected) = (spec.substring(0, cut), spec.substring(cut + 1))
         val rows = spark.sql(q.replace(SqlValidator.TableVariable, av)).collect()
         val ok = rows.length == 1 && rows(0).size == 1 &&
           Option(rows(0).get(0)).map(_.toString).contains(expected)

@@ -99,6 +99,29 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(matches(fwd) == Map(1L -> Some(3L), 2L -> None))
   }
 
+  test("null right times and null equi keys never provide matches") {
+    import spark.implicits._
+    // a null-time quote would sort FIRST under backward's ascending
+    // order and leak its payload into otherwise-unmatched trades; a
+    // null-key quote would meet null-key trades in the same window
+    // partition — both are non-matches under SQL equality semantics
+    val q = Seq(
+      (Option("A"), Option.empty[Long], 1L, 10.0), // null time
+      (Option.empty[String], Option(1L), 2L, 20.0) // null key
+    ).toDF("key", "qt", "qid", "px")
+    val t = Seq(
+      (Option("A"), 0L, 100L),            // before any real quote
+      (Option.empty[String], 5L, 101L)    // null key
+    ).toDF("key", "tt", "tid")
+    for (dir <- Seq("backward", "forward")) {
+      val out = AsofJoin.asof(t, q, on = Seq("key"),
+        leftTime = "tt", rightTime = "qt", direction = dir, tiebreak = Seq("qid"))
+      assert(out.count() == 2, s"$dir lost left rows")
+      assert(matches(out) == Map(100L -> None, 101L -> None),
+        s"$dir produced a match from a null time/key: ${matches(out)}")
+    }
+  }
+
   test("colliding right columns are rejected loudly") {
     import spark.implicits._
     val bad = quotes.withColumnRenamed("px", "tid") // collides with left

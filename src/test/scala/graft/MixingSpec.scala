@@ -91,6 +91,22 @@ class MixingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.select(max(col("rate_ppm"))).head().getLong(0) == 1000000L)
   }
 
+  test("temperature mix tolerates null and non-string source values") {
+    import spark.implicits._
+    // a null source must not crash planning; its rows plan rate 0 and
+    // drop from the output. A numeric source column plans via string cast.
+    val withNull = docs.withColumn("source",
+      when(col("doc_id") % 10 === 0, lit(null)).otherwise(col("source")))
+    val out = Mixing.temperatureMix(withNull, "source", "doc_id",
+      tau = 1.0, targetTotal = 10000L)
+    assert(out.filter(col("source").isNull).count() == 0)
+    assert(out.count() == withNull.filter(col("source").isNotNull).count())
+    val numeric = docs.withColumn("srcnum", (col("doc_id") % 3).cast("long"))
+    val outNum = Mixing.temperatureMix(numeric, "srcnum", "doc_id",
+      tau = 1.0, targetTotal = 10000L)
+    assert(outNum.count() == 400)
+  }
+
   test("upsample repeats rows by weight with observable epochs") {
     val out = Mixing.upsample(docs, "source", "doc_id",
       weightsPpm = Map("books" -> 2500000L, "web" -> 500000L))

@@ -93,6 +93,17 @@ class ValidatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.dataOnly(r.snapshot()).filter($"id" === 1).select("v").as[String].head() == "a2")
   }
 
+  test("single-result spec splits at the LAST '#': query text may contain '#'") {
+    val tbl = GraftTable.create(spark, tmp(), cfg(TableType.COW))
+    tbl.bulkInsert(rows((1L, "#1", 1L), (2L, "b", 1L)))
+    tbl.withValidators(Seq(new SqlQuerySingleResultValidator(Seq(
+      "SELECT count(*) FROM <TABLE_NAME> WHERE v = '#1'#1"))))
+    tbl.upsert(rows((3L, "c", 1L))) // must not trip the spec parser
+    import spark.implicits._
+    val r = GraftReader(tbl)
+    assert(r.dataOnly(r.snapshot()).count() == 3)
+  }
+
   test("validators see replaced groups as gone on delete_partition") {
     val tbl = GraftTable.create(spark, tmp(), TableConfig(
       name = "t", tableType = TableType.COW, keyFields = Seq("id"),
