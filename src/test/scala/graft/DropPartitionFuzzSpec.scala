@@ -78,6 +78,12 @@ class DropPartitionFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       assertSame(s"step $step (roll $roll)")
     }
+    // the point of the option: identical logical content, strictly less
+    // physical storage (two fewer column chunks per file)
+    def liveBytes(t: GraftTable): Long =
+      Snapshot.resolve(t.timeline).slices.flatMap(_.allFiles).map(_.bytes).sum
+    assert(liveBytes(dpc) < liveBytes(plain),
+      s"dropped-columns table is not smaller: ${liveBytes(dpc)} vs ${liveBytes(plain)}")
   }
 
   test("COW differential fuzz (2 seeds)") {
