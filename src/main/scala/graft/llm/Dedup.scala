@@ -51,11 +51,23 @@ object Dedup {
   /** N-gram Jaccard near-dup pairs: inverted-index self-join on shingles
     * → common counts → |A∩B| / |A∪B| ≥ threshold. Exact (not
     * probabilistic); preferred when the corpus-per-shingle fan-out is
-    * tame, else use [[minhashLsh]]. */
+    * tame, else use [[minhashLsh]].
+    *
+    * `maxDocFreq` caps how many docs may share a shingle before it is
+    * dropped from the index (default 1000): one stop-shingle shared by
+    * k docs contributes k² candidate pairs, so an uncapped index turns
+    * a single boilerplate phrase in a 1M-doc corpus into 10¹² pairs.
+    * Dropping a hot shingle only LOWERS the computed Jaccard of pairs
+    * that shared it (both |A∩B| and the union shrink by equal counts
+    * only when both sides held it; near-dups share many cold shingles
+    * too) — the standard recall-for-boundedness trade every corpus-
+    * scale dedup makes. Pass `maxDocFreq = None` for the exact
+    * uncapped semantics on corpora known to be tame. */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    val sh = shingleIndex(df, idCol, textCol, n)
+      n: Int, threshold: Double,
+      maxDocFreq: Option[Int] = Some(1000)): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol, n, maxDocFreq)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -210,10 +222,15 @@ object Dedup {
         .join(labels.select(col("node").as("dst"), col("component").as("nc")), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("nc")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("node"), "left")
+      val step = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-        .cache()
+      // caching bounds recompute but each generation's PLAN still nests
+      // the last: analysis time grows with rounds. Every 5 rounds a
+      // localCheckpoint truncates lineage to the materialized blocks, so
+      // long propagation chains (graph diameter ≫ 5) stay O(1) per round
+      val next =
+        if ((iter + 1) % 5 == 0) step.localCheckpoint(true) else step.cache()
       val changed = next.join(labels.withColumnRenamed("component", "old"), "node")
         .filter(col("component") =!= col("old")).count()
       labels.unpersist()

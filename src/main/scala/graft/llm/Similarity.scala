@@ -207,28 +207,52 @@ object Similarity {
         .select(col(idCol).as("c_id"), col(vecCol).as("c_vec")))
       .withColumn("c_nrm", normD(col("c_vec")))
     // cell assignment: one scan × broadcast centroids, argmax cosine
-    // (ties break toward the smaller centroid id)
+    // (ties break toward the smaller centroid id). The per-cell scores
+    // drop the vector BEFORE the rank window, so the argmax exchange
+    // moves (id, c_id, cos) triples only — never the embedding arrays.
     def assign(df: DataFrame, id: String): DataFrame = {
-      val scored = df.select(col(idCol).as(id), col(vecCol).as(s"${id}_vec"))
-        .withColumn(s"${id}_nrm", normD(col(s"${id}_vec")))
+      val scored = df.select(col(idCol).as(id), col(vecCol).as("_v"))
+        .withColumn("_vn", normD(col("_v")))
         .crossJoin(broadcast(cent))
-        .withColumn("c_cos",
-          cosineD(col(s"${id}_vec"), col("c_vec"), col(s"${id}_nrm"), col("c_nrm")))
+        .withColumn("c_cos", cosineD(col("_v"), col("c_vec"), col("_vn"), col("c_nrm")))
+        .select(col(id), col("c_id"), col("c_cos"))
       val w = Window.partitionBy(col(id)).orderBy(col("c_cos").desc, col("c_id"))
       scored.withColumn("_rk", row_number().over(w))
-        .select(col(id), col(s"${id}_vec"), col("c_id").as(s"${id}_cell"), col("_rk"))
+        .select(col(id), col("c_id").as(s"${id}_cell"), col("_rk"))
     }
-    val corpusCells = assign(corpus, "n_id").filter(col("_rk") === 1).drop("_rk")
-    val queryCells = assign(queries, "q_id").filter(col("_rk") <= nprobe).drop("_rk")
+    // cell membership carries ONLY (id, cell): the candidate dedup
+    // exchanges id pairs, never the embedding arrays — vectors join back
+    // once per survivor (same shape as [[nearDupPairsBucketed]])
+    val corpusCells = assign(corpus, "n_id").filter(col("_rk") === 1)
+      .select(col("n_id"), col("n_id_cell"))
+    val queryCells = assign(queries, "q_id").filter(col("_rk") <= nprobe)
+      .select(col("q_id"), col("q_id_cell"))
     val cand = corpusCells.join(broadcast(queryCells),
         col("n_id_cell") === col("q_id_cell") && col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("n_id"), col("q_id_vec"), col("n_id_vec"))
+      .select(col("q_id"), col("n_id"))
       .distinct()
-    val scored = cand.withColumn("cos",
-      cosineD(col("q_id_vec"), col("n_id_vec"),
-        normD(col("q_id_vec")), normD(col("n_id_vec"))))
+    rescoreTopK(cand, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Exact-cosine rescoring of bare (q_id, n_id) candidate pairs: the
+    * (small) query vectors broadcast, the corpus vectors join back once,
+    * and only ids ride the candidate exchanges upstream of this call. */
+  private def rescoreTopK(
+      cand: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_id_vec"))
+      .withColumn("q_nrm", normD(col("q_id_vec")))
+    val nv = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_id_vec"))
+      .withColumn("n_nrm", normD(col("n_id_vec")))
+    val scored = cand
+      .join(broadcast(qv), "q_id")
+      .join(nv, "n_id")
+      .withColumn("cos",
+        cosineD(col("q_id_vec"), col("n_id_vec"), col("q_nrm"), col("n_nrm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rnk", row_number().over(w))
+    scored
+      .select(col("q_id"), col("n_id"), col("cos"))
+      .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"), col("cos"))
   }
@@ -241,8 +265,10 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       planes: Int = 16, bands: Int = 4, dims: Int = 64): DataFrame = {
+    // band rows carry ONLY (id, band, bucket): the candidate distinct
+    // exchanges bare id pairs; vectors join back in [[rescoreTopK]]
     def withBands(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(s"${id}_vec"),
+      df.select(col(idCol).as(id),
         posexplode(bandBuckets(col(vecCol), planes, bands, dims))
           .as(Seq(s"${id}_b", s"${id}_bucket")))
     val qb = withBands(queries, "q_id")
@@ -250,14 +276,8 @@ object Similarity {
     val cand = cb.join(broadcast(qb),
         col("n_id_b") === col("q_id_b") && col("n_id_bucket") === col("q_id_bucket") &&
           col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("n_id"), col("q_id_vec"), col("n_id_vec"))
+      .select(col("q_id"), col("n_id"))
       .distinct()
-    val scored = cand.withColumn("cos",
-      cosineD(col("q_id_vec"), col("n_id_vec"),
-        normD(col("q_id_vec")), normD(col("n_id_vec"))))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"), col("cos"))
+    rescoreTopK(cand, corpus, queries, idCol, vecCol, k)
   }
 }

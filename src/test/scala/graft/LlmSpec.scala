@@ -95,6 +95,42 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped < uncapped) // the 3x-repeated doc's shingles are dropped
   }
 
+  test("jaccardPairs doc-freq cap bounds candidates on a stop-shingle corpus") {
+    import spark.implicits._
+    // 40 otherwise-unrelated docs all carrying one boilerplate phrase:
+    // uncapped, the hot shingles alone produce 40*39/2 candidate pairs;
+    // capped, the boilerplate drops from the index and no pair survives
+    val boiler = (0 until 40).map { i =>
+      (i.toLong, s"unique${i}a unique${i}b unique${i}c all rights reserved worldwide unique${i}d unique${i}e")
+    }.toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(boiler, "doc_id", "text", n = 3,
+      threshold = 0.1, maxDocFreq = Some(10))
+    assert(capped.count() == 0, "capped index must drop the stop-shingle pairs")
+    val uncappedCand = Dedup.jaccardPairs(boiler, "doc_id", "text", n = 3,
+      threshold = 0.0, maxDocFreq = None)
+    assert(uncappedCand.count() == 40L * 39 / 2,
+      "sanity: uncapped index candidate set is quadratic in the hot shingle's doc-freq")
+    // the default cap (1000) is inert on tame corpora: same answer as uncapped
+    val dflt = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5,
+      maxDocFreq = None).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dflt == exact)
+  }
+
+  test("clustering converges on a 40-hop chain (lineage-truncated long run)") {
+    import spark.implicits._
+    // path graph 0-1-...-40: min-label propagation moves the 0 label one
+    // hop per round, so this genuinely runs 40+ rounds — the
+    // localCheckpoint every 5 rounds keeps each round's plan flat
+    // instead of nesting 40 generations of joins
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comps = Dedup.nearDupClusters(chain, maxIterations = 50)
+    assert(comps.filter(col("component") =!= 0L).count() == 0,
+      "every chain node must converge to component 0")
+    assert(comps.count() == 41)
+  }
+
   test("trigram language ID identifies real multilingual sentences") {
     import spark.implicits._
     val samples = Seq(

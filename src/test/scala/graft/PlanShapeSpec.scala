@@ -115,6 +115,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "interval join plans a nested-loop join")
   }
 
+  test("no shuffle exchange carries embedding vectors in the ANN/bucketed plans") {
+    // the scale contract for the similarity family: candidate generation,
+    // dedup, and cell-assignment exchanges move bare ids (plus band/cell/
+    // score scalars) only — the wide array<float> columns are re-joined
+    // AFTER the distinct, never shuffled through it
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("q29b_embed_neardup_bucketed", "q30_ann_lsh", "q38_ann_ivf")) {
+        val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+        val offenders = plan.collect { case e: ShuffleExchangeExec =>
+          e.output.collect {
+            case a if a.dataType.isInstanceOf[ArrayType] &&
+              a.dataType.asInstanceOf[ArrayType].elementType == FloatType => a.name
+          }
+        }.flatten
+        assert(offenders.isEmpty,
+          s"$q shuffles embedding columns ${offenders.distinct.mkString(", ")} through an Exchange")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("the one-pass LSH kernel runs fused in the banded plans") {
     val p = planOf("q29b_embed_neardup_bucketed")
     assert(p.contains("lshbandbuckets("), s"expected the LSH kernel in the plan")
