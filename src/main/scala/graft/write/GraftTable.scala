@@ -33,6 +33,12 @@ object Meta {
     * Spark writes empty-string partition values to the default-partition
     * dir, so we substitute a printable token and decode on publish */
   val RootPartition = "__ROOT__"
+  /** path segment standing in for a NULL partition-field value (reference
+    * analog: hive.exec.default.partition.name /
+    * keygen/KeyGenUtils.java DEFAULT_PARTITION_PATH handling) — without
+    * it concat_ws would silently DROP the segment and shift every later
+    * segment's index, which corrupts dropPartitionColumns reads */
+  val NullPartitionSegment = "__HIVE_DEFAULT_PARTITION__"
 }
 
 /** A graft table: Parquet file groups + a JSON instant timeline, managed
@@ -92,7 +98,11 @@ class GraftTable private (
     val safe =
       if (config.urlEncodePartitioning) call_function("url_encode", raw)
       else regexp_replace(raw, unsafeChars, "_")
-    if (config.hiveStylePartitioning) concat(lit(s"$f="), safe) else safe
+    // a NULL partition value must still materialize a segment: concat_ws
+    // skips nulls, shifting every later segment's index (and with
+    // dropPartitionColumns the value would be unrecoverable)
+    val safeNN = coalesce(safe, lit(NullPartitionSegment))
+    if (config.hiveStylePartitioning) concat(lit(s"$f="), safeNN) else safeNN
   }
 
   private def orderingCol(df: DataFrame): Column =
@@ -387,9 +397,12 @@ class GraftTable private (
                   droppedPartCols.flatMap { f =>
                     val i = config.partitionFields.indexOf(f)
                     if (i < 0 || i >= segs.length) None
-                    else {
-                      val v = decodePartSegment(f, segs(i))
-                      Some(f -> ColStat(v, v, 0L))
+                    else decodePartSegment(f, segs(i)) match {
+                      // null-partition sentinel: every row of the file is
+                      // null in this field (boundCmp reads null bounds as
+                      // an empty range; IsNull needs nullCount = rows)
+                      case null => Some(f -> ColStat(null, null, rows))
+                      case v    => Some(f -> ColStat(v, v, 0L))
                     }
                   }.toMap
                 }
@@ -635,8 +648,10 @@ class GraftTable private (
     * path segment → read-visible partition value. */
   private def decodePartSegment(f: String, seg: String): String = {
     val raw = if (config.hiveStylePartitioning) seg.stripPrefix(s"$f=") else seg
-    if (config.urlEncodePartitioning) java.net.URLDecoder.decode(raw, "UTF-8")
-    else raw
+    val decoded =
+      if (config.urlEncodePartitioning) java.net.URLDecoder.decode(raw, "UTF-8")
+      else raw
+    if (decoded == NullPartitionSegment) null else decoded
   }
 
   /** For dropPartitionColumns tables: split the full read schema into
@@ -648,7 +663,7 @@ class GraftTable private (
       schema: StructType,
       partitions: Seq[String]): (StructType, StructType,
         Map[String, org.apache.spark.sql.catalyst.InternalRow]) = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
     // same zone as the write path's col.cast("string") rendering and the
     // restorePartitionCols read path — a hardcoded zone would shift
     // timestamp partition values between the two read paths
@@ -665,12 +680,18 @@ class GraftTable private (
       val segs = p.split("/", -1)
       val vals = partFieldsIdx.map { case (f, i) =>
         if (i >= segs.length) null
-        else Cast(
-          Literal.create(
-            org.apache.spark.unsafe.types.UTF8String.fromString(
-              decodePartSegment(f.name, segs(i))),
-            org.apache.spark.sql.types.StringType),
-          f.dataType, tz).eval(null)
+        else decodePartSegment(f.name, segs(i)) match {
+          case null => null // null-partition sentinel
+          // TRY eval: one malformed / hand-damaged path segment must
+          // degrade only THIS group's reconstituted value to null, not
+          // throw (ANSI default) and fail every read of the table —
+          // filter evaluation keeps its own strict semantics
+          case s => Cast(
+            Literal.create(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s),
+              org.apache.spark.sql.types.StringType),
+            f.dataType, tz, EvalMode.TRY).eval(null)
+        }
       }
       p -> org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals)
     }.toMap
@@ -685,8 +706,11 @@ class GraftTable private (
       if (config.hiveStylePartitioning)
         regexp_replace(seg, "^" + java.util.regex.Pattern.quote(f) + "=", "")
       else seg
-    if (config.urlEncodePartitioning) call_function("url_decode", noPrefix)
-    else noPrefix
+    val decoded =
+      if (config.urlEncodePartitioning) call_function("url_decode", noPrefix)
+      else noPrefix
+    when(decoded === lit(NullPartitionSegment), lit(null).cast("string"))
+      .otherwise(decoded)
   }
 
   /** Reconstitute dropped partition-field columns from the stored
@@ -703,8 +727,10 @@ class GraftTable private (
     if (!config.dropPartitionColumns || config.partitionFields.isEmpty) df
     else config.partitionFields.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
       if (!d.columns.contains(f)) d
+      // try_cast: a damaged path segment degrades that row's value to
+      // null instead of failing the whole read under ANSI mode
       else d.withColumn(f,
-        partSegmentRestoreExpr(f, i).cast(d.schema(f).dataType))
+        partSegmentRestoreExpr(f, i).try_cast(d.schema(f).dataType))
     }
 
   /** Columns physically present in a virtual-keys table's files: the
@@ -750,7 +776,7 @@ class GraftTable private (
         case (d, (f, i)) =>
           if (d.columns.contains(f) || !schema.fieldNames.contains(f)) d
           else d.withColumn(f,
-            partSegmentRestoreExpr(f, i).cast(schema(f).dataType))
+            partSegmentRestoreExpr(f, i).try_cast(schema(f).dataType))
       }
     withFields
       .withColumn(Key, keyExpr)
@@ -1113,9 +1139,14 @@ class GraftTable private (
     val action = if (isMor) Action.DeltaCommit else Action.Commit
     val t = timeline.start(action)
     val snap = Snapshot.resolve(timeline)
-    val prepared = precombine(prepare(df, t))
+    val stamped = prepare(df, t)
+    val prepared = precombine(stamped)
 
-    val (touched, keyRangeOf, incomingRows) = batchIndexProbe(prepared)
+    // probe the PRE-precombine batch: touched partitions / key ranges are
+    // identical (dedup drops rows, never keys), and incoming_rows then
+    // matches the reference's `stats wa` denominator (records upserted on
+    // the raw batch, StatsCommand.java:58) instead of post-dedup rows
+    val (touched, keyRangeOf, incomingRows) = batchIndexProbe(stamped)
     val idx = keyIndex(snap, touched, keyRangeOf, incoming = Some(prepared))
       .withColumnRenamed(Key, "_g_idx_key")
       .withColumnRenamed(File, "_g_loc")
@@ -1198,10 +1229,12 @@ class GraftTable private (
     // can report which record a D operation targets
     val keepData = (config.keyFields ++ config.partitionFields)
       .filter(keys.columns.contains).distinct
-    val prepared = precombine(prepare(keys, t, deleted = true))
+    val stamped = prepare(keys, t, deleted = true)
+    val prepared = precombine(stamped)
       .select((Seq(CommitTime, Seqno, Key, Partition, Deleted) ++ keepData).map(col): _*)
 
-    val (touched, keyRangeOf, incomingRows) = batchIndexProbe(prepared)
+    // pre-precombine probe: see upsert — raw batch size for `stats wa`
+    val (touched, keyRangeOf, incomingRows) = batchIndexProbe(stamped)
     val idx = keyIndex(snap, touched, keyRangeOf, incoming = Some(prepared))
       .withColumnRenamed(Key, "_g_idx_key")
       .withColumnRenamed(File, "_g_loc")

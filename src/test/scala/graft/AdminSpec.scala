@@ -66,6 +66,16 @@ class AdminSpec extends AnyFunSuite with BeforeAndAfterAll {
       "bulk load has no incoming accounting — wa must be null, not guessed")
     assert(byOp("upsert") == ((100L, 5L, 20.0)), s"got ${byOp("upsert")}")
     assert(byOp("") == ((100L, 5L, 20.0)), "total row aggregates known commits")
+    // intra-batch duplicate keys: incoming_rows is the RAW batch size
+    // (reference denominator, StatsCommand.java:58 "records upserted"),
+    // not the post-precombine count
+    tbl.upsert(rows(7L, 7L, 7L, 8L))
+    val last = GraftSql.sql(spark, s"SHOW WRITE AMPLIFICATION '$dir'")
+      .select("instant", "operation", "incoming_rows")
+      .collect().filter(r => r.getString(1) == "upsert")
+      .maxBy(_.getString(0))
+    assert(last.getLong(2) == 4L,
+      s"incoming_rows must count pre-dedup rows: got ${last.getLong(2)}")
   }
 
   test("REPAIR DEDUPLICATE rewrites only duplicate-bearing groups") {

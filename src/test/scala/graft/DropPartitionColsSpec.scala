@@ -153,6 +153,54 @@ class DropPartitionColsSpec extends AnyFunSuite {
     assert(got == ts, s"timestamp did not roundtrip: $got vs $ts")
   }
 
+  test("null partition values keep a sentinel segment; alignment and filters hold") {
+    import spark.implicits._
+    val tbl = GraftTable.create(spark, tmp(), cfg(TableType.COW, hive = true))
+    // ids 0/2: region null — the path must carry a sentinel segment so
+    // `bucket` does not shift into `region`'s position on decode
+    val df = Seq(
+      (0L, null.asInstanceOf[String], 7L, 10L),
+      (1L, "eu", 1L, 20L),
+      (2L, null.asInstanceOf[String], 8L, 30L),
+      (3L, "us", 2L, 40L))
+      .toDF("id", "region", "bucket", "v")
+    tbl.bulkInsert(df)
+    val r = GraftReader(tbl)
+    val got = r.dataOnly(r.snapshot()).select("id", "region", "bucket")
+      .collect().map(x => (x.getLong(0), Option(x.getString(1)), x.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, None, 7L), (1L, Some("eu"), 1L), (2L, None, 8L), (3L, Some("us"), 2L)),
+      s"null-partition reconstitution wrong: ${got.toSeq}")
+    // predicates over the reconstituted column, incl. null semantics
+    val snap = r.snapshot()
+    assert(r.dataOnly(snap).filter(col("region").isNull).count() == 2)
+    assert(r.dataOnly(snap).filter(col("region") === "eu")
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    // upsert into the null partition still tags by path equality
+    tbl.upsert(Seq((0L, null.asInstanceOf[String], 7L, 99L))
+      .toDF("id", "region", "bucket", "v"))
+    val r2 = GraftReader(tbl)
+    assert(r2.dataOnly(r2.snapshot()).filter(col("id") === 0L)
+      .select("v").as[Long].collect().toSeq == Seq(99L))
+  }
+
+  test("a malformed partition segment degrades one group's value, not the read") {
+    val tbl = GraftTable.create(spark, tmp(), cfg(TableType.COW))
+    tbl.bulkInsert(rows(6))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType)))
+    // a hand-damaged path ("garbage" where a long should be) must decode
+    // to null for that group only — under ANSI mode a strict Cast here
+    // would throw and fail EVERY read of the table
+    val (_, pschema, rows2) =
+      tbl.partitionedReadLayout(schema, Seq("eu/garbage", "eu/3"))
+    assert(pschema.fieldNames.toSeq == Seq("bucket"))
+    assert(rows2("eu/garbage").isNullAt(0), "malformed segment should decode to null")
+    assert(rows2("eu/3").getLong(0) == 3L)
+  }
+
   test("incompatible with formatted timestamp partitioning (loud refusal)") {
     val e = intercept[IllegalArgumentException] {
       GraftTable.create(spark, tmp(), TableConfig(

@@ -42,7 +42,11 @@ class DropPartitionFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dpc = GraftTable.create(spark, tmp(), cfg(s"dpc$seed", drop = true))
 
     val keySpace = 40L
-    def partOf(k: Long): (String, Long) = (if (k % 2 == 0) "ev" else "od", k % 3)
+    // every 5th key has a NULL first partition field: the path must keep a
+    // sentinel segment there (not silently drop it and shift `b`'s
+    // segment into `p`'s position) and reads must reconstitute null
+    def partOf(k: Long): (String, Long) =
+      (if (k % 5 == 0) null else if (k % 2 == 0) "ev" else "od", k % 3)
     var nextOrd = 0L
     def freshOrd(): Long = { nextOrd += 1; nextOrd }
 
