@@ -40,10 +40,8 @@ object Checkpoint {
     val fs = timeline.fileSystem
     val d = dir(timeline)
     fs.mkdirs(d)
-    val tmp = new Path(d, s".${cp.asOf}.json.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(Json.write(cp).getBytes(StandardCharsets.UTF_8)) finally out.close()
-    fs.rename(tmp, new Path(d, s"${cp.asOf}.json"))
+    timeline.commitStore.putAtomic(fs, new Path(d, s"${cp.asOf}.json"),
+      Json.write(cp))
     // bounded retention: drop all but the newest Keep generations
     times(timeline).dropRight(Keep).foreach { t =>
       fs.delete(new Path(d, s"$t.json"), false)

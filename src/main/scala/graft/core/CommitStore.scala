@@ -1,0 +1,125 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Storage-atomicity seam for commit publication (reference analog:
+  * HoodieActiveTimeline.java:525-641, whose `createImmutableFileInPath` /
+  * transition renames are the same three primitives). Every place the
+  * engine needs an atomicity guarantee from storage funnels through one
+  * of these ops, so a deployment swaps the profile, not the protocol:
+  *
+  *  - `rename` (HDFS / POSIX): temp file + atomic rename; moves are
+  *    metadata-only. The default.
+  *  - `put` (S3-class object stores): there IS no atomic rename — a
+  *    "rename" is a server-side copy + delete, and exclusivity comes
+  *    from conditional writes (`PUT If-None-Match: *`). This impl
+  *    simulates that profile: data files are moved by COPY (never by
+  *    directory/file rename), proving the commit protocol survives a
+  *    store where rename is not atomic and not cheap.
+  *
+  * Visibility caveat of the simulation: a real object-store PUT is
+  * all-or-nothing; the only LOCAL primitive with that visibility
+  * contract is an exclusive temp-rename, so the simulated store uses it
+  * as the emulation vehicle for small metadata objects. What the `put`
+  * profile exercises end-to-end is the protocol's independence from
+  * rename-as-move: staged DATA files (the big ones — the actual scale
+  * risk) reach their published names by copy.
+  */
+trait CommitStore {
+  def name: String
+
+  /** Materialize `dest` with `content` if and only if it does not exist;
+    * throws [[org.apache.hadoop.fs.FileAlreadyExistsException]] when it
+    * does (object-store analog: `PUT If-None-Match: *`). This is the
+    * table's only commit point. */
+  def createExclusive(fs: FileSystem, dest: Path, content: String): Unit
+
+  /** Atomically replace `dest` with `content`; concurrent readers see
+    * the old or the new version, never a torn one (object-store analog:
+    * plain `PUT`). */
+  def putAtomic(fs: FileSystem, dest: Path, content: String): Unit
+
+  /** Move a file to its published location, failing loudly if the move
+    * cannot complete. Data-file publication and archive moves go through
+    * here — the op whose cost model differs 1000× between profiles. */
+  def moveFile(fs: FileSystem, src: Path, dest: Path): Unit
+}
+
+object CommitStore {
+  val Rename = "rename"
+  val Put = "put"
+
+  def forName(n: String): CommitStore =
+    Option(n).map(_.trim).filter(_.nonEmpty).getOrElse(Rename) match {
+      case Rename => RenameCommitStore
+      case Put    => ConditionalPutCommitStore
+      case other  => throw new IllegalArgumentException(
+        s"unknown commitStore '$other' (expected '$Rename' or '$Put')")
+    }
+
+  private[core] def writeTemp(fs: FileSystem, dest: Path, content: String): Path = {
+    val tmp = new Path(dest.getParent, s".${dest.getName}.tmp${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    tmp
+  }
+}
+
+/** HDFS/POSIX profile: temp + atomic rename (exactly the semantics the
+  * reference relies on — HoodieActiveTimeline.java:641). */
+object RenameCommitStore extends CommitStore {
+  override val name: String = CommitStore.Rename
+
+  override def createExclusive(fs: FileSystem, dest: Path, content: String): Unit = {
+    val tmp = CommitStore.writeTemp(fs, dest, content)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+    try fc.rename(tmp, dest) // default Rename.NONE → FileAlreadyExistsException
+    catch { case e: Throwable => fs.delete(tmp, false); throw e }
+  }
+
+  override def putAtomic(fs: FileSystem, dest: Path, content: String): Unit = {
+    val tmp = CommitStore.writeTemp(fs, dest, content)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+    try fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch { case e: Throwable => fs.delete(tmp, false); throw e }
+  }
+
+  override def moveFile(fs: FileSystem, src: Path, dest: Path): Unit =
+    if (!fs.rename(src, dest))
+      throw new IllegalStateException(s"publish rename failed: $src -> $dest")
+}
+
+/** Simulated object-store profile: moves are copies, exclusivity is a
+  * conditional write. See the trait doc for the visibility caveat of
+  * emulating PUT atomicity locally. */
+object ConditionalPutCommitStore extends CommitStore {
+  override val name: String = CommitStore.Put
+
+  override def createExclusive(fs: FileSystem, dest: Path, content: String): Unit = {
+    // conditional-PUT contract: fail fast when the object exists (the
+    // emulation then materializes atomically via an exclusive move)
+    if (fs.exists(dest))
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(dest.toString)
+    RenameCommitStore.createExclusive(fs, dest, content)
+  }
+
+  override def putAtomic(fs: FileSystem, dest: Path, content: String): Unit =
+    RenameCommitStore.putAtomic(fs, dest, content)
+
+  override def moveFile(fs: FileSystem, src: Path, dest: Path): Unit = {
+    // object-store "rename" = server-side copy + delete source; stream
+    // copy here (the simulation pays the same O(bytes) cost shape)
+    val in = fs.open(src)
+    try {
+      val out = fs.create(dest, true)
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 128 * 1024)
+      finally out.close()
+    } finally in.close()
+    val (sl, dl) = (fs.getFileStatus(src).getLen, fs.getFileStatus(dest).getLen)
+    if (sl != dl)
+      throw new IllegalStateException(
+        s"publish copy truncated: $src ($sl B) -> $dest ($dl B)")
+    fs.delete(src, false)
+  }
+}

@@ -177,6 +177,19 @@ case class TableConfig(
       * HoodieCompactionConfig.java:107,114). Both > 0 to enable. */
     autoArchiveMinCommits: Int = 0,
     autoArchiveMaxCommits: Int = 0,
+    /** storage-atomicity profile for commit publication: "rename"
+      * (HDFS/POSIX — temp + atomic rename) or "put" (object stores —
+      * conditional writes, moves are copies). See [[CommitStore]];
+      * reference analog: the rename seam of
+      * HoodieActiveTimeline.java:525-641. */
+    commitStore: String = "rename",
+    /** mutual-exclusion provider for OCC commit publication: "file"
+      * (atomic create-if-absent lock file) or "inprocess" (JVM-wide
+      * map — all writers share a driver). The seam where a ZK/Hive
+      * binding plugs in (reference analog: hoodie.write.lock.provider,
+      * ZookeeperBasedLockProvider.java:55 /
+      * InProcessLockProvider.java). */
+    lockProvider: String = "file",
     version: Int = 1)
 
 object TableType { val COW = "COW"; val MOR = "MOR" }

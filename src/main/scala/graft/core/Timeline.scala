@@ -25,6 +25,23 @@ class Timeline(val basePath: String, conf: Configuration) {
 
   def exists: Boolean = fs.exists(new Path(metaDir, Timeline.ConfigFile))
 
+  /** Storage-atomicity profile, from table config (`commitStore`).
+    * Resolved lazily and cached once the table exists — during
+    * `initTable` bootstrap (table.json not yet written) the default
+    * rename profile applies, which is safe for any profile: the very
+    * first write has nothing to conflict with. */
+  @volatile private var storeCache: CommitStore = null
+  private[graft] def commitStore: CommitStore = {
+    val c = storeCache
+    if (c != null) c
+    else if (!exists) RenameCommitStore
+    else {
+      val s = CommitStore.forName(config.commitStore)
+      storeCache = s
+      s
+    }
+  }
+
   def initTable(config: TableConfig): Unit = {
     fs.mkdirs(metaDir)
     writeAtomic(new Path(metaDir, Timeline.ConfigFile), Json.write(config))
@@ -41,14 +58,9 @@ class Timeline(val basePath: String, conf: Configuration) {
     * missing file — the timeline lock only guards writers under OCC,
     * not readers. */
   def updateConfig(newConfig: TableConfig): Unit = {
-    val p = new Path(metaDir, Timeline.ConfigFile)
-    val tmp = new Path(metaDir, s".${Timeline.ConfigFile}.tmp${System.nanoTime()}")
-    val out = fs.create(tmp, true)
-    try out.write(Json.write(newConfig).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
-    try fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    catch { case e: Throwable => fs.delete(tmp, false); throw e }
+    commitStore.putAtomic(fs, new Path(metaDir, Timeline.ConfigFile),
+      Json.write(newConfig))
+    storeCache = null // the profile itself may have been changed
   }
 
   /** All instants, time-ordered. Listing .graft is O(#active-instants),
@@ -160,8 +172,7 @@ class Timeline(val basePath: String, conf: Configuration) {
   def archiveCompleted(i: Instant): Unit = {
     val d = new Path(metaDir, Timeline.ArchiveDir)
     fs.mkdirs(d)
-    if (!fs.rename(new Path(metaDir, i.fileName), new Path(d, i.fileName)))
-      throw new IllegalStateException(s"archive move failed: ${i.fileName}")
+    commitStore.moveFile(fs, new Path(metaDir, i.fileName), new Path(d, i.fileName))
   }
 
   /** Times of archived instants (sorted asc); O(#archived) listing. */
@@ -200,29 +211,16 @@ class Timeline(val basePath: String, conf: Configuration) {
     finally in.close()
   }
 
-  /** Create-temp-then-rename: rename is atomic on HDFS/local; on object
-    * stores this seam is where a conditional-put provider plugs in. */
-  private def writeAtomic(p: Path, content: String): Unit = {
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp${System.nanoTime()}")
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (!fs.rename(tmp, p)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(s"atomic publish failed (exists?): $p")
-    }
-  }
+  /** Atomic overwrite of a small metadata object — delegated to the
+    * table's [[CommitStore]] profile. */
+  private def writeAtomic(p: Path, content: String): Unit =
+    commitStore.putAtomic(fs, p, content)
 
-  /** Like [[writeAtomic]] but the final rename REFUSES an existing
-    * destination (FileContext rename without OVERWRITE), giving
-    * create-exclusive publish semantics across processes. */
-  private def writeExclusive(p: Path, content: String): Unit = {
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp${System.nanoTime()}")
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
-    try fc.rename(tmp, p) // default Rename.NONE → FileAlreadyExistsException
-    catch { case e: Throwable => fs.delete(tmp, false); throw e }
-  }
+  /** Create-exclusive publish (the commit point) — delegated to the
+    * table's [[CommitStore]] profile, which fails with
+    * FileAlreadyExistsException when another process got there first. */
+  private def writeExclusive(p: Path, content: String): Unit =
+    commitStore.createExclusive(fs, p, content)
 }
 
 object Timeline {

@@ -2,54 +2,105 @@ package graft.core
 
 import org.apache.hadoop.fs.Path
 
-/** Filesystem-based mutual exclusion around commit publication
-  * (reference analog: client/transaction/TransactionManager.java:35 with
-  * a FileSystem lock provider instead of Zookeeper/Hive — the
-  * atomic-create seam where a distributed lock service plugs in).
-  *
-  * `fs.create(path, overwrite = false)` is atomic on HDFS and local
-  * filesystems; stale locks (a crashed writer) expire after `staleMs`. */
+/** One mutual-exclusion attempt: `tryLock` is a single atomic
+  * acquire-if-free; retry/timeout policy lives in [[TimelineLock]]
+  * (reference analog: client/transaction/lock/LockProvider.java:33 —
+  * the seam where Zookeeper/Hive/DynamoDB bindings plug in). */
+trait LockProvider {
+  def tryLock(): Boolean
+  def unlock(): Unit
+  def describe: String
+}
+
+/** Filesystem lock file: `fs.create(path, overwrite = false)` is atomic
+  * on HDFS and local filesystems; stale locks (a crashed writer) expire
+  * after `staleMs` (reference analog:
+  * FileSystemBasedLockProvider.java:53). */
+class FileLockProvider(timeline: Timeline, staleMs: Long = 60000)
+    extends LockProvider {
+  private val lockPath = new Path(timeline.metaDir, TimelineLock.LockFile)
+  private def fs = timeline.fileSystem
+
+  override def tryLock(): Boolean =
+    try {
+      fs.create(lockPath, false).close() // atomic create-if-absent
+      true
+    } catch {
+      case _: java.io.IOException =>
+        // held by someone else; break a stale lock for the NEXT attempt
+        try {
+          val st = fs.getFileStatus(lockPath)
+          if (st.getModificationTime < System.currentTimeMillis() - staleMs)
+            fs.delete(lockPath, false)
+        } catch { case _: java.io.FileNotFoundException => () }
+        false
+    }
+
+  override def unlock(): Unit = fs.delete(lockPath, false)
+  override def describe: String = lockPath.toString
+}
+
+/** JVM-wide lock keyed by table path — correct whenever every writer
+  * shares one driver process (async compactor + ingest + services on a
+  * session), standing in for an external lock service in exactly the
+  * way the reference's in-process provider does (reference analog:
+  * InProcessLockProvider.java:42). */
+class InProcessLockProvider(key: String) extends LockProvider {
+  override def tryLock(): Boolean = InProcessLockProvider.held.add(key)
+  override def unlock(): Unit = { InProcessLockProvider.held.remove(key); () }
+  override def describe: String = s"in-process:$key"
+}
+
+object InProcessLockProvider {
+  private val held =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+}
+
+/** Mutual exclusion around commit publication (reference analog:
+  * client/transaction/TransactionManager.java:35): the retry/timeout
+  * loop over a pluggable [[LockProvider]], chosen by the table's
+  * `lockProvider` config. */
 class TimelineLock(
     timeline: Timeline,
     timeoutMs: Long = 30000,
     staleMs: Long = 60000) {
 
-  private val lockPath = new Path(timeline.metaDir, TimelineLock.LockFile)
-  private def fs = timeline.fileSystem
+  private val provider: LockProvider =
+    TimelineLock.providerFor(timeline, staleMs)
 
   def withLock[T](f: => T): T = {
     acquire()
-    try f finally release()
+    try f finally provider.unlock()
   }
 
   private def acquire(): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
-    while (true) {
-      try {
-        val out = fs.create(lockPath, false) // atomic create-if-absent
-        out.close()
-        return
-      } catch {
-        case _: java.io.IOException =>
-          // held by someone else; break stale locks, else wait
-          try {
-            val st = fs.getFileStatus(lockPath)
-            if (st.getModificationTime < System.currentTimeMillis() - staleMs)
-              fs.delete(lockPath, false)
-          } catch { case _: java.io.FileNotFoundException => () }
-          if (System.currentTimeMillis() > deadline)
-            throw new IllegalStateException(
-              s"timed out after ${timeoutMs}ms waiting for timeline lock $lockPath")
-          Thread.sleep(50)
-      }
+    while (!provider.tryLock()) {
+      if (System.currentTimeMillis() > deadline)
+        throw new IllegalStateException(
+          s"timed out after ${timeoutMs}ms waiting for timeline lock " +
+            provider.describe)
+      Thread.sleep(50)
     }
   }
-
-  private def release(): Unit = fs.delete(lockPath, false)
 }
 
 object TimelineLock {
   val LockFile = ".lock"
+  val File = "file"
+  val InProcess = "inprocess"
+
+  def providerFor(timeline: Timeline, staleMs: Long = 60000): LockProvider = {
+    val n = Option(try timeline.config.lockProvider catch {
+      case _: Throwable => null // table not yet initialized
+    }).map(_.trim).filter(_.nonEmpty).getOrElse(File)
+    n match {
+      case File      => new FileLockProvider(timeline, staleMs)
+      case InProcess => new InProcessLockProvider(timeline.basePath)
+      case other => throw new IllegalArgumentException(
+        s"unknown lockProvider '$other' (expected '$File' or '$InProcess')")
+    }
+  }
 }
 
 /** A concurrent writer published an overlapping commit first; this

@@ -376,8 +376,9 @@ class GraftTable private (
               val destDir = if (part == "") new Path(basePath) else new Path(basePath, part)
               fs.mkdirs(destDir)
               val dest = new Path(destDir, s"$fileId$suffix")
-              if (!fs.rename(parts.head.getPath, dest))
-                throw new IllegalStateException(s"publish rename failed: $dest")
+              // profile-dependent move: atomic rename (HDFS/local) or
+              // copy+delete (object stores) — see graft.core.CommitStore
+              timeline.commitStore.moveFile(fs, parts.head.getPath, dest)
               val bytes = fs.getFileStatus(dest).getLen
               val rel = if (part == "") dest.getName else s"$part/${dest.getName}"
               val (rows, colStats) = GraftTable.footerStats(dest, hconf, statTypes)

@@ -200,4 +200,85 @@ class ArchiveOccSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(tl.completed().map(_.time) == Seq("20260101000000000"))
   }
+
+  // ---- CommitStore / LockProvider profiles ---------------------------------
+  // the SAME lifecycle + conflict suite must hold under every storage
+  // profile: rename (HDFS-like, the default), and the simulated
+  // object-store profile (conditional-put instants, data moved by copy)
+  // with either lock provider
+
+  for ((store, lock) <- Seq(
+      (CommitStore.Rename, TimelineLock.File),
+      (CommitStore.Put, TimelineLock.File),
+      (CommitStore.Put, TimelineLock.InProcess))) {
+
+    def pcfg(occ: Boolean = false): TableConfig =
+      cfg(occ).copy(commitStore = store, lockProvider = lock)
+
+    test(s"[$store/$lock] MOR lifecycle + archive round-trips") {
+      val tbl = GraftTable.create(spark, tmp(),
+        pcfg().copy(tableType = TableType.MOR))
+      tbl.bulkInsert(rows(1L to 20L: _*))
+      (21L to 26L).foreach(i => tbl.upsert(rows(i)))
+      tbl.delete(rows(5L, 6L))
+      TableServices(tbl).compact()
+      assert(TableServices(tbl).archive(keepMin = 3, keepMax = 5).isDefined)
+      assert(state(tbl) == ((1L to 26L).filterNot(Set(5L, 6L))))
+      // incremental across the archive boundary still exact
+      val r = GraftReader(tbl)
+      assert(r.incremental("").filter(!col(graft.write.Meta.Deleted))
+        .count() == 24)
+    }
+
+    test(s"[$store/$lock] OCC: conflicting writers, exactly-once state") {
+      val tbl = GraftTable.create(spark, tmp(), pcfg(occ = true))
+      tbl.bulkInsert(rows(1L, 2L, 3L))
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      (1 to 4).foreach { _ =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            try { tbl.upsert(rows(1L)); wins.incrementAndGet(); () }
+            catch {
+              case _: ConcurrentWriteConflictException => ()
+              case t: Throwable => errors.add(t); ()
+            }
+        })
+      }
+      pool.shutdown()
+      assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(errors.isEmpty, s"unexpected: ${errors.toArray.mkString(", ")}")
+      assert(wins.get() >= 1)
+      assert(state(tbl) == Seq(1L, 2L, 3L))
+      assert(tbl.timeline.instants().forall(_.isCompleted))
+    }
+  }
+
+  test("put-store publish: many file groups land by copy, none renamed") {
+    import spark.implicits._
+    // mini version of the q57 publish-tail probe through the object-store
+    // profile: 64 file groups in one commit, every data file COPIED into
+    // place; content must match the rename-profile table bit-for-bit
+    val mk = (store: String) => {
+      val t = GraftTable.create(spark, tmp(), TableConfig(
+        name = s"many_$store", tableType = TableType.COW,
+        keyFields = Seq("id"), partitionFields = Seq("p"),
+        orderingField = "ts", targetFileRows = 4, commitStore = store))
+      t.bulkInsert((1L to 256L).map(i => (i, s"v$i", 1L, s"p${i % 16}"))
+        .toDF("id", "v", "ts", "p"))
+      t
+    }
+    val a = mk(CommitStore.Rename); val b = mk(CommitStore.Put)
+    assert(Snapshot.resolve(b.timeline).slices.size >= 64,
+      "probe needs a many-group commit")
+    val ra = GraftReader(a); val rb = GraftReader(b)
+    val da = ra.dataOnly(ra.snapshot()).select("id", "v", "ts", "p")
+    val db = rb.dataOnly(rb.snapshot()).select("id", "v", "ts", "p")
+    assert(da.exceptAll(db).isEmpty && db.exceptAll(da).isEmpty)
+    // nothing left behind in staging
+    val fs = b.timeline.fileSystem
+    val staging = new org.apache.hadoop.fs.Path(b.basePath, ".graft/.tmp")
+    assert(!fs.exists(staging) || fs.listStatus(staging).isEmpty)
+  }
 }
