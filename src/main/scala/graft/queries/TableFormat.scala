@@ -1539,6 +1539,461 @@ object TableFormat {
         SELECT o_orderpriority, count(*) AS n,
                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
                CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
-        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority""")))
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- repair deduplicate (reference analog: hudi-cli `repair
+    //      deduplicate`, RepairsCommand.java:60): two bulk_inserts skip
+    //      the tag join and plant duplicate (partition,key) pairs; the
+    //      repair collapses each to its upsert-merge winner (tie on
+    //      ordering -> newer commit, i.e. the repriced copy)
+    "q110_repair_dedup" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_rep", TableType.COW))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 3)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        val (surplusDry, _, dryInstant) = tbl.repairDeduplicate(dryRun = true)
+        require(surplusDry > 0 && dryInstant.isEmpty,
+          s"dry run must report surplus without committing: $surplusDry")
+        val (surplus, groups, instant) = tbl.repairDeduplicate()
+        require(surplus == surplusDry && groups > 0 && instant.isDefined,
+          s"repair must rewrite: surplus=$surplus groups=$groups")
+        require(tbl.repairDeduplicate(dryRun = true)._1 == 0,
+          "table must be duplicate-free after repair")
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 10 < 3 THEN o_totalprice + 1000
+                      ELSE o_totalprice END AS price
+          FROM orders WHERE o_orderkey % 10 < 8)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- write-amplification stats (reference analog: hudi-cli `stats
+    //      wa`, StatsCommand.java:58 — total written / records upserted
+    //      on the RAW batch): single-group COW so rows_written is exact;
+    //      the upsert batch carries intra-batch duplicates to pin the
+    //      denominator to pre-precombine rows
+    "q111_wa_stats" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), TableConfig(
+          name = "orders_wa", tableType = TableType.COW,
+          keyFields = Seq("o_orderkey"), orderingField = "o_orderdate",
+          targetFileRows = 10000000L))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        val batch = orders.filter(col("o_orderkey") % 10 === 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        tbl.upsert(batch.unionByName(batch)) // doubled: raw-batch denominator
+        graft.sql.GraftSql.sql(s, s"SHOW WRITE AMPLIFICATION '${tbl.basePath}'")
+          .select(
+            when(col("operation") === "", "total").otherwise(col("operation"))
+              .as("operation"),
+            col("rows_written"),
+            coalesce(col("incoming_rows"), lit(-1L)).as("incoming_rows"),
+            coalesce(floor(col("wa") * 1000).cast("long"), lit(-1L)).as("wa_m"))
+          .orderBy(col("operation"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT (SELECT count(*) FROM orders WHERE o_orderkey % 10 < 8) AS w,
+                 (SELECT 2 * count(*) FROM orders WHERE o_orderkey % 10 = 6) AS i)
+        SELECT 'bulk_insert' AS operation, CAST(w AS BIGINT) AS rows_written,
+               CAST(-1 AS BIGINT) AS incoming_rows, CAST(-1 AS BIGINT) AS wa_m
+        FROM c
+        UNION ALL
+        SELECT 'total', CAST(w AS BIGINT), CAST(i AS BIGINT),
+               CAST(floor(CAST(w AS DOUBLE) / i * 1000) AS BIGINT) FROM c
+        UNION ALL
+        SELECT 'upsert', CAST(w AS BIGINT), CAST(i AS BIGINT),
+               CAST(floor(CAST(w AS DOUBLE) / i * 1000) AS BIGINT) FROM c
+        ORDER BY operation"""))),
+
+    // ---- multi-table ingest (reference analog:
+    //      HoodieMultiTableDeltaStreamer.java:60): one service round-robins
+    //      two tables, each advancing its own checkpoint-in-commit; the
+    //      byte budget forces one source file per sync round
+    "q112_multi_table_ingest" -> ((
+      (s: SparkSession, d: String) => {
+        val conf = s.sessionState.newHadoopConf()
+        def landing(src: DataFrame, splitCol: String, chunks: Int): String = {
+          val dir = freshDir() + "/landing"
+          val fsys = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+          fsys.mkdirs(new org.apache.hadoop.fs.Path(dir))
+          (0 until chunks).foreach { i =>
+            val tmpOut = freshDir() + s"/chunk$i"
+            src.filter(col(splitCol) % chunks === i).coalesce(1)
+              .write.parquet(tmpOut)
+            val part = fsys.globStatus(
+              new org.apache.hadoop.fs.Path(tmpOut, "part-*.parquet")).head.getPath
+            fsys.rename(part, new org.apache.hadoop.fs.Path(dir, s"chunk-$i.parquet"))
+          }
+          dir
+        }
+        val orders = graft.Tables.t(s, d, "orders")
+          .filter(col("o_orderkey") % 10 < 5)
+        val lineitem = graft.Tables.t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 10 < 5)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+        val ta = GraftTable.create(s, freshDir(), cfg("orders_mt", TableType.COW))
+        val tb = GraftTable.create(s, freshDir(), TableConfig(
+          name = "lineitem_mt", tableType = TableType.COW,
+          keyFields = Seq("l_orderkey", "l_linenumber"),
+          orderingField = "l_quantity", targetFileRows = 100000))
+        val ia = new graft.streaming.ContinuousIngest(ta,
+          new graft.streaming.ParquetDirSource(s,
+            landing(orders, "o_orderkey", 2), maxBytesPerBatch = 1L),
+          operation = "insert")
+        val ib = new graft.streaming.ContinuousIngest(tb,
+          new graft.streaming.ParquetDirSource(s,
+            landing(lineitem, "l_orderkey", 2), maxBytesPerBatch = 1L),
+          operation = "insert")
+        val svc = new graft.streaming.MultiTableIngest(Seq(ia, ib))
+        // round 1: chunk-0 of each; round 2: chunk-1; round 3: caught up
+        require(svc.syncOnce().forall(_.isDefined), "round 1 must commit both")
+        require(svc.syncOnce().forall(_.isDefined), "round 2 must commit both")
+        require(svc.syncOnce().forall(_.isEmpty), "round 3 must be caught up")
+        val ra = GraftReader(ta); val rb = GraftReader(tb)
+        ra.dataOnly(ra.snapshot())
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .select(lit("orders").as("tbl"), col("n"), col("key_sum"))
+          .unionByName(rb.dataOnly(rb.snapshot())
+            .agg(count(lit(1)).as("n"),
+              sum(col("l_orderkey") * 10 + col("l_linenumber")).as("key_sum"))
+            .select(lit("lineitem").as("tbl"), col("n"), col("key_sum")))
+          .orderBy(col("tbl"))
+      },
+      Some("""
+        -- the synthetic lineitem carries duplicate (l_orderkey,
+        -- l_linenumber) pairs; insert's precombine keeps one row per key,
+        -- so the oracle counts DISTINCT keys (key-only aggregates stay
+        -- independent of which duplicate wins)
+        SELECT 'lineitem' AS tbl, count(*) AS n,
+               CAST(sum(l_orderkey * 10 + l_linenumber) AS BIGINT) AS key_sum
+        FROM (SELECT DISTINCT l_orderkey, l_linenumber
+              FROM lineitem WHERE l_orderkey % 10 < 5)
+        UNION ALL
+        SELECT 'orders', count(*),
+               CAST(sum(o_orderkey) AS BIGINT)
+        FROM orders WHERE o_orderkey % 10 < 5
+        ORDER BY tbl"""))),
+
+    // ---- file-based schema provider feeding an untyped source
+    //      (reference analog: FilebasedSchemaProvider.java:37 + the CSV
+    //      DFS source): headerless CSV has NO types of its own — every
+    //      typed value in the result exists only because the provided
+    //      DDL schema was applied at ingest
+    "q113_schema_provider" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+          .filter(col("o_orderkey") % 10 < 8)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val conf = s.sessionState.newHadoopConf()
+        val dir = freshDir() + "/landing"
+        val fsys = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+        fsys.mkdirs(new org.apache.hadoop.fs.Path(dir))
+        val tmpOut = freshDir() + "/csv"
+        orders.coalesce(1).write.option("header", "false").csv(tmpOut)
+        val part = fsys.globStatus(
+          new org.apache.hadoop.fs.Path(tmpOut, "part-*.csv")).head.getPath
+        fsys.rename(part, new org.apache.hadoop.fs.Path(dir, "chunk-0.csv"))
+        val ddlFile = freshDir() + "/schema.ddl"
+        val out = fsys.create(new org.apache.hadoop.fs.Path(ddlFile))
+        out.write("o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+        val provider = new graft.streaming.FileBasedSchemaProvider(s, ddlFile)
+        val tbl = GraftTable.create(s, freshDir(), TableConfig(
+          name = "orders_sp", tableType = TableType.COW,
+          keyFields = Seq("o_orderkey"), partitionFields = Seq("o_orderpriority"),
+          orderingField = "o_totalprice", targetFileRows = 100000))
+        val ingest = new graft.streaming.ContinuousIngest(tbl,
+          new graft.streaming.CsvDirSource(s, dir,
+            options = Map("header" -> "false"),
+            schema = Some(provider.sourceSchema)),
+          operation = "insert")
+        require(ingest.syncOnce().isDefined && ingest.syncOnce().isEmpty,
+          "one batch then caught up")
+        val r = GraftReader(tbl)
+        val got = r.dataOnly(r.snapshot())
+        require(got.schema("o_orderkey").dataType.typeName == "long" &&
+          got.schema("o_totalprice").dataType.typeName == "double",
+          "provided schema must type the untyped CSV")
+        summarize(got.withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS price_c
+        FROM orders WHERE o_orderkey % 10 < 8
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- commit callbacks (reference analog:
+    //      HoodieWriteCommitCallback.java:29): a registered callback sees
+    //      every published instant with its action/operation/row counts —
+    //      the oracle recomputes those counts from the source data
+    "q114_commit_callbacks" -> ((
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_cb", TableType.MOR))
+        val seen =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        tbl.timeline.register(new graft.core.CommitCallback {
+          override def onCommit(i: graft.core.Instant,
+              m: graft.core.CommitMetadata): Unit =
+            seen.synchronized {
+              seen += ((i.action, m.operation, m.stats.map(_.rows).sum))
+            }
+        })
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 >= 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        tbl.delete(orders.filter(col("o_orderkey") % 10 === 7)
+          .select("o_orderkey", "o_orderpriority"))
+        // the callback stream IS the result — and it must cover exactly
+        // the timeline's completed data instants
+        require(seen.size == tbl.timeline.completed()
+          .count(i => graft.core.Action.dataActions(i.action)),
+          s"callback must fire once per published instant: $seen")
+        seen.toSeq.toDF("action", "operation", "total_rows")
+          .orderBy(col("operation"))
+      },
+      Some("""
+        SELECT 'commit' AS action, 'bulk_insert' AS operation,
+               (SELECT count(*) FROM orders WHERE o_orderkey % 10 < 8)
+                 AS total_rows
+        UNION ALL
+        SELECT 'deltacommit', 'delete',
+               (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 7)
+        UNION ALL
+        SELECT 'deltacommit', 'upsert',
+               (SELECT count(*) FROM orders WHERE o_orderkey % 10 >= 6)
+        ORDER BY operation"""))),
+
+    // ---- SQL-backed ingest source (reference analog:
+    //      sources/SqlSource.java:52 — backfills riding the ingest
+    //      harness): fetches the query result ONCE, then reports caught
+    //      up forever; checkpoint-in-commit makes the one-shot durable
+    "q115_sql_source_ingest" -> ((
+      (s: SparkSession, d: String) => {
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_sql", TableType.COW))
+        val ingest = new graft.streaming.ContinuousIngest(tbl,
+          new graft.streaming.SqlSource(s,
+            s"""SELECT * FROM parquet.`$d/orders.parquet`
+                WHERE o_orderkey % 10 < 8"""),
+          operation = "insert")
+        require(ingest.syncOnce().isDefined, "one-shot fetch must commit")
+        require(ingest.syncOnce().isEmpty && ingest.syncOnce().isEmpty,
+          "SqlSource must report caught-up forever after the one shot")
+        require(ingest.checkpoint.contains("done"),
+          "checkpoint must record the one-shot completion")
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS price_c
+        FROM orders WHERE o_orderkey % 10 < 8
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- watermark composition on the stream source: event-time
+    //      watermark + tumbling window in append mode — closed windows
+    //      emit once, late rows below the watermark drop; the oracle
+    //      replays the two-batch watermark algebra in SQL
+    "q116_stream_watermark" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = graft.Tables.t(s, d, "events")
+          .filter(col("event_id") % 17 === 0)
+          .withColumn("event_time", timestamp_seconds(
+            floor(unix_micros(col("ts").cast("timestamp")) / 1000000L)))
+          .select("event_id", "event_time")
+        val tbl = GraftTable.create(s, freshDir(), TableConfig(
+          name = "events_wm", tableType = TableType.COW,
+          keyFields = Seq("event_id"), orderingField = "",
+          targetFileRows = 100000))
+        tbl.bulkInsert(ev.filter(col("event_id") % 2 === 0))
+        val sinkName =
+          s"q116_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = s.readStream
+          .format(classOf[org.apache.spark.sql.graft.streaming.GraftStreamProvider].getName)
+          .option("path", tbl.basePath)
+          .load()
+          .withWatermark("event_time", "1 hour")
+          .groupBy(window(col("event_time"), "1 hour"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").cast("long").as("w"), col("n"))
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("append")
+          .option("checkpointLocation", freshDir() + "/ckpt")
+          .start()
+        q.processAllAvailable() // batch 1 advances the watermark
+        tbl.upsert(ev.filter(col("event_id") % 2 =!= 0))
+        q.processAllAvailable() // batch 2: late rows drop, closed windows emit
+        q.stop()
+        s.table(sinkName).orderBy(col("w"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                 CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS b
+          FROM events WHERE event_id % 17 = 0),
+        wm AS (
+          SELECT max(CASE WHEN b = 1 THEN sec END) - 3600 AS w1,
+                 greatest(max(CASE WHEN b = 1 THEN sec END), max(sec)) - 3600
+                   AS w2
+          FROM ev),
+        kept AS (
+          SELECT (ev.sec // 3600) * 3600 AS w FROM ev, wm
+          WHERE ev.b = 1 OR (ev.sec // 3600) * 3600 + 3600 > wm.w1)
+        SELECT w, count(*) AS n FROM kept, wm
+        WHERE w + 3600 <= wm.w2
+        GROUP BY w ORDER BY w"""))),
+
+    // ---- OCC conflict abort (reference analog:
+    //      SimpleConcurrentFileWritesConflictResolutionStrategy.java:73):
+    //      concurrent writers race the SAME file group; losers abort with
+    //      the conflict exception and leave NO pending instants — the
+    //      final state hash-matches the winner's write either way
+    "q117_occ_conflict_race" -> ((
+      (s: SparkSession, d: String) => occRace(s, d, identity),
+      Some(OccRaceSql))),
+
+    // ---- the same OCC race through the simulated OBJECT-STORE commit
+    //      protocol: conditional-put instant publication, data files
+    //      moved by copy (never atomic rename), and the in-process lock
+    //      provider standing in for ZK (reference analogs:
+    //      HoodieActiveTimeline.java:525-641, InProcessLockProvider.java)
+    "q118_occ_conflict_put_store" -> ((
+      (s: SparkSession, d: String) => occRace(s, d,
+        c => c.copy(commitStore = "put", lockProvider = "inprocess")),
+      Some(OccRaceSql))),
+
+    // ---- object-storage event-notification ingest (reference analog:
+    //      S3EventsSource.java:44 / S3EventsHoodieIncrSource.java:62):
+    //      new data objects arrive via an event feed naming them — the
+    //      source reads exactly the named objects, never LISTs the data
+    //      "bucket", and checkpoints at event-file granularity
+    "q119_object_events_ingest" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val conf = s.sessionState.newHadoopConf()
+        val dataDir = freshDir() + "/objects"
+        val eventsDir = freshDir() + "/events"
+        val fsys = new org.apache.hadoop.fs.Path(dataDir).getFileSystem(conf)
+        fsys.mkdirs(new org.apache.hadoop.fs.Path(dataDir))
+        fsys.mkdirs(new org.apache.hadoop.fs.Path(eventsDir))
+        def landObject(i: Int): String = {
+          val tmpOut = freshDir() + s"/chunk$i"
+          orders.filter(col("o_orderkey") % 3 === i).coalesce(1)
+            .write.parquet(tmpOut)
+          val part = fsys.globStatus(
+            new org.apache.hadoop.fs.Path(tmpOut, "part-*.parquet")).head.getPath
+          val dest = new org.apache.hadoop.fs.Path(dataDir, s"obj-$i.parquet")
+          fsys.rename(part, dest)
+          dest.toString
+        }
+        def notify(name: String, keys: Seq[String]): Unit = {
+          val out = fsys.create(
+            new org.apache.hadoop.fs.Path(eventsDir, s"$name.json"))
+          out.write(keys.map(k => s"""{"key": "$k"}""").mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          out.close()
+        }
+        // event 1 names two objects; event 2 is a keyless (delete-only)
+        // notification the source must skip past; event 3 names the last
+        notify("000-batch", Seq(landObject(0), landObject(1)))
+        notify("001-empty", Nil)
+        notify("002-batch", Seq(landObject(2)))
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_s3e", TableType.COW))
+        val ingest = new graft.streaming.ContinuousIngest(tbl,
+          new graft.streaming.ObjectEventsSource(s, eventsDir,
+            maxEventFilesPerBatch = 1),
+          operation = "insert")
+        require(ingest.syncOnce().isDefined, "round 1: event 000")
+        require(ingest.syncOnce().isDefined, "round 2: skip 001, ingest 002")
+        require(ingest.syncOnce().isEmpty, "round 3: caught up")
+        require(ingest.checkpoint.exists(_.endsWith("002-batch.json")),
+          s"checkpoint must land on the last event file: ${ingest.checkpoint}")
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS price_c
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")))
   )
+
+  // def, not val: referenced from `all`'s initializer above (a val here
+  // would still be null at that point)
+  private def OccRaceSql = """
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 10 = 6 THEN o_totalprice + 1000
+                      ELSE o_totalprice END AS price
+          FROM orders WHERE o_orderkey % 10 < 8)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** Three writers race identical upserts of the SAME file groups:
+    * losers must abort with the conflict exception and leave no pending
+    * instants; the final state is the winner's write either way. */
+  private def occRace(
+      s: SparkSession, d: String,
+      tweak: TableConfig => TableConfig): DataFrame = {
+    {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(),
+          tweak(cfg("orders_occ", TableType.COW).copy(occ = true)))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        val batch = orders.filter(col("o_orderkey") % 10 === 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        batch.persist(); batch.count()
+        val errors =
+          new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        try {
+          val barrier = new java.util.concurrent.CyclicBarrier(3)
+          (1 to 3).foreach { _ =>
+            pool.submit(new Runnable {
+              override def run(): Unit = {
+                barrier.await()
+                // all writers carry IDENTICAL content: whichever commit
+                // order the race produces, the final state is the same
+                try { tbl.upsert(batch); wins.incrementAndGet(); () }
+                catch {
+                  case _: graft.core.ConcurrentWriteConflictException => ()
+                  case t: Throwable => errors.add(t); ()
+                }
+              }
+            })
+          }
+          pool.shutdown()
+          require(pool.awaitTermination(
+            300, java.util.concurrent.TimeUnit.SECONDS), "race timed out")
+        } finally batch.unpersist()
+        require(errors.isEmpty, s"losers must abort with the conflict " +
+          s"exception only: ${errors.toArray.mkString(", ")}")
+        require(wins.get() >= 1, "at least one writer must win")
+        require(tbl.timeline.instants().forall(_.isCompleted),
+          "a loser left a pending instant behind")
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+    }
+  }
 }

@@ -224,3 +224,63 @@ object JdbcIncrementalSource {
       .load()
   }
 }
+
+/** Object-storage event-notification ingest (reference analog:
+  * sources/S3EventsSource.java:44 + S3EventsHoodieIncrSource.java:62 —
+  * there, S3 bucket notifications land in SQS / a hudi "events" table
+  * and each record names a newly-written object; the data source reads
+  * exactly those objects instead of LISTing the bucket, which at
+  * millions of objects is the difference between O(new) and O(all)).
+  *
+  * Spark-first, service-neutral decomposition: the event feed is a DFS
+  * directory of JSON event files (the SQS/event-table stand-in — each
+  * line carries at least `{"key": "<data file path>"}`), consumed
+  * through the same checkpoint contract as every other source; each
+  * fetch parses the NEW event files and bulk-reads the named data
+  * objects. Checkpoint = last consumed event FILE, so replays are
+  * exactly-once at event-file granularity, like the reference's SQS
+  * delete-after-commit.
+  */
+class ObjectEventsSource(
+    spark: SparkSession,
+    /** directory receiving event-notification JSON files */
+    eventsDir: String,
+    /** format of the named data objects (parquet/json/csv/orc) */
+    dataFormat: String = "parquet",
+    /** resolve a raw event `key` to a readable path (e.g. prefix a
+      * bucket mount); identity by default */
+    resolveKey: String => String = identity,
+    schema: Option[org.apache.spark.sql.types.StructType] = None,
+    /** per-sync cap on EVENT files consumed (backlog catch-up in
+      * bounded rounds, like `--source-limit`) */
+    maxEventFilesPerBatch: Int = Int.MaxValue) extends IngestSource {
+
+  override def fetch(checkpoint: Option[String]): Option[(DataFrame, String)] = {
+    val p = new org.apache.hadoop.fs.Path(eventsDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    val fresh = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+      .map(_.getPath.toString).sorted
+      .dropWhile(n => checkpoint.exists(n <= _))
+      .take(math.max(1, maxEventFilesPerBatch))
+    if (fresh.isEmpty) return None
+    import spark.implicits._
+    // event files are tiny JSON (one record per new object) — parse on
+    // the driver-coordinated reader, extract the named object keys; a
+    // feed batch with no `key` column at all (empty files, delete-only
+    // notification shapes) is keyless
+    val evs = spark.read.json(fresh: _*)
+    val keys =
+      if (!evs.columns.contains("key")) Seq.empty[String]
+      else evs.select(col("key").cast("string")).as[String]
+        .collect().toSeq.filter(_ != null).distinct.map(resolveKey)
+    // a keyless event batch (e.g. delete-only notifications) carries no
+    // data: skip past it — harmless to re-parse next round if the tail
+    // of the feed is all keyless, since no rows ever duplicate
+    if (keys.isEmpty) return fetch(Some(fresh.last))
+    val reader = spark.read.format(dataFormat)
+    val withSchema = schema.fold(reader)(reader.schema)
+    Some((withSchema.load(keys: _*), fresh.last))
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.read.GraftReader
+import graft.services.TableServices
+import graft.write.GraftTable
+
+/** Snapshot-resolution scale probe (reference contract:
+  * HoodieArchivedTimeline.java:61 — the archived timeline keeps the
+  * active one bounded, so snapshot load cost is O(instants since the
+  * last checkpoint), NOT O(total commits ever).
+  *
+  * A ~1k-commit table maintained with archive+checkpoint must resolve
+  * with a bounded active replay and materially faster than the same
+  * commit count replayed in full; archived + checkpointed incremental
+  * reads over the long timeline stay exact. Synthetic instants keep the
+  * probe cheap: resolution is a pure metadata path, so empty commits
+  * exercise it at full fidelity, with a few real writes interleaved so
+  * data-bearing reads have something to return. */
+class TimelineScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Tables.configure(SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  def tmp(): String = Files.createTempDirectory("graft-tscale").toString
+
+  def rows(ids: Long*): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i, s"v$i", 1L)).toDF("id", "v", "ts")
+  }
+
+  private def cfg: TableConfig = TableConfig(
+    name = "tscale", tableType = TableType.COW, keyFields = Seq("id"),
+    orderingField = "ts", targetFileRows = 1000)
+
+  /** Append `n` completed empty data commits straight at the timeline
+    * layer — the metadata shape of a long-lived ingest loop, minus the
+    * (irrelevant-here) data files. */
+  private def syntheticCommits(tl: Timeline, n: Int): Seq[String] =
+    (1 to n).map { _ =>
+      val t = tl.start(Action.Commit)
+      tl.complete(t, Action.Commit, CommitMetadata("upsert"))
+      t
+    }
+
+  private def timeResolve(tl: Timeline, reps: Int = 5): (Long, Snapshot) = {
+    var best = Long.MaxValue
+    var snap: Snapshot = null
+    (1 to reps).foreach { _ =>
+      val t0 = System.nanoTime()
+      snap = Snapshot.resolve(tl)
+      best = math.min(best, System.nanoTime() - t0)
+    }
+    (best, snap)
+  }
+
+  test("1k-commit timeline: checkpointed resolution is flat, full replay is not") {
+    // table A: 1000+ commits, archive+checkpoint maintained as an
+    // operator would (every 100 commits, keep a 20..40 active window)
+    val a = GraftTable.create(spark, tmp(), cfg)
+    a.bulkInsert(rows(1L to 50L: _*))
+    val svcA = TableServices(a)
+    var realCommits = List.empty[String]
+    (1 to 10).foreach { round =>
+      syntheticCommits(a.timeline, 99)
+      realCommits ::= a.upsert(rows(round.toLong)) // keeps data in play
+      svcA.archive(keepMin = 20, keepMax = 40)
+    }
+    val totalA = a.timeline.completed().size +
+      a.timeline.archivedTimes().size
+    assert(totalA >= 1000, s"probe needs ~1k commits, built $totalA")
+
+    // table B: the SAME commit count with no archive — the anti-pattern
+    val b = GraftTable.create(spark, tmp(), cfg)
+    b.bulkInsert(rows(1L to 50L: _*))
+    syntheticCommits(b.timeline, 1000)
+
+    val (tA, snapA) = timeResolve(a.timeline)
+    val (tB, snapB) = timeResolve(b.timeline)
+
+    // bounded active replay: resolution after 1k commits touches only
+    // the post-checkpoint window, not the historical timeline
+    assert(snapA.instants.size <= 40,
+      s"active replay must stay within the keep window: ${snapA.instants.size}")
+    assert(snapB.instants.size >= 1000,
+      s"control table must replay the full history: ${snapB.instants.size}")
+    // the timing claim itself (generous 3x bound on a >25x structural
+    // difference in metadata reads, so scheduler noise can't flake it)
+    assert(tA * 3 < tB,
+      s"checkpointed resolve must beat full replay: ${tA / 1e6}ms vs ${tB / 1e6}ms")
+
+    // state stays exact through ten archive generations
+    import spark.implicits._
+    val r = GraftReader(a)
+    assert(r.dataOnly(r.snapshot()).count() == 50)
+
+    // incremental over the archived span: begin at a long-archived
+    // instant; the read must span the boundary and return exactly the
+    // rows written after it (the empty commits contribute nothing)
+    val begin = realCommits.last // first real upsert, archived long ago
+    assert(a.timeline.archivedTimes().contains(begin),
+      "probe expects the first upsert to be archived")
+    val got = r.incremental(begin).select("id").as[Long].collect().sorted
+    assert(got.toSeq == (2L to 10L),
+      s"archived-span incremental must be exact: ${got.toSeq}")
+  }
+}
