@@ -190,6 +190,21 @@ case class TableConfig(
       * ZookeeperBasedLockProvider.java:55 /
       * InProcessLockProvider.java). */
     lockProvider: String = "file",
+    /** failed-write cleanup at write start (reference analog:
+      * hoodie.cleaner.policy.failed.writes,
+      * HoodieCompactionConfig.java:214 + the rollbackFailedWrites loop,
+      * AbstractHoodieWriteClient.java:916-976): "eager" rolls back every
+      * pending write instant (single-writer semantics), "lazy" only
+      * those whose writer heartbeat expired (multi-writer safe — the
+      * reference mandates LAZY under OCC), "none" disables. The default
+      * "auto" resolves to eager on non-OCC tables and lazy on OCC
+      * tables. Old table.json files deserialize to null = auto. */
+    failedWritesPolicy: String = "auto",
+    /** heartbeat expiry for the LAZY policy, ms (reference analog:
+      * hoodie.client.heartbeat.interval_in_ms × tolerable misses,
+      * HoodieWriteConfig.java:368,373 — 60 s × 2 there; live writers
+      * refresh every [[Heartbeat.RefreshMs]]). 0 = default. */
+    heartbeatTtlMs: Long = 0L,
     version: Int = 1)
 
 object TableType { val COW = "COW"; val MOR = "MOR" }

@@ -146,6 +146,7 @@ class Timeline(val basePath: String, conf: Configuration) {
     writeExclusive(new Path(metaDir, s"$time.$action"), Json.write(meta))
     fs.delete(new Path(metaDir, s"$time.$action.${State.Inflight}"), false)
     fs.delete(new Path(metaDir, s"$time.$action.${State.Requested}"), false)
+    Heartbeat.delete(this, time)
     val inst = Instant(time, action, State.Completed)
     callbacks.foreach(_.onCommit(inst, meta))
     inst
@@ -155,6 +156,7 @@ class Timeline(val basePath: String, conf: Configuration) {
   def deletePending(time: String, action: String): Unit = {
     fs.delete(new Path(metaDir, s"$time.$action.${State.Inflight}"), false)
     fs.delete(new Path(metaDir, s"$time.$action.${State.Requested}"), false)
+    Heartbeat.delete(this, time)
   }
 
   /** Drop ONLY the inflight marker, keeping a `requested` plan file in
@@ -227,6 +229,10 @@ object Timeline {
   val MetaDir = ".graft"
   val ConfigFile = "table.json"
   val ArchiveDir = "archive"
+  /** writer-liveness files, one per inflight write instant — see
+    * [[Heartbeat]] (reference analog: the `.hoodie/.heartbeat` folder,
+    * HoodieHeartbeatClient.java:50) */
+  val HeartbeatDir = ".heartbeat"
   private val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
   @volatile private var lastIssued: String = ""
 }

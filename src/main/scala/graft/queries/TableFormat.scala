@@ -1932,7 +1932,58 @@ object TableFormat {
         SELECT o_orderpriority, count(*) AS n,
                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
                CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS price_c
-        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")))
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- failed-write cleanup (reference analog:
+    //      hoodie.cleaner.policy.failed.writes,
+    //      HoodieCompactionConfig.java:214 + rollbackFailedWrites,
+    //      AbstractHoodieWriteClient.java:916): a writer crashed mid-
+    //      publish, leaving a pending inflight instant, staged tmp files
+    //      and one data file already renamed to its final (uncommitted)
+    //      name. The next write rolls it all back automatically; the
+    //      table state is exactly as if the crash never happened
+    "q122_failed_write_cleanup" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_fw", TableType.COW))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        val fsys = tbl.timeline.fileSystem
+        val metaDir = tbl.timeline.metaDir
+        val crashT = "19990101000000000" // long-dead wall clock
+        def touch(p: org.apache.hadoop.fs.Path, bytes: String): Unit = {
+          val out = fsys.create(p, true)
+          out.write(bytes.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          out.close()
+        }
+        touch(new org.apache.hadoop.fs.Path(metaDir, s"$crashT.commit.inflight"), "{}")
+        val staged = new org.apache.hadoop.fs.Path(metaDir, s".tmp/$crashT/part-junk")
+        touch(staged, "staged-bytes")
+        // the orphan lands in a REAL partition dir, as a mid-publish
+        // crash would leave it
+        val partDir = fsys.listStatus(new org.apache.hadoop.fs.Path(tbl.basePath))
+          .filter(_.isDirectory).map(_.getPath)
+          .filterNot(_.getName == graft.core.Timeline.MetaDir).head
+        val orphan = new org.apache.hadoop.fs.Path(partDir, s"deadbeef-0_$crashT.parquet")
+        touch(orphan, "orphan-bytes")
+        // the next writes trigger the cleanup (policy auto -> eager on
+        // this single-writer table), then apply the usual mutations
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 >= 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        tbl.delete(orders.filter(col("o_orderkey") % 10 === 7)
+          .select("o_orderkey", "o_orderpriority"))
+        require(tbl.timeline.instants().forall(_.isCompleted),
+          "the crashed instant must be gone from the pending timeline")
+        require(!fsys.exists(staged) && !fsys.exists(orphan),
+          "staged + orphan files of the crashed write must be deleted")
+        require(tbl.timeline.completed().exists(i =>
+          i.action == graft.core.Action.Rollback &&
+            tbl.timeline.metadataOf(i).extra.get("target").contains(crashT)),
+          "cleanup must record a rollback instant naming the crashed write")
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some(SummarySql)))
   )
 
   // def, not val: referenced from `all`'s initializer above (a val here

@@ -699,6 +699,120 @@ class TableServices(table: GraftTable) {
     t
   }
 
+  /** Roll back crashed writes (reference analog:
+    * AbstractHoodieWriteClient.rollbackFailedWrites :916-976, governed by
+    * hoodie.cleaner.policy.failed.writes —
+    * HoodieCompactionConfig.java:214 — and writer heartbeats,
+    * HoodieHeartbeatClient.java:50,226).
+    *
+    * A "failed write" is a pending instant whose only markers are
+    * `inflight` and whose action is a data action: data writes mint
+    * inflight-only instants ([[GraftTable]] startWrite), while scheduled
+    * compaction/clustering keep a `requested` plan file that their own
+    * executors manage — the reference likewise excludes them
+    * (getInstantsToRollback builds from the inflight timeline excluding
+    * compaction and clustering, AbstractHoodieWriteClient.java:953).
+    *
+    * Policy (config.failedWritesPolicy): `eager` rolls back every such
+    * instant (single-writer semantics); `lazy` only those whose
+    * heartbeat expired — safe with concurrent writers, whose live
+    * heartbeats protect them; `none` disables; `auto` (default) =
+    * eager on non-OCC tables, lazy on OCC tables.
+    *
+    * Per doomed instant, under the timeline lock (re-verifying it is
+    * still pending): delete the staged tmp dir, delete any data files a
+    * crash mid-publish already renamed to final names (found by an
+    * instant-suffix walk of the table tree — a recursive listing is
+    * acceptable on this rare crash-recovery path; normal writes never
+    * list), drop the pending marker + heartbeat, and record a
+    * `rollback` instant for audit. Returns the rolled-back times. */
+  def rollbackFailedWrites(curInstant: Option[String] = None): Seq[String] = {
+    val c = table.config
+    val policy = Option(c.failedWritesPolicy).map(_.trim.toLowerCase)
+      .filter(_.nonEmpty).getOrElse("auto") match {
+      case "auto" => if (c.occ) "lazy" else "eager"
+      case p      => p
+    }
+    if (policy == "none") return Nil
+    val ttl = if (c.heartbeatTtlMs > 0) c.heartbeatTtlMs else 120000L
+    val pending = timeline.instants().filterNot(_.isCompleted)
+      .groupBy(i => (i.time, i.action)).toSeq
+      .collect {
+        case ((t, a), insts)
+            if !curInstant.contains(t) && Action.dataActions(a) &&
+              insts.forall(_.state == State.Inflight) => Instant(t, a, State.Inflight)
+      }
+      .sortBy(_.time).reverse
+    val doomed = policy match {
+      case "eager" => pending
+      case "lazy" =>
+        // the instant-age gate closes the mint→heartbeat-create window: a
+        // just-minted peer whose heartbeat file doesn't exist YET must not
+        // read as crashed (instant times are UTC wall-clock, so age is
+        // computable without any state)
+        pending.filter(i => Heartbeat.isExpired(timeline, i.time, ttl) &&
+          instantAgeMs(i.time) > ttl)
+      case other => throw new IllegalArgumentException(
+        s"unknown failedWritesPolicy '$other' " +
+          "(expected 'auto', 'eager', 'lazy' or 'none')")
+    }
+    doomed.flatMap { i =>
+      val undone = new TimelineLock(timeline).withLock {
+        // the owner may have published (or aborted) between listing and
+        // lock — only a still-inflight instant is ours to undo
+        val still = timeline.instants()
+          .exists(x => x.time == i.time && x.action == i.action && !x.isCompleted)
+        if (still) { rollbackFailedWrite(i); true } else false
+      }
+      if (undone) {
+        val t = timeline.start(Action.Rollback)
+        timeline.complete(t, Action.Rollback,
+          CommitMetadata("rollback",
+            extra = Map("target" -> i.time, "reason" -> "failed_write")))
+        Some(i.time)
+      } else None
+    }
+  }
+
+  /** Milliseconds since the instant's minted wall-clock time (instant
+    * ids are `yyyyMMddHHmmssSSS` UTC); MaxValue when unparseable. */
+  private def instantAgeMs(time: String): Long =
+    try {
+      val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
+      val t = java.time.LocalDateTime.parse(time.take(17), fmt)
+        .toInstant(java.time.ZoneOffset.UTC)
+      System.currentTimeMillis() - t.toEpochMilli
+    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+
+  /** Physical cleanup of one crashed write instant (caller holds the
+    * timeline lock and has verified the instant is still pending). */
+  private def rollbackFailedWrite(i: Instant): Unit = {
+    fs.delete(new Path(table.basePath, s"${Timeline.MetaDir}/.tmp/${i.time}"), true)
+    orphanDataFiles(i.time).foreach(p => GraftTable.deleteDataFile(fs, p))
+    timeline.deletePending(i.time, i.action)
+  }
+
+  /** Data files carrying `_<instant>` in their published names, found by
+    * walking the table tree (skipping `.graft`). Only the crash-recovery
+    * path pays this listing. */
+  private def orphanDataFiles(time: String): Seq[Path] = {
+    val suffixes =
+      Seq(s"_$time.parquet", s"_$time.delta.parquet")
+    def walk(dir: Path): Seq[Path] = {
+      val entries =
+        try fs.listStatus(dir).toSeq
+        catch { case _: java.io.FileNotFoundException => Nil }
+      entries.flatMap { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (name == Timeline.MetaDir) Nil else walk(st.getPath)
+        } else if (suffixes.exists(name.endsWith)) Seq(st.getPath)
+        else Nil
+      }
+    }
+    walk(new Path(table.basePath))
+  }
+
   /** Roll the table back TO `time`: undo every data instant after it,
     * newest first (reference analog: BaseRestoreActionExecutor.java:51).
     * Pending instants after `time` — including scheduled compaction /

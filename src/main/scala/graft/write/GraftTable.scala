@@ -1067,6 +1067,30 @@ class GraftTable private (
   // public write operations
   // =========================================================================
 
+  /** Mint a write instant: first roll back crashed writers per the
+    * table's failed-writes policy (reference analog: the reference runs
+    * rollbackFailedWrites at the start of every commit —
+    * AbstractHoodieWriteClient.java:780,916), then open the inflight
+    * instant and start its liveness heartbeat ([[graft.core.Heartbeat]]).
+    * A cleanup failure is logged, not thrown: hygiene must never block a
+    * healthy write (same stance as the inline-services error handling). */
+  private def startWrite(action: String): String = {
+    try {
+      val cleaned = graft.services.TableServices(this).rollbackFailedWrites()
+      if (cleaned.nonEmpty)
+        System.err.println(
+          s"[graft] rolled back crashed write instants: ${cleaned.mkString(", ")}")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] failed-write cleanup failed (write proceeds; retried " +
+            s"next write): ${e.getClass.getName}: ${e.getMessage}")
+    }
+    val t = timeline.start(action)
+    graft.core.Heartbeat.start(timeline, t)
+    t
+  }
+
   /** Initial/large load: no index lookup, no merge, straight sized write
     * (reference analog: SparkRDDWriteClient.bulkInsert :227; row-writer
     * path HoodieSparkSqlWriter.bulkInsertAsRow :415 — which is simply a
@@ -1074,7 +1098,7 @@ class GraftTable private (
     * "partition" | "none". */
   def bulkInsert(df: DataFrame, sortMode: String = "partition",
       extra: Map[String, String] = Map.empty): String = {
-    val t = timeline.start(Action.Commit)
+    val t = startWrite(Action.Commit)
     val sizingSnap =
       if (config.targetFileBytes > 0) Some(Snapshot.resolve(timeline)) else None
     val prepared = assignInsertGroups(prepare(df, t), t,
@@ -1097,7 +1121,7 @@ class GraftTable private (
     * (UpsertPartitioner.java:188). MOR inserts always open new groups
     * here (fill-by-delta rides the upsert path). */
   def insert(df: DataFrame, extra: Map[String, String] = Map.empty): String = {
-    val t = timeline.start(Action.Commit)
+    val t = startWrite(Action.Commit)
     val snap = if (isMor) None else Some(Snapshot.resolve(timeline))
     val sizingSnap = snap.orElse(
       if (config.targetFileBytes > 0) Some(Snapshot.resolve(timeline)) else None)
@@ -1138,7 +1162,7 @@ class GraftTable private (
       "upsert is not supported on a virtualKeys table (append-only contract " +
         "— reference analog: hoodie.populate.meta.fields=false)")
     val action = if (isMor) Action.DeltaCommit else Action.Commit
-    val t = timeline.start(action)
+    val t = startWrite(action)
     val snap = Snapshot.resolve(timeline)
     val stamped = prepare(df, t)
     val prepared = precombine(stamped)
@@ -1224,7 +1248,7 @@ class GraftTable private (
       "delete is not supported on a virtualKeys table (append-only contract); " +
         "use deletePartitions or insert_overwrite for bulk removal")
     val action = if (isMor) Action.DeltaCommit else Action.Commit
-    val t = timeline.start(action)
+    val t = startWrite(action)
     val snap = Snapshot.resolve(timeline)
     // tombstones keep the key/partition DATA columns too, so a CDC read
     // can report which record a D operation targets
@@ -1279,7 +1303,7 @@ class GraftTable private (
   /** Replace the file groups of every partition touched by `df`
     * (reference analog: insert_overwrite, SparkRDDWriteClient.java:203). */
   def insertOverwrite(df: DataFrame): String = {
-    val t = timeline.start(Action.ReplaceCommit)
+    val t = startWrite(Action.ReplaceCommit)
     val snap = Snapshot.resolve(timeline)
     val prepared = assignInsertGroups(precombine(prepare(df, t)), t,
       targetRows = effectiveTargetRows(Some(snap))).drop(NewGroup)
@@ -1295,7 +1319,7 @@ class GraftTable private (
 
   /** Replace the entire table's file groups. */
   def insertOverwriteTable(df: DataFrame): String = {
-    val t = timeline.start(Action.ReplaceCommit)
+    val t = startWrite(Action.ReplaceCommit)
     val snap = Snapshot.resolve(timeline)
     val prepared = assignInsertGroups(precombine(prepare(df, t)), t,
       targetRows = effectiveTargetRows(Some(snap))).drop(NewGroup)
@@ -1312,7 +1336,7 @@ class GraftTable private (
     * removed later by clean (reference analog:
     * SparkDeletePartitionCommitActionExecutor.java:42). */
   def deletePartitions(partitions: Seq[String]): String = {
-    val t = timeline.start(Action.ReplaceCommit)
+    val t = startWrite(Action.ReplaceCommit)
     val snap = Snapshot.resolve(timeline)
     val ps = partitions.toSet
     val replaced = snap.slices.filter(s => ps.contains(s.partition))
@@ -1363,7 +1387,7 @@ class GraftTable private (
       val groupCount = affected.values.map(_.size).sum.toLong
       if (dryRun) return (surplus, groupCount, None)
 
-      val t = timeline.start(Action.ReplaceCommit)
+      val t = startWrite(Action.ReplaceCommit)
       // .toSeq first: flatMap on the Map itself re-keys by partition and
       // silently collapses to ONE file group per partition
       val affectedSet =

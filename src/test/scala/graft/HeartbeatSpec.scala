@@ -1,0 +1,186 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.read.GraftReader
+import graft.services.TableServices
+import graft.write.GraftTable
+
+/** Failed-write cleanup: writer heartbeats + the eager/lazy/none rollback
+  * policies (reference analogs: HoodieHeartbeatClient.java:50,226,
+  * hoodie.cleaner.policy.failed.writes HoodieCompactionConfig.java:214,
+  * rollbackFailedWrites AbstractHoodieWriteClient.java:916-976). */
+class HeartbeatSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Tables.configure(SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  def tmp(): String = Files.createTempDirectory("graft-hb").toString
+
+  def cfg(policy: String = "auto", occ: Boolean = false,
+      ttlMs: Long = 0L): TableConfig = TableConfig(
+    name = "t", tableType = TableType.COW, keyFields = Seq("id"),
+    orderingField = "ts", targetFileRows = 1000, occ = occ,
+    failedWritesPolicy = policy, heartbeatTtlMs = ttlMs)
+
+  def rows(ids: Long*): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i, s"v$i", 1L)).toDF("id", "v", "ts")
+  }
+
+  def state(tbl: GraftTable): Seq[Long] = {
+    import spark.implicits._
+    val r = GraftReader(tbl)
+    r.dataOnly(r.snapshot()).select("id").as[Long].collect().sorted.toSeq
+  }
+
+  private def touchFile(tbl: GraftTable, p: Path, bytes: String): Unit = {
+    val fs = tbl.timeline.fileSystem
+    val out = fs.create(p, true)
+    out.write(bytes.getBytes(StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** Plant a crashed write: pending inflight marker (dated `time`),
+    * staged tmp leftovers, and one orphan data file at a final name.
+    * Returns (staged, orphan) paths. */
+  private def plantCrash(tbl: GraftTable, time: String): (Path, Path) = {
+    val metaDir = tbl.timeline.metaDir
+    touchFile(tbl, new Path(metaDir, s"$time.commit.inflight"), "{}")
+    val staged = new Path(metaDir, s".tmp/$time/part-junk")
+    touchFile(tbl, staged, "staged")
+    val orphan = new Path(tbl.basePath, s"dead-0_$time.parquet")
+    touchFile(tbl, orphan, "orphan")
+    (staged, orphan)
+  }
+
+  test("eager policy rolls back a crashed write at the next write start") {
+    val tbl = GraftTable.create(spark, tmp(), cfg()) // auto -> eager (no OCC)
+    tbl.bulkInsert(rows(1, 2, 3))
+    val (staged, orphan) = plantCrash(tbl, "19990101000000000")
+    tbl.upsert(rows(4))
+    val fs = tbl.timeline.fileSystem
+    assert(tbl.timeline.instants().forall(_.isCompleted))
+    assert(!fs.exists(staged) && !fs.exists(orphan))
+    assert(tbl.timeline.completed().exists(i =>
+      i.action == Action.Rollback &&
+        tbl.timeline.metadataOf(i).extra.get("target").contains("19990101000000000")))
+    assert(state(tbl) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("none policy leaves the crashed write untouched") {
+    val tbl = GraftTable.create(spark, tmp(), cfg(policy = "none"))
+    tbl.bulkInsert(rows(1))
+    val (staged, orphan) = plantCrash(tbl, "19990101000000000")
+    tbl.upsert(rows(2))
+    val fs = tbl.timeline.fileSystem
+    assert(tbl.timeline.instants().exists(i => !i.isCompleted))
+    assert(fs.exists(staged) && fs.exists(orphan))
+  }
+
+  test("lazy policy spares a live writer's fresh heartbeat, reaps an expired one") {
+    val tbl = GraftTable.create(spark, tmp(), cfg(policy = "lazy", ttlMs = 60000))
+    tbl.bulkInsert(rows(1))
+    val crashT = "19990101000000000"
+    plantCrash(tbl, crashT)
+    Heartbeat.touch(tbl.timeline, crashT) // fresh heartbeat = live writer
+    tbl.upsert(rows(2))
+    assert(tbl.timeline.instants().exists(i => !i.isCompleted),
+      "fresh heartbeat must protect the pending instant")
+    // expire it: age the heartbeat file past the ttl
+    val fs = tbl.timeline.fileSystem
+    val hb = Heartbeat.path(tbl.timeline, crashT)
+    val old = System.currentTimeMillis() - 120000
+    fs.setTimes(hb, old, old)
+    tbl.upsert(rows(3))
+    assert(tbl.timeline.instants().forall(_.isCompleted),
+      "expired heartbeat must be reaped")
+    assert(state(tbl) == Seq(1L, 2L, 3L))
+  }
+
+  test("lazy policy spares a just-minted instant with no heartbeat yet") {
+    val tbl = GraftTable.create(spark, tmp(), cfg(policy = "lazy", ttlMs = 60000))
+    tbl.bulkInsert(rows(1))
+    // a peer writer mid-mint: instant file exists, heartbeat not yet —
+    // the instant's own wall-clock age is inside the ttl, so it's spared
+    val freshT = tbl.timeline.newInstantTime()
+    touchFile(tbl, new Path(tbl.timeline.metaDir, s"$freshT.commit.inflight"), "{}")
+    tbl.upsert(rows(2))
+    assert(tbl.timeline.instants().exists(i => !i.isCompleted && i.time == freshT),
+      "an instant younger than the ttl must never be presumed crashed")
+  }
+
+  test("scheduled compaction and clustering plans survive eager cleanup") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "t", tableType = TableType.MOR, keyFields = Seq("id"),
+      orderingField = "ts", targetFileRows = 1000))
+    tbl.bulkInsert(rows(1, 2, 3))
+    tbl.upsert(rows(1))
+    val svc = TableServices(tbl)
+    val planT = svc.scheduleCompaction().get
+    tbl.upsert(rows(4)) // eager cleanup runs here
+    assert(svc.pendingCompactions() == Seq(planT),
+      "a requested compaction plan is NOT a failed write")
+    assert(svc.runScheduledCompaction(planT).isDefined)
+  }
+
+  test("a successful write leaves no heartbeat file behind") {
+    val tbl = GraftTable.create(spark, tmp(), cfg())
+    val t = tbl.bulkInsert(rows(1, 2))
+    val fs = tbl.timeline.fileSystem
+    assert(!fs.exists(Heartbeat.path(tbl.timeline, t)))
+    val hbDir = new Path(tbl.timeline.metaDir, Timeline.HeartbeatDir)
+    assert(!fs.exists(hbDir) || fs.listStatus(hbDir).isEmpty)
+  }
+
+  test("heartbeat expiry semantics: missing = expired, fresh = live") {
+    val tbl = GraftTable.create(spark, tmp(), cfg())
+    assert(Heartbeat.isExpired(tbl.timeline, "20000101000000000", 60000))
+    Heartbeat.touch(tbl.timeline, "20000101000000000")
+    assert(!Heartbeat.isExpired(tbl.timeline, "20000101000000000", 60000))
+    assert(Heartbeat.ageMs(tbl.timeline, "20000101000000000").exists(_ >= 0))
+    Heartbeat.delete(tbl.timeline, "20000101000000000")
+    assert(Heartbeat.isExpired(tbl.timeline, "20000101000000000", 60000))
+  }
+
+  test("an aborted OCC loser's heartbeat is cleaned with its pending instant") {
+    val tbl = GraftTable.create(spark, tmp(), cfg(occ = true))
+    tbl.bulkInsert(rows(1, 2, 3))
+    // two racing writers on the same file groups: the loser aborts and
+    // must leave neither a pending instant nor a heartbeat file
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    (1 to 2).foreach { _ =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          barrier.await()
+          try { tbl.upsert(rows(1, 2, 3)); () }
+          catch { case _: ConcurrentWriteConflictException =>
+            conflicts.incrementAndGet(); () }
+        }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS))
+    val fs = tbl.timeline.fileSystem
+    val hbDir = new Path(tbl.timeline.metaDir, Timeline.HeartbeatDir)
+    assert(tbl.timeline.instants().forall(_.isCompleted))
+    assert(!fs.exists(hbDir) || fs.listStatus(hbDir).isEmpty)
+    assert(state(tbl) == Seq(1L, 2L, 3L))
+  }
+}
