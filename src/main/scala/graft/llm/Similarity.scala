@@ -280,4 +280,73 @@ object Similarity {
       .distinct()
     rescoreTopK(cand, corpus, queries, idCol, vecCol, k)
   }
+
+  // ==========================================================================
+  // SQ8 scalar quantization (compressed-vector search economics)
+  // ==========================================================================
+  // At 100 TB the embedding column IS the storage bill: a float32[d]
+  // vector costs 4d bytes/row, its SQ8 code d bytes — the standard 4×
+  // compression used by vector indexes (FAISS's ScalarQuantizer QT_8bit).
+  // Train = per-dimension [lo, hi] over the corpus (one aggregation);
+  // encode = per-row linear bucketing into 0..255; search = asymmetric
+  // distance (exact query vector against midpoint-decoded codes). All
+  // arithmetic is fixed-order double, so scores are engine-reproducible.
+
+  /** Per-dimension [lo, hi] training bounds (one map-side-combined
+    * aggregation over the corpus; output is d rows collected to the
+    * driver — vector dims, not data rows). */
+  def sq8Train(corpus: DataFrame, vecCol: String): (Seq[Double], Seq[Double]) = {
+    val stats = corpus
+      .select(posexplode(col(vecCol)).as(Seq("_i", "_x")))
+      .groupBy(col("_i"))
+      .agg(min(col("_x").cast("double")).as("lo"), max(col("_x").cast("double")).as("hi"))
+      .orderBy(col("_i"))
+      .collect()
+    (stats.map(_.getDouble(1)).toSeq, stats.map(_.getDouble(2)).toSeq)
+  }
+
+  /** Encode a vector into SQ8 codes (int 0..255 per dimension):
+    * `floor((x - lo) * 255 / (hi - lo))` clamped; a constant dimension
+    * (hi = lo) encodes as 0. */
+  def sq8Codes(vec: Column, lo: Seq[Double], hi: Seq[Double]): Column =
+    transform(vec, (x, i) => {
+      val l = element_at(lit(lo.toArray), i + 1)
+      val h = element_at(lit(hi.toArray), i + 1)
+      when(h === l, lit(0)).otherwise(
+        least(lit(255), greatest(lit(0),
+          floor((x.cast("double") - l) * lit(255.0) / (h - l)).cast("int"))))
+    })
+
+  /** Midpoint decode of SQ8 codes back to doubles:
+    * `lo + (code + 0.5) * (hi - lo) / 256` (a constant dimension decodes
+    * to lo). */
+  def sq8Decode(codes: Column, lo: Seq[Double], hi: Seq[Double]): Column =
+    transform(codes, (c, i) => {
+      val l = element_at(lit(lo.toArray), i + 1)
+      val h = element_at(lit(hi.toArray), i + 1)
+      when(h === l, l).otherwise(
+        l + (c.cast("double") + lit(0.5)) * (h - l) / lit(256.0))
+    })
+
+  /** Top-k by asymmetric distance: EXACT query vectors scored against
+    * the SQ8-decoded corpus — the memory-bound search mode where only
+    * codes live in the scan (broadcast queries, one corpus scan, same
+    * shape as [[bruteForceTopK]]). Returns `(q_id, rnk, n_id, cos)`
+    * where `cos` is the approximate (ADC) cosine. */
+  def sq8TopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      lo: Seq[Double], hi: Seq[Double]): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"),
+        sq8Decode(sq8Codes(col(vecCol), lo, hi), lo, hi).as("cvec"))
+      .withColumn("cnrm", normD(col("cvec")))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qvec"))
+      .withColumn("qnrm", normD(col("qvec")))
+    val scored = c.join(broadcast(q), col("n_id") =!= col("q_id"))
+      .withColumn("cos", cosineD(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"), col("cos"))
+  }
 }

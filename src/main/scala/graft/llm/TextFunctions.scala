@@ -218,6 +218,49 @@ object TextFunctions {
       .otherwise(lit("keep"))
   }
 
+  // ---- C4-style line-level cleaning ---------------------------------------
+  // The other canonical web-corpus filter chain (Raffel et al. 2020,
+  // "Colossal Clean Crawled Corpus", §2.2) — line-level rules first,
+  // then page-level verdicts over the CLEANED page. All pure per-row
+  // array/string math: shuffle-free at any scale.
+
+  /** C4 line rule: keep a line iff (trimmed) it ends in terminal
+    * punctuation, has at least `minLineWords` words, and does not
+    * mention "javascript". */
+  def c4LineKeep(line: Column, minLineWords: Int = 3): Column = {
+    val t = trim(line)
+    t.rlike("[.!?\"']$") &&
+      size(split(t, " ")) >= minLineWords &&
+      !lower(t).contains("javascript")
+  }
+
+  /** Apply the line rules: the page with offending lines removed
+    * (line separator preserved as `\n`). */
+  def c4Clean(text: Column, minLineWords: Int = 3): Column =
+    array_join(filter(split(text, "\n"), l => c4LineKeep(l, minLineWords)), "\n")
+
+  /** Sentence count of a cleaned page = terminal-punctuation marks. */
+  def c4SentenceCount(cleaned: Column): Column =
+    size(regexp_extract_all(cleaned, lit("[.!?]"), lit(0))).cast("long")
+
+  /** Page-level verdict over the CLEANED text, first failing rule wins
+    * (same ordered-verdict shape as [[gopherVerdict]]): 'brace' (source
+    * code markers), 'lorem_ipsum' (placeholder text), 'blocklist'
+    * (caller-supplied bad words, matched case-insensitively as
+    * substrings), 'too_few_sentences' (< `minSentences` after line
+    * cleaning), else 'keep'. */
+  def c4Verdict(cleaned: Column, blocklist: Seq[String] = Nil,
+      minSentences: Int = 5): Column = {
+    val lc = lower(cleaned)
+    val blocked = blocklist.foldLeft(lit(false))((acc, w) =>
+      acc || lc.contains(w.toLowerCase))
+    when(cleaned.contains("{"), lit("brace"))
+      .when(lc.contains("lorem ipsum"), lit("lorem_ipsum"))
+      .when(blocked, lit("blocklist"))
+      .when(c4SentenceCount(cleaned) < minSentences, lit("too_few_sentences"))
+      .otherwise(lit("keep"))
+  }
+
   // ---- PII scrubbing -------------------------------------------------------
   // Pattern-based redaction for the classic training-data scrub pass
   // (emails, IPv4s, US-style phone numbers). Patterns stick to syntax

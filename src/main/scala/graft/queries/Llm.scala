@@ -1324,6 +1324,143 @@ object Llm {
                CAST(sum(n_spans) AS BIGINT) AS n_spans,
                CAST(sum(CASE WHEN rep_ok THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_rep_ok
-        FROM v GROUP BY 1, 2 ORDER BY 1, 2""")))
+        FROM v GROUP BY 1, 2 ORDER BY 1, 2"""))),
+
+    // ---- document chunking: fixed token windows with overlap, stable
+    //      chunk ids — the standard context-packing / RAG splitter.
+    //      Pure per-row explode: shuffle-free at any corpus size
+    "q120_chunking" -> ((
+      (s: SparkSession, d: String) =>
+        graft.llm.Chunking.chunkTokens(
+            t(s, d, "documents"), "doc_id", "text", chunkSize = 32, overlap = 8)
+          .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                      FROM documents),
+        ex AS (SELECT doc_id, tk, unnest(range(0, len(tk), 24)) AS start
+               FROM toks)
+        SELECT doc_id,
+               CAST(start // 24 AS BIGINT) AS chunk_idx,
+               CAST(doc_id AS VARCHAR) || '#' ||
+                 CAST(start // 24 AS VARCHAR) AS chunk_key,
+               CAST(least(32, len(tk) - start) AS BIGINT) AS n_tokens,
+               array_to_string(tk[start + 1 : start + 32], ' ') AS chunk_text
+        FROM ex ORDER BY doc_id, chunk_idx"""))),
+
+    // ---- C4-style line-level cleaning (Raffel et al. 2020 §2.2): the
+    //      corpus is single-line prose, so the query first derives a
+    //      realistic multi-line "page" per doc with literal replaces
+    //      (sentence breaks, code braces, a scripty word, placeholder
+    //      text) — identical construction on both engines — then applies
+    //      the line rules and the ordered page verdict over the CLEANED
+    //      text. Per-row string math only: shuffle-free
+    "q121_c4_clean" -> ((
+      (s: SparkSession, d: String) => {
+        val page = replace(replace(replace(replace(col("text"),
+          lit(" line"), lit(".\n")),
+          lit(" big"), lit(" {")),
+          lit(" vector"), lit(" javascript")),
+          lit(" dup"), lit(" lorem ipsum."))
+        val cleaned = TF.c4Clean(page)
+        t(s, d, "documents").select(col("doc_id"),
+            cleaned.as("_c"),
+            size(filter(split(page, "\n"), l => TF.c4LineKeep(l)))
+              .cast("long").as("kept_lines"))
+          .select(col("doc_id"),
+            TF.c4Verdict(col("_c"), blocklist = Seq("customer"),
+              minSentences = 3).as("verdict"),
+            col("kept_lines"),
+            TF.c4SentenceCount(col("_c")).as("sentences"),
+            length(col("_c")).cast("long").as("cleaned_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH page AS (
+          SELECT doc_id,
+                 replace(replace(replace(replace(text,
+                   ' line', '.' || chr(10)),
+                   ' big', ' {'),
+                   ' vector', ' javascript'),
+                   ' dup', ' lorem ipsum.') AS p
+          FROM documents),
+        lines AS (
+          SELECT doc_id, p, list_filter(string_split(p, chr(10)), l ->
+                   regexp_matches(trim(l), '[.!?"'']$')
+                   AND len(string_split(trim(l), ' ')) >= 3
+                   AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+          FROM page),
+        c AS (SELECT doc_id,
+                     -- duckdb's array_to_string of an EMPTY list is NULL,
+                     -- spark's array_join is '' — pin the spark semantics
+                     coalesce(array_to_string(kept, chr(10)), '') AS cleaned,
+                     len(kept) AS kept_lines
+              FROM lines)
+        SELECT doc_id,
+               CASE WHEN contains(cleaned, '{') THEN 'brace'
+                    WHEN contains(lower(cleaned), 'lorem ipsum')
+                      THEN 'lorem_ipsum'
+                    WHEN contains(lower(cleaned), 'customer')
+                      THEN 'blocklist'
+                    WHEN len(regexp_extract_all(cleaned, '[.!?]')) < 3
+                      THEN 'too_few_sentences'
+                    ELSE 'keep' END AS verdict,
+               CAST(kept_lines AS BIGINT) AS kept_lines,
+               CAST(len(regexp_extract_all(cleaned, '[.!?]')) AS BIGINT)
+                 AS sentences,
+               CAST(len(cleaned) AS BIGINT) AS cleaned_chars
+        FROM c ORDER BY doc_id"""))),
+
+    // ---- SQ8 scalar quantization (FAISS QT_8bit analog): per-dim
+    //      [lo,hi] trained on the corpus, vectors encoded to 1 byte/dim
+    //      (4x smaller at float32 dims — at 100 TB the embedding column
+    //      IS the bill), search by asymmetric distance: exact query
+    //      vectors against midpoint-decoded codes. The oracle replays
+    //      train + encode + decode + top-k arithmetic exactly
+    "q123_sq8_ann" -> ((
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val (lo, hi) = Similarity.sq8Train(emb, "embedding")
+        Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 5, lo, hi)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some("""
+        WITH stats AS (
+          SELECT i,
+                 min(CAST(embedding[i] AS DOUBLE)) AS lo,
+                 max(CAST(embedding[i] AS DOUBLE)) AS hi
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+          GROUP BY i),
+        bounds AS (
+          SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi
+          FROM stats),
+        dec AS (
+          SELECT vec_id,
+                 list_transform(range(1, 65), i ->
+                   CASE WHEN b.hi[i] = b.lo[i] THEN b.lo[i]
+                        ELSE b.lo[i] + (CAST(least(255, greatest(0,
+                               CAST(floor((CAST(embedding[i] AS DOUBLE) - b.lo[i])
+                                          * 255.0 / (b.hi[i] - b.lo[i]))
+                                    AS INTEGER))) AS DOUBLE) + 0.5)
+                             * (b.hi[i] - b.lo[i]) / 256.0 END) AS dvec
+          FROM embeddings, bounds b),
+        nrm AS (SELECT vec_id, dvec,
+                       sqrt(list_sum(list_transform(dvec, x -> x * x))) AS nrm
+                FROM dec),
+        qn AS (SELECT vec_id, embedding,
+                      sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * x))) AS nrm
+               FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                 list_sum(list_transform(range(1, 65),
+                   i -> CAST(q.embedding[i] AS DOUBLE) * c.dvec[i]))
+                   / (q.nrm * c.nrm) AS cos
+          FROM qn q JOIN nrm c ON c.vec_id <> q.vec_id)
+        SELECT q_id, rnk, n_id, cos FROM (
+          SELECT q_id, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5 ORDER BY q_id, rnk""")))
   )
 }

@@ -405,4 +405,97 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(bands(1L) == "head" && bands(3L) == "tail")
   }
+
+  test("chunking: overlapping windows cover every token; final chunk may be short") {
+    import spark.implicits._
+    // 10 tokens, chunkSize 4, overlap 1 -> stride 3 -> starts 0,3,6,9
+    val df = Seq((7L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val out = Chunking.chunkTokens(df, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .orderBy("chunk_idx").collect()
+    assert(out.map(_.getAs[String]("chunk_text")).toSeq == Seq(
+      "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9"))
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq == Seq(4L, 4L, 4L, 1L))
+    assert(out.map(_.getAs[String]("chunk_key")).toSeq ==
+      Seq("7#0", "7#1", "7#2", "7#3"))
+    // every token appears in at least one chunk, neighbors share `overlap`
+    val covered = out.flatMap(_.getAs[String]("chunk_text").split(" ")).toSet
+    assert(covered == (0 to 9).map(i => s"t$i").toSet)
+  }
+
+  test("chunking: a doc shorter than chunkSize emits exactly one chunk") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = Chunking.chunkTokens(df, "doc_id", "text", 32, 8).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("chunk_text") == "a b c")
+    assert(out.head.getAs[Long]("n_tokens") == 3L)
+  }
+
+  test("c4 line rules: terminal punct, min words, javascript; page verdict order") {
+    import spark.implicits._
+    val page = Seq(
+      "This line survives cleaning fine.",     // kept
+      "No terminal punctuation here",          // dropped: no punct
+      "Too short.",                            // dropped: < 3 words
+      "Enable javascript to continue reading.",// dropped: javascript
+      "Another good sentence stays right here!" // kept
+    ).mkString("\n")
+    val df = Seq((1L, page)).toDF("doc_id", "text")
+    val cleaned = df.select(TextFunctions.c4Clean(col("text")).as("c"))
+      .head.getAs[String]("c")
+    assert(cleaned == "This line survives cleaning fine.\nAnother good sentence stays right here!")
+
+    def verdictOf(text: String, blocklist: Seq[String] = Nil, minS: Int = 2): String =
+      Seq((1L, text)).toDF("doc_id", "text")
+        .select(TextFunctions.c4Verdict(col("text"), blocklist, minS).as("v"))
+        .head.getAs[String]("v")
+    assert(verdictOf("function f() { return. Second sentence.") == "brace")
+    assert(verdictOf("Lorem Ipsum dolor sit. Second sentence.") == "lorem_ipsum")
+    assert(verdictOf("A page with a bad word. Second sentence.",
+      blocklist = Seq("bad word")) == "blocklist")
+    assert(verdictOf("Only one sentence.") == "too_few_sentences")
+    assert(verdictOf("First sentence. Second sentence.") == "keep")
+  }
+
+  test("sq8 quantization: codes bounded, decode error within one bucket, recall holds") {
+    import spark.implicits._
+    // deterministic synthetic vectors incl. a constant dimension
+    val vecs = (0L until 40L).map { id =>
+      (id, Array.tabulate(8) { d =>
+        if (d == 7) 1.5f // constant dim: hi == lo
+        else ((id * (d + 3) % 17).toFloat - 8f) / 4f
+      })
+    }.toDF("vec_id", "embedding")
+    val (lo, hi) = Similarity.sq8Train(vecs, "embedding")
+    assert(lo.length == 8 && hi.length == 8)
+    assert(lo(7) == 1.5 && hi(7) == 1.5)
+
+    val enc = vecs.select(col("vec_id"),
+      col("embedding"),
+      Similarity.sq8Codes(col("embedding"), lo, hi).as("codes"),
+      Similarity.sq8Decode(Similarity.sq8Codes(col("embedding"), lo, hi), lo, hi)
+        .as("dec")).collect()
+    enc.foreach { r =>
+      val codes = r.getAs[scala.collection.Seq[Int]]("codes")
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      val orig = r.getAs[scala.collection.Seq[Float]]("embedding")
+      val dec = r.getAs[scala.collection.Seq[Double]]("dec")
+      (0 until 8).foreach { d =>
+        val bucket = (hi(d) - lo(d)) / 256.0
+        assert(math.abs(dec(d) - orig(d)) <= math.max(bucket, 1e-12),
+          s"dim $d: ${orig(d)} decoded as ${dec(d)} (bucket $bucket)")
+      }
+    }
+
+    // ADC search approximates exact search: recall@3 >= 2/3 per query
+    val queries = vecs.filter(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 3)
+      .select("q_id", "n_id").as[(Long, Long)].collect().groupBy(_._1)
+    val approx = Similarity.sq8TopK(vecs, queries, "vec_id", "embedding", 3, lo, hi)
+      .select("q_id", "n_id").as[(Long, Long)].collect().groupBy(_._1)
+    exact.foreach { case (q, ex) =>
+      val hits = ex.map(_._2).toSet.intersect(approx(q).map(_._2).toSet).size
+      assert(hits >= 2, s"query $q: recall@3 = $hits/3")
+    }
+  }
 }
