@@ -77,6 +77,10 @@ object Heartbeat {
     ()
   }
 
+  /** Is `time` still being refreshed by this JVM? (test observability) */
+  private[graft] def isTracked(timeline: Timeline, time: String): Boolean =
+    active.containsKey(keyOf(timeline, time))
+
   /** Delete the heartbeat file and deregister. Safe to call for instants
     * that never had one (services). */
   def delete(timeline: Timeline, time: String): Unit = {

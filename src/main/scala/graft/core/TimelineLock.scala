@@ -91,9 +91,12 @@ object TimelineLock {
   val InProcess = "inprocess"
 
   def providerFor(timeline: Timeline, staleMs: Long = 60000): LockProvider = {
-    val n = Option(try timeline.config.lockProvider catch {
-      case _: Throwable => null // table not yet initialized
-    }).map(_.trim).filter(_.nonEmpty).getOrElse(File)
+    // only the not-yet-initialized bootstrap may default; a config READ
+    // failure on a live table must propagate — silently falling back to
+    // the file provider would break mutual exclusion with peers that
+    // did read 'inprocess'
+    val n = Option(if (!timeline.exists) null else timeline.config.lockProvider)
+      .map(_.trim).filter(_.nonEmpty).getOrElse(File)
     n match {
       case File      => new FileLockProvider(timeline, staleMs)
       case InProcess => new InProcessLockProvider(timeline.basePath)

@@ -54,21 +54,31 @@ object Dedup {
     * tame, else use [[minhashLsh]].
     *
     * `maxDocFreq` caps how many docs may share a shingle before it is
-    * dropped from the index (default 1000): one stop-shingle shared by
-    * k docs contributes k² candidate pairs, so an uncapped index turns
-    * a single boilerplate phrase in a 1M-doc corpus into 10¹² pairs.
-    * Dropping a hot shingle only LOWERS the computed Jaccard of pairs
-    * that shared it (both |A∩B| and the union shrink by equal counts
-    * only when both sides held it; near-dups share many cold shingles
-    * too) — the standard recall-for-boundedness trade every corpus-
-    * scale dedup makes. Pass `maxDocFreq = None` for the exact
-    * uncapped semantics on corpora known to be tame. */
+    * dropped from the PAIR-GENERATING index (default 1000): one
+    * stop-shingle shared by k docs contributes k² candidate pairs, so an
+    * uncapped index turns a single boilerplate phrase in a 1M-doc corpus
+    * into 10¹² pairs. Doc sizes |A| and |B| always come from the
+    * UNCAPPED shingle sets, so capping can only shrink |A∩B| — the
+    * computed Jaccard of a pair touched by the cap only ever DROOPS
+    * below the exact value, never inflates above it (sizing from the
+    * capped index would raise J for asymmetric pairs: one boilerplate-
+    * heavy doc would lose |A| mass but keep its intersection). The
+    * standard recall-for-boundedness trade every corpus-scale dedup
+    * makes. Pass `maxDocFreq = None` for exact uncapped semantics on
+    * corpora known to be tame. */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
       maxDocFreq: Option[Int] = Some(1000)): DataFrame = {
-    val sh = shingleIndex(df, idCol, textCol, n, maxDocFreq)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val raw = shingleIndex(df, idCol, textCol, n, None)
+    val sh = maxDocFreq match {
+      case None => raw
+      case Some(cap) =>
+        val freq = raw.groupBy("s").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= cap)
+        raw.join(freq.select("s"), "s")
+    }
+    val sizes = raw.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

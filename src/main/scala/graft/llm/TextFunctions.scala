@@ -230,7 +230,8 @@ object TextFunctions {
   def c4LineKeep(line: Column, minLineWords: Int = 3): Column = {
     val t = trim(line)
     t.rlike("[.!?\"']$") &&
-      size(split(t, " ")) >= minLineWords &&
+      // runs of spaces must not mint empty "words" toward the minimum
+      size(filter(split(t, " "), w => w =!= "")) >= minLineWords &&
       !lower(t).contains("javascript")
   }
 

@@ -1386,7 +1386,8 @@ object Llm {
         lines AS (
           SELECT doc_id, p, list_filter(string_split(p, chr(10)), l ->
                    regexp_matches(trim(l), '[.!?"'']$')
-                   AND len(string_split(trim(l), ' ')) >= 3
+                   AND len(list_filter(string_split(trim(l), ' '),
+                                       w -> w <> '')) >= 3
                    AND NOT contains(lower(trim(l)), 'javascript')) AS kept
           FROM page),
         c AS (SELECT doc_id,

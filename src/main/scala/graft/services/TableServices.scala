@@ -734,15 +734,34 @@ class TableServices(table: GraftTable) {
       case p      => p
     }
     if (policy == "none") return Nil
-    val ttl = if (c.heartbeatTtlMs > 0) c.heartbeatTtlMs else 120000L
-    val pending = timeline.instants().filterNot(_.isCompleted)
+    // floor at 2x the refresh cadence regardless of config (see
+    // GraftTable.validateConfig): a ttl inside the refresh window would
+    // reap LIVE writers whose heartbeat simply hasn't ticked yet
+    val ttl = math.max(
+      if (c.heartbeatTtlMs > 0) c.heartbeatTtlMs else 120000L,
+      2L * Heartbeat.RefreshMs)
+    val all = timeline.instants()
+    // a crash INSIDE Timeline.complete (completed file written, inflight
+    // marker not yet deleted) leaves both files: that instant is
+    // PUBLISHED, and treating it as failed would delete committed data —
+    // exclude any (time, action) that also has a completed instant
+    val published = all.filter(_.isCompleted).map(i => (i.time, i.action)).toSet
+    val pending = all.filterNot(_.isCompleted)
       .groupBy(i => (i.time, i.action)).toSeq
       .collect {
         case ((t, a), insts)
             if !curInstant.contains(t) && Action.dataActions(a) &&
+              !published.contains((t, a)) &&
               insts.forall(_.state == State.Inflight) => Instant(t, a, State.Inflight)
       }
       .sortBy(_.time).reverse
+    // a published instant whose crash left a stale inflight marker needs
+    // the MARKER swept (its data is committed): otherwise the phantom
+    // pending wedges everything that waits on earlier writers
+    all.filterNot(_.isCompleted)
+      .filter(i => published.contains((i.time, i.action)) &&
+        Heartbeat.isExpired(timeline, i.time, ttl) && instantAgeMs(i.time) > ttl)
+      .foreach(i => timeline.deletePending(i.time, i.action))
     val doomed = policy match {
       case "eager" => pending
       case "lazy" =>
@@ -759,9 +778,11 @@ class TableServices(table: GraftTable) {
     doomed.flatMap { i =>
       val undone = new TimelineLock(timeline).withLock {
         // the owner may have published (or aborted) between listing and
-        // lock — only a still-inflight instant is ours to undo
-        val still = timeline.instants()
-          .exists(x => x.time == i.time && x.action == i.action && !x.isCompleted)
+        // lock — only a still-pending instant with NO completed sibling
+        // (see above) is ours to undo
+        val now = timeline.instants()
+          .filter(x => x.time == i.time && x.action == i.action)
+        val still = now.exists(!_.isCompleted) && !now.exists(_.isCompleted)
         if (still) { rollbackFailedWrite(i); true } else false
       }
       if (undone) {

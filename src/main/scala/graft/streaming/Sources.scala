@@ -259,28 +259,43 @@ class ObjectEventsSource(
     val p = new org.apache.hadoop.fs.Path(eventsDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return None
-    val fresh = fs.listStatus(p).toSeq
+    // ONE listing per fetch; keyless batches are skipped by walking
+    // forward in the same listing (a recursive skip would re-list and
+    // re-parse per skipped batch — O(tail²) on a delete-heavy feed)
+    val all = fs.listStatus(p).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
       .map(_.getPath.toString).sorted
       .dropWhile(n => checkpoint.exists(n <= _))
-      .take(math.max(1, maxEventFilesPerBatch))
-    if (fresh.isEmpty) return None
     import spark.implicits._
-    // event files are tiny JSON (one record per new object) — parse on
-    // the driver-coordinated reader, extract the named object keys; a
-    // feed batch with no `key` column at all (empty files, delete-only
-    // notification shapes) is keyless
-    val evs = spark.read.json(fresh: _*)
-    val keys =
-      if (!evs.columns.contains("key")) Seq.empty[String]
-      else evs.select(col("key").cast("string")).as[String]
-        .collect().toSeq.filter(_ != null).distinct.map(resolveKey)
-    // a keyless event batch (e.g. delete-only notifications) carries no
-    // data: skip past it — harmless to re-parse next round if the tail
-    // of the feed is all keyless, since no rows ever duplicate
-    if (keys.isEmpty) return fetch(Some(fresh.last))
-    val reader = spark.read.format(dataFormat)
-    val withSchema = schema.fold(reader)(reader.schema)
-    Some((withSchema.load(keys: _*), fresh.last))
+    val step = math.max(1, maxEventFilesPerBatch)
+    var idx = 0
+    while (idx < all.size) {
+      val fresh = all.slice(idx, idx + step)
+      idx += fresh.size
+      // event files are tiny JSON (one record per new object) — parse on
+      // the driver-coordinated reader, extract the named object keys; a
+      // batch with no `key` column at all (empty files, delete-only
+      // notification shapes) is keyless and carries no data
+      val evs = spark.read.json(fresh: _*)
+      val keys =
+        if (!evs.columns.contains("key")) Seq.empty[String]
+        else evs.select(col("key").cast("string")).as[String]
+          .collect().toSeq.filter(_ != null).distinct.map(resolveKey)
+      if (keys.nonEmpty) {
+        val reader = spark.read.format(dataFormat)
+        val withSchema = schema.fold(reader)(reader.schema)
+        return Some((withSchema.load(keys: _*), fresh.last))
+      }
+    }
+    // the whole fresh window is keyless. With a declared schema the
+    // checkpoint still advances via an empty batch (the ingest loop
+    // commits it as a checkpoint-only instant), so a delete-only tail is
+    // parsed once, not on every subsequent sync; without a schema there
+    // is nothing to type an empty frame with — leave the checkpoint put
+    // and re-parse the (bounded-by-tail-length) keyless files next round
+    if (all.nonEmpty && schema.isDefined)
+      Some((spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema.get), all.last))
+    else None
   }
 }

@@ -1091,6 +1091,21 @@ class GraftTable private (
     t
   }
 
+  /** Every write-op body runs inside this guard: an exception-aborted
+    * write must stop REFRESHING its heartbeat, so the leaked pending
+    * instant goes stale like a crashed writer's and the failed-writes
+    * policy can reap it. Left refreshing, it would be immortal while
+    * this JVM lives — one transient Spark failure in a long-lived
+    * driver would wedge everything that waits on earlier writers. The
+    * heartbeat FILE stays (cleanup deletes it with the instant). */
+  private def heartbeatGuard[R](t: String)(body: => R): R =
+    try body
+    catch {
+      case e: Throwable =>
+        graft.core.Heartbeat.stopTracking(timeline, t)
+        throw e
+    }
+
   /** Initial/large load: no index lookup, no merge, straight sized write
     * (reference analog: SparkRDDWriteClient.bulkInsert :227; row-writer
     * path HoodieSparkSqlWriter.bulkInsertAsRow :415 — which is simply a
@@ -1099,6 +1114,7 @@ class GraftTable private (
   def bulkInsert(df: DataFrame, sortMode: String = "partition",
       extra: Map[String, String] = Map.empty): String = {
     val t = startWrite(Action.Commit)
+    heartbeatGuard(t) {
     val sizingSnap =
       if (config.targetFileBytes > 0) Some(Snapshot.resolve(timeline)) else None
     val prepared = assignInsertGroups(prepare(df, t), t,
@@ -1112,6 +1128,7 @@ class GraftTable private (
       CommitMetadata("bulk_insert", schemaJson(prepared), stats, extra = extra),
       plannedAsOf = "", guarded = false)
     t
+    }
   }
 
   /** Insert with intra-batch dedup but no merge-by-key against storage.
@@ -1122,6 +1139,7 @@ class GraftTable private (
     * here (fill-by-delta rides the upsert path). */
   def insert(df: DataFrame, extra: Map[String, String] = Map.empty): String = {
     val t = startWrite(Action.Commit)
+    heartbeatGuard(t) {
     val snap = if (isMor) None else Some(Snapshot.resolve(timeline))
     val sizingSnap = snap.orElse(
       if (config.targetFileBytes > 0) Some(Snapshot.resolve(timeline)) else None)
@@ -1152,6 +1170,7 @@ class GraftTable private (
         guarded = usedFillIds.nonEmpty)
       t
     } finally assigned.unpersist()
+    }
   }
 
   /** Upsert: tag each record against the key index, merge-rewrite affected
@@ -1163,6 +1182,7 @@ class GraftTable private (
         "— reference analog: hoodie.populate.meta.fields=false)")
     val action = if (isMor) Action.DeltaCommit else Action.Commit
     val t = startWrite(action)
+    heartbeatGuard(t) {
     val snap = Snapshot.resolve(timeline)
     val stamped = prepare(df, t)
     val prepared = precombine(stamped)
@@ -1237,6 +1257,7 @@ class GraftTable private (
         snap.asOf, guarded = true)
       t
     } finally tagged.unpersist()
+    }
   }
 
   /** Delete by key: `keys` must contain the key fields (+ partition fields
@@ -1249,6 +1270,7 @@ class GraftTable private (
         "use deletePartitions or insert_overwrite for bulk removal")
     val action = if (isMor) Action.DeltaCommit else Action.Commit
     val t = startWrite(action)
+    heartbeatGuard(t) {
     val snap = Snapshot.resolve(timeline)
     // tombstones keep the key/partition DATA columns too, so a CDC read
     // can report which record a D operation targets
@@ -1298,12 +1320,14 @@ class GraftTable private (
         snap.asOf, guarded = true)
       t
     } finally tagged.unpersist()
+    }
   }
 
   /** Replace the file groups of every partition touched by `df`
     * (reference analog: insert_overwrite, SparkRDDWriteClient.java:203). */
   def insertOverwrite(df: DataFrame): String = {
     val t = startWrite(Action.ReplaceCommit)
+    heartbeatGuard(t) {
     val snap = Snapshot.resolve(timeline)
     val prepared = assignInsertGroups(precombine(prepare(df, t)), t,
       targetRows = effectiveTargetRows(Some(snap))).drop(NewGroup)
@@ -1315,11 +1339,13 @@ class GraftTable private (
       CommitMetadata("insert_overwrite", schemaJson(prepared), stats, replaced),
       snap.asOf, guarded = true)
     t
+    }
   }
 
   /** Replace the entire table's file groups. */
   def insertOverwriteTable(df: DataFrame): String = {
     val t = startWrite(Action.ReplaceCommit)
+    heartbeatGuard(t) {
     val snap = Snapshot.resolve(timeline)
     val prepared = assignInsertGroups(precombine(prepare(df, t)), t,
       targetRows = effectiveTargetRows(Some(snap))).drop(NewGroup)
@@ -1330,6 +1356,7 @@ class GraftTable private (
       CommitMetadata("insert_overwrite_table", schemaJson(prepared), stats, replaced),
       snap.asOf, guarded = true)
     t
+    }
   }
 
   /** Logically drop whole partitions via replacecommit; physical files are
@@ -1337,6 +1364,7 @@ class GraftTable private (
     * SparkDeletePartitionCommitActionExecutor.java:42). */
   def deletePartitions(partitions: Seq[String]): String = {
     val t = startWrite(Action.ReplaceCommit)
+    heartbeatGuard(t) {
     val snap = Snapshot.resolve(timeline)
     val ps = partitions.toSet
     val replaced = snap.slices.filter(s => ps.contains(s.partition))
@@ -1345,6 +1373,7 @@ class GraftTable private (
       CommitMetadata("delete_partition", "", Nil, replaced),
       snap.asOf, guarded = true)
     t
+    }
   }
 
   /** Repair duplicate keys left by non-deduplicating ingestion (reference
@@ -1388,6 +1417,7 @@ class GraftTable private (
       if (dryRun) return (surplus, groupCount, None)
 
       val t = startWrite(Action.ReplaceCommit)
+      heartbeatGuard(t) {
       // .toSeq first: flatMap on the Map itself re-keys by partition and
       // silently collapses to ONE file group per partition
       val affectedSet =
@@ -1418,6 +1448,7 @@ class GraftTable private (
           affected, extra = Map("surplus_rows" -> surplus.toString)),
         snap.asOf, guarded = true)
       (surplus, groupCount, Some(t))
+      }
     } finally dup.unpersist()
   }
 
@@ -1584,6 +1615,18 @@ object GraftTable {
     require(!(config.virtualKeys && config.bloomIndex),
       "virtualKeys cannot combine with bloomIndex: key bloom sidecars are " +
         "built from the stored key column")
+    // a live writer's heartbeat mtime legitimately ages up to the refresh
+    // cadence between ticks; a ttl inside that window would let the lazy
+    // policy reap LIVE writers mid-write
+    require(config.heartbeatTtlMs == 0L ||
+      config.heartbeatTtlMs >= 2L * graft.core.Heartbeat.RefreshMs,
+      s"heartbeatTtlMs must be 0 (default) or >= ${2L * graft.core.Heartbeat.RefreshMs} ms " +
+        s"(2x the ${graft.core.Heartbeat.RefreshMs} ms heartbeat refresh cadence); " +
+        s"got ${config.heartbeatTtlMs}")
+    require(Seq(null, "", "auto", "eager", "lazy", "none")
+        .contains(config.failedWritesPolicy),
+      s"unknown failedWritesPolicy '${config.failedWritesPolicy}' " +
+        "(expected 'auto', 'eager', 'lazy' or 'none')")
   }
 
   def create(spark: SparkSession, path: String, config: TableConfig): GraftTable = {

@@ -498,4 +498,32 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(hits >= 2, s"query $q: recall@3 = $hits/3")
     }
   }
+
+  test("jaccard doc-freq cap never INFLATES a pair's score (sizes stay uncapped)") {
+    import spark.implicits._
+    // A carries heavy boilerplate shared by 20 filler docs; B shares only
+    // A's unique prefix. Exact J(A,B) = 3/(8+5-3) = 0.3; sizing from a
+    // CAPPED index would shrink |A| and report 3/(5+5-3) ≈ 0.43 — a
+    // false near-dup. The cap must only ever LOWER scores.
+    val docs = (
+      Seq(
+        (100L, "ua ub uc ud ue all rights reserved worldwide tonight"),
+        (101L, "ua ub uc ud ue vf vg")) ++
+      (0 until 20).map(i =>
+        (i.toLong, s"f${i}a f${i}b all rights reserved worldwide tonight"))
+    ).toDF("doc_id", "text")
+    def j(cap: Option[Int]): Map[(Long, Long), Double] =
+      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.0,
+          maxDocFreq = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val exact = j(None)
+    val capped = j(Some(10))
+    assert(math.abs(exact((100L, 101L)) - 0.3) < 1e-12)
+    assert(math.abs(capped((100L, 101L)) - 0.3) < 1e-12,
+      "cap must not inflate the asymmetric pair's score")
+    capped.foreach { case (pair, score) =>
+      assert(score <= exact(pair) + 1e-12,
+        s"pair $pair: capped $score > exact ${exact(pair)}")
+    }
+  }
 }

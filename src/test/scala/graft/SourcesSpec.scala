@@ -351,4 +351,47 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val Some((b2, ck2)) = src.fetch(Some(ck)): @unchecked
     assert(b2.count() == 1 && ck2 == "3")
   }
+
+  test("object-events source: a keyless (delete-only) tail advances the checkpoint once") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    val dataDir = tmp(); val eventsDir = tmp()
+    val fs = new Path(eventsDir).getFileSystem(spark.sessionState.newHadoopConf())
+    def notify(name: String, keys: Seq[String]): Unit = {
+      val out = fs.create(new Path(eventsDir, s"$name.json"), true)
+      out.write(keys.map(k => s"""{\"key\": \"$k\"}""").mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
+    // one keyed object, then a LONG delete-only tail
+    import spark.implicits._
+    val obj = s"$dataDir/obj-0.parquet"
+    Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ts")
+      .coalesce(1).write.parquet(s"$dataDir/stage")
+    val part = fs.globStatus(new Path(s"$dataDir/stage", "part-*.parquet")).head.getPath
+    fs.rename(part, new Path(obj))
+    notify("000-data", Seq(obj))
+    (1 to 30).foreach(i => notify(f"$i%03d-delete", Nil))
+
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v STRING, ts BIGINT")
+    val tbl = GraftTable.create(spark, tmp(), TableConfig(
+      name = "oes", tableType = TableType.COW, keyFields = Seq("id"),
+      orderingField = "ts", targetFileRows = 1000))
+    val ingest = new ContinuousIngest(tbl,
+      new ObjectEventsSource(spark, eventsDir, schema = Some(schema),
+        maxEventFilesPerBatch = 1),
+      operation = "insert")
+    assert(ingest.syncOnce().isDefined, "round 1: the keyed object lands")
+    // round 2: the 30-file keyless tail is consumed in ONE sync as a
+    // checkpoint-only commit (no recursion depth, one listing)
+    assert(ingest.syncOnce().isDefined, "round 2: checkpoint-only advance")
+    assert(ingest.checkpoint.exists(_.endsWith("030-delete.json")),
+      s"checkpoint must land on the tail: ${ingest.checkpoint}")
+    // round 3: genuinely caught up — and stays that way
+    assert(ingest.syncOnce().isEmpty)
+    assert(ingest.syncOnce().isEmpty)
+    val r = GraftReader(tbl)
+    assert(r.dataOnly(r.snapshot()).count() == 2)
+  }
 }
