@@ -1,0 +1,82 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over a text corpus: BM25 ranked search on an
+  * inverted index — the term-match complement of the embedding-side
+  * [[Similarity]] family (RAG keyword recall, decontamination probes,
+  * boilerplate hunting).
+  *
+  * Scoring follows the Lucene/Okapi formula:
+  * `idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)`,
+  * `score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))`.
+  *
+  * Determinism: every count is exact integer math in doubles; the only
+  * float SUM (per-(query,doc) term contributions) folds in sorted term
+  * order, so scores are bit-reproducible across engines and retries —
+  * the DuckDB oracle replays the identical arithmetic.
+  *
+  * Scale posture: one explode + hash aggregation builds tf (map-side
+  * combined); df is a second aggregation of tf; the query term set is
+  * broadcast, so search cost is one pass over the postings of the
+  * queried terms — never a corpus × queries join. For a standing search
+  * service, persist `tf` as a graft table and incremental-maintain it.
+  */
+object Retrieval {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Term frequencies per (doc, term) with doc length attached — the
+    * inverted index. One explode + one hash aggregation. */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), TextFunctions.wsTokens(col(textCol)).as("_tk"))
+      .select(col("doc_id"), size(col("_tk")).cast("double").as("dl"),
+        explode(col("_tk")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+  /** BM25 top-k docs per query. `queries` carries `(q_id, terms)` with
+    * `terms: array<string>`; it is broadcast (query sets are small).
+    * Output: `(q_id, rnk, doc_id, score)`, ties broken by doc id. */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int,
+      k1: Double = K1, b: Double = B): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    // N and avgdl: integer-valued sums — exact in double at any
+    // aggregation order, so collecting them to the driver is safe
+    val lens = docs
+      .select(size(TextFunctions.wsTokens(col(textCol))).cast("long").as("n"))
+      .agg(count(lit(1)).as("docs"), sum(col("n")).as("toks")).head()
+    val nDocs = lens.getLong(0).toDouble
+    val avgdl = lens.getLong(1).toDouble / nDocs
+    val qt = queries
+      .select(col("q_id"), explode(col("terms")).as("term")).distinct()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val contrib = tf
+      .join(broadcast(qt), "term")
+      .join(dfreq, "term")
+      .withColumn("idf",
+        log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("c",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .select(col("q_id"), col("doc_id"), col("term"), col("c"))
+    // fold contributions in sorted term order: a groupBy float sum would
+    // be partition-order dependent, this is bit-stable
+    val scored = contrib
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("c")))),
+        lit(0.0), (acc, x) => acc + x("c")).as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+        col("doc_id"), col("score"))
+  }
+}

@@ -1462,6 +1462,59 @@ object Llm {
           SELECT q_id, n_id, cos,
                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
           FROM scored)
-        WHERE rnk <= 5 ORDER BY q_id, rnk""")))
+        WHERE rnk <= 5 ORDER BY q_id, rnk"""))),
+
+    // ---- BM25 keyword retrieval (Lucene/Okapi formula) over an
+    //      inverted index — the term-match complement of the embedding
+    //      ANN family. Scores fold per-(query,doc) contributions in
+    //      sorted term order, so the float math is bit-stable and the
+    //      oracle replays it exactly
+    "q124_bm25" -> ((
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val queries = Seq(
+          (0L, Seq("spark", "merge")),
+          (1L, Seq("window", "filter")),
+          (2L, Seq("customer", "vector"))).toDF("q_id", "terms")
+        graft.llm.Retrieval.bm25TopK(
+            t(s, d, "documents"), "doc_id", "text", queries, k = 10)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                      FROM documents),
+        d AS (SELECT doc_id, tk, CAST(len(tk) AS DOUBLE) AS dl FROM toks),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                         CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+                  FROM toks),
+        tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+               FROM (SELECT doc_id, dl, unnest(tk) AS term FROM d)
+               GROUP BY 1, 2, 3),
+        dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+                  GROUP BY 1),
+        q(q_id, term) AS (VALUES
+          (0, 'spark'), (0, 'merge'),
+          (1, 'window'), (1, 'filter'),
+          (2, 'customer'), (2, 'vector')),
+        contrib AS (
+          SELECT q.q_id, tf.doc_id, tf.term,
+                 ln((s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)) AS c
+          FROM tf
+          JOIN q ON q.term = tf.term
+          JOIN dfreq ON dfreq.term = tf.term, stats s),
+        scored AS (
+          SELECT q_id, doc_id,
+                 list_sum(list_transform(
+                   list_sort(list(struct_pack(term := term, c := c))),
+                   x -> x.c)) AS score
+          FROM contrib GROUP BY 1, 2)
+        SELECT CAST(q_id AS BIGINT) AS q_id, rnk, doc_id, score FROM (
+          SELECT q_id, doc_id, score,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY score DESC, doc_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 10 ORDER BY q_id, rnk""")))
   )
 }

@@ -38,6 +38,11 @@ import graft.write.GraftTable
   *   hive.style.partitioning / url.encode.partitioning   path encoding
   *   drop.partition.columns   partition fields live only in the path
   *   virtual.keys             store zero meta columns (append-only COW)
+  *   occ                      multi-writer optimistic concurrency
+  *   commit.store             rename (default) | put — storage profile
+  *   lock.provider            file (default) | inprocess
+  *   failed.writes.policy     auto (default) | eager | lazy | none
+  *   heartbeat.ttl.ms         lazy-policy heartbeat expiry (0 = default)
   */
 class GraftDataSource
   extends RelationProvider
@@ -188,7 +193,14 @@ class GraftDataSource
         autoArchiveMinCommits =
           parameters.getOrElse("archive.min.commits", "0").toInt,
         autoArchiveMaxCommits =
-          parameters.getOrElse("archive.max.commits", "0").toInt))
+          parameters.getOrElse("archive.max.commits", "0").toInt,
+        occ = parameters.getOrElse("occ", "false").toBoolean,
+        commitStore = parameters.getOrElse("commit.store", "rename"),
+        lockProvider = parameters.getOrElse("lock.provider", "file"),
+        failedWritesPolicy =
+          parameters.getOrElse("failed.writes.policy", "auto"),
+        heartbeatTtlMs =
+          parameters.getOrElse("heartbeat.ttl.ms", "0").toLong))
     }
   }
 }

@@ -138,4 +138,31 @@ class DataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .load().select("id").as[Long].collect().sorted
     assert(inc.toSeq == Seq(1L, 2L, 4L))
   }
+
+  test("concurrency + durability options map into the table config") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "a", 1L)).toDF("id", "v", "ts")
+      .write.format("graft")
+      .option("path", dir)
+      .option("key.fields", "id")
+      .option("ordering.field", "ts")
+      .option("occ", "true")
+      .option("commit.store", "put")
+      .option("lock.provider", "inprocess")
+      .option("failed.writes.policy", "lazy")
+      .option("heartbeat.ttl.ms", "90000")
+      .mode(SaveMode.Append)
+      .save()
+    val cfg = graft.write.GraftTable.load(spark, dir).config
+    assert(cfg.occ)
+    assert(cfg.commitStore == "put")
+    assert(cfg.lockProvider == "inprocess")
+    assert(cfg.failedWritesPolicy == "lazy")
+    assert(cfg.heartbeatTtlMs == 90000L)
+    // the options only apply at creation; later writes just use them
+    Seq((2L, "b", 2L)).toDF("id", "v", "ts")
+      .write.format("graft").option("path", dir).mode(SaveMode.Append).save()
+    assert(spark.read.format("graft").option("path", dir).load().count() == 2)
+  }
 }

@@ -526,4 +526,28 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"pair $pair: capped $score > exact ${exact(pair)}")
     }
   }
+
+  test("bm25: tf saturation, idf rarity, and length normalization behave") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),          // one 'alpha', len 4
+      (2L, "alpha alpha beta gamma"),          // two 'alpha', len 4
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"), // len 8
+      (4L, "common common common common"),     // no query terms
+      (5L, "rare beta gamma delta")            // unique term 'rare'
+    ).toDF("doc_id", "text")
+    val queries = Seq((0L, Seq("alpha")), (1L, Seq("rare", "beta")))
+      .toDF("q_id", "terms")
+    val out = Retrieval.bm25TopK(corpus, "doc_id", "text", queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3)))
+    val q0 = out.filter(_._1 == 0L).sortBy(_._2)
+    // higher tf wins at equal length; equal tf at longer length loses
+    assert(q0.map(_._3).take(3).toSeq == Seq(2L, 1L, 3L),
+      s"expected tf then length ordering, got ${q0.toSeq}")
+    assert(!q0.exists(_._3 == 4L), "docs without the term never match")
+    val q1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // 'rare' (df=1) dominates 'beta' (df=4): doc 5 must rank first
+    assert(q1.head._3 == 5L, s"rare-term doc must win: ${q1.toSeq}")
+  }
 }
