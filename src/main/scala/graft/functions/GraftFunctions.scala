@@ -121,6 +121,31 @@ object GraftFunctions {
         "sampling / splits / mixing") { args =>
       expect(args, 2, "ppm_bucket")
       bridge(graft.llm.Mixing.ppmBucket(asCol(args(0)), asCol(args(1))))
+    },
+    reg("normalize_text",
+      "normalize_text(str, form) - unicode normalization (NFC/NFD/NFKC/" +
+        "NFKD, a literal string); the pre-hash scrub step for dedup") { args =>
+      expect(args, 2, "normalize_text")
+      val form = args(1) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+          s.toString
+        case other => throw new IllegalArgumentException(
+          s"normalize_text: <form> must be a literal string, got $other")
+      }
+      NormalizeText(args(0), form)
+    },
+    reg("strip_html",
+      "strip_html(str) - markup to plain text: drops script/style/" +
+        "comment payloads, strips tags, decodes common entities, " +
+        "collapses whitespace") { args =>
+      expect(args, 1, "strip_html")
+      bridge(graft.llm.TextFunctions.stripHtml(asCol(args(0))))
+    },
+    reg("url_host",
+      "url_host(url) - lowercased hostname of an http(s) URL, '' when " +
+        "the scheme is missing") { args =>
+      expect(args, 1, "url_host")
+      bridge(graft.llm.TextFunctions.urlHost(asCol(args(0))))
     }
   )
 

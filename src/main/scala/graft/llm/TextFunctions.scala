@@ -284,4 +284,76 @@ object TextFunctions {
     val noIp = regexp_replace(noEmail, Ipv4Pattern, "[IP]")
     regexp_replace(noIp, PhonePattern, "[PHONE]")
   }
+
+  // ---- HTML stripping ------------------------------------------------------
+  // Crawl-derived corpora arrive as markup; the standard extraction pass
+  // drops script/style payloads and comments wholesale, turns remaining
+  // tags into whitespace, decodes the common entities, and collapses
+  // runs of whitespace. All patterns are valid in both Java regex and
+  // RE2 (inline (?is) flags, lazy quantifiers, no backreferences) so
+  // DuckDB oracles can replay the chain verbatim.
+
+  private val ScriptBlock = "(?is)<script\\b[^>]*>.*?</script>"
+  private val StyleBlock = "(?is)<style\\b[^>]*>.*?</style>"
+  private val CommentBlock = "(?s)<!--.*?-->"
+  private val AnyTag = "<[^>]*>"
+
+  /** (entity, replacement) in DECODE ORDER: `&amp;` must come last so
+    * double-escaped text like `&amp;lt;` decodes exactly once (to
+    * `&lt;`), never twice (to `<`). */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Markup → plain text: drop script/style/comment payloads, replace
+    * tags with spaces, decode common entities, collapse whitespace.
+    * Pure per-row regex chain — codegen'd, shuffle-free at any scale. */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(
+        regexp_replace(html, ScriptBlock, " "), StyleBlock, " "),
+      CommentBlock, " ")
+    val noTags = regexp_replace(noBlocks, AnyTag, " ")
+    val decoded = HtmlEntities.foldLeft(noTags) { case (c, (e, r)) =>
+      replace(c, lit(e), lit(r))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  // ---- URL extraction / host filtering -------------------------------------
+  // Domain-level curation (blocklists, per-host mixing weights, spam-host
+  // pruning) needs URLs pulled out of text and reduced to hosts. Both
+  // patterns are RE2-safe for oracle parity.
+
+  val UrlPattern = "https?://[^ ]+"
+  private val HostPattern = "^https?://([^/:?#]+)"
+
+  /** Every http(s) URL in the text, in order of appearance. */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlPattern), lit(0))
+
+  /** Lowercased hostname of a URL ('' when the scheme is missing);
+    * ports, paths, queries and fragments are cut. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, HostPattern, 1))
+
+  // ---- line-level dedup ----------------------------------------------------
+
+  /** Remove repeated lines within a document, keeping the FIRST
+    * occurrence of each (boilerplate like nav text and newsletter
+    * banners repeats verbatim; C4/RefinedWeb drop the repeats, not the
+    * first sighting). `array_distinct` preserves first-occurrence
+    * order, so the document's reading order survives. Per-row only. */
+  def dedupLines(text: Column): Column =
+    array_join(array_distinct(split(text, "\n")), "\n")
+
+  // ---- unicode normalization -----------------------------------------------
+
+  /** NFC/NFD/NFKC/NFKD normalization via the codegen'd
+    * [[graft.functions.NormalizeText]] expression (see its scaladoc for
+    * why dedup pipelines need this before hashing). */
+  def normalize(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.graft.ColumnBridge.toColumn(
+      graft.functions.NormalizeText(
+        org.apache.spark.sql.graft.ColumnBridge.toCatalyst(text), form))
 }

@@ -1515,6 +1515,203 @@ object Llm {
                  row_number() OVER (PARTITION BY q_id
                                     ORDER BY score DESC, doc_id) AS rnk
           FROM scored)
-        WHERE rnk <= 10 ORDER BY q_id, rnk""")))
+        WHERE rnk <= 10 ORDER BY q_id, rnk"""))),
+
+    // ---- PII scrubbing: the corpus is PII-free word soup, so the
+    //      query first plants emails / IPv4s / phone numbers with
+    //      literal replaces (identical construction on both engines),
+    //      then counts and redacts with the shared RE2-safe patterns.
+    //      Pure per-row regex math: shuffle-free at any corpus size
+    "q125_pii_scrub" -> ((
+      (s: SparkSession, d: String) => {
+        val planted = replace(replace(replace(col("text"),
+          lit(" line"), lit(" bob@example.com")),
+          lit(" big"), lit(" 10.0.0.1")),
+          lit(" dup"), lit(" 555-867-5309"))
+        val (em, ip, ph) = TF.piiCounts(planted)
+        t(s, d, "documents").select(col("doc_id"),
+            em.as("n_email"), ip.as("n_ip"), ph.as("n_phone"),
+            TF.redactPii(planted).as("redacted"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+                 replace(replace(replace(text,
+                   ' line', ' bob@example.com'),
+                   ' big', ' 10.0.0.1'),
+                   ' dup', ' 555-867-5309') AS t
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(t,
+                 '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+               CAST(len(regexp_extract_all(t,
+                 '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phone,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '[EMAIL]', 'g'),
+                 '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+                 '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g')
+                 AS redacted
+        FROM p ORDER BY doc_id"""))),
+
+    // ---- HTML extraction: build a markup page per doc (script block,
+    //      comment, entities — literal replaces, mirrored), then
+    //      strip_html it to plain text. Per-row regex chain only
+    "q126_html_strip" -> ((
+      (s: SparkSession, d: String) => {
+        val page = concat(lit("<html><body><p>"),
+          replace(replace(replace(replace(col("text"),
+            lit(" line"), lit("</p>\n<p>")),
+            lit(" big"),
+            lit(" <script type=\"text/javascript\">var x = 1 < 2;</script> ")),
+            lit(" vector"), lit(" Tom &amp; Jerry &lt;3 ")),
+            lit(" dup"), lit(" <!-- hidden tracking note --> ")),
+          lit("</p></body></html>"))
+        val cleaned = TF.stripHtml(page)
+        t(s, d, "documents").select(col("doc_id"),
+            cleaned.as("cleaned"),
+            size(split(cleaned, " ")).cast("long").as("n_words"),
+            length(cleaned).cast("long").as("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH page AS (
+          SELECT doc_id,
+                 '<html><body><p>' ||
+                 replace(replace(replace(replace(text,
+                   ' line', '</p>' || chr(10) || '<p>'),
+                   ' big',
+                   ' <script type="text/javascript">var x = 1 < 2;</script> '),
+                   ' vector', ' Tom &amp; Jerry &lt;3 '),
+                   ' dup', ' <!-- hidden tracking note --> ') ||
+                 '</p></body></html>' AS p
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                     regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(p,
+                         '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                       '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                       '(?s)<!--.*?-->', ' ', 'g'),
+                       '<[^>]*>', ' ', 'g'),
+                     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                     '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                   '\s+', ' ', 'g')) AS cleaned
+          FROM page)
+        SELECT doc_id, cleaned,
+               CAST(len(string_split(cleaned, ' ')) AS BIGINT) AS n_words,
+               CAST(len(cleaned) AS BIGINT) AS n_chars
+        FROM c ORDER BY doc_id"""))),
+
+    // ---- URL host census with a blocklist: plant URLs, extract them,
+    //      reduce to hosts, drop blocklisted hosts, count per host.
+    //      One shuffle (the host groupBy); the blocklist is a literal
+    //      isin — broadcast-free at any list size that fits a filter
+    "q127_url_hosts" -> ((
+      (s: SparkSession, d: String) => {
+        val planted = replace(replace(replace(replace(col("text"),
+          lit(" line"), lit(" http://spark.apache.org/docs/latest ")),
+          lit(" slow"), lit(" https://spark.apache.org/examples.html ")),
+          lit(" big"), lit(" https://github.com/apache/spark ")),
+          lit(" dup"), lit(" http://ads.tracker.example/pixel?id=1 "))
+        t(s, d, "documents")
+          .select(col("doc_id"), explode(TF.extractUrls(planted)).as("url"))
+          .select(col("doc_id"), TF.urlHost(col("url")).as("host"))
+          .filter(!col("host").isin("ads.tracker.example"))
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_urls"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy(col("host"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+                 replace(replace(replace(replace(text,
+                   ' line', ' http://spark.apache.org/docs/latest '),
+                   ' slow', ' https://spark.apache.org/examples.html '),
+                   ' big', ' https://github.com/apache/spark '),
+                   ' dup', ' http://ads.tracker.example/pixel?id=1 ') AS t
+          FROM documents),
+        u AS (SELECT doc_id,
+                     unnest(regexp_extract_all(t, 'https?://[^ ]+')) AS url
+              FROM p),
+        h AS (SELECT doc_id,
+                     lower(regexp_extract(url, '^https?://([^/:?#]+)', 1))
+                       AS host
+              FROM u)
+        SELECT host, count(*) AS n_urls,
+               count(DISTINCT doc_id) AS n_docs
+        FROM h WHERE host <> 'ads.tracker.example'
+        GROUP BY 1 ORDER BY 1"""))),
+
+    // ---- within-document line dedup: plant a repeated boilerplate
+    //      banner (two trigger words map to the SAME line), split to
+    //      lines, keep first occurrences. The oracle checks the
+    //      order-independent facets (counts, deduped length, sorted
+    //      join); LlmSpec pins first-occurrence ORDER, which DuckDB's
+    //      list_distinct can't replay. Per-row array math only
+    "q128_line_dedup" -> ((
+      (s: SparkSession, d: String) => {
+        val page = replace(replace(replace(col("text"),
+          lit(" dup"), lit("\nSubscribe to our newsletter\n")),
+          lit(" big"), lit("\nSubscribe to our newsletter\n")),
+          lit(" line"), lit("\n"))
+        val lines = split(page, "\n")
+        t(s, d, "documents").select(col("doc_id"),
+            size(lines).cast("long").as("n_lines"),
+            (size(lines) - size(array_distinct(lines))).cast("long")
+              .as("n_dup_lines"),
+            length(TF.dedupLines(page)).cast("long").as("n_chars_deduped"),
+            array_join(array_sort(array_distinct(lines)), "\n")
+              .as("lines_sorted"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+                 replace(replace(replace(text,
+                   ' dup', chr(10) || 'Subscribe to our newsletter' || chr(10)),
+                   ' big', chr(10) || 'Subscribe to our newsletter' || chr(10)),
+                   ' line', chr(10)) AS t
+          FROM documents),
+        l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM p)
+        SELECT doc_id,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(len(ls) - len(list_distinct(ls)) AS BIGINT)
+                 AS n_dup_lines,
+               CAST(len(array_to_string(list_distinct(ls), chr(10)))
+                 AS BIGINT) AS n_chars_deduped,
+               array_to_string(list_sort(list_distinct(ls)), chr(10))
+                 AS lines_sorted
+        FROM l ORDER BY doc_id"""))),
+
+    // ---- unicode NFC normalization (codegen'd NormalizeText
+    //      expression): append a decomposed accent (e + U+0301) so the
+    //      pass has real work — NFC composes it to one codepoint.
+    //      DuckDB's nfc_normalize replays the composition exactly
+    "q129_nfc_normalize" -> ((
+      (s: SparkSession, d: String) => {
+        val decomposed = concat(col("text"), lit(" cafe"), lit("\u0301"))
+        val normalized = TF.normalize(decomposed, "NFC")
+        t(s, d, "documents").select(col("doc_id"),
+            length(decomposed).cast("long").as("n_before"),
+            length(normalized).cast("long").as("n_after"),
+            normalized.as("normalized"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(length(text || ' cafe' || chr(769)) AS BIGINT)
+                 AS n_before,
+               CAST(length(nfc_normalize(text || ' cafe' || chr(769)))
+                 AS BIGINT) AS n_after,
+               nfc_normalize(text || ' cafe' || chr(769)) AS normalized
+        FROM documents ORDER BY doc_id""")))
   )
 }

@@ -550,4 +550,98 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 'rare' (df=1) dominates 'beta' (df=4): doc 5 must rank first
     assert(q1.head._3 == 5L, s"rare-term doc must win: ${q1.toSeq}")
   }
+
+  test("stripHtml drops script/style/comment payloads and decodes entities once") {
+    import spark.implicits._
+    import graft.llm.{TextFunctions => TF}
+    val rows = Seq(
+      (1L, "<html><body><p>Hello   <b>world</b></p>" +
+        "<script type=\"text/javascript\">var hidden = 1 < 2;</script>" +
+        "<style>p { color: red }</style><!-- note -->bye</body></html>"),
+      // double-escaped text must decode exactly ONCE: &amp;lt; -> &lt;
+      (2L, "Tom &amp; Jerry &lt;3 say &amp;lt;never twice&amp;gt; &#39;hi&#39;"),
+      // a stray < that is NOT a tag start survives entity decode order
+      (3L, "x &lt;tag&gt; y"),
+      (4L, "SCRIPT in caps: <SCRIPT>alert(1)</SCRIPT>done")
+    ).toDF("id", "html")
+    val got = rows.select(col("id"), TF.stripHtml(col("html")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "Hello world bye", got(1L))
+    assert(got(2L) == "Tom & Jerry <3 say &lt;never twice&gt; 'hi'", got(2L))
+    assert(got(3L) == "x <tag> y", got(3L))
+    assert(got(4L) == "SCRIPT in caps: done", got(4L))
+  }
+
+  test("extractUrls + urlHost: hosts are lowercased, ports/paths cut, no-match is ''") {
+    import spark.implicits._
+    import graft.llm.{TextFunctions => TF}
+    val rows = Seq(
+      (1L, "see http://Spark.Apache.ORG/docs and https://github.com:443/apache?x=1 end"),
+      (2L, "no urls at all"),
+      (3L, "trailing https://example.com")
+    ).toDF("id", "text")
+    val urls = rows.select(col("id"), TF.extractUrls(col("text")).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(urls(1L) == Seq("http://Spark.Apache.ORG/docs", "https://github.com:443/apache?x=1"))
+    assert(urls(2L).isEmpty)
+    assert(urls(3L) == Seq("https://example.com"))
+    val hosts = rows.where(col("id") === 1L).select(col("id"),
+        TF.urlHost(element_at(TF.extractUrls(col("text")), 1)).as("h"))
+      .head().getString(1)
+    assert(hosts == "spark.apache.org", hosts)
+    val port = rows.select(TF.urlHost(lit("https://github.com:443/apache?x=1")))
+      .head().getString(0)
+    assert(port == "github.com", port)
+    assert(rows.select(TF.urlHost(lit("not a url"))).head().getString(0) == "")
+  }
+
+  test("dedupLines keeps the FIRST occurrence of each line, in reading order") {
+    import spark.implicits._
+    import graft.llm.{TextFunctions => TF}
+    val doc = "intro\nSubscribe now\nbody one\nSubscribe now\nbody two\nintro"
+    val got = Seq(Tuple1(doc)).toDF("t")
+      .select(TF.dedupLines(col("t"))).head().getString(0)
+    assert(got == "intro\nSubscribe now\nbody one\nbody two", got)
+  }
+
+  test("normalize: NFC composes, NFKC folds compatibility forms, ASCII is a no-op") {
+    import spark.implicits._
+    import graft.llm.{TextFunctions => TF}
+    val rows = Seq(
+      (1L, "cafe\u0301"),        // e + combining acute
+      (2L, "\u2460 \uFB01ne"),  // circled one + fi ligature
+      (3L, "plain ascii")
+    ).toDF("id", "s")
+    val nfc = rows.select(col("id"), TF.normalize(col("s"), "NFC").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(nfc(1L) == "caf\u00e9", nfc(1L))
+    assert(nfc(2L) == "\u2460 \uFB01ne")  // NFC leaves compatibility forms alone
+    assert(nfc(3L) == "plain ascii")
+    val nfkc = rows.select(col("id"), TF.normalize(col("s"), "NFKC").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(nfkc(1L) == "caf\u00e9")
+    assert(nfkc(2L) == "1 fine", nfkc(2L))  // compatibility folds
+    // idempotence + null propagation
+    val twice = rows.select(TF.normalize(TF.normalize(col("s"), "NFKC"), "NFKC").as("n"))
+      .collect().map(_.getString(0)).toSet
+    assert(twice == Set("caf\u00e9", "1 fine", "plain ascii"))
+    val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("s")
+      .select(TF.normalize(col("s"), "NFC")).head()
+    assert(n.isNullAt(0))
+    intercept[IllegalArgumentException] { TF.normalize(col("s"), "NFX") }
+  }
+
+  test("normalize_text / strip_html / url_host are callable from pure SQL") {
+    val s2 = spark.newSession()
+    graft.functions.GraftFunctions.all.foreach { case (id, info, b) =>
+      s2.sessionState.functionRegistry.registerFunction(id, info, b)
+    }
+    val got = s2.sql(
+      "SELECT normalize_text('cafe\u0301', 'NFC') AS n, " +
+        "strip_html('<p>a &amp; b</p>') AS h, " +
+        "url_host('https://Ads.Example.COM/x') AS u").head()
+    assert(got.getString(0) == "caf\u00e9")
+    assert(got.getString(1) == "a & b")
+    assert(got.getString(2) == "ads.example.com")
+  }
 }
