@@ -1712,6 +1712,84 @@ object Llm {
                CAST(length(nfc_normalize(text || ' cafe' || chr(769)))
                  AS BIGINT) AS n_after,
                nfc_normalize(text || ' cafe' || chr(769)) AS normalized
-        FROM documents ORDER BY doc_id""")))
+        FROM documents ORDER BY doc_id"""))),
+
+    // ---- product quantization ANN (FAISS IndexPQ analog): 8 subspaces
+    //      x 16 centroids seeded from the first 16 vectors (the
+    //      deterministic oracle-replayable init), ADC shortlist of 10,
+    //      exact re-rank to top-3. Codes are 8 bytes/vector vs 256 for
+    //      the raw floats — the scan-side win PQ exists for. The oracle
+    //      replays init + encode + decode + ADC + re-rank arithmetic
+    //      exactly (left-to-right double folds, first-min tie-breaks)
+    "q130_pq_ann" -> ((
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val cb = Similarity.pqInitCodebooks(emb, "vec_id", "embedding",
+          m = 8, ksub = 16)
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 3, cb, rerank = 10)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        cbs AS (
+          SELECT s, list(blk ORDER BY j) AS cb
+          FROM (
+            SELECT s, vec_id AS j,
+                   list_transform(range(1, 9), i -> v[s*8 + i]) AS blk
+            FROM e, (SELECT unnest(range(0, 8)) AS s) WHERE vec_id < 16)
+          GROUP BY s),
+        codes AS (
+          SELECT vec_id, s,
+                 CAST(list_position(d, list_min(d)) - 1 AS INTEGER) AS code
+          FROM (
+            SELECT e.vec_id, c.s,
+                   list_transform(range(1, 17), j ->
+                     list_sum(list_transform(range(1, 9), i ->
+                       (e.v[c.s*8 + i] - c.cb[j][i])
+                         * (e.v[c.s*8 + i] - c.cb[j][i])))) AS d
+            FROM e, cbs c)),
+        dec AS (
+          SELECT vec_id, flatten(list(blk ORDER BY s)) AS dvec
+          FROM (SELECT cd.vec_id, cd.s, c.cb[cd.code + 1] AS blk
+                FROM codes cd JOIN cbs c ON c.s = cd.s)
+          GROUP BY vec_id),
+        nrm AS (
+          SELECT vec_id, dvec,
+                 sqrt(list_sum(list_transform(dvec, x -> x * x))) AS dnrm
+          FROM dec),
+        qn AS (
+          SELECT vec_id AS q_id, v AS qv,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS qnrm
+          FROM e WHERE vec_id < 5),
+        adc AS (
+          SELECT q.q_id, c.vec_id AS n_id,
+                 list_sum(list_transform(range(1, 65),
+                   i -> q.qv[i] * c.dvec[i])) / (q.qnrm * c.dnrm) AS cos_adc
+          FROM qn q JOIN nrm c ON c.vec_id <> q.q_id),
+        short AS (
+          SELECT q_id, n_id, cos_adc FROM (
+            SELECT q_id, n_id, cos_adc,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos_adc DESC, n_id) AS srnk
+            FROM adc) WHERE srnk <= 10),
+        ex AS (
+          SELECT s.q_id, s.n_id, s.cos_adc,
+                 list_sum(list_transform(range(1, 65),
+                   i -> q.qv[i] * n.v[i]))
+                   / (q.qnrm * sqrt(list_sum(list_transform(n.v,
+                       x -> x * x)))) AS cos
+          FROM short s
+          JOIN qn q ON q.q_id = s.q_id
+          JOIN e n ON n.vec_id = s.n_id)
+        SELECT q_id, rnk, n_id, cos, cos_adc FROM (
+          SELECT q_id, n_id, cos, cos_adc,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, n_id) AS rnk
+          FROM ex) WHERE rnk <= 3
+        ORDER BY q_id, rnk""")))
   )
 }

@@ -631,6 +631,43 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TF.normalize(col("s"), "NFX") }
   }
 
+  test("PQ: codes round-trip seed vectors exactly; Lloyd lowers quantization error; rerank restores exact ranking") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    // deterministic corpus: 40 vectors of dim 8, m=4 subspaces of 2 dims
+    val vecs = (0 until 40).map { id =>
+      (id.toLong, Array.tabulate(8)(i => ((id * 31 + i * 17) % 13 - 6).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.pqInitCodebooks(vecs, "vec_id", "embedding", m = 4, ksub = 8)
+    assert(cb.length == 4 && cb.head.length == 8 && cb.head.head.length == 2)
+    // a seed vector decodes to ITSELF (its own blocks are codebook entries)
+    val seedDecoded = vecs.filter(col("vec_id") === 3L)
+      .select(Similarity.pqDecode(
+        Similarity.pqCodes(col("embedding").cast("array<double>"), cb), cb))
+      .head().getSeq[Double](0)
+    val seedOrig = vecs.filter(col("vec_id") === 3L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    assert(seedDecoded == seedOrig, s"seed must round-trip: $seedDecoded vs $seedOrig")
+    // quantization error must not increase under Lloyd refinement
+    def qerr(codebooks: Seq[Seq[Seq[Double]]]): Double =
+      vecs.select(col("embedding").cast("array<double>").as("v"))
+        .select(Similarity.pqDecode(Similarity.pqCodes(col("v"), codebooks), codebooks).as("d"), col("v"))
+        .select(aggregate(zip_with(col("v"), col("d"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("e"))
+        .agg(sum(col("e"))).head().getDouble(0)
+    val e0 = qerr(cb)
+    val e3 = qerr(Similarity.pqTrain(vecs, "vec_id", "embedding", m = 4, ksub = 8, iters = 3))
+    assert(e3 <= e0 + 1e-9, s"Lloyd must not worsen quantization error: $e0 -> $e3")
+    // reranked top-k equals the exact brute-force top-k when the
+    // shortlist is the whole corpus (rerank stage is exact cosine)
+    val queries = vecs.filter(col("vec_id") < 2L)
+    val exact = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 3)
+      .select("q_id", "rnk", "n_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val reranked = Similarity.pqTopK(vecs, queries, "vec_id", "embedding", k = 3, cb, rerank = 39)
+      .select("q_id", "rnk", "n_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(reranked == exact, s"full-shortlist rerank must equal exact: $reranked vs $exact")
+  }
+
   test("normalize_text / strip_html / url_host are callable from pure SQL") {
     val s2 = spark.newSession()
     graft.functions.GraftFunctions.all.foreach { case (id, info, b) =>

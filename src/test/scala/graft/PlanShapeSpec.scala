@@ -121,16 +121,21 @@ class PlanShapeSpec extends AnyFunSuite {
     // score scalars) only — the wide array<float> columns are re-joined
     // AFTER the distinct, never shuffled through it
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      for (q <- Seq("q29b_embed_neardup_bucketed", "q30_ann_lsh", "q38_ann_ivf")) {
+      // DoubleType arrays count too: the SQ8/PQ paths DECODE to double
+      // vectors scan-side, and those must be pruned before any exchange
+      for (q <- Seq("q29b_embed_neardup_bucketed", "q30_ann_lsh", "q38_ann_ivf",
+          "q123_sq8_ann", "q130_pq_ann")) {
         val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
         val offenders = plan.collect { case e: ShuffleExchangeExec =>
           e.output.collect {
             case a if a.dataType.isInstanceOf[ArrayType] &&
-              a.dataType.asInstanceOf[ArrayType].elementType == FloatType => a.name
+              (a.dataType.asInstanceOf[ArrayType].elementType == FloatType ||
+                a.dataType.asInstanceOf[ArrayType].elementType == DoubleType) =>
+              a.name
           }
         }.flatten
         assert(offenders.isEmpty,
