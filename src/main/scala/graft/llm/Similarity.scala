@@ -206,32 +206,38 @@ object Similarity {
       .getOrElse(corpus.filter(col(idCol) < cells)
         .select(col(idCol).as("c_id"), col(vecCol).as("c_vec")))
       .withColumn("c_nrm", normD(col("c_vec")))
-    // cell assignment: one scan × broadcast centroids, argmax cosine
-    // (ties break toward the smaller centroid id). The per-cell scores
-    // drop the vector BEFORE the rank window, so the argmax exchange
-    // moves (id, c_id, cos) triples only — never the embedding arrays.
-    def assign(df: DataFrame, id: String): DataFrame = {
-      val scored = df.select(col(idCol).as(id), col(vecCol).as("_v"))
-        .withColumn("_vn", normD(col("_v")))
-        .crossJoin(broadcast(cent))
-        .withColumn("c_cos", cosineD(col("_v"), col("c_vec"), col("_vn"), col("c_nrm")))
-        .select(col(id), col("c_id"), col("c_cos"))
-      val w = Window.partitionBy(col(id)).orderBy(col("c_cos").desc, col("c_id"))
-      scored.withColumn("_rk", row_number().over(w))
-        .select(col(id), col("c_id").as(s"${id}_cell"), col("_rk"))
-    }
     // cell membership carries ONLY (id, cell): the candidate dedup
     // exchanges id pairs, never the embedding arrays — vectors join back
     // once per survivor (same shape as [[nearDupPairsBucketed]])
-    val corpusCells = assign(corpus, "n_id").filter(col("_rk") === 1)
+    val corpusCells = assignCells(corpus, cent, idCol, vecCol, "n_id")
+      .filter(col("_rk") === 1)
       .select(col("n_id"), col("n_id_cell"))
-    val queryCells = assign(queries, "q_id").filter(col("_rk") <= nprobe)
+    val queryCells = assignCells(queries, cent, idCol, vecCol, "q_id")
+      .filter(col("_rk") <= nprobe)
       .select(col("q_id"), col("q_id_cell"))
     val cand = corpusCells.join(broadcast(queryCells),
         col("n_id_cell") === col("q_id_cell") && col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"))
       .distinct()
     rescoreTopK(cand, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Cell assignment: one scan × broadcast centroids, argmax cosine
+    * (ties break toward the smaller centroid id). The per-cell scores
+    * drop the vector BEFORE the rank window, so the argmax exchange
+    * moves (id, c_id, cos) triples only — never the embedding arrays.
+    * `cent` must carry (c_id, c_vec, c_nrm). */
+  private def assignCells(
+      df: DataFrame, cent: DataFrame,
+      idCol: String, vecCol: String, id: String): DataFrame = {
+    val scored = df.select(col(idCol).as(id), col(vecCol).as("_v"))
+      .withColumn("_vn", normD(col("_v")))
+      .crossJoin(broadcast(cent))
+      .withColumn("c_cos", cosineD(col("_v"), col("c_vec"), col("_vn"), col("c_nrm")))
+      .select(col(id), col("c_id"), col("c_cos"))
+    val w = Window.partitionBy(col(id)).orderBy(col("c_cos").desc, col("c_id"))
+    scored.withColumn("_rk", row_number().over(w))
+      .select(col(id), col("c_id").as(s"${id}_cell"), col("_rk"))
   }
 
   /** Exact-cosine rescoring of bare (q_id, n_id) candidate pairs: the
@@ -470,6 +476,70 @@ object Similarity {
           col("cos_adc"))
     } else {
       val short = scored.withColumn("_srnk", row_number().over(w))
+        .filter(col("_srnk") <= math.max(k, rerank))
+        .select(col("q_id"), col("n_id"), col("cos_adc"))
+      val exact = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nvec"))
+        .join(broadcast(short), "n_id")
+        .join(broadcast(queries.select(col(idCol).as("q_id"),
+          col(vecCol).as("qv2"))), "q_id")
+        .withColumn("cos",
+          dotD(col("qv2"), col("nvec")) / (normD(col("qv2")) * normD(col("nvec"))))
+        .select(col("q_id"), col("n_id"), col("cos"), col("cos_adc"))
+      val w2 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+      exact.withColumn("rnk", row_number().over(w2))
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"),
+          col("cos"), col("cos_adc"))
+    }
+  }
+
+  /** IVF-PQ (FAISS IndexIVFPQ analog): the coarse quantizer restricts
+    * candidates to the query's `nprobe` nearest cells, PQ asymmetric
+    * distance ranks within them, and `rerank` survivors get exact
+    * cosines. The composition every billion-vector deployment runs:
+    * per-query cost is probed-cell occupancy (IVF), scan bytes are
+    * m codes/vector (PQ), and exactness is restored where it matters
+    * (the shortlist). Candidate and shortlist sets are broadcast back
+    * against the corpus, so no exchange ever carries a vector. */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      cb: Seq[Seq[Seq[Double]]],
+      cells: Int = 16, nprobe: Int = 4, rerank: Int = 0): DataFrame = {
+    val cent = corpus.filter(col(idCol) < cells)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_nrm", normD(col("c_vec")))
+    val corpusCells = assignCells(corpus, cent, idCol, vecCol, "n_id")
+      .filter(col("_rk") === 1)
+      .select(col("n_id"), col("n_id_cell"))
+    val queryCells = assignCells(queries, cent, idCol, vecCol, "q_id")
+      .filter(col("_rk") <= nprobe)
+      .select(col("q_id"), col("q_id_cell"))
+    // a corpus vector lives in exactly one cell, so (q_id, n_id) pairs
+    // are already unique — no distinct needed
+    val cand = corpusCells.join(broadcast(queryCells),
+        col("n_id_cell") === col("q_id_cell") && col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"))
+    val dec = corpus.select(col(idCol).as("n_id"),
+        pqDecode(pqCodes(col(vecCol), cb), cb).as("cvec"))
+      .withColumn("cnrm", normD(col("cvec")))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qvec"))
+      .withColumn("qnrm", normD(col("qvec")))
+    // candidates broadcast back against the decoded scan: one corpus
+    // pass, decoded vectors never enter an exchange
+    val adc = dec.join(broadcast(cand), "n_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("cos_adc",
+        cosineD(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")))
+      .select(col("q_id"), col("n_id"), col("cos_adc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_adc").desc, col("n_id"))
+    if (rerank <= 0) {
+      adc.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"),
+          col("cos_adc"))
+    } else {
+      val short = adc.withColumn("_srnk", row_number().over(w))
         .filter(col("_srnk") <= math.max(k, rerank))
         .select(col("q_id"), col("n_id"), col("cos_adc"))
       val exact = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nvec"))

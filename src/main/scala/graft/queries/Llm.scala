@@ -1790,6 +1790,111 @@ object Llm {
                  row_number() OVER (PARTITION BY q_id
                                     ORDER BY cos DESC, n_id) AS rnk
           FROM ex) WHERE rnk <= 3
+        ORDER BY q_id, rnk"""))),
+
+    // ---- IVF-PQ ANN (FAISS IndexIVFPQ analog): coarse cells bound the
+    //      candidate set, PQ ADC ranks within the probed cells, exact
+    //      re-rank restores precision on the shortlist — the standard
+    //      billion-vector composition. Same deterministic seeds as
+    //      q38/q130, so the oracle replays every stage bit-for-bit
+    "q131_ivfpq_ann" -> ((
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val cb = Similarity.pqInitCodebooks(emb, "vec_id", "embedding",
+          m = 8, ksub = 16)
+        Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 3, cb,
+            cells = 16, nprobe = 4, rerank = 10)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        en AS (
+          SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nr
+          FROM e),
+        cent AS (
+          SELECT vec_id AS c_id, v AS c_v, nr AS c_nr
+          FROM en WHERE vec_id < 16),
+        corpus_cells AS (
+          SELECT vec_id AS n_id, c_id AS n_cell FROM (
+            SELECT n.vec_id, c.c_id,
+                   row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> n.v[i] * c.c_v[i])) / (n.nr * c.c_nr) DESC,
+                     c.c_id) AS rk
+            FROM en n, cent c)
+          WHERE rk = 1),
+        query_cells AS (
+          SELECT vec_id AS q_id, c_id AS q_cell FROM (
+            SELECT n.vec_id, c.c_id,
+                   row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> n.v[i] * c.c_v[i])) / (n.nr * c.c_nr) DESC,
+                     c.c_id) AS rk
+            FROM en n, cent c WHERE n.vec_id < 5)
+          WHERE rk <= 4),
+        cand AS (
+          SELECT q.q_id, cc.n_id
+          FROM query_cells q JOIN corpus_cells cc
+            ON cc.n_cell = q.q_cell AND cc.n_id <> q.q_id),
+        cbs AS (
+          SELECT s, list(blk ORDER BY j) AS cb
+          FROM (
+            SELECT s, vec_id AS j,
+                   list_transform(range(1, 9), i -> v[s*8 + i]) AS blk
+            FROM e, (SELECT unnest(range(0, 8)) AS s) WHERE vec_id < 16)
+          GROUP BY s),
+        codes AS (
+          SELECT vec_id, s,
+                 CAST(list_position(d, list_min(d)) - 1 AS INTEGER) AS code
+          FROM (
+            SELECT e.vec_id, c.s,
+                   list_transform(range(1, 17), j ->
+                     list_sum(list_transform(range(1, 9), i ->
+                       (e.v[c.s*8 + i] - c.cb[j][i])
+                         * (e.v[c.s*8 + i] - c.cb[j][i])))) AS d
+            FROM e, cbs c)),
+        dec AS (
+          SELECT vec_id, flatten(list(blk ORDER BY s)) AS dvec
+          FROM (SELECT cd.vec_id, cd.s, c.cb[cd.code + 1] AS blk
+                FROM codes cd JOIN cbs c ON c.s = cd.s)
+          GROUP BY vec_id),
+        nrm AS (
+          SELECT vec_id, dvec,
+                 sqrt(list_sum(list_transform(dvec, x -> x * x))) AS dnrm
+          FROM dec),
+        qn AS (
+          SELECT vec_id AS q_id, v AS qv, nr AS qnrm
+          FROM en WHERE vec_id < 5),
+        adc AS (
+          SELECT ca.q_id, ca.n_id,
+                 list_sum(list_transform(range(1, 65),
+                   i -> q.qv[i] * c.dvec[i])) / (q.qnrm * c.dnrm) AS cos_adc
+          FROM cand ca
+          JOIN qn q ON q.q_id = ca.q_id
+          JOIN nrm c ON c.vec_id = ca.n_id),
+        short AS (
+          SELECT q_id, n_id, cos_adc FROM (
+            SELECT q_id, n_id, cos_adc,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos_adc DESC, n_id) AS srnk
+            FROM adc) WHERE srnk <= 10),
+        ex AS (
+          SELECT s.q_id, s.n_id, s.cos_adc,
+                 list_sum(list_transform(range(1, 65),
+                   i -> q.qv[i] * n.v[i])) / (q.qnrm * n.nr) AS cos
+          FROM short s
+          JOIN qn q ON q.q_id = s.q_id
+          JOIN en n ON n.vec_id = s.n_id)
+        SELECT q_id, rnk, n_id, cos, cos_adc FROM (
+          SELECT q_id, n_id, cos, cos_adc,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, n_id) AS rnk
+          FROM ex) WHERE rnk <= 3
         ORDER BY q_id, rnk""")))
   )
 }

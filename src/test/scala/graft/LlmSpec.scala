@@ -668,6 +668,30 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reranked == exact, s"full-shortlist rerank must equal exact: $reranked vs $exact")
   }
 
+  test("IVF-PQ: candidates come only from probed cells; full-probe + full-shortlist equals exact") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    val vecs = (0 until 40).map { id =>
+      (id.toLong, Array.tabulate(8)(i => ((id * 31 + i * 17) % 13 - 6).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.pqInitCodebooks(vecs, "vec_id", "embedding", m = 4, ksub = 8)
+    val queries = vecs.filter(col("vec_id") < 2L)
+    // probing EVERY cell with a corpus-sized shortlist degenerates to
+    // the exact answer (rerank stage is exact cosine over all candidates)
+    val full = Similarity.ivfPqTopK(vecs, queries, "vec_id", "embedding",
+        k = 3, cb, cells = 4, nprobe = 4, rerank = 39)
+      .select("q_id", "rnk", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 3)
+      .select("q_id", "rnk", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == exact, s"full-probe IVF-PQ must equal exact: $full vs $exact")
+    // nprobe=1 returns at most the single probed cell's occupancy
+    val narrow = Similarity.ivfPqTopK(vecs, queries, "vec_id", "embedding",
+        k = 39, cb, cells = 4, nprobe = 1, rerank = 0)
+    assert(narrow.count() < 2L * 39, "nprobe=1 must restrict candidates to one cell")
+  }
+
   test("normalize_text / strip_html / url_host are callable from pure SQL") {
     val s2 = spark.newSession()
     graft.functions.GraftFunctions.all.foreach { case (id, info, b) =>
