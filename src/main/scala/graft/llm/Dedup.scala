@@ -327,6 +327,47 @@ object Dedup {
     * back by hash → per-doc aggregate; span hashes are 32-char md5
     * strings, so the exchanges carry id-sized rows and never the raw
     * text. */
+  /** Remove corpus-duplicated token spans from each document, keeping
+    * the document (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better" — the substring-level complement of
+    * [[spanStats]], which only flags). Text is cut into non-overlapping
+    * `width`-token spans; a span whose hash occurs `minCount`+ times
+    * corpus-wide is dropped from EVERY document carrying it, and the
+    * trailing `< width` tokens are always kept. Returns
+    * `(doc_id, n_spans, n_dropped, clean_text)`.
+    *
+    * Scale shape: span hashing and counting exchange only
+    * (id, span-index, hash) scalars; the single corpus-sized move is
+    * the final id-join that rebuilds text — unavoidable for a rewrite
+    * (the output IS the corpus), and the drop-set side of that join is
+    * duplicated-spans-only, which Spark broadcasts when small. */
+  def dropDupSpans(df: DataFrame, idCol: String, textCol: String,
+      width: Int, minCount: Int = 2): DataFrame = {
+    require(width > 0, "span width must be positive")
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+    val exploded = base.select(col("doc_id"),
+      posexplode(spanHashes(wsTokens(col("_text")), width)).as(Seq("i", "h")))
+    val hot = exploded.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select(col("h"))
+    val drops = exploded.join(hot, "h")
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("i")).as("_dl"), count(lit(1)).as("n_dropped"))
+    val tk = wsTokens(col("_text"))
+    val nSpans = floor(size(tk) / width).cast("int")
+    val keptIdx = when(nSpans > 0,
+        filter(sequence(lit(0), nSpans - 1), i =>
+          coalesce(!array_contains(col("_dl"), i), lit(true))))
+      .otherwise(array().cast("array<int>"))
+    base.join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        nSpans.cast("long").as("n_spans"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        array_join(concat(
+            flatten(transform(keptIdx, i => slice(tk, i * width + 1, lit(width)))),
+            slice(tk, nSpans * width + 1, lit(width))), " ")
+          .as("clean_text"))
+  }
+
   def spanStats(df: DataFrame, idCol: String, textCol: String,
       width: Int, minCount: Int = 2): DataFrame = {
     require(width > 0, "span width must be positive")

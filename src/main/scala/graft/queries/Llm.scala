@@ -1895,6 +1895,39 @@ object Llm {
                  row_number() OVER (PARTITION BY q_id
                                     ORDER BY cos DESC, n_id) AS rnk
           FROM ex) WHERE rnk <= 3
-        ORDER BY q_id, rnk""")))
+        ORDER BY q_id, rnk"""))),
+
+    // ---- duplicated-span REMOVAL (Lee et al. 2022): q95 flags docs
+    //      carrying corpus-repeated 10-token spans; this rewrites them
+    //      out while keeping the docs. The oracle rebuilds every
+    //      cleaned text from the same span arithmetic
+    "q132_span_removal" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.dropDupSpans(t(s, d, "documents"), "doc_id", "text", width = 10)
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk
+                      FROM documents),
+        sp AS (SELECT doc_id, unnest(range(0, len(tk)//10)) AS i, tk
+               FROM toks),
+        sph AS (SELECT doc_id, i,
+                       md5(array_to_string(
+                         list_slice(tk, i*10+1, i*10+10), ' ')) AS h
+                FROM sp),
+        hot AS (SELECT h FROM sph GROUP BY h HAVING count(*) >= 2),
+        drops AS (SELECT doc_id, list(i) AS dl, count(*) AS n_dropped
+                  FROM sph JOIN hot USING (h) GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(len(t.tk) // 10 AS BIGINT) AS n_spans,
+               CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+               coalesce(array_to_string(
+                 flatten(list_transform(
+                   list_filter(range(0, len(t.tk)//10),
+                     i -> d.dl IS NULL OR NOT list_contains(d.dl, i)),
+                   i -> list_slice(t.tk, i*10+1, i*10+10)))
+                 || list_slice(t.tk, (len(t.tk)//10)*10+1, len(t.tk)),
+                 ' '), '') AS clean_text
+        FROM toks t LEFT JOIN drops d USING (doc_id)
+        ORDER BY t.doc_id""")))
   )
 }

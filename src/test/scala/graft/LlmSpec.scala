@@ -692,6 +692,30 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(narrow.count() < 2L * 39, "nprobe=1 must restrict candidates to one cell")
   }
 
+  test("dropDupSpans removes corpus-repeated spans, keeps tails and unique spans") {
+    import spark.implicits._
+    // width=3; docs 1 and 2 share the span "a b c"; doc 3 is unique;
+    // doc 4 repeats a span WITHIN itself (intra-doc counts toward the
+    // corpus count); doc 5 is shorter than one span (all tail)
+    val rows = Seq(
+      (1L, "a b c x y z tail1"),
+      (2L, "a b c q r s"),
+      (3L, "u v w m n o"),
+      (4L, "p p p p p p extra"),
+      (5L, "ti ny")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropDupSpans(rows, "doc_id", "text", width = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2L, 1L, "x y z tail1")), got(1L).toString)
+    assert(got(2L) == ((2L, 1L, "q r s")), got(2L).toString)
+    assert(got(3L) == ((2L, 0L, "u v w m n o")), got(3L).toString)
+    // doc 4: both "p p p" spans are duplicates of each other -> dropped,
+    // tail survives
+    assert(got(4L) == ((2L, 2L, "extra")), got(4L).toString)
+    assert(got(5L) == ((0L, 0L, "ti ny")), got(5L).toString)
+  }
+
   test("normalize_text / strip_html / url_host are callable from pure SQL") {
     val s2 = spark.newSession()
     graft.functions.GraftFunctions.all.foreach { case (id, info, b) =>
