@@ -327,13 +327,29 @@ object Dedup {
     * back by hash → per-doc aggregate; span hashes are 32-char md5
     * strings, so the exchanges carry id-sized rows and never the raw
     * text. */
+  def spanStats(df: DataFrame, idCol: String, textCol: String,
+      width: Int, minCount: Int = 2): DataFrame = {
+    require(width > 0, "span width must be positive")
+    val exploded = df.select(col(idCol).as("doc_id"),
+      explode(spanHashes(wsTokens(col(textCol)), width)).as("h"))
+    val counts = exploded.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    exploded.join(counts, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("c") >= minCount, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        col("n_dup_spans").cast("double") / col("n_spans"))
+  }
+
   /** Remove corpus-duplicated token spans from each document, keeping
     * the document (Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better" — the substring-level complement of
     * [[spanStats]], which only flags). Text is cut into non-overlapping
     * `width`-token spans; a span whose hash occurs `minCount`+ times
     * corpus-wide is dropped from EVERY document carrying it, and the
-    * trailing `< width` tokens are always kept. Returns
+    * trailing `< width` tokens are always kept. A null text yields
+    * null `n_spans` and empty `clean_text` (matching the SQL-side
+    * semantics the oracle replays). Returns
     * `(doc_id, n_spans, n_dropped, clean_text)`.
     *
     * Scale shape: span hashing and counting exchange only
@@ -353,7 +369,10 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(collect_set(col("i")).as("_dl"), count(lit(1)).as("n_dropped"))
     val tk = wsTokens(col("_text"))
-    val nSpans = floor(size(tk) / width).cast("int")
+    // null text stays null here (size(null) is -1 under non-ANSI eval —
+    // never let it masquerade as a span count)
+    val nSpans = when(col("_text").isNotNull,
+      floor(size(tk) / width).cast("int"))
     val keptIdx = when(nSpans > 0,
         filter(sequence(lit(0), nSpans - 1), i =>
           coalesce(!array_contains(col("_dl"), i), lit(true))))
@@ -362,24 +381,10 @@ object Dedup {
       .select(col("doc_id"),
         nSpans.cast("long").as("n_spans"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-        array_join(concat(
+        coalesce(array_join(concat(
             flatten(transform(keptIdx, i => slice(tk, i * width + 1, lit(width)))),
-            slice(tk, nSpans * width + 1, lit(width))), " ")
+            slice(tk, nSpans * width + 1, lit(width))), " "), lit(""))
           .as("clean_text"))
-  }
-
-  def spanStats(df: DataFrame, idCol: String, textCol: String,
-      width: Int, minCount: Int = 2): DataFrame = {
-    require(width > 0, "span width must be positive")
-    val exploded = df.select(col(idCol).as("doc_id"),
-      explode(spanHashes(wsTokens(col(textCol)), width)).as("h"))
-    val counts = exploded.groupBy(col("h")).agg(count(lit(1)).as("c"))
-    exploded.join(counts, "h")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("c") >= minCount, 1L).otherwise(0L)).as("n_dup_spans"))
-      .withColumn("dup_frac",
-        col("n_dup_spans").cast("double") / col("n_spans"))
   }
 
   // ---- canonical-document selection ---------------------------------------

@@ -468,12 +468,24 @@ object Similarity {
       .withColumn("cos_adc",
         cosineD(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")))
       .select(col("q_id"), col("n_id"), col("cos_adc"))
+    adcRankRerank(scored, corpus, queries, idCol, vecCol, k, rerank)
+  }
+
+  /** Shared ADC ranking tail of [[pqTopK]] and [[ivfPqTopK]]: rank the
+    * `(q_id, n_id, cos_adc)` scores; with `rerank > 0`, broadcast the
+    * per-query shortlist back against the corpus for exact cosines and
+    * re-rank. Without rerank the ADC score IS the result score, so it
+    * is returned as `cos` (every TopK in this file names its ranking
+    * score `cos`). */
+  private def adcRankRerank(
+      scored: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, rerank: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_adc").desc, col("n_id"))
     if (rerank <= 0) {
       scored.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= k)
         .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"),
-          col("cos_adc"))
+          col("cos_adc").as("cos"))
     } else {
       val short = scored.withColumn("_srnk", row_number().over(w))
         .filter(col("_srnk") <= math.max(k, rerank))
@@ -532,28 +544,6 @@ object Similarity {
       .withColumn("cos_adc",
         cosineD(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")))
       .select(col("q_id"), col("n_id"), col("cos_adc"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_adc").desc, col("n_id"))
-    if (rerank <= 0) {
-      adc.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= k)
-        .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"),
-          col("cos_adc"))
-    } else {
-      val short = adc.withColumn("_srnk", row_number().over(w))
-        .filter(col("_srnk") <= math.max(k, rerank))
-        .select(col("q_id"), col("n_id"), col("cos_adc"))
-      val exact = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nvec"))
-        .join(broadcast(short), "n_id")
-        .join(broadcast(queries.select(col(idCol).as("q_id"),
-          col(vecCol).as("qv2"))), "q_id")
-        .withColumn("cos",
-          dotD(col("qv2"), col("nvec")) / (normD(col("qv2")) * normD(col("nvec"))))
-        .select(col("q_id"), col("n_id"), col("cos"), col("cos_adc"))
-      val w2 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-      exact.withColumn("rnk", row_number().over(w2))
-        .filter(col("rnk") <= k)
-        .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"),
-          col("cos"), col("cos_adc"))
-    }
+    adcRankRerank(adc, corpus, queries, idCol, vecCol, k, rerank)
   }
 }

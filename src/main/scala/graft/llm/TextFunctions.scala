@@ -317,7 +317,9 @@ object TextFunctions {
     val decoded = HtmlEntities.foldLeft(noTags) { case (c, (e, r)) =>
       replace(c, lit(e), lit(r))
     }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    // explicit class, NOT \s: Java's \s includes \x0B, RE2's does not —
+    // spelling it out keeps both engines byte-identical
+    trim(regexp_replace(decoded, "[ \\t\\n\\f\\r\\x0B]+", " "))
   }
 
   // ---- URL extraction / host filtering -------------------------------------
@@ -325,8 +327,10 @@ object TextFunctions {
   // pruning) needs URLs pulled out of text and reduced to hosts. Both
   // patterns are RE2-safe for oracle parity.
 
-  val UrlPattern = "https?://[^ ]+"
-  private val HostPattern = "^https?://([^/:?#]+)"
+  // case-insensitive scheme (crawl data carries HTTP://); terminator is
+  // any whitespace, spelled as an explicit class for RE2 parity
+  val UrlPattern = "(?i)https?://[^ \\t\\n\\f\\r\\x0B]+"
+  private val HostPattern = "(?i)^https?://([^/:?#]+)"
 
   /** Every http(s) URL in the text, in order of appearance. */
   def extractUrls(text: Column): Column =

@@ -1602,7 +1602,7 @@ object Llm {
                        '<[^>]*>', ' ', 'g'),
                      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-                   '\s+', ' ', 'g')) AS cleaned
+                   '[ \t\n\f\r\x0B]+', ' ', 'g')) AS cleaned
           FROM page)
         SELECT doc_id, cleaned,
                CAST(len(string_split(cleaned, ' ')) AS BIGINT) AS n_words,
@@ -1639,11 +1639,12 @@ object Llm {
                    ' dup', ' http://ads.tracker.example/pixel?id=1 ') AS t
           FROM documents),
         u AS (SELECT doc_id,
-                     unnest(regexp_extract_all(t, 'https?://[^ ]+')) AS url
+                     unnest(regexp_extract_all(t,
+                       '(?i)https?://[^ \t\n\f\r\x0B]+')) AS url
               FROM p),
         h AS (SELECT doc_id,
-                     lower(regexp_extract(url, '^https?://([^/:?#]+)', 1))
-                       AS host
+                     lower(regexp_extract(url,
+                       '(?i)^https?://([^/:?#]+)', 1)) AS host
               FROM u)
         SELECT host, count(*) AS n_urls,
                count(DISTINCT doc_id) AS n_docs

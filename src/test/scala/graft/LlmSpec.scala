@@ -570,6 +570,10 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L) == "Tom & Jerry <3 say &lt;never twice&gt; 'hi'", got(2L))
     assert(got(3L) == "x <tag> y", got(3L))
     assert(got(4L) == "SCRIPT in caps: done", got(4L))
+    // vertical tab collapses like RE2 would (explicit class, not Java \s)
+    val vt = Seq(Tuple1("a\u000bb")).toDF("h")
+      .select(TF.stripHtml(col("h"))).head().getString(0)
+    assert(vt == "a b", vt)
   }
 
   test("extractUrls + urlHost: hosts are lowercased, ports/paths cut, no-match is ''") {
@@ -593,6 +597,12 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getString(0)
     assert(port == "github.com", port)
     assert(rows.select(TF.urlHost(lit("not a url"))).head().getString(0) == "")
+    // whitespace beyond spaces terminates a URL; uppercase schemes match
+    val multi = Seq(Tuple1("see https://a.com\nnext line\tand HTTP://B.org/x end"))
+      .toDF("text").select(TF.extractUrls(col("text"))).head().getSeq[String](0)
+    assert(multi == Seq("https://a.com", "HTTP://B.org/x"), multi.toString)
+    assert(rows.select(TF.urlHost(lit("HTTPS://Example.COM/x"))).head().getString(0)
+      == "example.com")
   }
 
   test("dedupLines keeps the FIRST occurrence of each line, in reading order") {
@@ -714,6 +724,12 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     // tail survives
     assert(got(4L) == ((2L, 2L, "extra")), got(4L).toString)
     assert(got(5L) == ((0L, 0L, "ti ny")), got(5L).toString)
+    // null text: null span count (never -1), empty clean_text
+    val n = Dedup.dropDupSpans(
+        Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+        "doc_id", "text", width = 3).head()
+    assert(n.isNullAt(1), "null text must yield null n_spans")
+    assert(n.getLong(2) == 0L && n.getString(3) == "")
   }
 
   test("normalize_text / strip_html / url_host are callable from pure SQL") {
