@@ -315,24 +315,13 @@ object Similarity {
     * `floor((x - lo) * 255 / (hi - lo))` clamped; a constant dimension
     * (hi = lo) encodes as 0. */
   def sq8Codes(vec: Column, lo: Seq[Double], hi: Seq[Double]): Column =
-    transform(vec, (x, i) => {
-      val l = element_at(lit(lo.toArray), i + 1)
-      val h = element_at(lit(hi.toArray), i + 1)
-      when(h === l, lit(0)).otherwise(
-        least(lit(255), greatest(lit(0),
-          floor((x.cast("double") - l) * lit(255.0) / (h - l)).cast("int"))))
-    })
+    toCol(graft.functions.Sq8EncodeExpr(toExpr(vec), lo, hi))
 
   /** Midpoint decode of SQ8 codes back to doubles:
     * `lo + (code + 0.5) * (hi - lo) / 256` (a constant dimension decodes
     * to lo). */
   def sq8Decode(codes: Column, lo: Seq[Double], hi: Seq[Double]): Column =
-    transform(codes, (c, i) => {
-      val l = element_at(lit(lo.toArray), i + 1)
-      val h = element_at(lit(hi.toArray), i + 1)
-      when(h === l, l).otherwise(
-        l + (c.cast("double") + lit(0.5)) * (h - l) / lit(256.0))
-    })
+    toCol(graft.functions.Sq8DecodeExpr(toExpr(codes), lo, hi))
 
   /** Top-k by asymmetric distance: EXACT query vectors scored against
     * the SQ8-decoded corpus — the memory-bound search mode where only
@@ -423,29 +412,19 @@ object Similarity {
   /** Encode a vector to its `m` PQ codes: per subspace, the index of the
     * L2-nearest codebook entry (fixed-order double math; first-minimum
     * tie-break, so codes are engine-reproducible). */
-  def pqCodes(vec: Column, cb: Seq[Seq[Seq[Double]]]): Column = {
-    val m = cb.length
-    val ksub = cb.head.length
-    val dsub = cb.head.head.length
-    val cbLit = typedlit(cb)
-    transform(sequence(lit(0), lit(m - 1)), s => {
-      val dists = transform(sequence(lit(0), lit(ksub - 1)), j =>
-        aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0), (acc, i) => {
-          val x = element_at(vec, s * lit(dsub) + i + lit(1)).cast("double")
-          val c = element_at(element_at(element_at(cbLit, s + lit(1)), j + lit(1)),
-            i + lit(1))
-          acc + (x - c) * (x - c)
-        }))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    })
-  }
+  def pqCodes(vec: Column, cb: Seq[Seq[Seq[Double]]]): Column =
+    toCol(graft.functions.PqEncodeExpr(toExpr(vec), flatCb(cb),
+      cb.length, cb.head.length, cb.head.head.length))
+
+  /** Row-major flattening of `[m][ksub][dsub]` codebooks for the
+    * kernels: index `s·ksub·dsub + j·dsub + i`. */
+  private def flatCb(cb: Seq[Seq[Seq[Double]]]): Seq[Double] =
+    cb.flatten.flatten
 
   /** Decode PQ codes back to the concatenated centroid blocks. */
-  def pqDecode(codes: Column, cb: Seq[Seq[Seq[Double]]]): Column = {
-    val cbLit = typedlit(cb)
-    flatten(transform(codes, (c, s) =>
-      element_at(element_at(cbLit, s + lit(1)), c + lit(1))))
-  }
+  def pqDecode(codes: Column, cb: Seq[Seq[Seq[Double]]]): Column =
+    toCol(graft.functions.PqDecodeExpr(toExpr(codes), flatCb(cb),
+      cb.length, cb.head.length, cb.head.head.length))
 
   /** Top-k by PQ asymmetric distance: exact (broadcast) query vectors
     * against the codebook-decoded corpus — one corpus scan, and only

@@ -130,4 +130,35 @@ class VectorMathSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the LSH kernel fused into a codegen span:\n$plan")
     assert(df.collect().forall(_.getSeq[String](0).length == 4))
   }
+
+  test("quantization kernels: null/malformed input nulls the row; codegen stays fused") {
+    import spark.implicits._
+    val cb = Seq(Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)), Seq(Seq(0.0, 0.0), Seq(2.0, 2.0)))
+    val edge = spark.sql(
+      """SELECT * FROM VALUES
+           (CAST(NULL AS ARRAY<FLOAT>)),
+           (CAST(array(1.0, NULL, 1.0, 1.0) AS ARRAY<FLOAT>)),
+           (CAST(array(1.0) AS ARRAY<FLOAT>)),
+           (CAST(array(1.0, 1.0, 2.0, 2.0) AS ARRAY<FLOAT>)) AS t(vec)""")
+    val codes = edge.select(Similarity.pqCodes(col("vec"), cb).as("c")).collect()
+    assert(codes.take(3).forall(_.isNullAt(0)), "null/short/null-element rows must null")
+    assert(codes(3).getSeq[Int](0) == Seq(1, 1))
+    val dec = edge.select(
+      Similarity.pqDecode(Similarity.pqCodes(col("vec"), cb), cb).as("d")).collect()
+    assert(dec(3).getSeq[Double](0) == Seq(1.0, 1.0, 2.0, 2.0))
+    // sq8 roundtrip on a degenerate (constant) dimension
+    val lo = Seq(0.0, 5.0); val hi = Seq(10.0, 5.0)
+    val sq = Seq(Tuple1(Array(10.0f, 5.0f))).toDF("vec")
+      .select(Similarity.sq8Decode(Similarity.sq8Codes(col("vec"), lo, hi), lo, hi))
+      .head().getSeq[Double](0)
+    assert(sq(1) == 5.0, "constant dim must decode to lo")
+    assert(sq(0) > 9.9 && sq(0) <= 10.0, s"top-of-range decodes near hi: ${sq(0)}")
+    // the kernels fuse into a whole-stage-codegen projection
+    val plan = spark.range(2)
+      .select(array((0 until 4).map(i => (col("id") + i).cast("float")): _*).as("vec"))
+      .select(Similarity.pqCodes(col("vec"), cb).as("c"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [pqencodeexpr("),
+      s"expected the PQ kernel fused into a codegen span:\n$plan")
+  }
 }
