@@ -15,10 +15,10 @@ import graft.write.GraftTable
   *
   * Read options:
   *   path             table base path (required)
-  *   query.type       snapshot (default) | read_optimized | incremental
+  *   query.type       snapshot (default) | read_optimized | incremental | cdc
   *   as.of.instant    time-travel pin (snapshot/read_optimized)
-  *   begin.instant    incremental range start (exclusive; "" = origin)
-  *   end.instant      incremental range end (inclusive; default latest)
+  *   begin.instant    incremental/cdc range start (exclusive; "" = origin)
+  *   end.instant      incremental/cdc range end (inclusive; default latest)
   *   incr.path.glob   partition-path glob pruning incremental reads
   * Write options:
   *   path             table base path (required)
@@ -116,6 +116,10 @@ class GraftDataSource
             parameters.getOrElse("begin.instant", ""),
             parameters.get("end.instant"),
             parameters.get("incr.path.glob"))
+        case "cdc" =>
+          reader.incrementalCdc(
+            parameters.getOrElse("begin.instant", ""),
+            parameters.get("end.instant"))
         case other =>
           throw new IllegalArgumentException(s"unknown query.type: $other")
       }

@@ -139,6 +139,24 @@ class DataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inc.toSeq == Seq(1L, 2L, 4L))
   }
 
+  test("query.type=cdc surfaces the change stream through the option surface") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ts")
+      .write.format("graft").option("path", dir)
+      .option("key.fields", "id").option("ordering.field", "ts")
+      .option("operation", "bulk_insert").mode(SaveMode.Append).save()
+    val t1 = graft.write.GraftTable.load(spark, dir).timeline.completed().last.time
+    Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("id", "v", "ts")
+      .write.format("graft").option("path", dir).mode(SaveMode.Append).save()
+    val cdc = spark.read.format("graft").option("path", dir)
+      .option("query.type", "cdc").option("begin.instant", t1).load()
+    val ops = cdc.select(col("_g_operation"), col("id"))
+      .as[(String, Long)].collect().sortBy(_._2)
+    assert(ops.map(_._2).toSeq == Seq(2L, 3L), ops.mkString(","))
+    assert(ops.toSeq == Seq(("U", 2L), ("I", 3L)), ops.mkString(","))
+  }
+
   test("concurrency + durability options map into the table config") {
     import spark.implicits._
     val dir = tmp()
