@@ -20,9 +20,11 @@ object Chunking {
   /** One row per (doc, window). Windows start at multiples of
     * `chunkSize - overlap` and every start strictly inside the document
     * emits a chunk (the final chunk may be short; a document shorter
-    * than `chunkSize` emits exactly one chunk). Output columns:
-    * `idCol, chunk_idx (long), chunk_key (string), n_tokens (long),
-    * chunk_text (string)`.
+    * than `chunkSize` emits exactly one chunk). A null text yields no
+    * chunks (filtered explicitly — letting it reach `sequence` would
+    * drop the row silently under ANSI and THROW under non-ANSI, where
+    * `size(null)` is -1). Output columns: `idCol, chunk_idx (long),
+    * chunk_key (string), n_tokens (long), chunk_text (string)`.
     */
   def chunkTokens(
       df: DataFrame, idCol: String, textCol: String,
@@ -32,7 +34,8 @@ object Chunking {
       s"overlap must be in [0, chunkSize): $overlap vs $chunkSize")
     val stride = chunkSize - overlap
     val toks: Column = TextFunctions.wsTokens(col(textCol))
-    df.select(col(idCol), toks.as("_tk"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("_tk"))
       .withColumn("_n", size(col("_tk")))
       // starts = 0, stride, 2*stride, ... < n  (n >= 1 always: splitting
       // an empty string yields a single empty token in both engines)

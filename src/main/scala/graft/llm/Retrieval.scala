@@ -52,6 +52,13 @@ object Retrieval {
     val lens = docs
       .select(size(TextFunctions.wsTokens(col(textCol))).cast("long").as("n"))
       .agg(count(lit(1)).as("docs"), sum(col("n")).as("toks")).head()
+    // empty index: an empty (correctly-typed) result, not a 0/0 NaN
+    // score or a null unboxing on the sum
+    if (lens.getLong(0) == 0L || lens.isNullAt(1))
+      return tf.select(col("doc_id")).limit(0)
+        .crossJoin(queries.select(col("q_id")).limit(0))
+        .select(col("q_id"), lit(0L).as("rnk"), col("doc_id"),
+          lit(0.0).as("score"))
     val nDocs = lens.getLong(0).toDouble
     val avgdl = lens.getLong(1).toDouble / nDocs
     val qt = queries

@@ -328,8 +328,12 @@ object TextFunctions {
   // patterns are RE2-safe for oracle parity.
 
   // case-insensitive scheme (crawl data carries HTTP://); terminator is
-  // any whitespace, spelled as an explicit class for RE2 parity
-  val UrlPattern = "(?i)https?://[^ \\t\\n\\f\\r\\x0B]+"
+  // any whitespace, spelled as an explicit class for RE2 parity. The
+  // LAST character must additionally not be sentence punctuation, so
+  // "(https://ads.example)" yields the bare URL — a punctuation-suffixed
+  // host would evade blocklist equality checks downstream
+  val UrlPattern =
+    "(?i)https?://[^ \\t\\n\\f\\r\\x0B]*[^ \\t\\n\\f\\r\\x0B.,;:!?)\\]'\"]"
   private val HostPattern = "(?i)^https?://([^/:?#]+)"
 
   /** Every http(s) URL in the text, in order of appearance. */

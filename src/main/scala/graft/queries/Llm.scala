@@ -182,7 +182,8 @@ object Llm {
     // ---- exact n-gram Jaccard near-dup pairs (inverted-index join)
     "q25_dedup_jaccard" -> ((
       (s: SparkSession, d: String) =>
-        Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.7)
+        Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3,
+            threshold = 0.7, maxDocFreq = None) // oracle is exact/uncapped
           .orderBy(col("doc_a"), col("doc_b")),
       Some("""
         WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
@@ -474,7 +475,7 @@ object Llm {
     "q39_dedup_clusters" -> ((
       (s: SparkSession, d: String) => {
         val pairs = Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
-          n = 3, threshold = 0.7)
+          n = 3, threshold = 0.7, maxDocFreq = None) // oracle is exact/uncapped
         Dedup.nearDupClusters(pairs)
           .groupBy(col("component"))
           .agg(count(lit(1)).as("cluster_size"), min(col("node")).as("keeper"))
@@ -963,7 +964,7 @@ object Llm {
         val docs = t(s, d, "documents")
           .withColumn("n_tokens", size(TF.wsTokens(col("text"))).cast("long"))
         val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
-          n = 3, threshold = 0.7)
+          n = 3, threshold = 0.7, maxDocFreq = None) // oracle is exact/uncapped
         Dedup.canonicalize(docs, pairs, "doc_id", col("n_tokens"))
           .groupBy(col("component"))
           .agg(count(lit(1)).as("n_members"),
@@ -1171,7 +1172,7 @@ object Llm {
         val c1 = kept.join(spanDrop, Seq("doc_id"), "left_anti")
           .withColumn("n_tokens", size(toks).cast("long"))
         val pairs = Dedup.jaccardPairs(c1, "doc_id", "text",
-          n = 3, threshold = 0.7)
+          n = 3, threshold = 0.7, maxDocFreq = None) // oracle is exact/uncapped
         val canon = Dedup.canonicalize(c1, pairs, "doc_id", col("n_tokens"))
           .filter(col("is_canonical"))
         val scored = graft.llm.QualityModel.unigramXent(canon, "doc_id", "text")
@@ -1640,7 +1641,7 @@ object Llm {
           FROM documents),
         u AS (SELECT doc_id,
                      unnest(regexp_extract_all(t,
-                       '(?i)https?://[^ \t\n\f\r\x0B]+')) AS url
+                       '(?i)https?://[^ \t\n\f\r\x0B]*[^ \t\n\f\r\x0B.,;:!?)\]''"]')) AS url
               FROM p),
         h AS (SELECT doc_id,
                      lower(regexp_extract(url,

@@ -272,15 +272,28 @@ class ObjectEventsSource(
     while (idx < all.size) {
       val fresh = all.slice(idx, idx + step)
       idx += fresh.size
-      // event files are tiny JSON (one record per new object) — parse on
-      // the driver-coordinated reader, extract the named object keys; a
-      // batch with no `key` column at all (empty files, delete-only
-      // notification shapes) is keyless and carries no data
-      val evs = spark.read.json(fresh: _*)
-      val keys =
-        if (!evs.columns.contains("key")) Seq.empty[String]
-        else evs.select(col("key").cast("string")).as[String]
+      // event files are tiny JSON (one record per new object) — parse
+      // with a DECLARED event schema (`key` + the corrupt-record
+      // column), so a batch without keys (empty files, delete-only
+      // notification shapes) is keyless-but-valid, while a MALFORMED
+      // record (a producer still writing its file, or plain garbage)
+      // is detected and FAILS the sync. Classifying garbage as keyless
+      // would advance the checkpoint past the batch and silently lose
+      // the named objects forever; failing leaves the checkpoint put,
+      // and the next sync retries the same batch.
+      val evs = spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "key STRING, _corrupt_record STRING"))
+        .json(fresh: _*)
+        .cache()
+      val keys = try {
+        val bad = evs.filter(col("_corrupt_record").isNotNull).count()
+        if (bad > 0) throw new IllegalStateException(
+          s"$bad malformed event record(s) in [${fresh.head} .. ${fresh.last}]" +
+            " — refusing to advance the events checkpoint past them")
+        evs.select(col("key")).as[String]
           .collect().toSeq.filter(_ != null).distinct.map(resolveKey)
+      } finally evs.unpersist()
       if (keys.nonEmpty) {
         val reader = spark.read.format(dataFormat)
         val withSchema = schema.fold(reader)(reader.schema)

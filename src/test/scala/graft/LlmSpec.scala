@@ -603,6 +603,11 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(multi == Seq("https://a.com", "HTTP://B.org/x"), multi.toString)
     assert(rows.select(TF.urlHost(lit("HTTPS://Example.COM/x"))).head().getString(0)
       == "example.com")
+    // trailing sentence punctuation never rides into the URL (a suffixed
+    // host would evade blocklist equality)
+    val punct = Seq(Tuple1("go to (https://ads.example), or https://a.com/x. done"))
+      .toDF("text").select(TF.extractUrls(col("text"))).head().getSeq[String](0)
+    assert(punct == Seq("https://ads.example", "https://a.com/x"), punct.toString)
   }
 
   test("dedupLines keeps the FIRST occurrence of each line, in reading order") {
@@ -730,6 +735,20 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
         "doc_id", "text", width = 3).head()
     assert(n.isNullAt(1), "null text must yield null n_spans")
     assert(n.getLong(2) == 0L && n.getString(3) == "")
+  }
+
+  test("chunkTokens skips null text; bm25TopK over an empty corpus returns empty") {
+    import spark.implicits._
+    val chunks = Chunking.chunkTokens(
+      Seq((1L, "a b c"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text", chunkSize = 2, overlap = 0)
+    assert(chunks.select("doc_id").as[Long].collect().toSet == Set(1L),
+      "null text yields no chunks, non-null docs unaffected")
+    val out = Retrieval.bm25TopK(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      Seq((0L, Seq("x"))).toDF("q_id", "terms"), k = 3)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("q_id", "rnk", "doc_id", "score"))
   }
 
   test("normalize_text / strip_html / url_host are callable from pure SQL") {

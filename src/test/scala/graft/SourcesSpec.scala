@@ -394,4 +394,32 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = GraftReader(tbl)
     assert(r.dataOnly(r.snapshot()).count() == 2)
   }
+
+  test("object-events source: a malformed event file fails the sync instead of losing objects") {
+    import org.apache.hadoop.fs.Path
+    val dataDir = tmp(); val eventsDir = tmp()
+    val fs = new Path(eventsDir).getFileSystem(spark.sessionState.newHadoopConf())
+    def write(name: String, body: String): Unit = {
+      val out = fs.create(new Path(eventsDir, s"$name.json"), true)
+      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
+    import spark.implicits._
+    val obj = s"$dataDir/obj-0.parquet"
+    Seq((1L, "a", 1L)).toDF("id", "v", "ts")
+      .coalesce(1).write.parquet(s"$dataDir/stage")
+    val part = fs.globStatus(new Path(s"$dataDir/stage", "part-*.parquet")).head.getPath
+    fs.rename(part, new Path(obj))
+    // a producer crashed mid-write: truncated JSON naming a real object
+    write("000-data", s"""{"key": "$obj""")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v STRING, ts BIGINT")
+    val source = new ObjectEventsSource(spark, eventsDir, schema = Some(schema))
+    val e = intercept[IllegalStateException] { source.fetch(None) }
+    assert(e.getMessage.contains("malformed"), e.getMessage)
+    // the producer finishes the file -> the SAME batch ingests cleanly
+    write("000-data", s"""{"key": "$obj"}""")
+    val Some((df, ck)) = source.fetch(None): @unchecked
+    assert(df.count() == 1 && ck.endsWith("000-data.json"))
+  }
 }
