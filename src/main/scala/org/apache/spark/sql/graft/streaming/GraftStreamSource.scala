@@ -36,7 +36,10 @@ object GraftSourceOffset {
   * by the offset range are opened. */
 class GraftStreamSource(
     sqlContext: SQLContext,
-    tablePath: String)
+    tablePath: String,
+    /** cdc = each micro-batch is the I/U/D change stream (an
+      * `_g_operation` column rides along) instead of latest-state rows */
+    cdc: Boolean = false)
   extends Source {
 
   private val spark = sqlContext.sparkSession
@@ -48,7 +51,7 @@ class GraftStreamSource(
     * follows. Mid-stream schema evolution on the table does NOT propagate
     * to a running query; restart the stream to pick up added columns. */
   override lazy val schema: StructType =
-    table.readSchema(Snapshot.resolve(table.timeline))
+    GraftStreamSource.streamSchema(table, cdc)
 
   /** Latest completed data instant, if any. */
   override def getOffset: Option[Offset] = {
@@ -61,7 +64,9 @@ class GraftStreamSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val begin = start.map(GraftSourceOffset.of(_).commitTime).getOrElse("")
     val endT = GraftSourceOffset.of(end).commitTime
-    val batch = reader.incremental(begin, Some(endT))
+    val batch =
+      if (cdc) reader.incrementalCdc(begin, Some(endT))
+      else reader.incremental(begin, Some(endT))
     // Re-plan as a streaming DataFrame (the physical rows are identical;
     // only the isStreaming marker differs — exactly what the reference
     // does in HoodieStreamSource.getBatch).
@@ -73,9 +78,22 @@ class GraftStreamSource(
   override def stop(): Unit = ()
 }
 
+object GraftStreamSource {
+  /** The pinned stream schema: the table's read schema, plus the
+    * `_g_operation` tag in CDC mode (matching incrementalCdc's output
+    * shape exactly). */
+  def streamSchema(table: GraftTable, cdc: Boolean): StructType = {
+    val base = table.readSchema(Snapshot.resolve(table.timeline))
+    if (!cdc) base
+    else StructType(base.fields :+ org.apache.spark.sql.types.StructField(
+      "_g_operation", org.apache.spark.sql.types.StringType))
+  }
+}
+
 /** `spark.readStream.format(classOf[GraftStreamProvider].getName)
   * .option("path", tablePath).load()` (reference analog:
-  * DefaultSource.createSource, DefaultSource.scala:265). */
+  * DefaultSource.createSource, DefaultSource.scala:265). Pass
+  * `option("query.type", "cdc")` for the change-stream mode. */
 class GraftStreamProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-stream"
@@ -91,8 +109,11 @@ class GraftStreamProvider extends StreamSourceProvider with DataSourceRegister {
       parameters: Map[String, String]): (String, StructType) = {
     val p = path(parameters)
     val table = GraftTable.load(sqlContext.sparkSession, p)
-    (shortName(), table.readSchema(Snapshot.resolve(table.timeline)))
+    (shortName(), GraftStreamSource.streamSchema(table, isCdc(parameters)))
   }
+
+  private def isCdc(parameters: Map[String, String]): Boolean =
+    parameters.getOrElse("query.type", "incremental") == "cdc"
 
   override def createSource(
       sqlContext: SQLContext,
@@ -100,5 +121,5 @@ class GraftStreamProvider extends StreamSourceProvider with DataSourceRegister {
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): Source =
-    new GraftStreamSource(sqlContext, path(parameters))
+    new GraftStreamSource(sqlContext, path(parameters), isCdc(parameters))
 }

@@ -95,6 +95,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.toSeq == Seq((1L, "a"), (2L, "b"), (2L, "b2"), (3L, "c")))
   }
 
+  test("stream source CDC mode: micro-batches carry I/U/D operations") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg("cdcsrc"))
+    tbl.bulkInsert(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ts"))
+
+    val stream = spark.readStream
+      .format(classOf[GraftStreamProvider].getName)
+      .option("path", dir)
+      .option("query.type", "cdc")
+      .load()
+    assert(stream.columns.contains("_g_operation"), stream.columns.mkString(","))
+    val q = stream.writeStream.format("memory").queryName("graft_cdc")
+      .outputMode("append")
+      .option("checkpointLocation", tmp())
+      .start()
+    q.processAllAvailable()
+    // the opening batch (from table origin) tags everything as inserts
+    val ops1 = spark.table("graft_cdc").select("id", "_g_operation")
+      .as[(Long, String)].collect().sorted
+    assert(ops1.toSeq == Seq((1L, "I"), (2L, "I")), ops1.mkString(","))
+
+    tbl.upsert(Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("id", "v", "ts"))
+    tbl.delete(Seq(Tuple1(1L)).toDF("id"))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("graft_cdc").select("id", "_g_operation")
+      .as[(Long, String)].collect().sorted
+    assert(all.toSeq == Seq((1L, "D"), (1L, "I"), (2L, "I"), (2L, "U"), (3L, "I")),
+      all.mkString(","))
+  }
+
   test("continuous ingest: checkpoint-in-commit recovery, parquet dir source") {
     import spark.implicits._
     val dir = tmp()
