@@ -1942,6 +1942,60 @@ object TableFormat {
     //      and one data file already renamed to its final (uncommitted)
     //      name. The next write rolls it all back automatically; the
     //      table state is exactly as if the crash never happened
+    // ---- streaming CDC: the change-stream mode of the stream source
+    //      (query.type=cdc). Three commits -> three micro-batches: the
+    //      opening batch tags everything I, the upsert batch splits
+    //      U (existing keys) / I (new keys), the delete batch emits D
+    //      rows that keep the KEY but null the payload
+    "q133_stream_cdc" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_scdc", TableType.COW))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        val sinkName =
+          s"q133_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = s.readStream
+          .format(classOf[org.apache.spark.sql.graft.streaming.GraftStreamProvider].getName)
+          .option("path", tbl.basePath)
+          .option("query.type", "cdc")
+          .load()
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("append")
+          .option("checkpointLocation", freshDir() + "/ckpt")
+          .start()
+        q.processAllAvailable() // batch 1: the bulk load, all I
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 >= 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        q.processAllAvailable() // batch 2: U for %10 in (6,7), I for (8,9)
+        tbl.delete(orders.filter(col("o_orderkey") % 10 === 0)
+          .select("o_orderkey", "o_orderpriority"))
+        q.processAllAvailable() // batch 3: D for %10 = 0
+        q.stop()
+        s.table(sinkName)
+          .groupBy(col("_g_operation").as("op"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(floor(col("o_totalprice") * 100)).cast("long").as("price_c"))
+          .orderBy(col("op"))
+      },
+      Some("""
+        WITH stream AS (
+          SELECT o_orderkey, 'I' AS op, floor(o_totalprice * 100) AS pc
+          FROM orders WHERE o_orderkey % 10 < 8
+          UNION ALL
+          SELECT o_orderkey, 'I', floor((o_totalprice + 1000) * 100)
+          FROM orders WHERE o_orderkey % 10 IN (8, 9)
+          UNION ALL
+          SELECT o_orderkey, 'U', floor((o_totalprice + 1000) * 100)
+          FROM orders WHERE o_orderkey % 10 IN (6, 7)
+          UNION ALL
+          SELECT o_orderkey, 'D', NULL
+          FROM orders WHERE o_orderkey % 10 = 0)
+        SELECT op, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(pc) AS BIGINT) AS price_c
+        FROM stream GROUP BY op ORDER BY op"""))),
+
     "q122_failed_write_cleanup" -> ((
       (s: SparkSession, d: String) => {
         val orders = graft.Tables.t(s, d, "orders")
