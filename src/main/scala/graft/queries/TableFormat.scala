@@ -1996,6 +1996,36 @@ object TableFormat {
                CAST(sum(pc) AS BIGINT) AS price_c
         FROM stream GROUP BY op ORDER BY op"""))),
 
+    // ---- the lifecycle SQL verbs end to end (hudi-cli savepoint /
+    //      clean / restore analogs): savepoint the load, mutate, clean
+    //      (savepoint-aware — the pinned files must survive), then
+    //      RESTORE back to the savepointed instant. The final state must
+    //      be bit-identical to the original load: if clean had eaten the
+    //      pinned files or restore missed an instant, the hash breaks
+    "q134_lifecycle_sql" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_lc", TableType.COW))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        val t1 = tbl.timeline.completed().last.time
+        graft.sql.GraftSql.sql(s, s"CREATE SAVEPOINT ON '${tbl.basePath}'")
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 >= 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        tbl.delete(orders.filter(col("o_orderkey") % 10 === 0)
+          .select("o_orderkey", "o_orderpriority"))
+        graft.sql.GraftSql.sql(s, s"RUN CLEAN ON '${tbl.basePath}' RETAIN 1")
+        graft.sql.GraftSql.sql(s, s"RESTORE TABLE '${tbl.basePath}' TO '$t1'")
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS price_c
+        FROM orders WHERE o_orderkey % 10 < 8
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
     "q122_failed_write_cleanup" -> ((
       (s: SparkSession, d: String) => {
         val orders = graft.Tables.t(s, d, "orders")

@@ -28,6 +28,12 @@ import graft.write.GraftTable
   *   SHOW COMMITS / FSVIEW / CLEANS / SAVEPOINTS / ROLLBACKS '<path>'
   *   SHOW ARCHIVED COMMITS '<path>'
   *   SHOW WRITE AMPLIFICATION '<path>'
+  *   CREATE SAVEPOINT ON '<path>' [AT '<instant>']   (default: latest data instant)
+  *   DELETE SAVEPOINT ON '<path>' AT '<instant>'
+  *   ROLLBACK COMMIT ON '<path>' AT '<instant>'       (latest completed, or a pending one)
+  *   RESTORE TABLE '<path>' TO '<instant>'            (drop every later data instant)
+  *   RUN CLEAN ON '<path>' [RETAIN <n>]
+  *   RUN ARCHIVE ON '<path>' [KEEP <min> <max>]
   *   REPAIR DEDUPLICATE '<path>' [PARTITION 'p'] [DRY RUN]
   *   EXPORT TABLE '<path>' TO '<dir>' [FORMAT fmt] [AS OF '<instant>']
   *   COPY TABLE '<path>' TO '<dir>' [AS OF '<instant>']  (backup AS a graft table)
@@ -70,6 +76,18 @@ object GraftSql {
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*""".r
   private val AlterDropPartition =
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+PARTITION\s*\((.+)\)\s*""".r
+  private val CreateSavepoint =
+    """(?is)\s*CREATE\s+SAVEPOINT\s+ON\s+'([^']+)'(?:\s+AT\s+'([^']+)')?\s*""".r
+  private val DropSavepoint =
+    """(?is)\s*DELETE\s+SAVEPOINT\s+ON\s+'([^']+)'\s+AT\s+'([^']+)'\s*""".r
+  private val RollbackCommit =
+    """(?is)\s*ROLLBACK\s+COMMIT\s+ON\s+'([^']+)'\s+AT\s+'([^']+)'\s*""".r
+  private val RestoreTable =
+    """(?is)\s*RESTORE\s+TABLE\s+'([^']+)'\s+TO\s+'([^']+)'\s*""".r
+  private val RunClean =
+    """(?is)\s*RUN\s+CLEAN\s+ON\s+'([^']+)'(?:\s+RETAIN\s+(\d+))?\s*""".r
+  private val RunArchive =
+    """(?is)\s*RUN\s+ARCHIVE\s+ON\s+'([^']+)'(?:\s+KEEP\s+(\d+)\s+(\d+))?\s*""".r
 
   /** True when `statement` is in the graft grammar (used by the injected
     * session-extension parser to decide interception). */
@@ -82,6 +100,10 @@ object GraftSql {
          AlterColType(_, _, _) | AlterDropPartition(_, _) |
          ShowCommits(_) | ShowFsView(_) | ShowCleans(_) |
          ShowSavepoints(_) | ShowRollbacks(_) | ShowArchived(_) |
+         ShowWa(_) | RepairDedup(_, _, _) |
+         CreateSavepoint(_, _) | DropSavepoint(_, _) |
+         RollbackCommit(_, _) | RestoreTable(_, _) |
+         RunClean(_, _) | RunArchive(_, _, _) |
          ExportTable(_, _, _, _) | CopyTable(_, _, _) => true
     case _ => false
   }
@@ -197,6 +219,34 @@ object GraftSql {
       import spark.implicits._
       Seq((surplus, groups, instant.getOrElse("")))
         .toDF("surplus_rows", "groups_rewritten", "instant")
+    // lifecycle verbs (hudi-cli savepoint/rollback/clean analogs)
+    case CreateSavepoint(path, at) =>
+      val tbl = GraftTable.load(spark, path)
+      val target = Option(at).getOrElse(
+        tbl.timeline.completed().filter(i => Action.dataActions(i.action))
+          .lastOption.map(_.time).getOrElse(throw new IllegalArgumentException(
+            "CREATE SAVEPOINT: table has no completed data instant")))
+      result(spark, "savepoint", Seq(TableServices(tbl).savepoint(target)))
+    case DropSavepoint(path, at) =>
+      TableServices(GraftTable.load(spark, path)).deleteSavepoint(at)
+      result(spark, "deleted_savepoint_at", Seq(at))
+    case RollbackCommit(path, at) =>
+      result(spark, "instant",
+        Seq(TableServices(GraftTable.load(spark, path)).rollback(at)))
+    case RestoreTable(path, to) =>
+      result(spark, "instant",
+        Seq(TableServices(GraftTable.load(spark, path)).restoreTo(to)))
+    case RunClean(path, retain) =>
+      val svc = TableServices(GraftTable.load(spark, path))
+      val t = Option(retain).map(r => svc.clean(r.toInt)).getOrElse(svc.clean())
+      result(spark, "instant", t.toSeq)
+    case RunArchive(path, keepMin, keepMax) =>
+      val svc = TableServices(GraftTable.load(spark, path))
+      val t = (Option(keepMin), Option(keepMax)) match {
+        case (Some(lo), Some(hi)) => svc.archive(lo.toInt, hi.toInt)
+        case _                    => svc.archive()
+      }
+      result(spark, "instant", t.toSeq)
     case ExportTable(path, outDir, fmt, asOf) =>
       val n = GraftExporter.export(GraftTable.load(spark, path), outDir,
         format = Option(fmt).map(_.toLowerCase).getOrElse("parquet"),
