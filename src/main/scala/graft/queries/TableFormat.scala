@@ -2026,6 +2026,32 @@ object TableFormat {
         FROM orders WHERE o_orderkey % 10 < 8
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
 
+    // ---- the data-skipping index inspection surface: SHOW COLUMN
+    //      STATS must expose exactly the per-file min/max the skipping
+    //      logic consumes (one file group per partition here, so the
+    //      oracle recomputes the same stats from raw data)
+    "q135_column_stats" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(),
+          cfg("orders_cs", TableType.COW).copy(statsColumns = Seq("o_orderkey")))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        graft.sql.GraftSql.sql(s, s"SHOW COLUMN STATS '${tbl.basePath}'")
+          .filter(col("column") === "o_orderkey")
+          .select(col("partition"), col("column"), col("min"), col("max"),
+            col("null_count"), col("rows"))
+          .orderBy(col("partition"))
+      },
+      Some("""
+        SELECT o_orderpriority AS "partition",
+               'o_orderkey' AS "column",
+               CAST(min(o_orderkey) AS VARCHAR) AS "min",
+               CAST(max(o_orderkey) AS VARCHAR) AS "max",
+               CAST(0 AS BIGINT) AS "null_count",
+               count(*) AS "rows"
+        FROM orders WHERE o_orderkey % 10 < 8
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
     "q122_failed_write_cleanup" -> ((
       (s: SparkSession, d: String) => {
         val orders = graft.Tables.t(s, d, "orders")

@@ -92,6 +92,25 @@ object GraftAdmin {
       .toDF("instant", "action", "target_instant")
   }
 
+  /** The data-skipping index, exposed: per (file, column) min/max/null
+    * stats exactly as [[graft.read.StatsSkipping]] consumes them
+    * (reference analog: the hudi-cli `metadata stats` / .zindex table
+    * inspection surface). Commit metadata only — no data IO. */
+  def showColumnStats(spark: SparkSession, table: GraftTable): DataFrame = {
+    import spark.implicits._
+    Snapshot.resolve(table.timeline).slices
+      .flatMap { s =>
+        (s.baseFile.toSeq ++ s.deltas).flatMap { f =>
+          f.columnStats.toSeq.map { case (c, st) =>
+            (s.partition, s.fileId, f.path, c, st.min, st.max,
+              st.nullCount, f.rows)
+          }
+        }
+      }
+      .toDF("partition", "file_id", "file", "column",
+        "min", "max", "null_count", "rows")
+  }
+
   /** Write amplification per commit (reference: StatsCommand.java:58
     * `stats wa` — total records written / records upserted): commits
     * whose metadata carries the incoming batch size (upsert/delete; the

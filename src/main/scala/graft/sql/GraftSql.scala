@@ -28,6 +28,7 @@ import graft.write.GraftTable
   *   SHOW COMMITS / FSVIEW / CLEANS / SAVEPOINTS / ROLLBACKS '<path>'
   *   SHOW ARCHIVED COMMITS '<path>'
   *   SHOW WRITE AMPLIFICATION '<path>'
+  *   SHOW COLUMN STATS '<path>'   (the data-skipping index, per file x column)
   *   CREATE SAVEPOINT ON '<path>' [AT '<instant>']   (default: latest data instant)
   *   DELETE SAVEPOINT ON '<path>' AT '<instant>'
   *   ROLLBACK COMMIT ON '<path>' AT '<instant>'       (latest completed, or a pending one)
@@ -61,6 +62,8 @@ object GraftSql {
   private val ShowRollbacks = """(?is)\s*SHOW\s+ROLLBACKS\s+'([^']+)'\s*""".r
   private val ShowArchived = """(?is)\s*SHOW\s+ARCHIVED\s+COMMITS\s+'([^']+)'\s*""".r
   private val ShowWa = """(?is)\s*SHOW\s+WRITE\s+AMPLIFICATION\s+'([^']+)'\s*""".r
+  private val ShowColStats =
+    """(?is)\s*SHOW\s+COLUMN\s+STATS\s+'([^']+)'\s*""".r
   private val RepairDedup =
     """(?is)\s*REPAIR\s+DEDUPLICATE\s+'([^']+)'(?:\s+PARTITION\s+'([^']*)')?(\s+DRY\s+RUN)?\s*""".r
   private val ExportTable =
@@ -100,7 +103,7 @@ object GraftSql {
          AlterColType(_, _, _) | AlterDropPartition(_, _) |
          ShowCommits(_) | ShowFsView(_) | ShowCleans(_) |
          ShowSavepoints(_) | ShowRollbacks(_) | ShowArchived(_) |
-         ShowWa(_) | RepairDedup(_, _, _) |
+         ShowWa(_) | ShowColStats(_) | RepairDedup(_, _, _) |
          CreateSavepoint(_, _) | DropSavepoint(_, _) |
          RollbackCommit(_, _) | RestoreTable(_, _) |
          RunClean(_, _) | RunArchive(_, _, _) |
@@ -211,6 +214,8 @@ object GraftSql {
       GraftAdmin.showArchivedCommits(spark, GraftTable.load(spark, path))
     case ShowWa(path) =>
       GraftAdmin.showWriteAmplification(spark, GraftTable.load(spark, path))
+    case ShowColStats(path) =>
+      GraftAdmin.showColumnStats(spark, GraftTable.load(spark, path))
     case RepairDedup(path, part, dry) =>
       val (surplus, groups, instant) = GraftTable.load(spark, path)
         .repairDeduplicate(
