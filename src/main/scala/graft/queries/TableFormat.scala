@@ -2036,10 +2036,17 @@ object TableFormat {
         val tbl = GraftTable.create(s, freshDir(),
           cfg("orders_cs", TableType.COW).copy(statsColumns = Seq("o_orderkey")))
         tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        // aggregate per partition: with more rows than targetFileRows a
+        // partition holds several file groups, each with partial stats —
+        // folding them (typed, not lexicographic) keeps the oracle exact
+        // at ANY scale factor
         graft.sql.GraftSql.sql(s, s"SHOW COLUMN STATS '${tbl.basePath}'")
           .filter(col("column") === "o_orderkey")
-          .select(col("partition"), col("column"), col("min"), col("max"),
-            col("null_count"), col("rows"))
+          .groupBy(col("partition"), col("column"))
+          .agg(min(col("min").cast("long")).cast("string").as("min"),
+            max(col("max").cast("long")).cast("string").as("max"),
+            sum(col("null_count")).as("null_count"),
+            sum(col("rows")).as("rows"))
           .orderBy(col("partition"))
       },
       Some("""

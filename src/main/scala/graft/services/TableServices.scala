@@ -495,6 +495,7 @@ class TableServices(table: GraftTable) {
     * at a savepointed instant, survives; all other published files are
     * deleted. Returns the clean instant, or None if nothing to do. */
   def clean(retainCommits: Int = 10): Option[String] = {
+    require(retainCommits >= 1, s"retainCommits must be >= 1: $retainCommits")
     val dataInstants = timeline.completed().filter(i => Action.dataActions(i.action))
     if (dataInstants.size <= retainCommits) return None
     val retained = dataInstants.takeRight(retainCommits).map(_.time) ++ savepointTargets
@@ -842,6 +843,12 @@ class TableServices(table: GraftTable) {
     * missing state (and a stale clustering plan would keep rejecting
     * writers for groups that no longer exist). */
   def restoreTo(time: String): String = {
+    // a malformatted target ('2025-08-14' sorts below every real
+    // instant) would classify EVERY instant as doomed and wipe the
+    // table — restore only to instants that actually exist
+    require(timeline.completed()
+      .exists(i => Action.dataActions(i.action) && i.time == time),
+      s"restore target is not a completed data instant: $time")
     val doomed = timeline.completed()
       .filter(i => Action.dataActions(i.action) && i.time > time)
       .reverse
@@ -863,16 +870,25 @@ class TableServices(table: GraftTable) {
   /** Pin the snapshot at `time` against cleaning (reference analog:
     * SavepointActionExecutor.java:48). */
   def savepoint(time: String): String = {
+    // a phantom target (typo, wrong format) would pin NOTHING while the
+    // user believes the snapshot is protected — and a low-sorting
+    // garbage string would silently disable archiving forever
+    require(timeline.completed()
+      .exists(i => Action.dataActions(i.action) && i.time == time),
+      s"savepoint target is not a completed data instant: $time")
     val t = timeline.start(Action.Savepoint)
     timeline.complete(t, Action.Savepoint,
       CommitMetadata("savepoint", extra = Map("target" -> time)))
     t
   }
 
-  def deleteSavepoint(time: String): Unit =
-    timeline.completed().filter(_.action == Action.Savepoint)
+  /** Returns how many savepoints matched (0 = nothing deleted). */
+  def deleteSavepoint(time: String): Int = {
+    val matched = timeline.completed().filter(_.action == Action.Savepoint)
       .filter(i => timeline.metadataOf(i).extra.get("target").contains(time))
-      .foreach(timeline.deleteCompleted)
+    matched.foreach(timeline.deleteCompleted)
+    matched.size
+  }
 
   private def savepointTargets: Seq[String] =
     timeline.completed().filter(_.action == Action.Savepoint)

@@ -233,7 +233,9 @@ object GraftSql {
             "CREATE SAVEPOINT: table has no completed data instant")))
       result(spark, "savepoint", Seq(TableServices(tbl).savepoint(target)))
     case DropSavepoint(path, at) =>
-      TableServices(GraftTable.load(spark, path)).deleteSavepoint(at)
+      val n = TableServices(GraftTable.load(spark, path)).deleteSavepoint(at)
+      if (n == 0) throw new IllegalArgumentException(
+        s"no savepoint at instant $at — nothing deleted")
       result(spark, "deleted_savepoint_at", Seq(at))
     case RollbackCommit(path, at) =>
       result(spark, "instant",

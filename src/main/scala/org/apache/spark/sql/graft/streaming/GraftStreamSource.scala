@@ -113,7 +113,12 @@ class GraftStreamProvider extends StreamSourceProvider with DataSourceRegister {
   }
 
   private def isCdc(parameters: Map[String, String]): Boolean =
-    parameters.getOrElse("query.type", "incremental") == "cdc"
+    parameters.getOrElse("query.type", "incremental") match {
+      case "cdc"         => true
+      case "incremental" => false
+      case other => throw new IllegalArgumentException(
+        s"unknown streaming query.type: $other (expected incremental | cdc)")
+    }
 
   override def createSource(
       sqlContext: SQLContext,

@@ -104,6 +104,21 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SHOW ROLLBACKS '$dir'").count() >= 1)
 
     spark.sql(s"RUN ARCHIVE ON '$dir'") // below thresholds: a no-op, but must parse
+
+    // validation: phantom targets error instead of silently wrecking state
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE SAVEPOINT ON '$dir' AT '2025-08-14'")
+    }
+    intercept[IllegalArgumentException] {
+      // a low-sorting garbage instant would otherwise doom EVERY commit
+      spark.sql(s"RESTORE TABLE '$dir' TO '2025-08-14'")
+    }
+    intercept[IllegalArgumentException] {
+      spark.sql(s"DELETE SAVEPOINT ON '$dir' AT 'nope'")
+    }
+    intercept[IllegalArgumentException] {
+      spark.sql(s"RUN CLEAN ON '$dir' RETAIN 0")
+    }
   }
 
   test("Spark-grammar ALTER TABLE ADD COLUMNS evolves the TABLE, not just the catalog") {

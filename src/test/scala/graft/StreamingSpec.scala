@@ -127,6 +127,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       all.mkString(","))
   }
 
+  test("stream source rejects an unknown query.type instead of silently ignoring it") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg("qtcheck"))
+    tbl.bulkInsert(Seq((1L, "a", 1L)).toDF("id", "v", "ts"))
+    val e = intercept[Exception] {
+      spark.readStream.format(classOf[GraftStreamProvider].getName)
+        .option("path", dir).option("query.type", "CDC").load()
+    }
+    def rootMsg(t: Throwable): String =
+      (t.getMessage + Option(t.getCause).map(rootMsg).getOrElse(""))
+    assert(rootMsg(e).contains("unknown streaming query.type"), rootMsg(e))
+  }
+
   test("continuous ingest: checkpoint-in-commit recovery, parquet dir source") {
     import spark.implicits._
     val dir = tmp()
