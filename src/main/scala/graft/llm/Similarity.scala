@@ -437,9 +437,23 @@ object Similarity {
   def pqTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
+      cb: Seq[Seq[Seq[Double]]], rerank: Int = 0): DataFrame =
+    pqTopKFromCodes(
+      corpus.select(col(idCol), pqCodes(col(vecCol), cb).as("_codes")),
+      corpus, queries, idCol, "_codes", vecCol, k, cb, rerank)
+
+  /** ADC top-k over PRECOMPUTED codes — the stored-index search mode:
+    * codes live in a (graft) table maintained incrementally per crawl
+    * batch (like the MinHash signature store of `minhashLshFromSigs`),
+    * so search scans m bytes/vector without touching the raw
+    * embeddings; `corpus` supplies exact vectors only for the rerank
+    * shortlist. `codesDf` carries (idCol, codesCol). */
+  def pqTopKFromCodes(
+      codesDf: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, codesCol: String, vecCol: String, k: Int,
       cb: Seq[Seq[Seq[Double]]], rerank: Int = 0): DataFrame = {
-    val c = corpus.select(col(idCol).as("n_id"),
-        pqDecode(pqCodes(col(vecCol), cb), cb).as("cvec"))
+    val c = codesDf.select(col(idCol).as("n_id"),
+        pqDecode(col(codesCol), cb).as("cvec"))
       .withColumn("cnrm", normD(col("cvec")))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qvec"))
       .withColumn("qnrm", normD(col("qvec")))

@@ -1930,6 +1930,97 @@ object Llm {
                  || list_slice(t.tk, (len(t.tk)//10)*10+1, len(t.tk)),
                  ' '), '') AS clean_text
         FROM toks t LEFT JOIN drops d USING (doc_id)
-        ORDER BY t.doc_id""")))
+        ORDER BY t.doc_id"""))),
+
+    // ---- incrementally-maintained PQ index (the q94 signature-store
+    //      pattern for ANN): crawl batch 1 trains the codebooks and
+    //      bulk-loads its codes into a graft table, batch 2 UPSERTS its
+    //      codes, search runs over the STORED codes (m bytes/vector,
+    //      raw embeddings touched only for the exact re-rank). The
+    //      oracle replays the batch-1-seeded codebooks over the union
+    "q136_incremental_ann_index" -> ((
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val b1 = emb.filter(col("vec_id") % 3 =!= 0)
+        val b2 = emb.filter(col("vec_id") % 3 === 0)
+        val cb = Similarity.pqInitCodebooks(b1, "vec_id", "embedding",
+          m = 8, ksub = 16)
+        val dir = java.nio.file.Files.createTempDirectory("graft-q136").toString
+        val tbl = graft.write.GraftTable.create(s, dir, graft.core.TableConfig(
+          name = "pq_index", tableType = graft.core.TableType.COW,
+          keyFields = Seq("vec_id"), targetFileRows = 500000))
+        tbl.bulkInsert(b1.select(col("vec_id"),
+          Similarity.pqCodes(col("embedding"), cb).as("codes")))
+        tbl.upsert(b2.select(col("vec_id"),
+          Similarity.pqCodes(col("embedding"), cb).as("codes")))
+        val r = graft.read.GraftReader(tbl)
+        val stored = r.dataOnly(r.snapshot()).select(col("vec_id"), col("codes"))
+        Similarity.pqTopKFromCodes(stored, emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "codes", "embedding", k = 3, cb, rerank = 10)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        cbs AS (
+          SELECT s, list(blk ORDER BY j) AS cb
+          FROM (
+            SELECT s, seed.vec_id AS j,
+                   list_transform(range(1, 9), i -> seed.v[s*8 + i]) AS blk
+            FROM (SELECT vec_id, v FROM e WHERE vec_id % 3 <> 0
+                  ORDER BY vec_id LIMIT 16) seed,
+                 (SELECT unnest(range(0, 8)) AS s))
+          GROUP BY s),
+        codes AS (
+          SELECT vec_id, s,
+                 CAST(list_position(d, list_min(d)) - 1 AS INTEGER) AS code
+          FROM (
+            SELECT e.vec_id, c.s,
+                   list_transform(range(1, 17), j ->
+                     list_sum(list_transform(range(1, 9), i ->
+                       (e.v[c.s*8 + i] - c.cb[j][i])
+                         * (e.v[c.s*8 + i] - c.cb[j][i])))) AS d
+            FROM e, cbs c)),
+        dec AS (
+          SELECT vec_id, flatten(list(blk ORDER BY s)) AS dvec
+          FROM (SELECT cd.vec_id, cd.s, c.cb[cd.code + 1] AS blk
+                FROM codes cd JOIN cbs c ON c.s = cd.s)
+          GROUP BY vec_id),
+        nrm AS (
+          SELECT vec_id, dvec,
+                 sqrt(list_sum(list_transform(dvec, x -> x * x))) AS dnrm
+          FROM dec),
+        qn AS (
+          SELECT vec_id AS q_id, v AS qv,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS qnrm
+          FROM e WHERE vec_id < 5),
+        adc AS (
+          SELECT q.q_id, c.vec_id AS n_id,
+                 list_sum(list_transform(range(1, 65),
+                   i -> q.qv[i] * c.dvec[i])) / (q.qnrm * c.dnrm) AS cos_adc
+          FROM qn q JOIN nrm c ON c.vec_id <> q.q_id),
+        short AS (
+          SELECT q_id, n_id, cos_adc FROM (
+            SELECT q_id, n_id, cos_adc,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos_adc DESC, n_id) AS srnk
+            FROM adc) WHERE srnk <= 10),
+        ex AS (
+          SELECT s.q_id, s.n_id, s.cos_adc,
+                 list_sum(list_transform(range(1, 65),
+                   i -> q.qv[i] * n.v[i]))
+                   / (q.qnrm * sqrt(list_sum(list_transform(n.v,
+                       x -> x * x)))) AS cos
+          FROM short s
+          JOIN qn q ON q.q_id = s.q_id
+          JOIN e n ON n.vec_id = s.n_id)
+        SELECT q_id, rnk, n_id, cos, cos_adc FROM (
+          SELECT q_id, n_id, cos, cos_adc,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, n_id) AS rnk
+          FROM ex) WHERE rnk <= 3
+        ORDER BY q_id, rnk""")))
   )
 }
