@@ -54,6 +54,49 @@ object QualityModel {
       .drop("_g_nll")
   }
 
+  /** Per-document interpolated BIGRAM cross-entropy (Jelinek–Mercer
+    * smoothing — the CCNet lm-score shape one order up from
+    * [[unigramXent]]): for each adjacent pair (w1, w2),
+    * `p = λ·c(w1 w2)/c(w1) + (1−λ)·c(w2)/total` and
+    * `xent = mean −ln p` over the doc's bigram positions. Both model
+    * tables are corpus-fit, so every pair is in-vocabulary and the
+    * interpolation smooths the conditional toward the unigram rate
+    * (c(w1) approximates the bigram-start count, the standard JM
+    * simplification). Docs with < 2 tokens emit no row.
+    *
+    * Prefer λ with an exactly-representable complement (default 0.75 →
+    * 0.25) so oracle literals match bit-for-bit.
+    *
+    * Scale: two hash aggregates (unigram + bigram vocab) and broadcast
+    * joins back — the corpus scans twice, nothing quadratic; at a
+    * trillion-token corpus swap the broadcast joins for hash joins on
+    * the pair key and the shape still holds. */
+  def bigramXent(
+      df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    val toks = TextFunctions.wsTokens(col(textCol))
+    val words = df.select(col(idCol).as("doc_id"), explode(toks).as("tok"))
+    val uni = words.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("c"))
+    val tot = uni.agg(sum(col("c")).as("_g_total"))
+    val pairs = df.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.shingles(toks, 2)).as("pair"))
+      .withColumn("w1", element_at(split(col("pair"), " "), 1))
+      .withColumn("w2", element_at(split(col("pair"), " "), 2))
+    val bi = pairs.groupBy(col("pair")).agg(count(lit(1)).cast("double").as("cb"))
+    pairs
+      .join(broadcast(bi), "pair")
+      .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("_g_p",
+        lit(lambda) * (col("cb") / col("c1")) +
+          lit(1.0 - lambda) * (col("c2") / col("_g_total")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(-log(col("_g_p"))).as("_g_nll"))
+      .withColumn("xent", col("_g_nll") / col("n_pairs"))
+      .drop("_g_nll")
+  }
+
   /** CCNet-style band labels over the xent distribution: `head` (most
     * model-like; boilerplate risk), `middle` (keep), `tail` (noise).
     * Boundaries are explicit xent values so the label is a pure per-row

@@ -2021,6 +2021,39 @@ object Llm {
                  row_number() OVER (PARTITION BY q_id
                                     ORDER BY cos DESC, n_id) AS rnk
           FROM ex) WHERE rnk <= 3
-        ORDER BY q_id, rnk""")))
+        ORDER BY q_id, rnk"""))),
+
+    // ---- interpolated bigram LM scoring (Jelinek-Mercer, the CCNet
+    //      lm-score one order above q97's unigram): p = 0.75·p(w2|w1) +
+    //      0.25·p_uni(w2), xent = mean -ln p over bigram positions
+    "q137_bigram_xent" -> ((
+      (s: SparkSession, d: String) =>
+        graft.llm.QualityModel.bigramXent(
+            t(s, d, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk
+                      FROM documents),
+        uni AS (SELECT t AS tok, CAST(count(*) AS DOUBLE) AS c
+                FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM uni),
+        pp AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(tk)),
+                        i -> tk[i])) AS w1,
+                      unnest(list_transform(range(1, len(tk)),
+                        i -> tk[i+1])) AS w2
+               FROM toks),
+        bi AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cb
+               FROM pp GROUP BY 1, 2),
+        scored AS (
+          SELECT pp.doc_id,
+                 0.75 * (bi.cb / u1.c) + 0.25 * (u2.c / t.total) AS p
+          FROM pp
+          JOIN bi ON bi.w1 = pp.w1 AND bi.w2 = pp.w2
+          JOIN uni u1 ON u1.tok = pp.w1
+          JOIN uni u2 ON u2.tok = pp.w2, tot t)
+        SELECT doc_id, count(*) AS n_pairs,
+               sum(-ln(p)) / count(*) AS xent
+        FROM scored GROUP BY doc_id ORDER BY doc_id""")))
   )
 }

@@ -751,6 +751,22 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.columns.toSeq == Seq("q_id", "rnk", "doc_id", "score"))
   }
 
+  test("bigramXent: hand-checked interpolated probabilities; short docs drop") {
+    import spark.implicits._
+    // corpus: "a b a b" + "a c" + single-token "z" (no bigram -> no row)
+    val rows = Seq((1L, "a b a b"), (2L, "a c"), (3L, "z")).toDF("doc_id", "text")
+    val got = QualityModel.bigramXent(rows, "doc_id", "text", lambda = 0.75)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!got.contains(3L), "a 1-token doc has no bigram positions")
+    // model: c(a)=3 c(b)=2 c(c)=1 c(z)=1 total=7; bigrams: (a,b)=2 (b,a)=1 (a,c)=1
+    val t = 7.0
+    def p(cb: Double, c1: Double, c2: Double) = 0.75 * (cb / c1) + 0.25 * (c2 / t)
+    val x1 = -(math.log(p(2, 3, 2)) + math.log(p(1, 2, 3)) + math.log(p(2, 3, 2))) / 3
+    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - x1) < 1e-12, s"${got(1L)} vs $x1")
+    val x2 = -math.log(p(1, 3, 1))
+    assert(got(2L)._1 == 1L && math.abs(got(2L)._2 - x2) < 1e-12, s"${got(2L)} vs $x2")
+  }
+
   test("normalize_text / strip_html / url_host are callable from pure SQL") {
     val s2 = spark.newSession()
     graft.functions.GraftFunctions.all.foreach { case (id, info, b) =>
