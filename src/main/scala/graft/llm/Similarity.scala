@@ -461,7 +461,8 @@ object Similarity {
       .withColumn("cos_adc",
         cosineD(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")))
       .select(col("q_id"), col("n_id"), col("cos_adc"))
-    adcRankRerank(scored, corpus, queries, idCol, vecCol, k, rerank)
+    adcRankRerank(scored, corpus, queries, idCol, vecCol, k, rerank,
+      strictCoverage = true)
   }
 
   /** Shared ADC ranking tail of [[pqTopK]] and [[ivfPqTopK]]: rank the
@@ -472,7 +473,12 @@ object Similarity {
     * score `cos`). */
   private def adcRankRerank(
       scored: DataFrame, corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, rerank: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, rerank: Int,
+      /** fail loudly when a shortlisted id has no corpus vector (stored
+        * indexes can go stale vs the raw corpus; silent drops would
+        * masquerade as lower-quality neighbors). Off for the derive-
+        * from-corpus paths, where the sets cannot diverge. */
+      strictCoverage: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_adc").desc, col("n_id"))
     if (rerank <= 0) {
       scored.withColumn("rnk", row_number().over(w))
@@ -480,16 +486,31 @@ object Similarity {
         .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"),
           col("cos_adc").as("cos"))
     } else {
-      val short = scored.withColumn("_srnk", row_number().over(w))
+      val short0 = scored.withColumn("_srnk", row_number().over(w))
         .filter(col("_srnk") <= math.max(k, rerank))
         .select(col("q_id"), col("n_id"), col("cos_adc"))
-      val exact = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nvec"))
+      val wq = Window.partitionBy(col("q_id"))
+      val short =
+        if (strictCoverage) short0.withColumn("_short_n", count(lit(1)).over(wq))
+        else short0
+      val joined = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nvec"))
         .join(broadcast(short), "n_id")
         .join(broadcast(queries.select(col(idCol).as("q_id"),
           col(vecCol).as("qv2"))), "q_id")
-        .withColumn("cos",
-          dotD(col("qv2"), col("nvec")) / (normD(col("qv2")) * normD(col("nvec"))))
-        .select(col("q_id"), col("n_id"), col("cos"), col("cos_adc"))
+      val cosExpr =
+        dotD(col("qv2"), col("nvec")) / (normD(col("qv2")) * normD(col("nvec")))
+      // the coverage check folds into `cos` (an unused check column
+      // would be pruned away); it compares shortlist-sized windows only
+      val exact = (
+        if (strictCoverage)
+          joined.withColumn("_found_n", count(lit(1)).over(wq))
+            .withColumn("cos", when(col("_found_n") =!= col("_short_n"),
+              raise_error(concat(
+                lit("stored-index ids missing from the rerank corpus for query "),
+                col("q_id").cast("string"))).cast("double"))
+              .otherwise(cosExpr))
+        else joined.withColumn("cos", cosExpr)
+      ).select(col("q_id"), col("n_id"), col("cos"), col("cos_adc"))
       val w2 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
       exact.withColumn("rnk", row_number().over(w2))
         .filter(col("rnk") <= k)

@@ -18,6 +18,12 @@ object Llm {
 
   type QFn = (SparkSession, String) => DataFrame
 
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-qllm").toFile
+    d.deleteOnExit()
+    d.toString
+  }
+
   private val Stopwords = Seq("the", "a")
 
   val all: Map[String, (QFn, Option[String])] = Map(
@@ -887,7 +893,7 @@ object Llm {
         val docs = t(s, d, "documents")
         val batch1 = docs.filter(col("doc_id") % 3 =!= 0)
         val batch2 = docs.filter(col("doc_id") % 3 === 0)
-        val dir = java.nio.file.Files.createTempDirectory("graft-q94").toString
+        val dir = freshDir()
         val tbl = graft.write.GraftTable.create(s, dir, graft.core.TableConfig(
           name = "sig_store", tableType = graft.core.TableType.COW,
           keyFields = Seq("doc_id"), targetFileRows = 500000))
@@ -1945,7 +1951,7 @@ object Llm {
         val b2 = emb.filter(col("vec_id") % 3 === 0)
         val cb = Similarity.pqInitCodebooks(b1, "vec_id", "embedding",
           m = 8, ksub = 16)
-        val dir = java.nio.file.Files.createTempDirectory("graft-q136").toString
+        val dir = freshDir()
         val tbl = graft.write.GraftTable.create(s, dir, graft.core.TableConfig(
           name = "pq_index", tableType = graft.core.TableType.COW,
           keyFields = Seq("vec_id"), targetFileRows = 500000))

@@ -849,6 +849,13 @@ class TableServices(table: GraftTable) {
     require(timeline.completed()
       .exists(i => Action.dataActions(i.action) && i.time == time),
       s"restore target is not a completed data instant: $time")
+    // restoring BELOW a savepointed instant would delete the pinned
+    // files and leave a dangling savepoint that pins nothing (the
+    // reference refuses the same way: delete the savepoint first)
+    val pinnedAbove = savepointTargets.filter(_ > time)
+    require(pinnedAbove.isEmpty,
+      s"cannot restore below savepointed instant(s) ${pinnedAbove.mkString(", ")}" +
+        s" — delete those savepoints first")
     val doomed = timeline.completed()
       .filter(i => Action.dataActions(i.action) && i.time > time)
       .reverse

@@ -767,6 +767,31 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L)._1 == 1L && math.abs(got(2L)._2 - x2) < 1e-12, s"${got(2L)} vs $x2")
   }
 
+  test("stored-codes PQ search fails loudly when the index is stale vs the corpus") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    val vecs = (0 until 20).map { id =>
+      (id.toLong, Array.tabulate(8)(i => ((id * 31 + i * 17) % 13 - 6).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.pqInitCodebooks(vecs, "vec_id", "embedding", m = 4, ksub = 8)
+    val codes = vecs.select(col("vec_id"),
+      Similarity.pqCodes(col("embedding"), cb).as("codes"))
+    val queries = vecs.filter(col("vec_id") < 1L)
+    // complete coverage: fine
+    assert(Similarity.pqTopKFromCodes(codes, vecs, queries,
+      "vec_id", "codes", "embedding", k = 3, cb, rerank = 5).count() == 3)
+    // the corpus lost a doc the index still carries -> the rerank must
+    // error, not silently return fewer/wrong neighbors
+    val stale = vecs.filter(col("vec_id") =!= 2L)
+    val e = intercept[Exception] {
+      Similarity.pqTopKFromCodes(codes, stale, queries,
+        "vec_id", "codes", "embedding", k = 3, cb, rerank = 19).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      t.getMessage + Option(t.getCause).map(rootMsg).getOrElse("")
+    assert(rootMsg(e).contains("missing from the rerank corpus"), rootMsg(e))
+  }
+
   test("normalize_text / strip_html / url_host are callable from pure SQL") {
     val s2 = spark.newSession()
     graft.functions.GraftFunctions.all.foreach { case (id, info, b) =>
