@@ -38,8 +38,9 @@ object SparkEntry {
     "q16_events_daily",
     "q24_dedup_exact", "q26_dedup_minhash", "q27b_dedup_simhash_banded",
     "q28_embed_topk", "q29b_embed_neardup_bucketed", "q30_ann_lsh",
-    "q123_sq8_ann", "q131_ivfpq_ann",
+    "q123_sq8_ann", "q131_ivfpq_ann", "q139_semdedup",
     "q95_span_dedup", "q97_unigram_xent", "q104_asof_purchase_click",
+    "q138_seq_packing",
     "q33_mor_compaction_roundtrip", "q57_publish_many_groups")
 
   /** Bench entries that time the WRITE path (table build + mutation);

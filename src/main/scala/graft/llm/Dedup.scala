@@ -99,6 +99,31 @@ object Dedup {
   /** Deterministic md5-derived affine constants (a_i, b_i) for the
     * MinHash family — reproducible in any engine, so the DuckDB oracle
     * inlines the same numbers. */
+  /** Per-document n-gram novelty against everything EARLIER in id
+    * order (crawl/ingest order): the fraction of a doc's distinct
+    * shingles first seen in a lower-id document — the boilerplate /
+    * stale-content signal used to down-weight re-crawls without full
+    * pair enumeration.
+    *
+    * Scale shape: one inverted-index hash aggregation (min doc per
+    * shingle) plus a join whose output is EXACTLY the index size (each
+    * (doc, shingle) row matches one first-doc row) — linear in the
+    * corpus, never k² in hot-shingle doc frequency, so no frequency cap
+    * is needed. Docs shorter than `n` tokens have no shingles and emit
+    * no row. Output: (doc_id, n_shingles, n_seen, novelty). */
+  def noveltyScores(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol, n, None)
+    val firsts = sh.groupBy(col("s")).agg(min(col("doc_id")).as("_first"))
+    sh.join(firsts, "s")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("_first") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
+      .withColumn("novelty",
+        lit(1.0) - col("n_seen").cast("double") / col("n_shingles"))
+  }
+
   def minhashParam(i: Int): (Long, Long) = {
     def c(tag: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")

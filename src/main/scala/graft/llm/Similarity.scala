@@ -263,6 +263,78 @@ object Similarity {
       .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"), col("cos"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering. The corpus is coarse-clustered with
+    * the same quantizer as [[ivfAnn]] (deterministic id-chosen
+    * centroids by default, or a [[trainIvfCentroids]] quantizer), then
+    * WITHIN each cell every vector whose cosine to a lower-id cell-mate
+    * reaches `threshold` is marked a semantic duplicate — one
+    * representative (the min id) survives per duplicate group, and
+    * duplicates are NOT chased transitively across cells, exactly the
+    * paper's per-cluster pairwise rule.
+    *
+    * Scale posture (the paper's design point): the cells bound the
+    * quadratic — pairwise work is Σ|cell|², never |corpus|². The
+    * quantizer collects to the driver (codebook-sized, like
+    * [[sq8Train]]'s bounds), so cell assignment is pure per-row fused
+    * kernel math with NO exchange at all; the within-cell self-join
+    * then moves each (vector, norm) across the wire exactly once per
+    * side — O(corpus) network, like a shuffle write — and cosines are
+    * computed in the join projection, so no pair-many vector copies
+    * ever enter an exchange.
+    *
+    * Returns one row per non-null corpus vector: (idCol, cell, kept),
+    * cell typed long. */
+  def semDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, cells: Int = 16,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val centRows = centroids
+      .map(_.select(col("c_id").cast("long").as("c_id"), col("c_vec")))
+      .getOrElse(corpus.filter(col(idCol) < cells)
+        .select(col(idCol).cast("long").as("c_id"), col(vecCol).as("c_vec")))
+      .orderBy(col("c_id"))
+      .collect()
+    require(centRows.nonEmpty, "semDedup needs at least one centroid")
+    val cents: Seq[(Long, Seq[Double])] = centRows.toSeq.map { r =>
+      val v = r.getSeq[Any](1).toSeq.map {
+        case f: java.lang.Float  => f.toDouble
+        case d: java.lang.Double => d.doubleValue
+      }
+      (r.getLong(0), v)
+    }
+    // argmax-cosine assignment per row: one fused dot kernel per
+    // centroid against a constant array; ties break to the smaller c_id
+    // (cents are c_id-ordered, array_position finds the FIRST max).
+    // Norm fold order matches the kernels (strict left-to-right), so
+    // the oracle's cos arithmetic reproduces bit-for-bit.
+    val vNrm = normD(col(vecCol))
+    val scores = array(cents.map { case (_, cv) =>
+      cosineD(col(vecCol), typedlit(cv), vNrm,
+        lit(math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x))))
+    }: _*)
+    val member = corpus.filter(col(vecCol).isNotNull).select(
+      col(idCol).as("m_id"),
+      col(vecCol).as("m_vec"),
+      vNrm.as("m_nrm"),
+      element_at(typedlit(cents.map(_._1)),
+        array_position(scores, array_max(scores)).cast("int")).as("cell"))
+    val a = member.select(col("m_id").as("q_id"), col("m_vec").as("q_vec"),
+      col("m_nrm").as("q_nrm"), col("cell"))
+    val b = member.select(col("m_id").as("n_id"), col("m_vec").as("n_vec"),
+      col("m_nrm").as("n_nrm"), col("cell"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("q_id") < col("n_id"))
+      .filter(cosineD(col("q_vec"), col("n_vec"),
+        col("q_nrm"), col("n_nrm")) >= threshold)
+      .select(col("n_id").as("m_id")).distinct()
+      .withColumn("_dup", lit(true))
+    member.select(col("m_id"), col("cell"))
+      .join(dropped, Seq("m_id"), "left")
+      .select(col("m_id").as(idCol), col("cell"),
+        col("_dup").isNull.as("kept"))
+  }
+
   /** Approximate top-k: candidates = corpus rows sharing at least one
     * LSH band with the query, then exact cosine over candidates only.
     * bands × bitsPerBand = planes. The bucket join is the whole point:
@@ -440,7 +512,10 @@ object Similarity {
       cb: Seq[Seq[Seq[Double]]], rerank: Int = 0): DataFrame =
     pqTopKFromCodes(
       corpus.select(col(idCol), pqCodes(col(vecCol), cb).as("_codes")),
-      corpus, queries, idCol, "_codes", vecCol, k, cb, rerank)
+      corpus, queries, idCol, "_codes", vecCol, k, cb, rerank,
+      // codes derive from the rerank corpus itself: the id sets cannot
+      // diverge, so skip the coverage windows entirely
+      strictCoverage = false)
 
   /** ADC top-k over PRECOMPUTED codes — the stored-index search mode:
     * codes live in a (graft) table maintained incrementally per crawl
@@ -451,7 +526,10 @@ object Similarity {
   def pqTopKFromCodes(
       codesDf: DataFrame, corpus: DataFrame, queries: DataFrame,
       idCol: String, codesCol: String, vecCol: String, k: Int,
-      cb: Seq[Seq[Seq[Double]]], rerank: Int = 0): DataFrame = {
+      cb: Seq[Seq[Seq[Double]]], rerank: Int = 0,
+      /** stored codes can go stale vs the raw corpus — verify the
+        * rerank covered every shortlisted id (see [[adcRankRerank]]) */
+      strictCoverage: Boolean = true): DataFrame = {
     val c = codesDf.select(col(idCol).as("n_id"),
         pqDecode(col(codesCol), cb).as("cvec"))
       .withColumn("cnrm", normD(col("cvec")))
@@ -462,7 +540,7 @@ object Similarity {
         cosineD(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")))
       .select(col("q_id"), col("n_id"), col("cos_adc"))
     adcRankRerank(scored, corpus, queries, idCol, vecCol, k, rerank,
-      strictCoverage = true)
+      strictCoverage = strictCoverage)
   }
 
   /** Shared ADC ranking tail of [[pqTopK]] and [[ivfPqTopK]]: rank the
@@ -486,31 +564,34 @@ object Similarity {
         .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"),
           col("cos_adc").as("cos"))
     } else {
-      val short0 = scored.withColumn("_srnk", row_number().over(w))
+      val short = scored.withColumn("_srnk", row_number().over(w))
         .filter(col("_srnk") <= math.max(k, rerank))
         .select(col("q_id"), col("n_id"), col("cos_adc"))
-      val wq = Window.partitionBy(col("q_id"))
-      val short =
-        if (strictCoverage) short0.withColumn("_short_n", count(lit(1)).over(wq))
-        else short0
       val joined = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nvec"))
         .join(broadcast(short), "n_id")
         .join(broadcast(queries.select(col(idCol).as("q_id"),
           col(vecCol).as("qv2"))), "q_id")
       val cosExpr =
         dotD(col("qv2"), col("nvec")) / (normD(col("qv2")) * normD(col("nvec")))
-      // the coverage check folds into `cos` (an unused check column
-      // would be pruned away); it compares shortlist-sized windows only
-      val exact = (
+      // cos evaluates inside the joined projection, so the vectors are
+      // dropped per-row and nothing downstream exchanges them
+      val exact0 = joined.withColumn("cos", cosExpr)
+        .select(col("q_id"), col("n_id"), col("cos"), col("cos_adc"))
+      // coverage = a lazy poison branch: shortlisted ids with NO corpus
+      // vector anti-join into rows whose cos evaluation raises. Compared
+      // to counting windows this also catches a query losing its WHOLE
+      // shortlist (the inner join above would silently drop it), and it
+      // moves only bare ids (the corpus side prunes to its id column)
+      val exact =
         if (strictCoverage)
-          joined.withColumn("_found_n", count(lit(1)).over(wq))
-            .withColumn("cos", when(col("_found_n") =!= col("_short_n"),
+          exact0.unionByName(short
+            .join(corpus.select(col(idCol).as("n_id")), Seq("n_id"), "left_anti")
+            .select(col("q_id"), col("n_id"),
               raise_error(concat(
                 lit("stored-index ids missing from the rerank corpus for query "),
-                col("q_id").cast("string"))).cast("double"))
-              .otherwise(cosExpr))
-        else joined.withColumn("cos", cosExpr)
-      ).select(col("q_id"), col("n_id"), col("cos"), col("cos_adc"))
+                col("q_id").cast("string"))).cast("double").as("cos"),
+              col("cos_adc")))
+        else exact0
       val w2 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
       exact.withColumn("rnk", row_number().over(w2))
         .filter(col("rnk") <= k)

@@ -2060,6 +2060,155 @@ object Llm {
           JOIN uni u2 ON u2.tok = pp.w2, tot t)
         SELECT doc_id, count(*) AS n_pairs,
                sum(-ln(p)) / count(*) AS xent
-        FROM scored GROUP BY doc_id ORDER BY doc_id""")))
+        FROM scored GROUP BY doc_id ORDER BY doc_id"""))),
+
+    // ---- sequence packing: concatenate the corpus in doc_id order and
+    //      cut the token stream into fixed 64-token training sequences,
+    //      one row per (doc, sequence) overlap segment with the doc
+    //      boundary offsets the trainer needs for attention-mask resets.
+    //      The global token offsets come from the parallel prefix-sum
+    //      (q87's machinery — no single global window); the oracle's
+    //      plain cumsum window computes the same offsets exactly
+    "q138_seq_packing" -> ((
+      (s: SparkSession, d: String) =>
+        graft.llm.Packing.packSequences(
+            t(s, d, "documents"), col("text"), col("doc_id"), seqLen = 64)
+          .select(col("doc_id"), col("n_tokens"), col("token_start"),
+            col("seq_id"), col("seg_start"), col("tok_from"), col("tok_len"),
+            col("seg_text"))
+          .orderBy(col("doc_id"), col("seq_id")),
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                      FROM documents),
+        c AS (SELECT doc_id, tk,
+                     CAST(len(tk) AS BIGINT) AS n_tokens,
+                     CAST(sum(len(tk)) OVER (ORDER BY doc_id) - len(tk)
+                          AS BIGINT) AS token_start
+              FROM toks),
+        seg AS (SELECT doc_id, tk, n_tokens, token_start,
+                       unnest(range(token_start // 64,
+                                    (token_start + n_tokens - 1) // 64 + 1))
+                         AS seq_id
+                FROM c),
+        off AS (SELECT doc_id, tk, n_tokens, token_start, seq_id,
+                       CAST(greatest(seq_id * 64 - token_start, 0)
+                            AS BIGINT) AS tok_from,
+                       CAST(greatest(token_start - seq_id * 64, 0)
+                            AS BIGINT) AS seg_start,
+                       CAST(least(token_start + n_tokens, (seq_id + 1) * 64)
+                            - greatest(token_start, seq_id * 64)
+                            AS BIGINT) AS tok_len
+                FROM seg)
+        SELECT doc_id, n_tokens, token_start, seq_id, seg_start, tok_from,
+               tok_len,
+               array_to_string(tk[tok_from + 1 : tok_from + tok_len], ' ')
+                 AS seg_text
+        FROM off ORDER BY doc_id, seq_id"""))),
+
+    // ---- SemDeDup (Abbas et al. 2023): semantic dedup by clustering —
+    //      coarse cells bound the pairwise work (the paper's design),
+    //      within-cell cosine >= 0.45 drops everything but the min-id
+    //      representative. Same threshold as q29, but duplicates are
+    //      only found within a cell — the approximation the paper
+    //      trades for the Σ|cell|² bound
+    "q139_semdedup" -> ((
+      (s: SparkSession, d: String) =>
+        Similarity.semDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+            threshold = 0.45, cells = 16)
+          .orderBy(col("vec_id")),
+      Some("""
+        WITH nrm AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * x))) AS nrm
+          FROM embeddings),
+        cent AS (SELECT vec_id AS c_id, embedding AS c_vec, nrm AS c_nrm
+                 FROM nrm WHERE vec_id < 16),
+        member AS (
+          SELECT vec_id AS m_id, CAST(c_id AS BIGINT) AS cell FROM (
+            SELECT n.vec_id, c.c_id,
+                   row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(n.embedding[i] AS DOUBLE) * c.c_vec[i]))
+                       / (n.nrm * c.c_nrm) DESC, c.c_id) AS rk
+            FROM nrm n, cent c)
+          WHERE rk = 1),
+        dup AS (
+          SELECT DISTINCT b.m_id
+          FROM member a
+          JOIN member b ON a.cell = b.cell AND a.m_id < b.m_id
+          JOIN nrm va ON va.vec_id = a.m_id
+          JOIN nrm vb ON vb.vec_id = b.m_id
+          WHERE list_sum(list_transform(range(1, 65),
+                  i -> CAST(va.embedding[i] AS DOUBLE) * vb.embedding[i]))
+                  / (va.nrm * vb.nrm) >= 0.45)
+        SELECT m.m_id AS vec_id, m.cell, d.m_id IS NULL AS kept
+        FROM member m LEFT JOIN dup d ON d.m_id = m.m_id
+        ORDER BY vec_id"""))),
+
+    // ---- corpus profiling (the dataset-card stats pass): per-language
+    //      doc counts, token totals, and exact interpolated percentiles.
+    //      The oracle replays Spark's (n-1)·q percentile interpolation
+    //      arithmetic term-for-term so the doubles hash-match
+    "q141_corpus_profile" -> ((
+      (s: SparkSession, d: String) =>
+        graft.llm.Profiling.corpusProfile(
+            t(s, d, "documents"), "lang", col("text"))
+          .orderBy(col("lang")),
+      Some("""
+        WITH toks AS (SELECT lang, len(string_split(text, ' ')) AS n
+                      FROM documents WHERE text IS NOT NULL),
+        g AS (SELECT lang, count(*) AS n_docs,
+                     CAST(sum(n) AS BIGINT) AS total_tokens,
+                     list(n ORDER BY n) AS l
+              FROM toks GROUP BY lang),
+        q AS (SELECT lang, n_docs, total_tokens, l,
+                     unnest([0.25, 0.5, 0.9]) AS qq
+              FROM g),
+        p AS (SELECT lang, n_docs, total_tokens, qq,
+                     (n_docs - 1) * qq AS pos,
+                     l[CAST(floor((n_docs - 1) * qq) AS BIGINT) + 1] AS lo,
+                     l[CAST(ceil((n_docs - 1) * qq) AS BIGINT) + 1] AS hi
+              FROM q),
+        v AS (SELECT lang, n_docs, total_tokens, qq,
+                     CASE WHEN ceil(pos) = floor(pos) OR lo = hi
+                          THEN CAST(lo AS DOUBLE)
+                          ELSE (ceil(pos) - pos) * CAST(lo AS DOUBLE)
+                               + (pos - floor(pos)) * CAST(hi AS DOUBLE)
+                     END AS pv
+              FROM p)
+        SELECT lang, any_value(n_docs) AS n_docs,
+               any_value(total_tokens) AS total_tokens,
+               CAST(any_value(total_tokens) AS DOUBLE) / any_value(n_docs)
+                 AS mean_tokens,
+               max(CASE WHEN qq = 0.25 THEN pv END) AS p25,
+               max(CASE WHEN qq = 0.5 THEN pv END) AS p50,
+               max(CASE WHEN qq = 0.9 THEN pv END) AS p90
+        FROM v GROUP BY lang ORDER BY lang"""))),
+
+    // ---- n-gram novelty vs earlier docs (boilerplate / re-crawl
+    //      signal): inverted-index min-doc aggregation, join output =
+    //      index size exactly — linear at any corpus size, no doc-freq
+    //      cap needed (nothing is quadratic in shingle frequency)
+    "q142_novelty" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.noveltyScores(t(s, d, "documents"), "doc_id", "text", n = 3)
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                      FROM documents),
+        sh AS (SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+          FROM toks)),
+        firsts AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+        SELECT sh.doc_id, count(*) AS n_shingles,
+               CAST(sum(CASE WHEN f.first_doc < sh.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_seen,
+               1.0 - CAST(sum(CASE WHEN f.first_doc < sh.doc_id
+                                   THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                 AS novelty
+        FROM sh JOIN firsts f ON f.s = sh.s
+        GROUP BY sh.doc_id ORDER BY doc_id""")))
   )
 }

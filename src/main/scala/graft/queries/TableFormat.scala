@@ -2059,6 +2059,54 @@ object TableFormat {
         FROM orders WHERE o_orderkey % 10 < 8
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
 
+    // ---- catalog sync (HiveSyncTool analog): register a MOR table's
+    //      `_ro`/`_rt` pair in the Spark catalog and query both through
+    //      engine-agnostic SQL — pre-compaction, `_rt` merges the delta
+    //      batch while `_ro` reads base files only, so the two views
+    //      MUST disagree exactly on the updated keys
+    "q140_catalog_sync" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val dir = freshDir()
+        val tbl = GraftTable.create(s, dir, cfg("orders_sync", TableType.MOR))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        // pure-update batch: every key already exists, so the whole
+        // batch lands in delta logs and _ro provably lags it
+        tbl.upsert(orders
+          .filter(col("o_orderkey") % 10 >= 6 && col("o_orderkey") % 10 < 8)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        val name =
+          s"q140_sync_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        graft.sync.CatalogSyncTool(s, dir).sync(name)
+        def view(suffix: String): DataFrame = summarize(
+          s.sql(s"SELECT o_orderpriority, o_orderkey, o_totalprice AS price " +
+            s"FROM ${name}_$suffix"))
+        view("rt").withColumn("which", lit("rt"))
+          .unionByName(view("ro").withColumn("which", lit("ro")))
+          .orderBy(col("which"), col("o_orderpriority"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderpriority, o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey % 10 < 8),
+        rt AS (
+          SELECT 'rt' AS which, o_orderpriority, count(*) AS n,
+                 CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                 CAST(sum(floor((CASE WHEN o_orderkey % 10 >= 6
+                                      THEN o_totalprice + 1000
+                                      ELSE o_totalprice END) * 100))
+                      AS BIGINT) AS price_c
+          FROM base GROUP BY o_orderpriority),
+        ro AS (
+          SELECT 'ro' AS which, o_orderpriority, count(*) AS n,
+                 CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                 CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS price_c
+          FROM base GROUP BY o_orderpriority)
+        SELECT which, o_orderpriority, n, key_sum, price_c FROM rt
+        UNION ALL
+        SELECT which, o_orderpriority, n, key_sum, price_c FROM ro
+        ORDER BY which, o_orderpriority"""))),
+
     "q122_failed_write_cleanup" -> ((
       (s: SparkSession, d: String) => {
         val orders = graft.Tables.t(s, d, "orders")

@@ -261,6 +261,124 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("semDedup keeps one representative per within-cell duplicate group") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),       // cell-A seed
+      (1L, Array(0f, 1f, 0f, 0f)),       // cell-B seed
+      (2L, Array(0.99f, 0.01f, 0f, 0f)), // dup of 0 in cell A
+      (3L, Array(0f, 0.98f, 0.02f, 0f)), // dup of 1 in cell B
+      (4L, Array(0.7f, 0.7f, 0f, 0f)),   // borderline, not a dup of anything
+      (5L, Array(0f, 0f, 1f, 0f))        // far from everything
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding",
+      threshold = 0.95, cells = 2).collect()
+    assert(out.length == 6)
+    val kept = out.filter(_.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(Set(0L, 1L, 4L, 5L).subsetOf(kept), s"kept $kept")
+    assert(!kept.contains(2L) && !kept.contains(3L), s"kept $kept")
+    // invariant: the min id of every cell always survives
+    out.groupBy(_.getAs[Long]("cell")).foreach { case (_, rs) =>
+      val minId = rs.map(_.getAs[Long]("vec_id")).min
+      assert(rs.find(_.getAs[Long]("vec_id") == minId).get.getAs[Boolean]("kept"))
+    }
+  }
+
+  test("semDedup does not chase duplicates across cells (the paper's approximation)") {
+    import spark.implicits._
+    // a near-identical pair straddling the cell decision boundary: each
+    // member lands in a different cell, so the pair is never compared
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(0.72f, 0.69f)), // assigned to 0's cell
+      (3L, Array(0.69f, 0.72f))  // assigned to 1's cell; cos(2,3) ≈ 0.999
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding",
+      threshold = 0.9, cells = 2).collect()
+    val cellOf = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    assert(cellOf(2L) != cellOf(3L), s"fixture broken: $cellOf")
+    assert(out.forall(_.getAs[Boolean]("kept")), "cross-cell pair must survive")
+  }
+
+  test("semDedup accepts a trained quantizer and filters null vectors") {
+    import spark.implicits._
+    val base = (0 until 30).map { i =>
+      val axis = i % 2
+      (i.toLong, Array.tabulate(8)(d =>
+        (if (d == axis) 1f else 0f) + (math.sin(i * 8 + d) * 0.02).toFloat))
+    }
+    val vecs = base.toDF("vec_id", "embedding")
+      .unionByName(Seq((99L, null.asInstanceOf[Array[Float]]))
+        .toDF("vec_id", "embedding"))
+    val cent = Similarity.trainIvfCentroids(vecs.filter(col("embedding").isNotNull),
+      "vec_id", "embedding", cells = 2, iters = 2)
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding",
+      threshold = 0.999, cells = 2, centroids = Some(cent)).collect()
+    assert(out.length == 30, "null-vector row must be filtered")
+    assert(out.map(_.getAs[Long]("cell")).toSet.size == 2)
+    // near-identical same-axis vectors collapse: far fewer than 30 survive
+    val kept = out.count(_.getAs[Boolean]("kept"))
+    assert(kept >= 2 && kept < 30, s"kept $kept of 30")
+  }
+
+  test("sequence packing tiles the concatenated corpus exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "f g h"),
+      (3L, (1 to 20).map(i => s"t$i").mkString(" ")),
+      (4L, ""), // splits to one empty token — still packed
+      (5L, null.asInstanceOf[String]) // filtered
+    ).toDF("doc_id", "text")
+    val out = Packing.packSequences(df, col("text"), col("doc_id"), seqLen = 8)
+      .select("doc_id", "seq_id", "seg_start", "tok_from", "tok_len", "seg_text")
+      .collect()
+    // 5 + 3 + 20 + 1 = 29 tokens → sequences 0..3 sized (8, 8, 8, 5)
+    assert(out.map(_.getAs[Long]("tok_len")).sum == 29)
+    assert(!out.map(_.getAs[Long]("doc_id")).contains(5L))
+    out.groupBy(_.getAs[Long]("seq_id")).foreach { case (s, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("seg_start"))
+      var pos = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("seg_start") == pos,
+          s"seq $s: gap at ${r.getAs[Long]("seg_start")} vs $pos")
+        pos += r.getAs[Long]("tok_len")
+      }
+      assert(pos == (if (s < 3) 8L else 5L), s"seq $s holds $pos tokens")
+    }
+    // a doc's segments partition the doc, in order
+    out.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("tok_from"))
+      var pos = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("tok_from") == pos)
+        pos += r.getAs[Long]("tok_len")
+      }
+    }
+    // reconstruction: segments reassemble the original concatenated stream
+    val packed = out
+      .sortBy(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("seg_start")))
+      .map(_.getAs[String]("seg_text")).filter(_.nonEmpty).mkString(" ")
+    val orig = (Seq("a b c d e", "f g h") :+
+      (1 to 20).map(i => s"t$i").mkString(" ")).mkString(" ")
+    assert(packed == orig)
+  }
+
+  test("sequence packing is bucket-count invariant") {
+    import spark.implicits._
+    // lengths 1..40 tokens: many docs cross sequence boundaries, some
+    // span several whole sequences
+    val df = (1 to 40).map(i =>
+      (i.toLong, (0 until ((i * 7) % 40) + 1).map(j => s"w$i-$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(buckets: Int) = Packing
+      .packSequences(df, col("text"), col("doc_id"), seqLen = 16, buckets = buckets)
+      .select("doc_id", "seq_id", "seg_start", "tok_from", "tok_len", "seg_text")
+      .orderBy("doc_id", "seq_id").collect().map(_.toSeq).toSeq
+    assert(run(1) == run(3) && run(3) == run(13))
+  }
+
   test("multimodal pipeline: schema, batching, frame sampling") {
     import spark.implicits._
     val d = docs.withColumnRenamed("doc_id", "doc_id") // documents-shaped
@@ -790,6 +908,15 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     def rootMsg(t: Throwable): String =
       t.getMessage + Option(t.getCause).map(rootMsg).getOrElse("")
     assert(rootMsg(e).contains("missing from the rerank corpus"), rootMsg(e))
+    // a query losing its WHOLE shortlist must also raise — a count-based
+    // coverage check inner-joined through the corpus would silently
+    // return zero rows for it instead
+    val gone = vecs.filter(col("vec_id") === 0L)
+    val e2 = intercept[Exception] {
+      Similarity.pqTopKFromCodes(codes, gone, queries,
+        "vec_id", "codes", "embedding", k = 3, cb, rerank = 19).collect()
+    }
+    assert(rootMsg(e2).contains("missing from the rerank corpus"), rootMsg(e2))
   }
 
   test("normalize_text / strip_html / url_host are callable from pure SQL") {

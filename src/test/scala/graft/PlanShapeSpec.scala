@@ -144,6 +144,45 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("sequence packing computes offsets without a global window") {
+    // the global-cumsum trap: one unpartitioned window = one task for
+    // the whole corpus. Packing must ride the bucketed prefix-sum.
+    val p = planOf("q138_seq_packing")
+    assert(!p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+      s"found an unpartitioned window in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("semDedup: vectors only ever shuffle keyed by cell (the bounded self-join)") {
+    // assignment is per-row kernel math against the driver-collected
+    // quantizer — no exchange at all; the ONLY exchanges allowed to
+    // carry a vector are the two cell-keyed self-join sides
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q139_semdedup")(spark, sf)
+        .queryExecution.executedPlan
+      val vecExchanges = plan.collect {
+        case e: ShuffleExchangeExec
+          if e.output.exists(_.dataType.isInstanceOf[ArrayType]) => e
+      }
+      assert(vecExchanges.size <= 2,
+        s"${vecExchanges.size} vector-carrying exchanges, want <= 2")
+      vecExchanges.foreach { e =>
+        val ok = e.outputPartitioning match {
+          case h: HashPartitioning =>
+            h.expressions.exists(_.references.exists(_.name == "cell"))
+          case _ => false
+        }
+        assert(ok, s"vector exchange not keyed by cell:\n$e")
+      }
+      assert(!plan.toString.contains("CartesianProduct"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("the one-pass LSH kernel runs fused in the banded plans") {
     val p = planOf("q29b_embed_neardup_bucketed")
     assert(p.contains("lshbandbuckets("), s"expected the LSH kernel in the plan")
