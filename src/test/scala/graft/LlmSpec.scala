@@ -365,6 +365,51 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(packed == orig)
   }
 
+  test("semDedup with one cell matches the all-pairs dedup semantics") {
+    import spark.implicits._
+    // one cell = no clustering approximation left: dropped must equal
+    // "has a lower-id neighbor with cos >= threshold" exactly
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 37 + d * 11).toFloat))
+    }.toDF("vec_id", "embedding")
+    val thr = 0.6
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding", thr, cells = 1)
+      .collect()
+    val dropped = out.filter(!_.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("vec_id")).toSet
+    val expected = Similarity.nearDupPairs(vecs, "vec_id", "embedding", thr)
+      .collect().map(_.getAs[Long]("id_b")).toSet
+    assert(expected.nonEmpty, "fixture produced no near-dup pairs")
+    assert(dropped == expected, s"dropped $dropped vs all-pairs $expected")
+  }
+
+  test("sequence packing equals a naive driver-side reference") {
+    import spark.implicits._
+    val docs = (1 to 60).map { i =>
+      (i.toLong, (0 until ((i * 13) % 23) + 1).map(j => s"x$i-$j").mkString(" "))
+    }
+    val L = 10
+    val got = Packing
+      .packSequences(docs.toDF("doc_id", "text"), col("text"), col("doc_id"), L)
+      .select("doc_id", "seq_id", "seg_start", "tok_from", "tok_len", "seg_text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSet
+    // naive reference: global offsets by doc order, then span enumeration
+    var off = 0L
+    val want = docs.flatMap { case (id, text) =>
+      val tk = text.split(" ", -1)
+      val start = off; off += tk.length
+      (start / L to (start + tk.length - 1) / L).map { s =>
+        val from = math.max(0L, s * L - start)
+        val len = math.min(start + tk.length, (s + 1) * L) - math.max(start, s * L)
+        (id, s, math.max(0L, start - s * L), from, len,
+          tk.slice(from.toInt, (from + len).toInt).mkString(" "))
+      }
+    }.toSet
+    assert(got == want)
+  }
+
   test("sequence packing is bucket-count invariant") {
     import spark.implicits._
     // lengths 1..40 tokens: many docs cross sequence boundaries, some
