@@ -45,14 +45,43 @@ object Mixing {
     * (label, ppm) and must sum to ≤ 1e6; rows past the last boundary
     * get `rest`. Adds a `split` column. */
   def split(df: DataFrame, idCol: String, splits: Seq[(String, Long)],
-      rest: String = "train", salt: String = "split"): DataFrame = {
-    val b = ppmBucket(col(idCol), salt)
+      rest: String = "train", salt: String = "split"): DataFrame =
+    df.withColumn("split", splitLabel(ppmBucket(col(idCol), salt), splits, rest))
+
+  /** First label whose cumulative ppm range contains `bucket`. */
+  private def splitLabel(
+      bucket: Column, splits: Seq[(String, Long)], rest: String): Column = {
     val bounds = splits.scanLeft(0L) { case (acc, (_, ppm)) => acc + ppm }.tail
     require(bounds.lastOption.forall(_ <= 1000000L), "splits exceed 1e6 ppm")
-    val labeled = splits.zip(bounds).foldRight(lit(rest): Column) {
-      case (((label, _), hi), alt) => when(b < hi, label).otherwise(alt)
+    splits.zip(bounds).foldRight(lit(rest): Column) {
+      case (((label, _), hi), alt) => when(bucket < hi, label).otherwise(alt)
     }
-    df.withColumn("split", labeled)
+  }
+
+  /** Leakage-safe split: the assignment unit is the near-dup CLUSTER,
+    * not the document, so no near-duplicate pair ever crosses a split
+    * boundary — the standard eval-contamination guard run before
+    * carving a held-out set. `pairs` is any near-dup edge list
+    * ((doc_a, doc_b) — jaccard/minhash/simhash/embedding, the caller
+    * picks recall); every doc inherits the split of its connected
+    * component's min id (via [[Dedup.nearDupClusters]]) and singletons
+    * hash on their own id — the same value space, so ratios hold.
+    *
+    * Scale shape: the component map is id-pairs only (label
+    * propagation, all shuffle-side), the assignment itself is one
+    * left join + per-row hash. Adds `component` (null for singletons),
+    * `split_unit` and `split`. */
+  def leakSafeSplit(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Long)], rest: String = "train",
+      salt: String = "split"): DataFrame = {
+    val comp = Dedup.nearDupClusters(pairs)
+      .select(col("node").as(idCol), col("component"))
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("split_unit",
+        coalesce(col("component"), col(idCol).cast("long")))
+      .withColumn("split",
+        splitLabel(ppmBucket(col("split_unit"), salt), splits, rest))
   }
 
   /** Stratified sample: per-stratum ppm rates (missing strata get

@@ -2209,6 +2209,79 @@ object Llm {
                                    THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
                  AS novelty
         FROM sh JOIN firsts f ON f.s = sh.s
-        GROUP BY sh.doc_id ORDER BY doc_id""")))
+        GROUP BY sh.doc_id ORDER BY doc_id"""))),
+
+    // ---- leakage-safe split: near-dup clusters are the assignment
+    //      unit, so no near-duplicate pair crosses train/val/test — the
+    //      eval-contamination guard. The gated output carries the
+    //      cross-split violation count (must be 0) alongside the census
+    "q143_leak_safe_split" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+          threshold = 0.7, maxDocFreq = None) // oracle is exact/uncapped
+        val assigned = graft.llm.Mixing.leakSafeSplit(docs, "doc_id", pairs,
+          splits = Seq("val" -> 200000L, "test" -> 200000L))
+        val sp = assigned.select(col("doc_id"), col("split"))
+        val viol = pairs.select(col("doc_a"), col("doc_b"))
+          .join(sp.select(col("doc_id").as("doc_a"), col("split").as("_sa")),
+            "doc_a")
+          .join(sp.select(col("doc_id").as("doc_b"), col("split").as("_sb")),
+            "doc_b")
+          .filter(col("_sa") =!= col("_sb"))
+          .agg(count(lit(1)).as("violations"))
+        assigned.groupBy(col("split"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("component").isNotNull, 1L).otherwise(0L))
+              .as("n_clustered"))
+          .crossJoin(broadcast(viol))
+          .orderBy(col("split"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk
+                      FROM documents),
+        sh AS (SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+            i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])) AS s FROM toks)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        cpairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        edges AS (
+          SELECT doc_a, doc_b FROM cpairs
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.7),
+        sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+                UNION SELECT doc_b, doc_a FROM edges),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        reach AS (
+          WITH RECURSIVE r(node, target) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT r.node, s.dst FROM r JOIN sym s ON s.src = r.target)
+          SELECT node, min(target) AS component FROM r GROUP BY node),
+        assigned AS (
+          SELECT d.doc_id, r.component,
+                 CASE WHEN CAST('0x'||substr(md5('split:'||CAST(
+                        coalesce(r.component, d.doc_id) AS VARCHAR)),1,15)
+                        AS BIGINT) % 1000000 < 200000 THEN 'val'
+                      WHEN CAST('0x'||substr(md5('split:'||CAST(
+                        coalesce(r.component, d.doc_id) AS VARCHAR)),1,15)
+                        AS BIGINT) % 1000000 < 400000 THEN 'test'
+                      ELSE 'train' END AS split
+          FROM documents d LEFT JOIN reach r ON r.node = d.doc_id),
+        viol AS (
+          SELECT count(*) AS violations
+          FROM edges e JOIN assigned a ON a.doc_id = e.doc_a
+                       JOIN assigned b ON b.doc_id = e.doc_b
+          WHERE a.split <> b.split)
+        SELECT split, count(*) AS n,
+               CAST(sum(CASE WHEN component IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clustered,
+               v.violations
+        FROM assigned, viol v
+        GROUP BY split, v.violations ORDER BY split""")))
   )
 }

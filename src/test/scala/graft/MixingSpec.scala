@@ -60,6 +60,35 @@ class MixingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.select("doc_id", "split").except(again.select("doc_id", "split")).isEmpty)
   }
 
+  test("leakSafeSplit assigns near-dup clusters atomically") {
+    import spark.implicits._
+    // two explicit clusters ({1,2,4} via a chain, {7,8}) + singletons
+    val pairs = Seq((1L, 2L), (2L, 4L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val out = Mixing.leakSafeSplit(docs, "doc_id", pairs,
+      splits = Seq("val" -> 300000L, "test" -> 300000L)).collect()
+    val splitOf = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(splitOf(1L) == splitOf(2L) && splitOf(2L) == splitOf(4L))
+    assert(splitOf(7L) == splitOf(8L))
+    assert(out.length == 400, "left join must keep every doc")
+    // clustered docs carry their component; singletons fall back to id
+    val comp = out.map(r => r.getAs[Long]("doc_id") ->
+      Option(r.getAs[Any]("component"))).toMap
+    assert(comp(1L).contains(1L) && comp(4L).contains(1L) && comp(7L).contains(7L))
+    assert(comp(0L).isEmpty && comp(3L).isEmpty)
+    val units = out.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("split_unit")).toMap
+    assert(units(4L) == 1L && units(3L) == 3L)
+    // singleton assignment matches the plain doc-keyed split (same
+    // value space, so overall ratios are preserved)
+    val plain = Mixing.split(docs, "doc_id",
+      splits = Seq("val" -> 300000L, "test" -> 300000L)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val clustered = Set(1L, 2L, 4L, 7L, 8L)
+    assert(splitOf.filterNot(kv => clustered(kv._1)) ==
+      plain.filterNot(kv => clustered(kv._1)))
+  }
+
   test("stratified sample applies per-stratum rates") {
     val out = Mixing.stratifiedSample(docs, "source", "doc_id",
       ratesPpm = Map("web" -> 1000000L, "books" -> 0L), defaultPpm = 500000L)
