@@ -115,6 +115,42 @@ object TextKernels {
     }
     fp
   }
+
+  /** Greedy BPE merge application (the tokenizer APPLY side — merges are
+    * trained once offline, e.g. from the q100-style pair census): for
+    * each ranked merge (a_i, b_i) one left-to-right pass replaces every
+    * non-overlapping adjacent (a_i, b_i) token pair with the merged
+    * symbol c_i. Null if the token array holds a null element. */
+  def bpeApply(
+      tokens: ArrayData,
+      as: Array[org.apache.spark.unsafe.types.UTF8String],
+      bs: Array[org.apache.spark.unsafe.types.UTF8String],
+      cs: Array[org.apache.spark.unsafe.types.UTF8String]): ArrayData = {
+    var cur = new Array[org.apache.spark.unsafe.types.UTF8String](tokens.numElements())
+    var i = 0
+    while (i < cur.length) {
+      if (tokens.isNullAt(i)) return null
+      cur(i) = tokens.getUTF8String(i)
+      i += 1
+    }
+    var m = 0
+    while (m < as.length) {
+      val a = as(m); val b = bs(m); val c = cs(m)
+      val out = new Array[org.apache.spark.unsafe.types.UTF8String](cur.length)
+      var n = 0
+      var j = 0
+      while (j < cur.length) {
+        if (j + 1 < cur.length && cur(j).equals(a) && cur(j + 1).equals(b)) {
+          out(n) = c; n += 1; j += 2
+        } else {
+          out(n) = cur(j); n += 1; j += 1
+        }
+      }
+      cur = java.util.Arrays.copyOf(out, n)
+      m += 1
+    }
+    new GenericArrayData(cur.asInstanceOf[Array[Any]])
+  }
 }
 
 /** `minhash_sig(tokens)`: array of k affine-family minima over the
@@ -183,6 +219,55 @@ case class SimHash48(child: Expression) extends UnaryExpression {
         long ${ev.value} = 0L;
         if (!${ev.isNull}) {
           ${ev.value} = graft.functions.TextKernels.simhash48(${c.value});
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `bpe_apply(tokens)`: greedy ranked-merge application (see
+  * [[TextKernels.bpeApply]]); the merge table rides the expression as
+  * (a, b) pairs, the merged symbol is their concatenation. */
+case class BpeApply(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  require(merges.nonEmpty, "merges must not be empty")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("bpe_apply takes ARRAY<STRING>")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val asArr =
+    merges.map(m => org.apache.spark.unsafe.types.UTF8String.fromString(m._1)).toArray
+  @transient private lazy val bsArr =
+    merges.map(m => org.apache.spark.unsafe.types.UTF8String.fromString(m._2)).toArray
+  @transient private lazy val csArr =
+    merges.map(m =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(m._1 + m._2)).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.bpeApply(v.asInstanceOf[ArrayData], asArr, bsArr, csArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val utf8Arr = "org.apache.spark.unsafe.types.UTF8String[]"
+    val aRef = ctx.addReferenceObj("bpeAs", asArr, utf8Arr)
+    val bRef = ctx.addReferenceObj("bpeBs", bsArr, utf8Arr)
+    val cRef = ctx.addReferenceObj("bpeCs", csArr, utf8Arr)
+    val code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = ${c.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.TextKernels.bpeApply(
+            ${c.value}, $aRef, $bRef, $cRef);
+          ${ev.isNull} = (${ev.value} == null);
         }
       """
     ev.copy(code = code)

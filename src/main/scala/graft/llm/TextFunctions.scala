@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level text primitives for the training-data pipeline operators
@@ -364,4 +364,31 @@ object TextFunctions {
     org.apache.spark.sql.graft.ColumnBridge.toColumn(
       graft.functions.NormalizeText(
         org.apache.spark.sql.graft.ColumnBridge.toCatalyst(text), form))
+
+  // ---- BPE tokenizer apply -------------------------------------------------
+
+  /** Greedy ranked-merge application over a token array (the tokenizer
+    * APPLY side; codegen'd [[graft.functions.BpeApply]] kernel): per
+    * merge (a, b), one left-to-right pass replaces non-overlapping
+    * adjacent (a, b) pairs with their concatenation. Per-row math —
+    * shuffle-free at any corpus size once the (tiny) merge table is in
+    * hand. */
+  def bpeApply(tokens: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.toColumn(
+      graft.functions.BpeApply(
+        org.apache.spark.sql.graft.ColumnBridge.toCatalyst(tokens), merges))
+
+  /** The top-`k` adjacent token pairs by corpus frequency (count DESC,
+    * pair ASC — fully deterministic), as a ranked merge table for
+    * [[bpeApply]]. One hash aggregation + a driver collect of k rows
+    * (codebook-sized, like a quantizer). */
+  def topPairs(df: DataFrame, textCol: Column, k: Int): Seq[(String, String)] =
+    df.select(explode(shingles(wsTokens(textCol), 2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+      .collect().map { r =>
+        val Array(a, b) = r.getString(0).split(" ", 2)
+        (a, b)
+      }.toSeq
 }

@@ -2282,6 +2282,62 @@ object Llm {
                     AS BIGINT) AS n_clustered,
                v.violations
         FROM assigned, viol v
-        GROUP BY split, v.violations ORDER BY split""")))
+        GROUP BY split, v.violations ORDER BY split"""))),
+
+    // ---- BPE tokenizer apply: the top-6 adjacent pairs (the q100
+    //      census) become a ranked merge table, applied greedily
+    //      left-to-right per merge by the codegen'd BpeApply kernel.
+    //      The oracle replays the scan as a recursive-CTE state machine
+    //      (one row per (doc, merge, position) step) — exact greedy
+    //      semantics, not a string-replace approximation
+    "q144_bpe_encode" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").filter(col("text").isNotNull)
+        val merges = TF.topPairs(docs, col("text"), 6)
+        docs.select(col("doc_id"),
+            size(TF.wsTokens(col("text"))).cast("long").as("n_before"),
+            TF.bpeApply(TF.wsTokens(col("text")), merges).as("_enc"))
+          .select(col("doc_id"), col("n_before"),
+            size(col("_enc")).cast("long").as("n_after"),
+            array_join(col("_enc"), " ").as("enc_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                      FROM documents WHERE text IS NOT NULL),
+        pc AS (SELECT unnest(list_transform(range(1, len(tk)),
+                 i -> tk[i]||' '||tk[i+1])) AS pair
+               FROM toks),
+        merges AS (
+          SELECT row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rnk,
+                 string_split(pair, ' ')[1] AS a,
+                 string_split(pair, ' ')[2] AS b,
+                 string_split(pair, ' ')[1] || string_split(pair, ' ')[2] AS mc
+          FROM (SELECT pair, count(*) AS cnt FROM pc
+                GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 6)),
+        walk AS (
+          WITH RECURSIVE r(doc_id, m, i, cur, "out") AS (
+            SELECT doc_id, 1, 1, tk, CAST([] AS VARCHAR[]) FROM toks
+            UNION ALL
+            SELECT r.doc_id,
+                   CASE WHEN r.i > len(r.cur) THEN r.m + 1 ELSE r.m END,
+                   CASE WHEN r.i > len(r.cur) THEN 1
+                        WHEN r.i < len(r.cur) AND r.cur[r.i] = mg.a
+                             AND r.cur[r.i + 1] = mg.b THEN r.i + 2
+                        ELSE r.i + 1 END,
+                   CASE WHEN r.i > len(r.cur) THEN r."out" ELSE r.cur END,
+                   CASE WHEN r.i > len(r.cur) THEN CAST([] AS VARCHAR[])
+                        WHEN r.i < len(r.cur) AND r.cur[r.i] = mg.a
+                             AND r.cur[r.i + 1] = mg.b
+                          THEN list_append(r."out", mg.mc)
+                        ELSE list_append(r."out", r.cur[r.i]) END
+            FROM r JOIN merges mg ON mg.rnk = r.m)
+          SELECT doc_id, cur AS enc FROM r WHERE m = 7)
+        SELECT t.doc_id,
+               CAST(len(t.tk) AS BIGINT) AS n_before,
+               CAST(len(w.enc) AS BIGINT) AS n_after,
+               array_to_string(w.enc, ' ') AS enc_text
+        FROM toks t JOIN walk w ON w.doc_id = t.doc_id
+        ORDER BY t.doc_id""")))
   )
 }

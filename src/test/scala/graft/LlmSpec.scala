@@ -365,6 +365,44 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(packed == orig)
   }
 
+  test("BPE apply is greedy, rank-ordered, and matches a scala reference") {
+    import spark.implicits._
+    // one greedy left-to-right pass per ranked merge
+    def ref(tokens: Seq[String], merges: Seq[(String, String)]): Seq[String] =
+      merges.foldLeft(tokens) { case (cur, (a, b)) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < cur.length) {
+          if (i + 1 < cur.length && cur(i) == a && cur(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += cur(i); i += 1 }
+        }
+        out.toSeq
+      }
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "b"))
+    val rnd = new scala.util.Random(7)
+    val fixed = Seq("a a a", "a b a b c", "x", "b a a b", "a a a a b")
+    val fuzz = (0 until 100).map(_ =>
+      (0 until rnd.nextInt(12) + 1).map(_ => "ab".charAt(rnd.nextInt(2)).toString)
+        .mkString(" "))
+    val docs = (fixed ++ fuzz).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = docs.select(col("id"),
+        TextFunctions.bpeApply(TextFunctions.wsTokens(col("text")), merges)
+          .as("enc"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    (fixed ++ fuzz).zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == ref(t.split(" ", -1).toSeq, merges),
+        s"doc $i '$t': ${got(i.toLong)}")
+    }
+    // pinned expectations: greedy non-overlap + later merges see the
+    // earlier merges' output
+    assert(got(0L) == Seq("aa", "a"))
+    assert(got(3L) == Seq("b", "aab"))
+    assert(got(4L) == Seq("aa", "aab"))
+  }
+
   test("semDedup with one cell matches the all-pairs dedup semantics") {
     import spark.implicits._
     // one cell = no clustering approximation left: dropped must equal
