@@ -96,9 +96,6 @@ object Dedup {
     * `a * h0 + b` stays well inside a 64-bit long. */
   val MinhashPrime: Long = 1073741789L
 
-  /** Deterministic md5-derived affine constants (a_i, b_i) for the
-    * MinHash family — reproducible in any engine, so the DuckDB oracle
-    * inlines the same numbers. */
   /** Per-document n-gram novelty against everything EARLIER in id
     * order (crawl/ingest order): the fraction of a doc's distinct
     * shingles first seen in a lower-id document — the boilerplate /
@@ -124,6 +121,9 @@ object Dedup {
         lit(1.0) - col("n_seen").cast("double") / col("n_shingles"))
   }
 
+  /** Deterministic md5-derived affine constants (a_i, b_i) for the
+    * MinHash family — reproducible in any engine, so the DuckDB oracle
+    * inlines the same numbers. */
   def minhashParam(i: Int): (Long, Long) = {
     def c(tag: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")

@@ -77,9 +77,12 @@ object Mixing {
       salt: String = "split"): DataFrame = {
     val comp = Dedup.nearDupClusters(pairs)
       .select(col("node").as(idCol), col("component"))
+    // the unit is STRING-normalized so non-numeric ids (URLs, content
+    // hashes) hash like Mixing.split's own id cast — a long cast here
+    // would null out every such singleton and funnel them into one split
     df.join(comp, Seq(idCol), "left")
       .withColumn("split_unit",
-        coalesce(col("component"), col(idCol).cast("long")))
+        coalesce(col("component").cast("string"), col(idCol).cast("string")))
       .withColumn("split",
         splitLabel(ppmBucket(col("split_unit"), salt), splits, rest))
   }

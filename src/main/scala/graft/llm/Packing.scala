@@ -55,6 +55,9 @@ object Packing {
     val endEx = col("token_start") + col("n_tokens")
     val s1 = ((endEx - 1) / L).cast("long")
     sharded
+      // tokenize ONCE per doc before the fan-out: a doc spanning many
+      // sequences would otherwise re-split its full text per segment
+      .withColumn("_p_tk", TextFunctions.wsTokens(textCol))
       .withColumn("seq_id", explode(sequence(col("_p_s0"), s1)))
       .drop("_p_s0")
       .withColumn("tok_from", greatest(col("seq_id") * L - start, lit(0L)))
@@ -63,8 +66,9 @@ object Packing {
         least(endEx, (col("seq_id") + 1) * L) - greatest(start, col("seq_id") * L))
       .withColumn("seg_text",
         array_join(
-          slice(TextFunctions.wsTokens(textCol),
+          slice(col("_p_tk"),
             (col("tok_from") + 1).cast("int"), col("tok_len").cast("int")),
           " "))
+      .drop("_p_tk")
   }
 }

@@ -291,15 +291,21 @@ object Similarity {
       centroids: Option[DataFrame] = None): DataFrame = {
     val centRows = centroids
       .map(_.select(col("c_id").cast("long").as("c_id"), col("c_vec")))
-      .getOrElse(corpus.filter(col(idCol) < cells)
+      // the id-chosen default skips null vectors (an arbitrary seed
+      // choice anyway); user-supplied quantizers fail loudly below
+      .getOrElse(corpus.filter(col(idCol) < cells && col(vecCol).isNotNull)
         .select(col(idCol).cast("long").as("c_id"), col(vecCol).as("c_vec")))
       .orderBy(col("c_id"))
       .collect()
     require(centRows.nonEmpty, "semDedup needs at least one centroid")
     val cents: Seq[(Long, Seq[Double])] = centRows.toSeq.map { r =>
-      val v = r.getSeq[Any](1).toSeq.map {
+      val raw = r.getSeq[Any](1)
+      require(raw != null, s"semDedup centroid ${r.getLong(0)} has a null vector")
+      val v = raw.toSeq.map {
         case f: java.lang.Float  => f.toDouble
         case d: java.lang.Double => d.doubleValue
+        case null => throw new IllegalArgumentException(
+          s"semDedup centroid ${r.getLong(0)} has a null element")
       }
       (r.getLong(0), v)
     }
@@ -581,17 +587,29 @@ object Similarity {
       // vector anti-join into rows whose cos evaluation raises. Compared
       // to counting windows this also catches a query losing its WHOLE
       // shortlist (the inner join above would silently drop it), and it
-      // moves only bare ids (the corpus side prunes to its id column)
+      // moves only bare ids (the corpus side prunes to its id column).
+      // A DUPLICATED corpus id is the other stale-index hazard (it would
+      // occupy two ranks and push the true k-th neighbor out), so strict
+      // mode also raises when a shortlisted id joined more than once —
+      // a per-(q,n) count over the id-sized projection, vectors long gone
       val exact =
-        if (strictCoverage)
-          exact0.unionByName(short
-            .join(corpus.select(col(idCol).as("n_id")), Seq("n_id"), "left_anti")
-            .select(col("q_id"), col("n_id"),
+        if (strictCoverage) {
+          val dupW = Window.partitionBy(col("q_id"), col("n_id"))
+          exact0.withColumn("_dup_n", count(lit(1)).over(dupW))
+            .withColumn("cos", when(col("_dup_n") > 1,
               raise_error(concat(
-                lit("stored-index ids missing from the rerank corpus for query "),
-                col("q_id").cast("string"))).cast("double").as("cos"),
-              col("cos_adc")))
-        else exact0
+                lit("duplicate rerank-corpus ids for query "),
+                col("q_id").cast("string"))).cast("double"))
+              .otherwise(col("cos")))
+            .drop("_dup_n")
+            .unionByName(short
+              .join(corpus.select(col(idCol).as("n_id")), Seq("n_id"), "left_anti")
+              .select(col("q_id"), col("n_id"),
+                raise_error(concat(
+                  lit("stored-index ids missing from the rerank corpus for query "),
+                  col("q_id").cast("string"))).cast("double").as("cos"),
+                col("cos_adc")))
+        } else exact0
       val w2 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
       exact.withColumn("rnk", row_number().over(w2))
         .filter(col("rnk") <= k)

@@ -1000,6 +1000,14 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
         "vec_id", "codes", "embedding", k = 3, cb, rerank = 19).collect()
     }
     assert(rootMsg(e2).contains("missing from the rerank corpus"), rootMsg(e2))
+    // a DUPLICATED corpus id must raise too — it would occupy two ranks
+    // and silently evict the true k-th neighbor
+    val dup = vecs.unionByName(vecs.filter(col("vec_id") === 3L))
+    val e3 = intercept[Exception] {
+      Similarity.pqTopKFromCodes(codes, dup, queries,
+        "vec_id", "codes", "embedding", k = 3, cb, rerank = 19).collect()
+    }
+    assert(rootMsg(e3).contains("duplicate rerank-corpus ids"), rootMsg(e3))
   }
 
   test("normalize_text / strip_html / url_host are callable from pure SQL") {

@@ -77,8 +77,23 @@ class MixingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(comp(1L).contains(1L) && comp(4L).contains(1L) && comp(7L).contains(7L))
     assert(comp(0L).isEmpty && comp(3L).isEmpty)
     val units = out.map(r => r.getAs[Long]("doc_id") ->
-      r.getAs[Long]("split_unit")).toMap
-    assert(units(4L) == 1L && units(3L) == 3L)
+      r.getAs[String]("split_unit")).toMap
+    assert(units(4L) == "1" && units(3L) == "3")
+    // string ids must hash like Mixing.split's own id cast — not null
+    // out through a long cast
+    import spark.implicits._
+    val sdocs = (0 until 50).map(i => s"doc-$i").toDF("doc_id")
+    val sout = Mixing.leakSafeSplit(sdocs, "doc_id",
+      Seq(("doc-1", "doc-2")).toDF("doc_a", "doc_b"),
+      splits = Seq("val" -> 300000L, "test" -> 300000L)).collect()
+    val ssplits = sout.map(_.getAs[String]("split")).toSet
+    assert(ssplits.size > 1, s"string ids collapsed into one split: $ssplits")
+    val splain = Mixing.split(sdocs, "doc_id",
+      splits = Seq("val" -> 300000L, "test" -> 300000L)).collect()
+      .map(r => r.getAs[String]("doc_id") -> r.getAs[String]("split")).toMap
+    sout.filterNot(r => Set("doc-1", "doc-2")(r.getAs[String]("doc_id")))
+      .foreach(r => assert(r.getAs[String]("split") ==
+        splain(r.getAs[String]("doc_id"))))
     // singleton assignment matches the plain doc-keyed split (same
     // value space, so overall ratios are preserved)
     val plain = Mixing.split(docs, "doc_id",
