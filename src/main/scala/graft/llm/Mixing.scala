@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import TextFunctions.hash60
@@ -56,6 +57,26 @@ object Mixing {
     splits.zip(bounds).foldRight(lit(rest): Column) {
       case (((label, _), hi), alt) => when(bucket < hi, label).otherwise(alt)
     }
+  }
+
+  /** Per-key document cap (crawl-politeness / anti-domination pass):
+    * keep at most `cap` rows per key in `orderCol` order — the standard
+    * "at most N docs per host" rule that stops one megasite from
+    * dominating the mix. Null keys are exempt (no host → nothing to
+    * dominate). Adds a `kept` boolean; the caller filters.
+    *
+    * Scale note: the rank window shuffles once by key; a pathological
+    * megakey serializes ITS rows through one task, which is exactly the
+    * row set the cap is about to cut — acceptable, but salt-and-recount
+    * if a single key's row count itself is storage-scale. */
+  def perKeyCap(
+      df: DataFrame, keyCol: Column, orderCol: Column, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    df.withColumn("_rk", row_number().over(
+        Window.partitionBy(keyCol).orderBy(orderCol)))
+      .withColumn("kept", when(keyCol.isNull, lit(true))
+        .otherwise(col("_rk") <= cap))
+      .drop("_rk")
   }
 
   /** Leakage-safe split: the assignment unit is the near-dup CLUSTER,

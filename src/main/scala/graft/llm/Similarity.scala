@@ -341,6 +341,25 @@ object Similarity {
         col("_dup").isNull.as("kept"))
   }
 
+  /** Recall@k evaluation: per query, the fraction of the EXACT top-k
+    * (e.g. [[bruteForceTopK]]) recovered by an approximate result
+    * ([[lshAnn]]/[[ivfAnn]]/the PQ family) — the tuning harness for
+    * bands/cells/nprobe/rerank. Both inputs carry (q_id, n_id); rank
+    * and score columns are ignored. One id-pair join + a per-query
+    * aggregation — nothing here scales with the corpus, only with
+    * queries × k. Output: (q_id, n_exact, n_hit, recall). */
+  def topKRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("q_id"), col("n_id"))
+    val a = approx.select(col("q_id"), col("n_id"))
+      .withColumn("_hit", lit(1L))
+    e.join(a, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+  }
+
   /** Approximate top-k: candidates = corpus rows sharing at least one
     * LSH band with the query, then exact cosine over candidates only.
     * bands × bitsPerBand = planes. The bucket join is the whole point:

@@ -2338,6 +2338,114 @@ object Llm {
                CAST(len(w.enc) AS BIGINT) AS n_after,
                array_to_string(w.enc, ' ') AS enc_text
         FROM toks t JOIN walk w ON w.doc_id = t.doc_id
-        ORDER BY t.doc_id""")))
+        ORDER BY t.doc_id"""))),
+
+    // ---- ANN recall harness: recall@5 of the LSH path vs exact brute
+    //      force, per query — the tuning loop for bands/planes. The
+    //      oracle replays BOTH searches and the hit join exactly
+    "q145_ann_recall" -> ((
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val qs = emb.filter(col("vec_id") < 5)
+        val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5)
+        val approx = Similarity.lshAnn(emb, qs, "vec_id", "embedding", k = 5)
+        Similarity.topKRecall(exact, approx).orderBy(col("q_id"))
+      },
+      Some("""
+        WITH nrm AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * x))) AS nrm
+          FROM embeddings),
+        ex AS (SELECT q_id, n_id FROM (
+          SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_sum(list_transform(range(1, 65),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+                     / (a.nrm * b.nrm) DESC, b.vec_id) AS rnk
+          FROM nrm a JOIN nrm b ON a.vec_id < 5 AND b.vec_id <> a.vec_id)
+          WHERE rnk <= 5),
+        g AS (
+          SELECT p, list_transform(range(1, 65),
+            i -> CAST(CAST('0x'||substr(md5(CAST(p AS VARCHAR)||':'||CAST(i AS VARCHAR)),1,15) AS BIGINT) % 2001 - 1000 AS DOUBLE)) AS plane
+          FROM range(0, 16) r(p)),
+        sigbits AS (
+          SELECT e.vec_id, g.p,
+                 CASE WHEN list_sum(list_transform(range(1, 65),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * g.plane[i])) > 0
+                 THEN 1 ELSE 0 END AS bit
+          FROM embeddings e, g),
+        sig AS (SELECT vec_id, list(bit ORDER BY p) AS bits
+                FROM sigbits GROUP BY vec_id),
+        bands AS (
+          SELECT vec_id, b,
+                 CAST(bits[b*4+1] AS VARCHAR)||CAST(bits[b*4+2] AS VARCHAR)||
+                 CAST(bits[b*4+3] AS VARCHAR)||CAST(bits[b*4+4] AS VARCHAR) AS bucket
+          FROM sig, range(0, 4) r(b)),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS q_id, x.vec_id AS n_id
+          FROM bands q JOIN bands x
+            ON q.b = x.b AND q.bucket = x.bucket
+               AND q.vec_id < 5 AND x.vec_id <> q.vec_id),
+        scored AS (
+          SELECT c.q_id, c.n_id,
+                 list_sum(list_transform(range(1, 65),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+                   / (a.nrm * b.nrm) AS cos
+          FROM cand c JOIN nrm a ON a.vec_id = c.q_id
+                      JOIN nrm b ON b.vec_id = c.n_id),
+        ap AS (SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos DESC, n_id) AS rnk
+          FROM scored) WHERE rnk <= 5)
+        SELECT e.q_id, count(*) AS n_exact,
+               CAST(sum(CASE WHEN ap.n_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               CAST(sum(CASE WHEN ap.n_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS recall
+        FROM ex e LEFT JOIN ap ON ap.q_id = e.q_id AND ap.n_id = e.n_id
+        GROUP BY e.q_id ORDER BY e.q_id"""))),
+
+    // ---- per-host document caps (anti-domination / crawl politeness):
+    //      at most 3 docs per planted URL host, hostless docs exempt.
+    //      One rank window keyed by host; the census gates kept counts
+    "q146_host_caps" -> ((
+      (s: SparkSession, d: String) => {
+        val planted = replace(replace(replace(replace(col("text"),
+          lit(" line"), lit(" http://spark.apache.org/docs/latest ")),
+          lit(" slow"), lit(" https://spark.apache.org/examples.html ")),
+          lit(" big"), lit(" https://github.com/apache/spark ")),
+          lit(" dup"), lit(" http://ads.tracker.example/pixel?id=1 "))
+        val withHost = t(s, d, "documents").select(col("doc_id"),
+          TF.urlHost(get(TF.extractUrls(planted), lit(0))).as("host"))
+        graft.llm.Mixing.perKeyCap(withHost, col("host"), col("doc_id"), cap = 3)
+          .groupBy(coalesce(col("host"), lit("(none)")).as("host"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+          .orderBy(col("host"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+                 replace(replace(replace(replace(text,
+                   ' line', ' http://spark.apache.org/docs/latest '),
+                   ' slow', ' https://spark.apache.org/examples.html '),
+                   ' big', ' https://github.com/apache/spark '),
+                   ' dup', ' http://ads.tracker.example/pixel?id=1 ') AS t
+          FROM documents),
+        h AS (SELECT doc_id,
+                     lower(regexp_extract(
+                       (regexp_extract_all(t,
+                         '(?i)https?://[^ \t\n\f\r\x0B]*[^ \t\n\f\r\x0B.,;:!?)\]''"]'))[1],
+                       '(?i)^https?://([^/:?#]+)', 1)) AS host
+              FROM p),
+        r AS (SELECT doc_id, host,
+                     row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rk
+              FROM h)
+        SELECT coalesce(host, '(none)') AS host, count(*) AS n_docs,
+               CAST(sum(CASE WHEN host IS NULL OR rk <= 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept
+        FROM r GROUP BY coalesce(host, '(none)') ORDER BY host""")))
   )
 }

@@ -403,6 +403,19 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(4L) == Seq("aa", "aab"))
   }
 
+  test("topKRecall scores hits per query against the exact set") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("q_id", "n_id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 20L), (2L, 21L))
+      .toDF("q_id", "n_id")
+    val got = Similarity.topKRecall(exact, approx).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got(1L) == ((3L, 2L, 2.0 / 3)))
+    assert(got(2L) == ((2L, 2L, 1.0)))
+  }
+
   test("semDedup with one cell matches the all-pairs dedup semantics") {
     import spark.implicits._
     // one cell = no clustering approximation left: dropped must equal

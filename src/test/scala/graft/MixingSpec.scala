@@ -104,6 +104,19 @@ class MixingSpec extends AnyFunSuite with BeforeAndAfterAll {
       plain.filterNot(kv => clustered(kv._1)))
   }
 
+  test("perKeyCap keeps the first N per key and exempts null keys") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (5L, "b"),
+      (6L, null), (7L, null)
+    ).toDF("id", "host")
+    val out = Mixing.perKeyCap(rows, col("host"), col("id"), cap = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false,
+      5L -> true, 6L -> true, 7L -> true))
+  }
+
   test("stratified sample applies per-stratum rates") {
     val out = Mixing.stratifiedSample(docs, "source", "doc_id",
       ratesPpm = Map("web" -> 1000000L, "books" -> 0L), defaultPpm = 500000L)
