@@ -2107,6 +2107,77 @@ object TableFormat {
         SELECT which, o_orderpriority, n, key_sum, price_c FROM ro
         ORDER BY which, o_orderpriority"""))),
 
+    // ---- clean-on-ingest: the DeltaStreamer loop running an LLM
+    //      quality filter as its SQL transformer (the graft-registered
+    //      `repetition_keep` UDF-free function), landing the kept docs
+    //      in a lang-partitioned graft table — the table format and the
+    //      training-data family composing across the SQL surface
+    "q147_clean_ingest" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = graft.Tables.t(s, d, "documents")
+        val srcDir = freshDir() + "/landing"
+        val conf = s.sessionState.newHadoopConf()
+        val fsys = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
+        fsys.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+        (0 until 2).foreach { i =>
+          val tmpOut = freshDir() + s"/chunk$i"
+          docs.filter(col("doc_id") % 2 === i).coalesce(1).write.parquet(tmpOut)
+          val part = fsys.globStatus(
+            new org.apache.hadoop.fs.Path(tmpOut, "part-*.parquet")).head.getPath
+          fsys.rename(part, new org.apache.hadoop.fs.Path(srcDir, s"chunk-$i.parquet"))
+        }
+        val c = TableConfig(name = "docs_clean", tableType = TableType.COW,
+          keyFields = Seq("doc_id"), partitionFields = Seq("lang"),
+          orderingField = "doc_id", targetFileRows = 100000)
+        val tbl = GraftTable.create(s, freshDir(), c)
+        val clean = graft.streaming.Transformers.sqlQuery("""
+          SELECT doc_id, lang, source, text,
+                 CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM <SRC>
+          WHERE repetition_keep(split(text, ' '))""")
+        new graft.streaming.ContinuousIngest(tbl,
+          new graft.streaming.ParquetDirSource(s, srcDir),
+          transform = clean, operation = "insert")
+          .runContinuous(maxRounds = 1)
+        val r = GraftReader(tbl)
+        r.dataOnly(r.snapshot())
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("tok_sum"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        top AS (
+          SELECT doc_id, max(c) AS top_cnt FROM (
+            SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w)
+          GROUP BY doc_id),
+        base AS (
+          SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i + 1]) AS g2
+          FROM base),
+        m AS (
+          SELECT b.doc_id, b.lang, len(tk) AS n_tokens,
+                 CASE WHEN len(tk) > 0
+                      THEN 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+                      ELSE 0.0 END AS dtf,
+                 CASE WHEN len(g.g2) > 0
+                      THEN 1.0 - CAST(len(list_distinct(g.g2)) AS DOUBLE) / len(g.g2)
+                      ELSE 0.0 END AS d2f,
+                 t.top_cnt
+          FROM base b
+          JOIN grams g ON b.doc_id = g.doc_id
+          JOIN top t ON b.doc_id = t.doc_id),
+        kept AS (
+          SELECT lang, n_tokens FROM m
+          WHERE dtf <= 0.85 AND d2f <= 0.65
+            AND (n_tokens = 0 OR CAST(top_cnt AS DOUBLE) / n_tokens <= 0.30))
+        SELECT lang, count(*) AS n, CAST(sum(n_tokens) AS BIGINT) AS tok_sum
+        FROM kept GROUP BY lang ORDER BY lang"""))),
+
     "q122_failed_write_cleanup" -> ((
       (s: SparkSession, d: String) => {
         val orders = graft.Tables.t(s, d, "orders")
