@@ -183,6 +183,22 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("novelty / leak-safe split / recall / host-cap plans stay cartesian-free") {
+    // q142's inverted-index join output is index-sized by construction;
+    // q143/q145 may broadcast tiny sides (the violation scalar, the
+    // query set) through a nested-loop, but never a real cartesian
+    for (q <- Seq("q142_novelty", "q143_leak_safe_split",
+        "q145_ann_recall", "q146_host_caps")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
+    }
+    val novelty = planOf("q142_novelty")
+    assert(!novelty.contains("BroadcastNestedLoopJoin"),
+      "novelty join must stay an equi-join on the shingle")
+    val caps = planOf("q146_host_caps")
+    assert(!caps.contains("Join"), "host caps is one window pass, no join")
+  }
+
   test("the one-pass LSH kernel runs fused in the banded plans") {
     val p = planOf("q29b_embed_neardup_bucketed")
     assert(p.contains("lshbandbuckets("), s"expected the LSH kernel in the plan")
