@@ -2178,6 +2178,44 @@ object TableFormat {
         SELECT lang, count(*) AS n, CAST(sum(n_tokens) AS BIGINT) AS tok_sum
         FROM kept GROUP BY lang ORDER BY lang"""))),
 
+    // ---- multimodal blobs through the table format: a BINARY payload
+    //      column survives bulk insert, a MOR delta upsert, and the
+    //      merge-on-read path byte-exact (decode(upsert(encode(x))) == x)
+    //      — the storage story for image/audio columns, read BEFORE
+    //      compaction so the delta-merge path is the one under gate
+    "q148_binary_payloads" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = graft.Tables.t(s, d, "documents")
+        val c = TableConfig(name = "docs_blob", tableType = TableType.MOR,
+          keyFields = Seq("doc_id"), partitionFields = Seq("lang"),
+          orderingField = "ver", targetFileRows = 100000)
+        val tbl = GraftTable.create(s, freshDir(), c)
+        tbl.bulkInsert(docs.select(col("doc_id"), col("lang"),
+          encode(col("text"), "UTF-8").as("payload"), lit(1L).as("ver")))
+        tbl.upsert(docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("lang"),
+            encode(concat(lit("v2:"), col("text")), "UTF-8").as("payload"),
+            lit(2L).as("ver")))
+        val r = GraftReader(tbl)
+        r.dataOnly(r.snapshot())
+          .select(col("doc_id"),
+            length(col("payload")).cast("long").as("n_bytes"),
+            decode(col("payload"), "UTF-8").as("txt"),
+            col("ver"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH fin AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN 'v2:' || text ELSE text END AS txt,
+                 CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS ver
+          FROM documents)
+        SELECT doc_id,
+               CAST(octet_length(encode(txt)) AS BIGINT) AS n_bytes,
+               txt,
+               CAST(ver AS BIGINT) AS ver
+        FROM fin ORDER BY doc_id"""))),
+
     "q122_failed_write_cleanup" -> ((
       (s: SparkSession, d: String) => {
         val orders = graft.Tables.t(s, d, "orders")
