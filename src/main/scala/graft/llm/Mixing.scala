@@ -68,15 +68,18 @@ object Mixing {
     * Scale note: the rank window shuffles once by key; a pathological
     * megakey serializes ITS rows through one task, which is exactly the
     * row set the cap is about to cut — acceptable, but salt-and-recount
-    * if a single key's row count itself is storage-scale. */
+    * if a single key's row count itself is storage-scale. Null-key rows
+    * never enter the window at all (they are exempt, and a web corpus's
+    * hostless slice is a megakey nothing would ever cut). */
   def perKeyCap(
       df: DataFrame, keyCol: Column, orderCol: Column, cap: Int): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")
-    df.withColumn("_rk", row_number().over(
+    val ranked = df.filter(keyCol.isNotNull)
+      .withColumn("_rk", row_number().over(
         Window.partitionBy(keyCol).orderBy(orderCol)))
-      .withColumn("kept", when(keyCol.isNull, lit(true))
-        .otherwise(col("_rk") <= cap))
+      .withColumn("kept", col("_rk") <= cap)
       .drop("_rk")
+    ranked.unionByName(df.filter(keyCol.isNull).withColumn("kept", lit(true)))
   }
 
   /** Leakage-safe split: the assignment unit is the near-dup CLUSTER,

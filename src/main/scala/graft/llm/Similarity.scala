@@ -349,8 +349,11 @@ object Similarity {
     * aggregation — nothing here scales with the corpus, only with
     * queries × k. Output: (q_id, n_exact, n_hit, recall). */
   def topKRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
-    val e = exact.select(col("q_id"), col("n_id"))
-    val a = approx.select(col("q_id"), col("n_id"))
+    // dedup both sides: a multi-probe/banded approx list (or a union of
+    // runs) may repeat a pair, and a repeated pair would fan the join
+    // out and inflate BOTH n_exact and n_hit
+    val e = exact.select(col("q_id"), col("n_id")).dropDuplicates("q_id", "n_id")
+    val a = approx.select(col("q_id"), col("n_id")).dropDuplicates("q_id", "n_id")
       .withColumn("_hit", lit(1L))
     e.join(a, Seq("q_id", "n_id"), "left")
       .groupBy(col("q_id"))

@@ -414,6 +414,12 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getDouble(3))).toMap
     assert(got(1L) == ((3L, 2L, 2.0 / 3)))
     assert(got(2L) == ((2L, 2L, 1.0)))
+    // duplicate pairs in either input must not fan the join out
+    val dupApprox = approx.unionByName(approx.limit(2))
+    val got2 = Similarity.topKRecall(exact, dupApprox).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got2 == got, s"$got2 vs $got")
   }
 
   test("semDedup with one cell matches the all-pairs dedup semantics") {

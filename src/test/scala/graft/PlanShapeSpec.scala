@@ -128,7 +128,7 @@ class PlanShapeSpec extends AnyFunSuite {
       // DoubleType arrays count too: the SQ8/PQ paths DECODE to double
       // vectors scan-side, and those must be pruned before any exchange
       for (q <- Seq("q29b_embed_neardup_bucketed", "q30_ann_lsh", "q38_ann_ivf",
-          "q123_sq8_ann", "q130_pq_ann", "q131_ivfpq_ann")) {
+          "q123_sq8_ann", "q130_pq_ann", "q131_ivfpq_ann", "q145_ann_recall")) {
         val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
         val offenders = plan.collect { case e: ShuffleExchangeExec =>
           e.output.collect {
