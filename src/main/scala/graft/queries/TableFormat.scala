@@ -2216,6 +2216,41 @@ object TableFormat {
                CAST(ver AS BIGINT) AS ver
         FROM fin ORDER BY doc_id"""))),
 
+    // ---- incremental read SPANNING a clustering replacecommit: the
+    //      rewrite moves every row into new file groups mid-range, but
+    //      rows keep their original commit times and replaced groups
+    //      drop out at snapshot resolution — so the pull must surface
+    //      exactly the two upserts' rows, never the clustering's
+    //      rewrites (the classic incremental-vs-replacecommit trap)
+    "q149_incremental_clustered" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_incl", TableType.COW))
+        val t1 = tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        tbl.upsert(orders
+          .filter(col("o_orderkey") % 10 >= 6 && col("o_orderkey") % 10 < 8)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        TableServices(tbl).cluster(
+          sortCols = Seq("o_orderkey"), layout = "linear", rankMode = "map",
+          targetFileRows = 2000, purgeTombstones = true)
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 < 2)
+          .withColumn("o_totalprice", col("o_totalprice") + 5000))
+        val r = GraftReader(tbl)
+        summarize(r.incremental(begin = t1)
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH changed AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 10 >= 6 THEN o_totalprice + 1000
+                      ELSE o_totalprice + 5000 END AS price
+          FROM orders
+          WHERE o_orderkey % 10 IN (0, 1, 6, 7))
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM changed GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
     "q122_failed_write_cleanup" -> ((
       (s: SparkSession, d: String) => {
         val orders = graft.Tables.t(s, d, "orders")
