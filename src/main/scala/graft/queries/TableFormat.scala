@@ -2251,6 +2251,90 @@ object TableFormat {
                CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
         FROM changed GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
 
+    // ---- CDC pull SPANNING a compaction: the fold rewrites every
+    //      delta into new base files mid-range; updated and inserted
+    //      keys must still surface with their own ops (U/I) and never
+    //      as compaction rewrites, while keys whose tombstone the fold
+    //      PURGED lose their D rows — the documented purge contract
+    //      (mergeLatestKeepTombstones scaladoc; the reference applies
+    //      delete blocks physically at compaction the same way)
+    "q150_cdc_compacted" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_cdcc", TableType.MOR))
+        val t1 = tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        tbl.upsert(orders
+          .filter(col("o_orderkey") % 10 >= 6 && col("o_orderkey") % 10 < 8)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        tbl.delete(orders.filter(col("o_orderkey") % 10 === 7)
+          .select("o_orderkey", "o_orderpriority"))
+        TableServices(tbl).compact()
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 >= 8)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        GraftReader(tbl).incrementalCdc(t1)
+          .select(col("o_orderkey"),
+            col("_g_operation").as("op"),
+            floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 >= 8 THEN 'I' ELSE 'U' END AS op,
+               CAST(floor((o_totalprice + 1000) * 100) AS BIGINT) AS price_c
+        FROM orders WHERE o_orderkey % 10 IN (6, 8, 9)
+        ORDER BY o_orderkey"""))),
+
+    // ---- time travel ACROSS schema evolution: VERSION AS OF a commit
+    //      before ALTER ADD COLUMNS must present that commit's schema
+    //      (no later column) and its rows, while the latest snapshot
+    //      carries the evolved one
+    "q151_timetravel_schema" -> ((
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types._
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_tts", TableType.COW))
+        val t1 = tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8)
+          .withColumn("flag", lit(1L)))
+        graft.sql.GraftDdl.addColumns(tbl, Seq(StructField("bonus", DoubleType)))
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 === 6)
+          .withColumn("flag", lit(2L)).withColumn("bonus", lit(12.5)))
+        val r = GraftReader(tbl)
+        def census(df: DataFrame, which: String): DataFrame =
+          df.groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_orderkey")).as("key_sum"),
+              sum(col("flag")).cast("long").as("flag_sum"))
+            .withColumn("which", lit(which))
+            .withColumn("has_bonus", lit(df.columns.contains("bonus")))
+        val asof = r.dataOnly(r.snapshot(asOf = Some(t1)))
+        val latest = r.dataOnly(r.snapshot())
+        census(asof, "asof").unionByName(census(latest, "latest"))
+          .orderBy(col("which"), col("o_orderpriority"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_orderpriority FROM orders
+          WHERE o_orderkey % 10 < 8),
+        at_t1 AS (
+          SELECT o_orderpriority, count(*) AS n,
+                 CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                 count(*) AS flag_sum,
+                 'asof' AS which, false AS has_bonus
+          FROM base GROUP BY o_orderpriority),
+        latest AS (
+          SELECT o_orderpriority, count(*) AS n,
+                 CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                 CAST(sum(CASE WHEN o_orderkey % 10 = 6 THEN 2 ELSE 1 END)
+                      AS BIGINT) AS flag_sum,
+                 'latest' AS which, true AS has_bonus
+          FROM base GROUP BY o_orderpriority)
+        SELECT o_orderpriority, n, key_sum, flag_sum, which, has_bonus
+        FROM at_t1
+        UNION ALL
+        SELECT o_orderpriority, n, key_sum, flag_sum, which, has_bonus
+        FROM latest
+        ORDER BY which, o_orderpriority"""))),
+
     "q122_failed_write_cleanup" -> ((
       (s: SparkSession, d: String) => {
         val orders = graft.Tables.t(s, d, "orders")
