@@ -378,6 +378,26 @@ object TextFunctions {
       graft.functions.BpeApply(
         org.apache.spark.sql.graft.ColumnBridge.toCatalyst(tokens), merges))
 
+  /** Per-document vocabulary coverage against the corpus's top-`k`
+    * tokens (count DESC, token ASC — deterministic): token instances
+    * outside the vocab are OOV — the tokenizer-fit / domain-shift
+    * diagnostic. One token-level hash aggregation builds the vocab
+    * (broadcast, codebook-sized), one explode + broadcast join scores
+    * docs. Output: (idCol, n_tokens, n_oov, oov_rate). */
+  def oovRates(
+      df: DataFrame, idCol: String, textCol: Column, k: Int): DataFrame = {
+    val toks = df.select(col(idCol), explode(wsTokens(textCol)).as("_t"))
+    val vocab = toks.groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("_t").asc).limit(k)
+      .select(col("_t")).withColumn("_in_vocab", lit(1L))
+    toks.join(broadcast(vocab), Seq("_t"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens"))
+  }
+
   /** The top-`k` adjacent token pairs by corpus frequency (count DESC,
     * pair ASC — fully deterministic), as a ranked merge table for
     * [[bpeApply]]. One hash aggregation + a driver collect of k rows

@@ -2446,6 +2446,27 @@ object Llm {
         SELECT coalesce(host, '(none)') AS host, count(*) AS n_docs,
                CAST(sum(CASE WHEN host IS NULL OR rk <= 3 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_kept
-        FROM r GROUP BY coalesce(host, '(none)') ORDER BY host""")))
+        FROM r GROUP BY coalesce(host, '(none)') ORDER BY host"""))),
+
+    // ---- OOV / vocabulary coverage vs the corpus top-50 tokens (the
+    //      tokenizer-fit / domain-shift diagnostic): one broadcast
+    //      vocab join, instance-level counts
+    "q152_oov_rate" -> ((
+      (s: SparkSession, d: String) =>
+        TF.oovRates(t(s, d, "documents"), "doc_id", col("text"), k = 50)
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                     FROM documents),
+        vocab AS (SELECT t FROM (
+          SELECT t, count(*) AS c FROM tok GROUP BY t
+          ORDER BY c DESC, t ASC LIMIT 50)),
+        j AS (SELECT tok.doc_id,
+                     CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
+              FROM tok LEFT JOIN vocab v ON v.t = tok.t)
+        SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(oov) AS BIGINT) AS n_oov,
+               CAST(sum(oov) AS DOUBLE) / count(*) AS oov_rate
+        FROM j GROUP BY doc_id ORDER BY doc_id""")))
   )
 }
