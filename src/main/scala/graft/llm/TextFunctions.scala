@@ -381,19 +381,26 @@ object TextFunctions {
   /** Per-document vocabulary coverage against the corpus's top-`k`
     * tokens (count DESC, token ASC — deterministic): token instances
     * outside the vocab are OOV — the tokenizer-fit / domain-shift
-    * diagnostic. One token-level hash aggregation builds the vocab
-    * (broadcast, codebook-sized), one explode + broadcast join scores
-    * docs. Output: (idCol, n_tokens, n_oov, oov_rate). */
+    * diagnostic. Two text scans total: one token-level aggregation
+    * builds the vocab (collected to the driver, codebook-sized like
+    * [[topPairs]]), then scoring is pure per-row membership math —
+    * no explode+join and no shuffle on the scoring pass. Null-text
+    * docs are filtered explicitly. Output: (idCol, n_tokens, n_oov,
+    * oov_rate). */
   def oovRates(
       df: DataFrame, idCol: String, textCol: Column, k: Int): DataFrame = {
-    val toks = df.select(col(idCol), explode(wsTokens(textCol)).as("_t"))
-    val vocab = toks.groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+    val clean = df.filter(textCol.isNotNull)
+    val vocab: Seq[String] = clean
+      .select(explode(wsTokens(textCol)).as("_t"))
+      .groupBy(col("_t")).agg(count(lit(1)).as("_c"))
       .orderBy(col("_c").desc, col("_t").asc).limit(k)
-      .select(col("_t")).withColumn("_in_vocab", lit(1L))
-    toks.join(broadcast(vocab), Seq("_t"), "left")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .collect().map(_.getString(0)).toSeq
+    val toks = wsTokens(textCol)
+    val vocabLit = typedlit(vocab)
+    clean.select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => !array_contains(vocabLit, t)))
+          .cast("long").as("n_oov"))
       .withColumn("oov_rate",
         col("n_oov").cast("double") / col("n_tokens"))
   }
