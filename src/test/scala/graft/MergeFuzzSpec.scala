@@ -82,12 +82,15 @@ class MergeFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           val ord = freshOrd()
           (k, ord, s"v$ord")
         } // some keys repeat within the batch -> precombine exercised
-        commits :+= tbl.upsert(batch.toDF("id", "ord", "v"))
+        // a binary payload rides every row (pay = utf8(v)): merges,
+        // deltas, and folds must carry it byte-exact alongside v
+        commits :+= tbl.upsert(batch.toDF("id", "ord", "v").withColumn("pay",
+          org.apache.spark.sql.functions.encode(
+            org.apache.spark.sql.functions.col("v"), "UTF-8")))
         model.upsert(batch)
       }
       // state check after every commit
-      val got = r.dataOnly(r.snapshot()).select("id", "ord", "v")
-        .as[(Long, Long, String)].collect().map(t => t._1 -> Version(t._2, t._3)).toMap
+      val got = snapshotWithPayload(r)
       assert(got == model.live,
         s"[$tableType seed=$seed commit=${commits.size}] " +
           s"missing=${(model.live.keySet -- got.keySet).toSeq.sorted} " +
@@ -100,12 +103,25 @@ class MergeFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long, String)].collect().map(t => t._1 -> Version(t._2, t._3)).toMap
     assert(inc == model.live, s"[$tableType seed=$seed] incremental mismatch")
 
-    // compaction / clustering must not change visible state
+    // compaction / clustering must not change visible state (payload
+    // survives the fold byte-exact too)
     if (tableType == TableType.MOR) graft.services.TableServices(tbl).compact()
     else graft.services.TableServices(tbl).cluster(Seq("id"), purgeTombstones = true)
-    val after = r.dataOnly(r.snapshot()).select("id", "ord", "v")
-      .as[(Long, Long, String)].collect().map(t => t._1 -> Version(t._2, t._3)).toMap
+    val after = snapshotWithPayload(r)
     assert(after == model.live, s"[$tableType seed=$seed] post-maintenance mismatch")
+  }
+
+  /** Snapshot as key->Version, asserting each row's binary payload still
+    * decodes to its v. */
+  private def snapshotWithPayload(r: GraftReader): Map[Long, Version] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, decode}
+    val rows = r.dataOnly(r.snapshot())
+      .select(col("id"), col("ord"), col("v"), decode(col("pay"), "UTF-8").as("pv"))
+      .as[(Long, Long, String, String)].collect()
+    rows.foreach(t =>
+      assert(t._4 == t._3, s"binary payload diverged for key ${t._1}: ${t._4} vs ${t._3}"))
+    rows.map(t => t._1 -> Version(t._2, t._3)).toMap
   }
 
   for (tt <- Seq(TableType.COW, TableType.MOR); seed <- Seq(7, 21))
