@@ -84,6 +84,43 @@ object Multimodal {
     }
   }
 
+  /** ======================== STUB ========================
+    * Image resize: a real implementation hands each batch to an image
+    * library (nearest-neighbor / bilinear over decoded pixels). The
+    * stub runs TRUE nearest-neighbor over the raw byte grid instead —
+    * payload treated as a row-major `width × height` byte image with
+    * wrap-around for short payloads — preserving the exact dataflow:
+    * partition-local batches, typed in/out records, new dimensions
+    * stamped into the metadata. Swapping in a codec changes only the
+    * per-record body. */
+  def resizeStub(
+      media: Dataset[MediaRecord], outW: Int, outH: Int,
+      batchSize: Int = 64): Dataset[MediaRecord] = {
+    require(outW > 0 && outH > 0, s"target dims must be positive: $outW x $outH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          val n = math.max(1, m.payload.length)
+          val out = new Array[Byte](outW * outH)
+          var y = 0
+          while (y < outH) {
+            val sy = y * m.height / outH
+            var x = 0
+            while (x < outW) {
+              val sx = x * m.width / outW
+              out(y * outW + x) = m.payload((sy * m.width + sx) % n)
+              x += 1
+            }
+            y += 1
+          }
+          m.copy(payload = out, width = outW, height = outH)
+        }
+      }
+    }
+  }
+
   /** Frame sampling for "video" payloads: split the payload into
     * `frames` equal chunks (a real impl would demux keyframes). The
     * explode is partition-local — no shuffle. */

@@ -2467,6 +2467,37 @@ object Llm {
         SELECT doc_id, count(*) AS n_tokens,
                CAST(sum(oov) AS BIGINT) AS n_oov,
                CAST(sum(oov) AS DOUBLE) / count(*) AS oov_rate
-        FROM j GROUP BY doc_id ORDER BY doc_id""")))
+        FROM j GROUP BY doc_id ORDER BY doc_id"""))),
+
+    // ---- media resize plumbing: the stub's nearest-neighbor byte-grid
+    //      resample (payload as a row-major width×height image, wrapped
+    //      for short payloads) replayed index-for-index in SQL — the
+    //      dataflow (typed batches, stamped dims) is what is under gate;
+    //      a real codec swaps in per-record only. packDocuments gives
+    //      each doc w = id%64+16, h = id%48+16; target 16×8
+    "q153_media_resize" -> ((
+      (s: SparkSession, d: String) => {
+        val media = Multimodal.packDocuments(
+          t(s, d, "documents").filter(col("text").isNotNull))
+        Multimodal.resizeStub(media, outW = 16, outH = 8).toDF()
+          .select(col("media_id").as("doc_id"),
+            col("width").cast("long").as("out_w"),
+            col("height").cast("long").as("out_h"),
+            decode(col("payload"), "UTF-8").as("resized_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(16 AS BIGINT) AS out_w,
+               CAST(8 AS BIGINT) AS out_h,
+               array_to_string(list_transform(range(0, 128), k ->
+                 substring(text,
+                   CAST(((((k // 16) * (doc_id % 48 + 16) // 8)
+                          * (doc_id % 64 + 16)
+                          + ((k % 16) * (doc_id % 64 + 16) // 16))
+                         % greatest(length(text), 1)) AS INT) + 1, 1)), '')
+                 AS resized_text
+        FROM documents WHERE text IS NOT NULL
+        ORDER BY doc_id""")))
   )
 }
