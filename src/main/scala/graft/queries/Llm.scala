@@ -2498,6 +2498,100 @@ object Llm {
                          % greatest(length(text), 1)) AS INT) + 1, 1)), '')
                  AS resized_text
         FROM documents WHERE text IS NOT NULL
-        ORDER BY doc_id""")))
+        ORDER BY doc_id"""))),
+
+    // ---- the refinery composition over the NEW family: repetition
+    //      quality gate → near-dup clusters → leakage-safe split →
+    //      sequence packing of the train split, one declarative plan.
+    //      Each stage is individually gated (q77/q143/q138); this
+    //      checks the composition like q102 does for the cleaning chain
+    "q154_refinery_pipeline" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val kept = docs.filter(TF.repetitionKeep(TF.wsTokens(col("text"))))
+        val pairs = Dedup.jaccardPairs(kept, "doc_id", "text", n = 3,
+          threshold = 0.7, maxDocFreq = None) // oracle is exact/uncapped
+        val assigned = graft.llm.Mixing.leakSafeSplit(kept, "doc_id", pairs,
+          splits = Seq("val" -> 200000L, "test" -> 200000L))
+        val packed = graft.llm.Packing.packSequences(
+          assigned.filter(col("split") === "train"),
+          col("text"), col("doc_id"), seqLen = 64)
+        val splitCensus = assigned.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"))
+        val packCensus = packed.agg(
+          countDistinct(col("seq_id")).as("n_sequences"),
+          sum(col("tok_len")).as("train_tokens"))
+        splitCensus.crossJoin(broadcast(packCensus)).orderBy(col("split"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        top AS (
+          SELECT doc_id, max(c) AS top_cnt FROM (
+            SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w)
+          GROUP BY doc_id),
+        base AS (
+          SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i + 1]) AS g2
+          FROM base),
+        m AS (
+          SELECT b.doc_id, b.text, b.tk, len(tk) AS n_tokens,
+                 CASE WHEN len(tk) > 0
+                      THEN 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+                      ELSE 0.0 END AS dtf,
+                 CASE WHEN len(g.g2) > 0
+                      THEN 1.0 - CAST(len(list_distinct(g.g2)) AS DOUBLE) / len(g.g2)
+                      ELSE 0.0 END AS d2f,
+                 t.top_cnt
+          FROM base b
+          JOIN grams g ON b.doc_id = g.doc_id
+          JOIN top t ON b.doc_id = t.doc_id),
+        kept AS (
+          SELECT doc_id, text, tk, n_tokens FROM m
+          WHERE dtf <= 0.85 AND d2f <= 0.65
+            AND (n_tokens = 0 OR CAST(top_cnt AS DOUBLE) / n_tokens <= 0.30)),
+        sh AS (SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+            i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])) AS s FROM kept)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        cpairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        edges AS (
+          SELECT doc_a, doc_b FROM cpairs
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.7),
+        sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+                UNION SELECT doc_b, doc_a FROM edges),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        reach AS (
+          WITH RECURSIVE r(node, target) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT r.node, s.dst FROM r JOIN sym s ON s.src = r.target)
+          SELECT node, min(target) AS component FROM r GROUP BY node),
+        assigned AS (
+          SELECT k.doc_id, k.n_tokens,
+                 CASE WHEN CAST('0x'||substr(md5('split:'||CAST(
+                        coalesce(r.component, k.doc_id) AS VARCHAR)),1,15)
+                        AS BIGINT) % 1000000 < 200000 THEN 'val'
+                      WHEN CAST('0x'||substr(md5('split:'||CAST(
+                        coalesce(r.component, k.doc_id) AS VARCHAR)),1,15)
+                        AS BIGINT) % 1000000 < 400000 THEN 'test'
+                      ELSE 'train' END AS split
+          FROM kept k LEFT JOIN reach r ON r.node = k.doc_id),
+        census AS (SELECT split, count(*) AS n_docs
+                   FROM assigned GROUP BY split),
+        pk AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS train_tokens
+               FROM assigned WHERE split = 'train')
+        SELECT c.split, c.n_docs,
+               CAST((p.train_tokens + 63) // 64 AS BIGINT) AS n_sequences,
+               p.train_tokens
+        FROM census c, pk p ORDER BY c.split""")))
   )
 }
