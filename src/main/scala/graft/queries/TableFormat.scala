@@ -2335,6 +2335,53 @@ object TableFormat {
         FROM latest
         ORDER BY which, o_orderpriority"""))),
 
+    // ---- content dedup AT INGEST: the table is keyed by md5(text)
+    //      (stamped by the SQL transformer) and filter-dupes insert
+    //      drops every content hash the table already holds — so a
+    //      re-crawl arriving in a later sync inserts only its genuinely
+    //      new texts. First crawl: even doc_ids; re-crawl: ALL docs
+    //      re-keyed +100000 — the winner per text is the original for
+    //      evens, the re-crawl id for odds
+    "q155_content_dedup_ingest" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = graft.Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        val srcDir = freshDir() + "/landing"
+        val conf = s.sessionState.newHadoopConf()
+        val fsys = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
+        fsys.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+        def land(df: DataFrame, name: String): Unit = {
+          val tmpOut = freshDir() + s"/$name"
+          df.coalesce(1).write.parquet(tmpOut)
+          val part = fsys.globStatus(
+            new org.apache.hadoop.fs.Path(tmpOut, "part-*.parquet")).head.getPath
+          fsys.rename(part, new org.apache.hadoop.fs.Path(srcDir, s"$name.parquet"))
+        }
+        val c = TableConfig(name = "docs_cdi", tableType = TableType.COW,
+          keyFields = Seq("content_hash"), partitionFields = Seq("lang"),
+          orderingField = "doc_id", targetFileRows = 100000)
+        val tbl = GraftTable.create(s, freshDir(), c)
+        val ingest = new graft.streaming.ContinuousIngest(tbl,
+          new graft.streaming.ParquetDirSource(s, srcDir),
+          transform = graft.streaming.Transformers.sqlQuery(
+            "SELECT doc_id, lang, text, md5(text) AS content_hash FROM <SRC>"),
+          operation = "insert", filterDupes = true)
+        land(docs.filter(col("doc_id") % 2 === 0), "chunk-0")
+        ingest.runContinuous(maxRounds = 1)
+        land(docs.withColumn("doc_id", col("doc_id") + 100000), "chunk-1")
+        ingest.runContinuous(maxRounds = 1)
+        val r = GraftReader(tbl)
+        r.dataOnly(r.snapshot())
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("key_sum"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        SELECT lang, count(*) AS n,
+               CAST(sum(CASE WHEN doc_id % 2 = 0 THEN doc_id
+                             ELSE doc_id + 100000 END) AS BIGINT) AS key_sum
+        FROM documents GROUP BY lang ORDER BY lang"""))),
+
     "q122_failed_write_cleanup" -> ((
       (s: SparkSession, d: String) => {
         val orders = graft.Tables.t(s, d, "orders")
