@@ -2382,6 +2382,49 @@ object TableFormat {
                              ELSE doc_id + 100000 END) AS BIGINT) AS key_sum
         FROM documents GROUP BY lang ORDER BY lang"""))),
 
+    // ---- MERGE with the full modern clause set, including WHEN NOT
+    //      MATCHED BY SOURCE (the "sync target to snapshot" idiom —
+    //      beyond the reference's 0.10 surface, in Spark's own grammar):
+    //      target-only rows are repriced or deleted via a target-side
+    //      anti-join, in the SAME single commit as the matched/insert
+    //      actions
+    "q156_merge_not_matched_by_source" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val dir = freshDir()
+        val tbl = GraftTable.create(s, dir, cfg("orders_nbs", TableType.COW))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        orders.filter(col("o_orderkey") % 10 >= 4)
+          .createOrReplaceTempView("q156_src")
+        s.catalog.createTable("q156_tbl", "graft", Map("path" -> dir))
+        s.sql("""
+          MERGE INTO q156_tbl t USING q156_src s
+          ON t.o_orderkey = s.o_orderkey
+             AND t.o_orderpriority = s.o_orderpriority
+          WHEN MATCHED AND s.o_orderkey % 10 = 6 THEN
+            UPDATE SET o_totalprice = t.o_totalprice + 2000
+          WHEN NOT MATCHED THEN INSERT *
+          WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 10 = 0 THEN DELETE
+          WHEN NOT MATCHED BY SOURCE THEN
+            UPDATE SET o_totalprice = t.o_totalprice + 7000""")
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 10 IN (1, 2, 3)
+                        THEN o_totalprice + 7000
+                      WHEN o_orderkey % 10 = 6 THEN o_totalprice + 2000
+                      ELSE o_totalprice END AS price
+          FROM orders WHERE o_orderkey % 10 <> 0)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""))),
+
     "q122_failed_write_cleanup" -> ((
       (s: SparkSession, d: String) => {
         val orders = graft.Tables.t(s, d, "orders")

@@ -88,6 +88,10 @@ private[sql] case class MatchedUpdate(condition: Option[Column],
 private[sql] case class MatchedDelete(condition: Option[Column]) extends MergeAction
 private[sql] case class NotMatchedInsert(condition: Option[Column],
     assignments: Map[String, Column]) extends MergeAction
+private[sql] case class NotMatchedBySourceUpdate(condition: Option[Column],
+    assignments: Map[String, Column]) extends MergeAction
+private[sql] case class NotMatchedBySourceDelete(condition: Option[Column])
+  extends MergeAction
 
 /** WHEN-clause collection + single-commit execution.
   *
@@ -108,6 +112,7 @@ class GraftMergeBuilder(
 
   private var matchedActions: Vector[MergeAction] = Vector.empty
   private var notMatchedActions: Vector[NotMatchedInsert] = Vector.empty
+  private var notMatchedBySourceActions: Vector[MergeAction] = Vector.empty
 
   def whenMatchedUpdate(set: Map[String, Column], condition: Option[Column] = None): this.type = {
     val bad = set.keySet.intersect(table.config.keyFields.toSet)
@@ -124,6 +129,24 @@ class GraftMergeBuilder(
     matchedActions :+= MatchedDelete(condition); this
   }
 
+  /** Target rows with NO source match (the "sync target to snapshot"
+    * half of a modern MERGE — beyond the reference's 0.10 surface, in
+    * Spark's own grammar since 3.4). Conditions and assignments may
+    * reference the TARGET side only, per the SQL semantics. */
+  def whenNotMatchedBySourceUpdate(
+      set: Map[String, Column], condition: Option[Column] = None): this.type = {
+    val bad = set.keySet.intersect(table.config.keyFields.toSet)
+    require(bad.isEmpty, s"MERGE update may not modify key fields: ${bad.mkString(",")}")
+    require(set.nonEmpty,
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE needs explicit SET " +
+        "assignments (there is no source row to star from)")
+    notMatchedBySourceActions :+= NotMatchedBySourceUpdate(condition, set); this
+  }
+
+  def whenNotMatchedBySourceDelete(condition: Option[Column] = None): this.type = {
+    notMatchedBySourceActions :+= NotMatchedBySourceDelete(condition); this
+  }
+
   def whenNotMatchedInsert(values: Map[String, Column], condition: Option[Column] = None): this.type = {
     notMatchedActions :+= NotMatchedInsert(condition, values); this
   }
@@ -136,7 +159,8 @@ class GraftMergeBuilder(
   /** Run the merge; returns the commit time, or None when no row
     * matched any clause. */
   def execute(): Option[String] = {
-    require(matchedActions.nonEmpty || notMatchedActions.nonEmpty,
+    require(matchedActions.nonEmpty || notMatchedActions.nonEmpty ||
+        notMatchedBySourceActions.nonEmpty,
       "MERGE needs at least one WHEN clause")
     val snapshot = reader.snapshot()
     val targetFields: Seq[StructField] =
@@ -199,13 +223,55 @@ class GraftMergeBuilder(
       acc || col("_g_action") === id
     }
 
-    // persisted: the source⋈target join feeds both the emptiness probe
-    // and the upsert — without it the join executes twice
-    val resolved = joined
+    val matchedResolved = joined
       .withColumn("_g_action", actionExpr)
       .filter(col("_g_action") >= 0)
       .select(outCols :+ tombstone.as(Meta.Deleted): _*)
-      .persist()
+
+    // NOT MATCHED BY SOURCE rows come from a SEPARATE target anti-join
+    // against the source — exact presence semantics without turning the
+    // main join full-outer (whose null-extension can't distinguish an
+    // all-null source row from absence), and the main plan is untouched
+    // when the clause family is absent. Conditions/assignments reference
+    // the target only (SQL contract), so they resolve on the anti rows.
+    val nbStart = nStart + notMatchedActions.size
+    val resolved0 =
+      if (notMatchedBySourceActions.isEmpty) matchedResolved
+      else {
+        val anti = reader.dataOnly(snapshot).alias(targetAlias)
+          .join(source, on, "left_anti")
+        val actionN = notMatchedBySourceActions.zipWithIndex
+          .map { case (a, i) => (a.condition.getOrElse(lit(true)), lit(nbStart + i)) }
+          .foldLeft(when(lit(false), lit(-1))) {
+            case (acc, (c, id)) => acc.when(c, id)
+          }
+          .otherwise(lit(-1))
+        val outColsN = targetFields.map { f =>
+          notMatchedBySourceActions.zipWithIndex.map {
+            case (a: NotMatchedBySourceUpdate, i) => (lit(nbStart + i),
+              a.assignments.getOrElse(f.name, col(s"$targetAlias.${f.name}")))
+            case (_: NotMatchedBySourceDelete, i) =>
+              (lit(nbStart + i), col(s"$targetAlias.${f.name}"))
+            case (a, _) => throw new IllegalStateException(
+              s"unexpected not-matched-by-source action $a")
+          }.foldLeft(when(lit(false), lit(null))) { case (acc, (id, v)) =>
+            acc.when(col("_g_action") === id, v)
+          }.otherwise(lit(null)).cast(f.dataType).as(f.name)
+        }
+        val tombN = notMatchedBySourceActions.zipWithIndex.collect {
+          case (_: NotMatchedBySourceDelete, i) => nbStart + i
+        }.foldLeft(lit(false)) { case (acc, id) =>
+          acc || col("_g_action") === id
+        }
+        matchedResolved.unionByName(anti
+          .withColumn("_g_action", actionN)
+          .filter(col("_g_action") >= 0)
+          .select(outColsN :+ tombN.as(Meta.Deleted): _*))
+      }
+
+    // persisted: the source⋈target join feeds both the emptiness probe
+    // and the upsert — without it the join executes twice
+    val resolved = resolved0.persist()
     try {
       if (resolved.isEmpty) None
       else Some(table.upsert(resolved))

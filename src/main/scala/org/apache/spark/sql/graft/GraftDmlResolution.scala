@@ -54,8 +54,6 @@ case class GraftDmlResolution(session: SparkSession) extends Rule[LogicalPlan] {
     case m @ MergeIntoTable(target, source, cond, matched, notMatched, notMatchedBySource, _) =>
       graftTarget(target) match {
         case Some((path, tAlias)) =>
-          require(notMatchedBySource.isEmpty,
-            "MERGE ... WHEN NOT MATCHED BY SOURCE is not supported on graft tables")
           val sAlias = GraftDmlResolution.aliasOfPlan(source).getOrElse("__src")
           val wrapSource = GraftDmlResolution.aliasOfPlan(source).isEmpty
           val tOut = outputsOf(target)
@@ -81,7 +79,18 @@ case class GraftDmlResolution(session: SparkSession) extends Rule[LogicalPlan] {
             case other => throw new IllegalArgumentException(
               s"unsupported WHEN NOT MATCHED action on graft table: $other")
           }
-          GraftMergeCommand(path, tAlias, sAlias, wrapSource, source, rb(cond), mActs, nActs)
+          val nbActs = notMatchedBySource.map {
+            case UpdateAction(c, as, fromStar) =>
+              require(!fromStar && as.nonEmpty,
+                "WHEN NOT MATCHED BY SOURCE THEN UPDATE needs explicit SET " +
+                  "assignments (there is no source row to star from)")
+              SqlMergeNbsUpdate(rbo(c), toAssigns(as))
+            case DeleteAction(c) => SqlMergeNbsDelete(rbo(c))
+            case other => throw new IllegalArgumentException(
+              s"unsupported WHEN NOT MATCHED BY SOURCE action on graft table: $other")
+          }
+          GraftMergeCommand(path, tAlias, sAlias, wrapSource, source, rb(cond),
+            mActs, nActs, nbActs)
         case None => m
       }
 
@@ -176,6 +185,9 @@ private[graft] case class SqlMergeUpdate(cond: Option[Column], assigns: Map[Stri
 private[graft] case class SqlMergeDelete(cond: Option[Column]) extends SqlMergeAction
 private[graft] case class SqlMergeInsert(cond: Option[Column], assigns: Map[String, Column])
   extends SqlMergeAction
+private[graft] case class SqlMergeNbsUpdate(cond: Option[Column], assigns: Map[String, Column])
+  extends SqlMergeAction
+private[graft] case class SqlMergeNbsDelete(cond: Option[Column]) extends SqlMergeAction
 
 /** Spark-grammar `ALTER TABLE <name> ADD COLUMNS` on a graft catalog
   * table: records the schema-evolution commit on the timeline AND keeps
@@ -263,7 +275,8 @@ case class GraftDeleteCommand(
 case class GraftMergeCommand(
     path: String, targetAlias: String, sourceAlias: String,
     wrapSource: Boolean, source: LogicalPlan, on: Column,
-    matched: Seq[SqlMergeAction], notMatched: Seq[SqlMergeAction])
+    matched: Seq[SqlMergeAction], notMatched: Seq[SqlMergeAction],
+    notMatchedBySource: Seq[SqlMergeAction] = Nil)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftDmlResolution.instantOutput
 
@@ -273,12 +286,14 @@ case class GraftMergeCommand(
     val sourceDf = if (wrapSource) sourceDf0.alias(sourceAlias) else sourceDf0
     val table = GraftTable.load(session, path)
     val builder = GraftDml(table).mergeAliased(sourceDf, on, sourceAlias, targetAlias)
-    (matched ++ notMatched).foreach {
+    (matched ++ notMatched ++ notMatchedBySource).foreach {
       case SqlMergeUpdate(c, as) if as.isEmpty => builder.whenMatchedUpdateAll(c)
       case SqlMergeUpdate(c, as)               => builder.whenMatchedUpdate(as, c)
       case SqlMergeDelete(c)                   => builder.whenMatchedDelete(c)
       case SqlMergeInsert(c, as) if as.isEmpty => builder.whenNotMatchedInsertAll(c)
       case SqlMergeInsert(c, as)               => builder.whenNotMatchedInsert(as, c)
+      case SqlMergeNbsUpdate(c, as)            => builder.whenNotMatchedBySourceUpdate(as, c)
+      case SqlMergeNbsDelete(c)                => builder.whenNotMatchedBySourceDelete(c)
     }
     builder.execute().map(Row(_)).toSeq
   }

@@ -115,6 +115,49 @@ class DmlSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, "a", 10.0, 1L), (2L, "b2", 21.0, 2L), (3L, "c", 30.0, 1L), (5L, "e", 50.0, 2L)))
   }
 
+  test("MERGE NOT MATCHED BY SOURCE: update/delete target-only rows, first WHEN wins") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = seed(dir)
+    // source covers id 2 (update) and 4 (insert); ids 1 and 3 are
+    // NOT matched by source: 1 deleted, 3 repriced by the later clause
+    val src = Seq((2L, "b2", 21.0, 2L), (4L, "d", 40.0, 2L))
+      .toDF("id", "v", "amount", "ts")
+    val n = GraftDml(tbl).merge(src, col("t.id") === col("s.id"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .whenNotMatchedBySourceDelete(Some(col("t.id") === 1L))
+      .whenNotMatchedBySourceUpdate(Map("amount" -> (col("t.amount") + 100.0)))
+      .execute()
+    assert(n.nonEmpty)
+    assert(state(tbl) == Seq(
+      (2L, "b2", 21.0, 2L), (3L, "c", 130.0, 1L), (4L, "d", 40.0, 2L)))
+    // all in ONE commit
+    assert(tbl.timeline.completed().count(i =>
+      graft.core.Action.dataActions(i.action)) == 2) // bulk load + merge
+    // NMBS update may not touch key fields
+    intercept[IllegalArgumentException] {
+      GraftDml(tbl).merge(src, col("t.id") === col("s.id"))
+        .whenNotMatchedBySourceUpdate(Map("id" -> lit(9L)))
+    }
+    // star-less update set is required (no source row to star from)
+    intercept[IllegalArgumentException] {
+      GraftDml(tbl).merge(src, col("t.id") === col("s.id"))
+        .whenNotMatchedBySourceUpdate(Map.empty)
+    }
+  }
+
+  test("MERGE with ONLY not-matched-by-source clauses works standalone") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = seed(dir)
+    val src = Seq((2L, "b", 20.0, 2L)).toDF("id", "v", "amount", "ts")
+    GraftDml(tbl).merge(src, col("t.id") === col("s.id"))
+      .whenNotMatchedBySourceDelete()
+      .execute()
+    assert(state(tbl) == Seq((2L, "b", 20.0, 1L)))
+  }
+
   test("MERGE clause conditions: unmatched-by-any-clause rows are ignored") {
     import spark.implicits._
     val tbl = seed(tmp())
