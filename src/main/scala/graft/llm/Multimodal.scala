@@ -102,20 +102,28 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { m =>
-          val n = math.max(1, m.payload.length)
-          val out = new Array[Byte](outW * outH)
-          var y = 0
-          while (y < outH) {
-            val sy = y * m.height / outH
-            var x = 0
-            while (x < outW) {
-              val sx = x * m.width / outW
-              out(y * outW + x) = m.payload((sy * m.width + sx) % n)
-              x += 1
+          // a zero-byte payload has nothing to sample — emit an empty
+          // payload with the target dims stamped (matching the oracle's
+          // empty resample of an empty text) instead of wrapping into an
+          // out-of-bounds read
+          if (m.payload.isEmpty) m.copy(payload = Array.emptyByteArray,
+            width = outW, height = outH)
+          else {
+            val n = m.payload.length
+            val out = new Array[Byte](outW * outH)
+            var y = 0
+            while (y < outH) {
+              val sy = y * m.height / outH
+              var x = 0
+              while (x < outW) {
+                val sx = x * m.width / outW
+                out(y * outW + x) = m.payload((sy * m.width + sx) % n)
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            m.copy(payload = out, width = outW, height = outH)
           }
-          m.copy(payload = out, width = outW, height = outH)
         }
       }
     }

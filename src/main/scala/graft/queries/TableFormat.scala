@@ -2357,9 +2357,13 @@ object TableFormat {
             new org.apache.hadoop.fs.Path(tmpOut, "part-*.parquet")).head.getPath
           fsys.rename(part, new org.apache.hadoop.fs.Path(srcDir, s"$name.parquet"))
         }
+        // content dedup is GLOBAL by nature: the same text in two langs
+        // is still one text, so the index (and with it precombine and
+        // filter-dupes membership) must scope by key alone
         val c = TableConfig(name = "docs_cdi", tableType = TableType.COW,
           keyFields = Seq("content_hash"), partitionFields = Seq("lang"),
-          orderingField = "doc_id", targetFileRows = 100000)
+          orderingField = "doc_id", targetFileRows = 100000,
+          globalIndex = true)
         val tbl = GraftTable.create(s, freshDir(), c)
         val ingest = new graft.streaming.ContinuousIngest(tbl,
           new graft.streaming.ParquetDirSource(s, srcDir),
@@ -2377,10 +2381,28 @@ object TableFormat {
           .orderBy(col("lang"))
       },
       Some("""
+        -- per distinct TEXT: if any even doc holds it, chunk-0's
+        -- intra-batch precombine keeps the max even doc; otherwise the
+        -- text arrives only in chunk-1 and the max (all-odd) member
+        -- wins re-keyed +100000. The winner ROW's lang counts — at
+        -- larger scale factors duplicate texts cross languages, so a
+        -- unique-text shortcut would diverge
+        WITH g AS (
+          SELECT text,
+                 max(CASE WHEN doc_id % 2 = 0 THEN doc_id END) AS even_max,
+                 max(doc_id) AS all_max
+          FROM documents GROUP BY text),
+        winner AS (
+          SELECT CASE WHEN even_max IS NOT NULL THEN even_max
+                      ELSE all_max + 100000 END AS wid,
+                 coalesce(even_max, all_max) AS src_doc
+          FROM g),
+        final AS (
+          SELECT w.wid AS doc_id, d.lang
+          FROM winner w JOIN documents d ON d.doc_id = w.src_doc)
         SELECT lang, count(*) AS n,
-               CAST(sum(CASE WHEN doc_id % 2 = 0 THEN doc_id
-                             ELSE doc_id + 100000 END) AS BIGINT) AS key_sum
-        FROM documents GROUP BY lang ORDER BY lang"""))),
+               CAST(sum(doc_id) AS BIGINT) AS key_sum
+        FROM final GROUP BY lang ORDER BY lang"""))),
 
     // ---- MERGE with the full modern clause set, including WHEN NOT
     //      MATCHED BY SOURCE (the "sync target to snapshot" idiom —

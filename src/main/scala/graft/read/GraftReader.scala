@@ -275,14 +275,26 @@ class GraftReader(table: GraftTable) {
     val snap = Snapshot.resolve(timeline)
     if (snap.isEmpty) return incoming
     val keyCols = table.config.keyFields
+    // membership scope follows the configured INDEX, like the
+    // reference's HoodieReadClient.filterExists: (key, partition) under
+    // SIMPLE, key alone under GLOBAL — a SIMPLE-index table treats the
+    // same key in another partition as a different record
+    val global = table.config.partitionFields.isEmpty || table.config.globalIndex
     // the snapshot view applies merge + tombstone semantics (a MOR key
     // deleted by a pending tombstone must count as absent); Catalyst
     // prunes the scan to the key/merge columns
-    val existing = snapshot().select(col(Key).as("_existing_key")).distinct()
+    val existing = snapshot()
+      .select(col(Key).as("_existing_key") +:
+        (if (global) Nil else Seq(col(Partition).as("_existing_part"))): _*)
+      .distinct()
     val keyExpr =
       if (keyCols.size == 1) col(keyCols.head).cast("string")
       else concat_ws(":", keyCols.map(f => col(f).cast("string")): _*)
-    incoming.join(existing, keyExpr === col("_existing_key"), "left_anti")
+    val cond =
+      if (global) keyExpr === col("_existing_key")
+      else keyExpr === col("_existing_key") &&
+        table.partitionExpr === col("_existing_part")
+    incoming.join(existing, cond, "left_anti")
   }
 
   /** Data columns only (drop engine meta columns). */

@@ -166,6 +166,23 @@ class GraftMergeBuilder(
     val targetFields: Seq[StructField] =
       snapshot.schema.fields.filterNot(f => Meta.all.contains(f.name)).toSeq
     val targetCols = targetFields.map(_.name)
+    // a typo'd SET/INSERT column would silently no-op (the per-field
+    // getOrElse never finds it) — reject by name like GraftDml.update
+    (matchedActions ++ notMatchedActions ++ notMatchedBySourceActions).foreach {
+      case MatchedUpdate(_, as) =>
+        val unknown = as.keySet.diff(targetCols.toSet)
+        require(unknown.isEmpty,
+          s"unknown columns in MERGE SET: ${unknown.mkString(",")}")
+      case NotMatchedBySourceUpdate(_, as) =>
+        val unknown = as.keySet.diff(targetCols.toSet)
+        require(unknown.isEmpty,
+          s"unknown columns in MERGE SET: ${unknown.mkString(",")}")
+      case NotMatchedInsert(_, as) =>
+        val unknown = as.keySet.diff(targetCols.toSet)
+        require(unknown.isEmpty,
+          s"unknown columns in MERGE INSERT: ${unknown.mkString(",")}")
+      case _ => ()
+    }
 
     // source LEFT JOIN target: matched rows see both sides; target rows
     // never touched by the source stay out of the plan entirely (their

@@ -82,7 +82,7 @@ class GraftTable private (
     * ComplexKeyGenerator.java:34, TimestampBasedKeyGenerator.java:39,
     * NonpartitionedKeyGenerator.java:36; hive-style + url-encode options
     * DataSourceOptions.scala:279,636). */
-  private def partitionExpr: Column =
+  private[graft] def partitionExpr: Column =
     if (config.partitionFields.isEmpty) lit("")
     else concat_ws("/", config.partitionFields.map(partitionSegment): _*)
 
@@ -167,8 +167,15 @@ class GraftTable private (
   /** Intra-batch dedup — keep the winning row per key within one incoming
     * batch (reference analog: preCombine, commit/SparkWriteHelper.java:63). */
   private def precombine(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(Key), col(Partition))
-      .orderBy(orderingCol(df).desc_nulls_last, col(Seqno).desc)
+    // batch winner per key, scoped like the INDEX: (key, partition) for
+    // partition-local tables, key ALONE under a global index — two
+    // same-key rows in different partitions would otherwise both land
+    // and break the global uniqueness the tag join maintains
+    val keyScope =
+      if (config.partitionFields.isEmpty || config.globalIndex)
+        Window.partitionBy(col(Key))
+      else Window.partitionBy(col(Key), col(Partition))
+    val w = keyScope.orderBy(orderingCol(df).desc_nulls_last, col(Seqno).desc)
     df.withColumn("_g_rn", row_number().over(w)).filter(col("_g_rn") === 1).drop("_g_rn")
   }
 

@@ -79,13 +79,33 @@ case class GraftDmlResolution(session: SparkSession) extends Rule[LogicalPlan] {
             case other => throw new IllegalArgumentException(
               s"unsupported WHEN NOT MATCHED action on graft table: $other")
           }
+          // SQL semantics: NMBS clauses see no source row — a source
+          // reference would otherwise surface as an opaque unresolved-
+          // column error from deep inside the anti-join plan
+          def checkNbsRefs(exprs: Seq[Expression]): Unit = exprs.foreach { e =>
+            // source refs arrive either resolved (in sOut) or — since the
+            // analyzer resolves NMBS clauses against the target only —
+            // as still-unresolved source-qualified attributes
+            val srcRefs = e.collect {
+              case a: AttributeReference if sOut.contains(a) => a.name
+              case u: UnresolvedAttribute
+                if u.nameParts.length > 1 && u.nameParts.head == sAlias =>
+                u.nameParts.mkString(".")
+            }
+            require(srcRefs.isEmpty,
+              "WHEN NOT MATCHED BY SOURCE clauses may reference the target " +
+                s"only; found source column(s): ${srcRefs.mkString(", ")}")
+          }
           val nbActs = notMatchedBySource.map {
             case UpdateAction(c, as, fromStar) =>
               require(!fromStar && as.nonEmpty,
                 "WHEN NOT MATCHED BY SOURCE THEN UPDATE needs explicit SET " +
                   "assignments (there is no source row to star from)")
+              checkNbsRefs(c.toSeq ++ as.map(_.value))
               SqlMergeNbsUpdate(rbo(c), toAssigns(as))
-            case DeleteAction(c) => SqlMergeNbsDelete(rbo(c))
+            case DeleteAction(c) =>
+              checkNbsRefs(c.toSeq)
+              SqlMergeNbsDelete(rbo(c))
             case other => throw new IllegalArgumentException(
               s"unsupported WHEN NOT MATCHED BY SOURCE action on graft table: $other")
           }

@@ -145,6 +145,19 @@ class DmlSpec extends AnyFunSuite with BeforeAndAfterAll {
       GraftDml(tbl).merge(src, col("t.id") === col("s.id"))
         .whenNotMatchedBySourceUpdate(Map.empty)
     }
+    // a typo'd SET column must fail loudly, not silently no-op
+    val e = intercept[IllegalArgumentException] {
+      GraftDml(tbl).merge(src, col("t.id") === col("s.id"))
+        .whenMatchedUpdate(Map("amoutn" -> lit(1.0)))
+        .execute()
+    }
+    assert(e.getMessage.contains("unknown columns in MERGE SET"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftDml(tbl).merge(src, col("t.id") === col("s.id"))
+        .whenNotMatchedBySourceUpdate(Map("amoutn" -> lit(1.0)))
+        .execute()
+    }
+    assert(e2.getMessage.contains("unknown columns in MERGE SET"), e2.getMessage)
   }
 
   test("MERGE with ONLY not-matched-by-source clauses works standalone") {

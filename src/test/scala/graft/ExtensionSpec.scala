@@ -121,6 +121,34 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("MERGE NMBS clauses referencing the source fail with a clause-level error") {
+    import spark.implicits._
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "nbs_refs", tableType = TableType.COW, keyFields = Seq("id"),
+      orderingField = "ts"))
+    tbl.bulkInsert(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ts"))
+    Seq((2L, "b2", 2L)).toDF("id", "v", "ts")
+      .createOrReplaceTempView("nbs_src")
+    spark.catalog.createTable("nbs_tbl", "graft", Map("path" -> dir))
+    val e = intercept[Exception] {
+      spark.sql("""
+        MERGE INTO nbs_tbl t USING nbs_src s ON t.id = s.id
+        WHEN NOT MATCHED BY SOURCE AND s.v = 'x' THEN DELETE""")
+    }
+    def msg(t: Throwable): String =
+      t.getMessage + Option(t.getCause).map(msg).getOrElse("")
+    assert(msg(e).contains("may reference the target only"), msg(e))
+    // the valid form still runs end-to-end through the grammar
+    spark.sql("""
+      MERGE INTO nbs_tbl t USING nbs_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val rows = spark.sql("SELECT id, v FROM nbs_tbl ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((2L, "b2")))
+  }
+
   test("Spark-grammar ALTER TABLE ADD COLUMNS evolves the TABLE, not just the catalog") {
     import spark.implicits._
     val dir = tmp()

@@ -481,6 +481,16 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(1) == run(3) && run(3) == run(13))
   }
 
+  test("resizeStub resamples the byte grid and tolerates empty payloads") {
+    import spark.implicits._
+    val media = Multimodal.packDocuments(
+      Seq((1L, ""), (2L, "ab cd")).toDF("doc_id", "text"))
+    val out = Multimodal.resizeStub(media, outW = 4, outH = 2)
+      .collect().sortBy(_.media_id)
+    assert(out(0).payload.isEmpty && out(0).width == 4 && out(0).height == 2)
+    assert(out(1).payload.length == 8 && out(1).width == 4 && out(1).height == 2)
+  }
+
   test("multimodal pipeline: schema, batching, frame sampling") {
     import spark.implicits._
     val d = docs.withColumnRenamed("doc_id", "doc_id") // documents-shaped
