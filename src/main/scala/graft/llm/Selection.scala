@@ -1,0 +1,107 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.llm.TextFunctions.hash60
+import graft.llm.{TextFunctions => TF}
+
+/** Data selection via importance resampling (DSIR — Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling"):
+  * score every raw document by how much more likely its hashed
+  * bag-of-ngrams is under the TARGET distribution than under the RAW
+  * distribution, then sample without replacement proportionally to the
+  * importance weights via the Gumbel-top-k trick.
+  *
+  * Scale shape: the two n-gram distributions reduce to `dim`-bucket
+  * count vectors (two aggregations whose RESULT is codebook-sized —
+  * the only collects). The per-bucket log-ratio table then rides the
+  * scoring pass as a literal array, so scoring is pure per-row math:
+  * no explode, no join, no shuffle. Selection is `orderBy(...).limit(n)`
+  * — Spark plans TakeOrdered (per-partition top-n + driver merge),
+  * never a global sort. Everything is md5-derived and deterministic:
+  * no RNG state, identical replay in the DuckDB oracle.
+  */
+object Selection {
+
+  /** Hashed unigram+bigram bucket ids of `textCol`, in token order
+    * (order matters only for the fold-order parity of the score). */
+  def ngramBuckets(textCol: Column, dim: Int): Column = {
+    val toks = TF.wsTokens(textCol)
+    transform(concat(toks, TF.shingles(toks, 2)),
+      g => (hash60(g) % dim).cast("int"))
+  }
+
+  /** Per-bucket counts of `df`'s hashed n-grams as a dense vector
+    * (driver-side, `dim`-sized — a codebook, like a quantizer). */
+  private def bucketCounts(
+      df: DataFrame, textCol: Column, dim: Int): Array[Long] = {
+    val dense = Array.fill(dim)(0L)
+    df.filter(textCol.isNotNull)
+      .select(explode(ngramBuckets(textCol, dim)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .collect()
+      .foreach(r => dense(r.getInt(0)) = r.getLong(1))
+    dense
+  }
+
+  /** The add-`alpha` smoothed log importance ratio per bucket:
+    * ln p_target(b) − ln p_raw(b). Buckets unseen in either corpus get
+    * their mass from the smoothing, so every raw doc scores finitely. */
+  def dsirLogRatios(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: Column,
+      dim: Int = 256,
+      alpha: Double = 1.0): Seq[Double] = {
+    val tc = bucketCounts(target, textCol, dim)
+    val rc = bucketCounts(raw, textCol, dim)
+    val tt = tc.sum.toDouble
+    val tr = rc.sum.toDouble
+    (0 until dim).map { b =>
+      math.log((tc(b) + alpha) / (tt + alpha * dim)) -
+        math.log((rc(b) + alpha) / (tr + alpha * dim))
+    }
+  }
+
+  /** Per-document log importance weight: the sum of its n-gram
+    * buckets' log ratios (left fold, so the DuckDB replay's
+    * `list_sum(list_transform(...))` is bit-identical). Output:
+    * (idCol, n_grams, log_weight). */
+  def dsirLogWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: Column,
+      dim: Int = 256,
+      alpha: Double = 1.0): DataFrame = {
+    val lam = typedlit(dsirLogRatios(raw, target, textCol, dim, alpha))
+    raw.filter(textCol.isNotNull)
+      .select(col(idCol), ngramBuckets(textCol, dim).as("_b"))
+      .select(col(idCol),
+        size(col("_b")).cast("long").as("n_grams"),
+        aggregate(col("_b"), lit(0.0d),
+          (acc, b) => acc + element_at(lam, b + 1)).as("log_weight"))
+  }
+
+  /** Gumbel-top-`n` importance resampling: adding an md5-derived
+    * Gumbel(0,1) to each log weight and taking the top n draws a
+    * sample WITHOUT replacement proportional to exp(log_weight) — the
+    * paper's resampling step, with the engine-portable md5 uniform
+    * standing in for the RNG. Deterministic in `salt`. */
+  def dsirResample(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: Column,
+      n: Int,
+      dim: Int = 256,
+      alpha: Double = 1.0,
+      salt: String = "dsir0"): DataFrame = {
+    val u = (Mixing.ppmBucket(col(idCol), salt).cast("double") + 0.5d) / 1000000.0d
+    dsirLogWeights(raw, target, idCol, textCol, dim, alpha)
+      .withColumn("samp_key", col("log_weight") - log(-log(u)))
+      .orderBy(col("samp_key").desc, col(idCol).asc)
+      .limit(n)
+  }
+}

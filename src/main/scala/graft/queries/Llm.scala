@@ -26,6 +26,62 @@ object Llm {
 
   private val Stopwords = Seq("the", "a")
 
+  /** Stacked-CTE DuckDB replay of [[graft.llm.Tokenizer.bpeTrain]]'s
+    * `k` merge steps. Per step: pair census + argmax (count DESC, pair
+    * ASC), then greedy left-to-right non-overlapping application. The
+    * greedy pass is the only sequential part; it SQL-izes exactly via
+    * gaps-and-islands: adjacent positions can both match only when
+    * a = b (else b = a is forced), so within each maximal run of
+    * consecutive matches greedy takes the 1st, 3rd, … (odd offsets),
+    * and a position is consumed iff its predecessor merged. Validated
+    * against an independent reference on planted a=b runs and ties
+    * (TokenizerSpec mirrors those cases in Scala). */
+  private def bpeTrainOracle(k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""p$i AS (
+        SELECT sym[j] || ' ' || sym[j+1] AS p, sum(cnt) AS c
+        FROM t${i - 1}, unnest(range(1, len(sym))) AS u(j)
+        GROUP BY 1),
+      b$i AS (
+        SELECT string_split(p, ' ')[1] AS a, string_split(p, ' ')[2] AS b, c
+        FROM p$i ORDER BY c DESC, p ASC LIMIT 1),
+      u$i AS (
+        SELECT t.w, t.cnt, u.j, t.sym[u.j] AS s,
+               coalesce(t.sym[u.j] = mb.a AND t.sym[u.j+1] = mb.b, FALSE) AS m
+        FROM t${i - 1} t, b$i mb, unnest(range(1, len(t.sym)+1)) AS u(j)),
+      g$i AS (
+        SELECT *, j - row_number() OVER (PARTITION BY w, m ORDER BY j) AS isl
+        FROM u$i),
+      h$i AS (
+        SELECT *, m AND (row_number() OVER (PARTITION BY w, m, isl ORDER BY j) % 2 = 1) AS take
+        FROM g$i),
+      r$i AS (
+        SELECT *, coalesce(lag(take) OVER (PARTITION BY w ORDER BY j), FALSE) AS consumed,
+               lead(s) OVER (PARTITION BY w ORDER BY j) AS nxt
+        FROM h$i),
+      t$i AS (
+        SELECT w, max(cnt) AS cnt,
+               list(CASE WHEN take THEN s || nxt ELSE s END ORDER BY j) AS sym
+        FROM r$i WHERE NOT consumed GROUP BY w),
+      s$i AS (SELECT CAST(sum(cnt * len(sym)) AS BIGINT) AS syms FROM t$i)"""
+    }
+    val finals = (1 to k).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS rnk, a, b, CAST(c AS BIGINT) AS cnt,
+             (SELECT syms FROM s$i) AS corpus_symbols_after FROM b$i"""
+    }
+    s"""WITH t0 AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+             list_append(regexp_extract_all(w, '(?s).'), '</w>') AS sym
+      FROM (SELECT unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE text IS NOT NULL)
+      WHERE w <> ''
+      GROUP BY w),
+    ${steps.mkString(",\n")}
+    SELECT * FROM (
+    ${finals.mkString("\nUNION ALL\n")}
+    ) ORDER BY rnk"""
+  }
+
   val all: Map[String, (QFn, Option[String])] = Map(
 
     // ---- text analysis: token counts + quality scoring
@@ -2592,6 +2648,78 @@ object Llm {
         SELECT c.split, c.n_docs,
                CAST((p.train_tokens + 63) // 64 AS BIGINT) AS n_sequences,
                p.train_tokens
-        FROM census c, pk p ORDER BY c.split""")))
+        FROM census c, pk p ORDER BY c.split"""))),
+
+    // ---- BPE tokenizer TRAINING (Sennrich et al. 2016): the learn
+    //      side of q144's apply. One corpus scan to the word-type
+    //      histogram; the merge loop runs on the vocab-sized types
+    //      table. Gated output = the learned merge table PLUS each
+    //      step's post-merge weighted symbol count, so every
+    //      intermediate state of the loop is hash-checked, not just
+    //      the chosen pairs. The oracle replays all 6 steps as stacked
+    //      CTEs (see bpeTrainOracle)
+    "q157_bpe_train" -> ((
+      (s: SparkSession, d: String) =>
+        graft.llm.Tokenizer
+          .bpeTrainDF(s, t(s, d, "documents"), col("text"), numMerges = 6)
+          .orderBy(col("rnk")),
+      Some(bpeTrainOracle(6)))),
+
+    // ---- DSIR importance resampling (Xie et al. 2023): hashed
+    //      unigram+bigram log importance ratios (target = the English
+    //      slice) scored per-row against a 256-bucket literal table —
+    //      no join and no shuffle on the scoring pass — then
+    //      Gumbel-top-50 sampling without replacement via the md5
+    //      uniform. The oracle replays the hashing, the smoothing,
+    //      the fold and the Gumbel arithmetic exactly
+    "q158_dsir_resample" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        graft.llm.Selection
+          .dsirResample(docs, docs.filter(col("lang") === "en"),
+            "doc_id", col("text"), n = 50, dim = 256, salt = "dsir0")
+          .orderBy(col("samp_key").desc, col("doc_id"))
+      },
+      Some("""
+        WITH gl AS (
+          SELECT doc_id,
+                 list_concat(tk, list_transform(range(1, len(tk)),
+                   i -> tk[i]||' '||tk[i+1])) AS g
+          FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                FROM documents WHERE text IS NOT NULL)),
+        bl AS (
+          SELECT doc_id,
+                 list_transform(g, x ->
+                   CAST(CAST('0x'||substr(md5(x),1,15) AS BIGINT) % 256 AS INT)) AS bl
+          FROM gl),
+        tcnt AS (
+          SELECT b, count(*) AS c
+          FROM (SELECT unnest(bl.bl) AS b FROM bl JOIN documents USING (doc_id)
+                WHERE documents.lang = 'en')
+          GROUP BY b),
+        rcnt AS (SELECT b, count(*) AS c
+                 FROM (SELECT unnest(bl) AS b FROM bl) GROUP BY b),
+        tt AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS s FROM tcnt),
+        rt AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS s FROM rcnt),
+        lam AS (
+          SELECT r.b,
+                 ln((coalesce(t.c, 0) + 1.0) / (tt.s + 256.0))
+                   - ln((coalesce(rr.c, 0) + 1.0) / (rt.s + 256.0)) AS l
+          FROM range(0, 256) r(b)
+          LEFT JOIN tcnt t ON t.b = r.b
+          LEFT JOIN rcnt rr ON rr.b = r.b, tt, rt),
+        ll AS (SELECT list(l ORDER BY b) AS v FROM lam),
+        scored AS (
+          SELECT bl.doc_id,
+                 CAST(len(bl.bl) AS BIGINT) AS n_grams,
+                 coalesce(list_sum(list_transform(bl.bl, x -> ll.v[x + 1])), 0.0)
+                   AS log_weight
+          FROM bl, ll)
+        SELECT doc_id, n_grams, log_weight,
+               log_weight - ln(-ln((CAST('0x'||substr(md5('dsir0:'||
+                   CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 1000000 + 0.5)
+                   / 1000000.0)) AS samp_key
+        FROM scored
+        ORDER BY samp_key DESC, doc_id LIMIT 50""")))
   )
 }
