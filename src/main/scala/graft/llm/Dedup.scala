@@ -92,6 +92,48 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
   }
 
+  /** Directed shingle-containment pairs (Broder 1997's asymmetric
+    * resemblance twin): containment(a in b) = |A∩B| / |A|. Catches what
+    * symmetric Jaccard structurally misses — a short quote/excerpt page
+    * fully contained in a long original scores containment 1.0 while
+    * its Jaccard is |A|/|B| ≈ 0 — the aggregator/mirror-fragment case
+    * in crawl dedup.
+    *
+    * Same inverted-index shape and the same `maxDocFreq` skew cap as
+    * [[jaccardPairs]], and the same inflate-guard: |A| always comes
+    * from the UNCAPPED shingle set, so the cap can only shrink the
+    * intersection — a capped score droops below exact, never above.
+    * Output: (doc_a, doc_b, common, containment) where containment is
+    * the fraction of doc_a's shingles inside doc_b; BOTH orientations
+    * of a pair are scored and filtered independently. */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double,
+      maxDocFreq: Option[Int] = Some(1000)): DataFrame = {
+    val raw = shingleIndex(df, idCol, textCol, n, None)
+    val sh = maxDocFreq match {
+      case None => raw
+      case Some(cap) =>
+        val freq = raw.groupBy("s").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= cap)
+        raw.join(freq.select("s"), "s")
+    }
+    val sizes = raw.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("_ida"), col("b.doc_id").as("_idb"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("_ida"), col("n_sh").as("_na")), "_ida")
+      .join(sizes.select(col("doc_id").as("_idb"), col("n_sh").as("_nb")), "_idb")
+    val ab = common.select(col("_ida").as("doc_a"), col("_idb").as("doc_b"),
+      col("common"),
+      (col("common").cast("double") / col("_na")).as("containment"))
+    val ba = common.select(col("_idb").as("doc_a"), col("_ida").as("doc_b"),
+      col("common"),
+      (col("common").cast("double") / col("_nb")).as("containment"))
+    ab.unionByName(ba).filter(col("containment") >= threshold)
+  }
+
   /** Modulus for the derived MinHash family: largest prime < 2^30, so
     * `a * h0 + b` stays well inside a 64-bit long. */
   val MinhashPrime: Long = 1073741789L
@@ -435,5 +477,59 @@ object Dedup {
       .partitionBy(col("component"))
       .orderBy(pref.desc, col(idCol).asc)
     labeled.withColumn("is_canonical", row_number().over(w) === 1)
+  }
+
+  /** Corpus-level line dedup (the RefinedWeb/CCNet boilerplate pass,
+    * complementing the WITHIN-document [[TextFunctions.dedupLines]]):
+    * a line whose hash appears in at least `minDocs` DISTINCT documents
+    * is boilerplate (nav bars, cookie banners, newsletter prompts) and
+    * is removed from EVERY document it appears in. Removing all
+    * occurrences (rather than keeping a "first" one) keeps the operator
+    * deterministic and order-independent — there is no meaningful first
+    * document in a distributed corpus.
+    *
+    * Scale shape: the explode projects `(id, hash60(line))` BEFORE any
+    * exchange, so the whole index/census path moves ids and 60-bit
+    * hashes only; the census is one hash-keyed groupBy (index-sized
+    * output) and each doc's removal set is an array of longs. The
+    * single corpus-sized move is the final id-join that rebuilds text —
+    * unavoidable for a rewrite (the output IS the corpus, same posture
+    * as [[dropDupSpans]]), and the removal-set side of that join is
+    * flagged-docs-only, which Spark broadcasts when small.
+    * Reconstruction is per-row array math; nothing is corpus-quadratic.
+    *
+    * Output: (idCol, n_lines, n_removed, cleaned) per input doc.
+    */
+  def corpusLineDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: Column,
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2 (1 would remove every line)")
+    val lines = split(textCol, "\n")
+    // (id, line-hash) pairs, distinct per doc — the only exploded pass
+    val index = df
+      .filter(textCol.isNotNull)
+      .select(col(idCol), explode(array_distinct(lines)).as("_l"))
+      .select(col(idCol), hash60(col("_l")).as("_lh"))
+    val flagged = index
+      .groupBy(col("_lh"))
+      .agg(count(lit(1)).as("_n_docs"))
+      .filter(col("_n_docs") >= minDocs)
+    val removeSets = index
+      .join(flagged, "_lh")
+      .groupBy(col(idCol))
+      .agg(collect_set(col("_lh")).as("_rm"))
+    val rm = coalesce(col("_rm"), array().cast("array<bigint>"))
+    val kept = filter(lines, l => !array_contains(rm, hash60(l)))
+    // null-text rows carry no lines and are dropped (same stated
+    // semantics as chunkTokens: size(null) diverges between ANSI modes)
+    df.filter(textCol.isNotNull)
+      .join(removeSets, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        (size(lines) - size(kept)).cast("long").as("n_removed"),
+        array_join(kept, "\n").as("cleaned"))
   }
 }

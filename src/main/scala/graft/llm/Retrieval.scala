@@ -86,4 +86,34 @@ object Retrieval {
       .select(col("q_id"), col("rnk").cast("long").as("rnk"),
         col("doc_id"), col("score"))
   }
+
+  /** Tf-idf keyword extraction: the top-`k` most characteristic terms
+    * per document (corpus-profiling, topic tagging, near-dup triage).
+    * `tfidf(t,d) = tf · ln((N+1)/(df+1))` — the +1s keep corpus-wide
+    * terms at idf ≈ 0 instead of −∞/0 edge cases.
+    *
+    * Scale posture: tf is the same explode + hash aggregation as BM25
+    * (map-side combined); df aggregates tf (term-keyed, index-sized)
+    * and joins back BY TERM — never a corpus-sized broadcast; the
+    * per-doc top-k window partitions by doc, whose fan-out is the
+    * doc's distinct term count, not the corpus. Single multiplication
+    * per row — bit-stable without a fold.
+    *
+    * Output: (doc_id, rnk, term, tf, tfidf), ties broken by term. */
+  def tfidfKeywords(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    val nDocs = docs.filter(col(textCol).isNotNull).count().toDouble
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf
+      .join(dfreq, "term")
+      .withColumn("tfidf",
+        col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+        col("term"), col("tf").cast("long").as("tf"), col("tfidf"))
+  }
 }

@@ -84,6 +84,58 @@ object Selection {
           (acc, b) => acc + element_at(lam, b + 1)).as("log_weight"))
   }
 
+  /** Per-bucket Naive Bayes log-odds table for the fastText-style
+    * quality classifier (the CCNet/LLaMA "does this look like a
+    * reference page" filter): ln p(b|pos) − ln p(b|neg) with add-`alpha`
+    * smoothing, learned from two labeled corpora. Like [[dsirLogRatios]]
+    * this reduces each class to a `dim`-bucket count vector — the only
+    * collects are codebook-sized. */
+  def nbLogOdds(
+      pos: DataFrame,
+      neg: DataFrame,
+      textCol: Column,
+      dim: Int = 256,
+      alpha: Double = 1.0): Seq[Double] = {
+    val pc = bucketCounts(pos, textCol, dim)
+    val nc = bucketCounts(neg, textCol, dim)
+    val tp = pc.sum.toDouble
+    val tn = nc.sum.toDouble
+    (0 until dim).map { b =>
+      math.log((pc(b) + alpha) / (tp + alpha * dim)) -
+        math.log((nc(b) + alpha) / (tn + alpha * dim))
+    }
+  }
+
+  /** Score `df` with the classifier: per-doc score = class-prior
+    * log-odds (by labeled DOC counts) + the left-fold sum of its n-gram
+    * buckets' log-odds; `pred_pos` = score ≥ 0 (the sigmoid threshold
+    * at 0.5, without materializing exp — keeps the gate free of
+    * cross-engine libm exp differences). The scoring pass is pure
+    * per-row math against a literal table: no join, no shuffle.
+    * Output: (idCol, n_grams, score, pred_pos). */
+  def nbScore(
+      df: DataFrame,
+      pos: DataFrame,
+      neg: DataFrame,
+      idCol: String,
+      textCol: Column,
+      dim: Int = 256,
+      alpha: Double = 1.0): DataFrame = {
+    val lam = typedlit(nbLogOdds(pos, neg, textCol, dim, alpha))
+    val nPos = pos.filter(textCol.isNotNull).count().toDouble
+    val nNeg = neg.filter(textCol.isNotNull).count().toDouble
+    val prior = math.log((nPos + alpha) / (nNeg + alpha))
+    df.filter(textCol.isNotNull)
+      .select(col(idCol), ngramBuckets(textCol, dim).as("_b"))
+      .select(col(idCol),
+        size(col("_b")).cast("long").as("n_grams"),
+        // prior OUTSIDE the fold: the oracle's `prior + list_sum(...)`
+        // then has the identical addition order (floats don't associate)
+        (lit(prior) + aggregate(col("_b"), lit(0.0d),
+          (acc, b) => acc + element_at(lam, b + 1))).as("score"))
+      .withColumn("pred_pos", col("score") >= 0d)
+  }
+
   /** Gumbel-top-`n` importance resampling: adding an md5-derived
     * Gumbel(0,1) to each log weight and taking the top n draws a
     * sample WITHOUT replacement proportional to exp(log_weight) — the

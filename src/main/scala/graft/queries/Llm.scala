@@ -36,13 +36,27 @@ object Llm {
     * and a position is consumed iff its predecessor merged. Validated
     * against an independent reference on planted a=b runs and ties
     * (TokenizerSpec mirrors those cases in Scala). */
-  private def bpeTrainOracle(k: Int): String = {
+  private def bpeTrainOracle(k: Int): String =
+    s"""WITH ${bpeTrainCtes(k)},
+    ${(1 to k).map { i =>
+      s"""f$i AS (SELECT CAST($i AS BIGINT) AS rnk, a, b, CAST(c AS BIGINT) AS cnt,
+             (SELECT syms FROM s$i) AS corpus_symbols_after FROM b$i)"""
+    }.mkString(",\n")}
+    SELECT * FROM (
+    ${(1 to k).map(i => s"SELECT * FROM f$i").mkString("\nUNION ALL\n")}
+    ) ORDER BY rnk"""
+
+  /** The shared CTE chain of [[bpeTrainOracle]] (word-type histogram
+    * t0, then per step i: pair census p_i, argmax b_i, greedy merge
+    * application u/g/h/r/t_i, post-state symbol count s_i) — composed
+    * by both the train gate and the train→encode gate. */
+  private def bpeTrainCtes(k: Int): String = {
     val steps = (1 to k).map { i =>
       s"""p$i AS (
         SELECT sym[j] || ' ' || sym[j+1] AS p, sum(cnt) AS c
         FROM t${i - 1}, unnest(range(1, len(sym))) AS u(j)
         GROUP BY 1),
-      b$i AS (
+      b$i AS MATERIALIZED (
         SELECT string_split(p, ' ')[1] AS a, string_split(p, ' ')[2] AS b, c
         FROM p$i ORDER BY c DESC, p ASC LIMIT 1),
       u$i AS (
@@ -59,27 +73,20 @@ object Llm {
         SELECT *, coalesce(lag(take) OVER (PARTITION BY w ORDER BY j), FALSE) AS consumed,
                lead(s) OVER (PARTITION BY w ORDER BY j) AS nxt
         FROM h$i),
-      t$i AS (
+      t$i AS MATERIALIZED (
         SELECT w, max(cnt) AS cnt,
                list(CASE WHEN take THEN s || nxt ELSE s END ORDER BY j) AS sym
         FROM r$i WHERE NOT consumed GROUP BY w),
       s$i AS (SELECT CAST(sum(cnt * len(sym)) AS BIGINT) AS syms FROM t$i)"""
     }
-    val finals = (1 to k).map { i =>
-      s"""SELECT CAST($i AS BIGINT) AS rnk, a, b, CAST(c AS BIGINT) AS cnt,
-             (SELECT syms FROM s$i) AS corpus_symbols_after FROM b$i"""
-    }
-    s"""WITH t0 AS (
+    s"""t0 AS MATERIALIZED (
       SELECT w, CAST(count(*) AS BIGINT) AS cnt,
              list_append(regexp_extract_all(w, '(?s).'), '</w>') AS sym
       FROM (SELECT unnest(string_split(text, ' ')) AS w
             FROM documents WHERE text IS NOT NULL)
       WHERE w <> ''
       GROUP BY w),
-    ${steps.mkString(",\n")}
-    SELECT * FROM (
-    ${finals.mkString("\nUNION ALL\n")}
-    ) ORDER BY rnk"""
+    ${steps.mkString(",\n")}"""
   }
 
   val all: Map[String, (QFn, Option[String])] = Map(
@@ -2720,6 +2727,257 @@ object Llm {
                    CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 1000000 + 0.5)
                    / 1000000.0)) AS samp_key
         FROM scored
-        ORDER BY samp_key DESC, doc_id LIMIT 50""")))
+        ORDER BY samp_key DESC, doc_id LIMIT 50"""))),
+
+    // ---- corpus-level line dedup (RefinedWeb/CCNet boilerplate pass,
+    //      the cross-document complement of q128): two trigger words
+    //      plant the SAME banner line across many docs, ' line' makes
+    //      multi-line pages; any line whose hash shows up in >= 2
+    //      distinct docs is removed from every carrier. Line text never
+    //      crosses an exchange — the index is (id, hash60) pairs
+    "q159_corpus_line_dedup" -> ((
+      (s: SparkSession, d: String) => {
+        val page = replace(replace(replace(col("text"),
+          lit(" dup"), lit("\nSubscribe to our newsletter\n")),
+          lit(" big"), lit("\nSubscribe to our newsletter\n")),
+          lit(" line"), lit("\n"))
+        graft.llm.Dedup
+          .corpusLineDedup(
+            t(s, d, "documents").select(col("doc_id"), page.as("text")),
+            "doc_id", col("text"), minDocs = 2)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+                 replace(replace(replace(text,
+                   ' dup', chr(10) || 'Subscribe to our newsletter' || chr(10)),
+                   ' big', chr(10) || 'Subscribe to our newsletter' || chr(10)),
+                   ' line', chr(10)) AS t
+          FROM documents WHERE text IS NOT NULL),
+        l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM p),
+        e AS (SELECT DISTINCT doc_id,
+                     unnest(list_transform(ls, x ->
+                       CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS lh
+              FROM l),
+        f AS (SELECT lh FROM e GROUP BY lh HAVING count(*) >= 2),
+        rmv AS (SELECT e.doc_id, list(e.lh) AS rm
+                FROM e JOIN f USING (lh) GROUP BY e.doc_id),
+        c AS (
+          SELECT l.doc_id, l.ls,
+                 list_filter(l.ls, x -> NOT list_contains(
+                   coalesce(rmv.rm, []),
+                   CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS kept
+          FROM l LEFT JOIN rmv USING (doc_id))
+        SELECT doc_id,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(len(ls) - len(kept) AS BIGINT) AS n_removed,
+               coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+        FROM c ORDER BY doc_id"""))),
+
+    // ---- fastText-style quality classifier (the CCNet/LLaMA
+    //      "looks-like-a-reference-page" filter): Naive Bayes log-odds
+    //      over hashed unigram+bigram buckets, trained on labeled
+    //      slices (pos = English docs, neg = the rest), scored per-row
+    //      against a 256-entry literal table — no join, no shuffle on
+    //      the scoring pass. pred_pos = score >= 0 keeps the gate free
+    //      of cross-engine exp()
+    "q160_nb_quality_classifier" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        graft.llm.Selection
+          .nbScore(docs,
+            docs.filter(col("lang") === "en"),
+            docs.filter(col("lang") =!= "en"),
+            "doc_id", col("text"), dim = 256)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH gl AS (
+          SELECT doc_id,
+                 list_concat(tk, list_transform(range(1, len(tk)),
+                   i -> tk[i]||' '||tk[i+1])) AS g
+          FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                FROM documents WHERE text IS NOT NULL)),
+        bl AS (
+          SELECT doc_id,
+                 list_transform(g, x ->
+                   CAST(CAST('0x'||substr(md5(x),1,15) AS BIGINT) % 256 AS INT)) AS bl
+          FROM gl),
+        pcnt AS (
+          SELECT b, count(*) AS c
+          FROM (SELECT unnest(bl.bl) AS b FROM bl JOIN documents USING (doc_id)
+                WHERE documents.lang = 'en')
+          GROUP BY b),
+        ncnt AS (
+          SELECT b, count(*) AS c
+          FROM (SELECT unnest(bl.bl) AS b FROM bl JOIN documents USING (doc_id)
+                WHERE documents.lang <> 'en')
+          GROUP BY b),
+        tp AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS s FROM pcnt),
+        tn AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS s FROM ncnt),
+        lam AS (
+          SELECT r.b,
+                 ln((coalesce(p.c, 0) + 1.0) / (tp.s + 256.0))
+                   - ln((coalesce(nn.c, 0) + 1.0) / (tn.s + 256.0)) AS l
+          FROM range(0, 256) r(b)
+          LEFT JOIN pcnt p ON p.b = r.b
+          LEFT JOIN ncnt nn ON nn.b = r.b, tp, tn),
+        ll AS (SELECT list(l ORDER BY b) AS v FROM lam),
+        pri AS (
+          SELECT ln(((SELECT count(*) FROM documents
+                      WHERE lang = 'en' AND text IS NOT NULL) + 1.0)
+                  / ((SELECT count(*) FROM documents
+                      WHERE lang <> 'en' AND text IS NOT NULL) + 1.0)) AS p)
+        SELECT bl.doc_id,
+               CAST(len(bl.bl) AS BIGINT) AS n_grams,
+               pri.p + coalesce(list_sum(list_transform(bl.bl, x -> ll.v[x + 1])),
+                 0.0) AS score,
+               pri.p + coalesce(list_sum(list_transform(bl.bl, x -> ll.v[x + 1])),
+                 0.0) >= 0.0 AS pred_pos
+        FROM bl, ll, pri
+        ORDER BY bl.doc_id"""))),
+
+    // ---- tf-idf keyword extraction: top-3 most characteristic terms
+    //      per doc. tf is the BM25 inverted index's aggregation; df
+    //      joins back term-keyed (index-sized); the top-k window
+    //      partitions by doc — nothing corpus-quadratic
+    "q161_tfidf_keywords" -> ((
+      (s: SparkSession, d: String) =>
+        graft.llm.Retrieval
+          .tfidfKeywords(t(s, d, "documents"), "doc_id", "text", k = 3)
+          .orderBy(col("doc_id"), col("rnk")),
+      Some("""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents WHERE text IS NOT NULL),
+        tf AS (SELECT doc_id, w AS term, count(*) AS tf
+               FROM (SELECT doc_id, unnest(t) AS w FROM tk) GROUP BY 1, 2),
+        dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tk),
+        sc AS (SELECT doc_id, term, tf,
+                      CAST(tf AS DOUBLE) * ln((n.n + 1.0) / (df + 1.0)) AS tfidf
+               FROM tf JOIN dfq USING (term), n),
+        r AS (SELECT *, row_number() OVER
+                (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+              FROM sc)
+        SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
+               CAST(tf AS BIGINT) AS tf, tfidf
+        FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"""))),
+
+    // ---- BPE train -> encode composition: merges LEARNED from the
+    //      corpus (q157's loop) applied back to the corpus via the
+    //      codegen'd kernel — the full tokenizer lifecycle under one
+    //      hash gate. The oracle composes the train CTE chain with six
+    //      gaps-and-islands greedy passes over each doc's flattened
+    //      char-symbol stream — the same validated machinery the train
+    //      side uses, partitioned by doc instead of word type (linear,
+    //      unlike q144's recursive walk, which is O(len^2) per doc from
+    //      list copying). Flattened == per-word because no merge can
+    //      cross the </w> mark — TokenizerSpec proves it
+    "q162_bpe_train_encode" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").filter(col("text").isNotNull)
+        val merges = graft.llm.Tokenizer
+          .bpeTrain(docs, col("text"), numMerges = 6).map(m => (m.a, m.b))
+        val stream = flatten(transform(TF.wsTokens(col("text")),
+          w => graft.llm.Tokenizer.charSymbols(w)))
+        val enc = graft.llm.Tokenizer.bpeEncode(col("text"), merges)
+        docs.select(col("doc_id"),
+            size(stream).cast("long").as("n_before"),
+            size(enc).cast("long").as("n_after"),
+            (size(stream).cast("double") / size(enc)).as("compression"),
+            array_join(enc, " ").as("enc_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH ${bpeTrainCtes(6)},
+        d0 AS MATERIALIZED (
+          SELECT doc_id,
+                 flatten(list_transform(string_split(text, ' '),
+                   w -> list_append(regexp_extract_all(w, '(?s).'), '</w>')))
+                   AS sym
+          FROM documents WHERE text IS NOT NULL),
+        ${(1 to 6).map(i => s"""
+        du$i AS (
+          SELECT d.doc_id, u.j, d.sym[u.j] AS s,
+                 coalesce(d.sym[u.j] = mb.a AND d.sym[u.j+1] = mb.b, FALSE)
+                   AS m
+          FROM d${i - 1} d, b$i mb, unnest(range(1, len(d.sym)+1)) AS u(j)),
+        dg$i AS (
+          SELECT *, j - row_number() OVER (PARTITION BY doc_id, m ORDER BY j)
+                   AS isl
+          FROM du$i),
+        dh$i AS (
+          SELECT *, m AND (row_number() OVER
+                   (PARTITION BY doc_id, m, isl ORDER BY j) % 2 = 1) AS take
+          FROM dg$i),
+        dr$i AS (
+          SELECT *, coalesce(lag(take) OVER
+                   (PARTITION BY doc_id ORDER BY j), FALSE) AS consumed,
+                 lead(s) OVER (PARTITION BY doc_id ORDER BY j) AS nxt
+          FROM dh$i),
+        d$i AS MATERIALIZED (
+          SELECT doc_id,
+                 list(CASE WHEN take THEN s || nxt ELSE s END ORDER BY j)
+                   AS sym
+          FROM dr$i WHERE NOT consumed GROUP BY doc_id)""").mkString(",\n")}
+        SELECT s.doc_id,
+               CAST(len(s.sym) AS BIGINT) AS n_before,
+               CAST(len(d6.sym) AS BIGINT) AS n_after,
+               CAST(len(s.sym) AS DOUBLE) / len(d6.sym) AS compression,
+               array_to_string(d6.sym, ' ') AS enc_text
+        FROM d0 s JOIN d6 USING (doc_id)
+        ORDER BY s.doc_id"""))),
+
+    // ---- directed containment dedup (Broder's asymmetric resemblance):
+    //      12-token excerpt pages are planted for the first 50 docs;
+    //      each is FULLY contained in its original (containment 1.0)
+    //      while its Jaccard vs the original is near zero — the
+    //      quote/aggregator case symmetric dedup misses. Exact
+    //      semantics here, so maxDocFreq pins None (capped path is
+    //      separately tested in LlmSpec)
+    "q163_containment_pairs" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").filter(col("text").isNotNull)
+        val quotes = docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            array_join(slice(TF.wsTokens(col("text")), 1, 12), " ").as("text"))
+        val corp = docs.select(col("doc_id"), col("text")).unionByName(quotes)
+        graft.llm.Dedup
+          .containmentPairs(corp, "doc_id", "text", n = 3,
+            threshold = 0.6, maxDocFreq = None)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""
+        WITH corp AS (
+          SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+          UNION ALL
+          SELECT doc_id + 100000,
+                 array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ')
+          FROM documents WHERE text IS NOT NULL AND doc_id < 50),
+        tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM corp),
+        sh AS (SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, array_to_string(list_slice(t, j, j + 2), ' ') AS s
+          FROM tk, unnest(range(1, len(t) - 1)) AS u(j)
+          WHERE len(t) >= 3)),
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        cm AS (
+          SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        cs AS (
+          SELECT cm.ida, cm.idb, cm.common,
+                 za.n_sh AS na, zb.n_sh AS nb
+          FROM cm JOIN sz za ON za.doc_id = cm.ida
+                  JOIN sz zb ON zb.doc_id = cm.idb),
+        u AS (
+          SELECT ida AS doc_a, idb AS doc_b, common,
+                 CAST(common AS DOUBLE) / na AS containment FROM cs
+          UNION ALL
+          SELECT idb, ida, common,
+                 CAST(common AS DOUBLE) / nb FROM cs)
+        SELECT doc_a, doc_b, common, containment
+        FROM u WHERE containment >= 0.6
+        ORDER BY doc_a, doc_b""")))
   )
 }

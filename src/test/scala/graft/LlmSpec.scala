@@ -1052,4 +1052,101 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.getString(1) == "a & b")
     assert(got.getString(2) == "ads.example.com")
   }
+
+  test("containment catches the excerpt page that Jaccard misses") {
+    import spark.implicits._
+    val long = (1 to 30).map(i => s"w$i").mkString(" ")
+    val quote = (1 to 8).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, long), (2L, quote),
+      (3L, "totally unrelated content over here now")).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(corpus, "doc_id", "text", n = 3,
+        threshold = 0.9, maxDocFreq = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // the quote's 6 shingles all live in the original: containment 1.0
+    assert(cont((2L, 1L)) == 1.0)
+    // the reverse orientation (28 shingles, 6 shared) doesn't pass 0.9
+    assert(!cont.contains((1L, 2L)))
+    assert(!cont.keys.exists(p => p._1 == 3L || p._2 == 3L))
+    // same pair under symmetric Jaccard: 6/(28+6-6) ≈ 0.21 — invisible
+    val jac = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3,
+      threshold = 0.9, maxDocFreq = None)
+    assert(jac.count() == 0)
+    // the doc-freq cap can only shrink a containment score, never raise
+    val exact = Dedup.containmentPairs(corpus, "doc_id", "text", n = 3,
+        threshold = 0.0, maxDocFreq = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val capped = Dedup.containmentPairs(corpus, "doc_id", "text", n = 3,
+        threshold = 0.0, maxDocFreq = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // cap=1 drops every shared shingle: the pair set can only shrink
+    // (sizes stay uncapped, so no score can inflate — same guard as
+    // the jaccardPairs "never inflates" case, shared sizing code)
+    assert(capped.size < exact.size)
+    assert(capped.keySet.subsetOf(exact.keySet))
+    capped.foreach { case (k, v) => assert(v <= exact(k) + 1e-12) }
+  }
+
+  test("corpusLineDedup removes cross-doc lines everywhere, keeps unique ones") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "unique opening\nSubscribe now\nreal content one"),
+      (2L, "Subscribe now\nreal content two"),
+      (3L, "only original text here"),
+      // within-doc repeat but single-doc: NOT boilerplate at minDocs=2
+      (4L, "echo line\necho line\nfourth closer"),
+      (5L, "Subscribe now"), // fully boilerplate -> emptied, kept as a row
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.corpusLineDedup(pages, "doc_id", col("text"), minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 1L, "unique opening\nreal content one")))
+    assert(out(2L) == ((2L, 1L, "real content two")))
+    assert(out(3L) == ((1L, 0L, "only original text here")))
+    // the within-doc repeat survives: both copies stay (cross-doc op only)
+    assert(out(4L) == ((3L, 0L, "echo line\necho line\nfourth closer")))
+    assert(out(5L) == ((1L, 1L, "")))
+    assert(!out.contains(6L)) // null text dropped, documented semantics
+  }
+
+  test("corpusLineDedup ships only hashes through its exchanges") {
+    import spark.implicits._
+    // AQE wraps the plan and hides the exchanges until execution
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val pages = Seq((1L, "a\nb"), (2L, "b\nc")).toDF("doc_id", "text")
+    val out = Dedup.corpusLineDedup(pages, "doc_id", col("text"))
+    val exchanges = out.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the index/census path (every exchange carrying _lh) must move
+    // only ids and 60-bit hashes; the final id-join rebuild is the one
+    // place text may cross (documented posture, as in dropDupSpans)
+    val indexSide = exchanges.filter(_.output.exists(_.name == "_lh"))
+    assert(indexSide.nonEmpty)
+    indexSide.foreach { e =>
+      val cols = e.output.map(a => (a.name, a.dataType.typeName)).toSet
+      assert(!cols.exists(_._2 == "string"),
+        s"an index-side exchange carries text: $cols")
+    }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("tfidfKeywords ranks distinctive terms above corpus-wide ones") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the the the quark"),
+      (2L, "the boson boson"),
+      (3L, "the muon")).toDF("doc_id", "text")
+    val out = Retrieval.tfidfKeywords(corpus, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // 'the' is in every doc (idf = ln(4/4) = 0) so any unique term beats
+    // it despite tf=3 in doc 1
+    assert(out((1L, 1L)) == "quark")
+    assert(out((2L, 1L)) == "boson")
+    assert(out((3L, 1L)) == "muon")
+    // doc 1's second keyword is the zero-idf 'the' (nothing else left)
+    assert(out((1L, 2L)) == "the")
+  }
 }

@@ -72,6 +72,34 @@ class SelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a != run("s2"))
   }
 
+  test("NB classifier separates the classes by content, not by label") {
+    val docs = corpus
+    val scored = Selection
+      .nbScore(docs, docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    // target-vocab docs classify positive, off-vocab negative
+    (0L until 10L).foreach(i => assert(scored(i)._2, s"doc $i"))
+    (10L until 20L).foreach(i => assert(!scored(i)._2, s"doc $i"))
+    // doc 20 is LABELED de but written in the positive class's
+    // vocabulary — a content-based classifier must score it positive
+    assert(scored(20L)._2)
+    assert(scored(20L)._1 > scored(10L)._1)
+    // null text dropped, finite scores everywhere (smoothing)
+    assert(!scored.contains(21L))
+    assert(scored.values.forall(s => !s._1.isNaN && !s._1.isInfinite))
+  }
+
+  test("NB scoring pass plans no join (literal log-odds table)") {
+    val docs = corpus
+    val plan = Selection
+      .nbScore(docs, docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "doc_id", col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"NB scoring pass plans a join:\n$plan")
+  }
+
   test("the scoring pass plans no join and selection plans TakeOrdered") {
     val docs = corpus
     val plan = Selection
