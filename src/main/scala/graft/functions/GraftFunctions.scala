@@ -146,6 +146,13 @@ object GraftFunctions {
         "the scheme is missing") { args =>
       expect(args, 1, "url_host")
       bridge(graft.llm.TextFunctions.urlHost(asCol(args(0))))
+    },
+    reg("canonical_url",
+      "canonical_url(url) - dedup-canonical URL form: drops fragments " +
+        "and tracking params (utm_*/fbclid/gclid), lowercases scheme+" +
+        "host, strips www./default ports/trailing slashes") { args =>
+      expect(args, 1, "canonical_url")
+      bridge(graft.llm.TextFunctions.canonicalUrl(asCol(args(0))))
     }
   )
 

@@ -52,6 +52,50 @@ object Contamination {
         col("eval_ngrams"), col("overlap_frac"))
   }
 
+  /** LSH-bucketed decontamination — the 100 TB path of
+    * [[contaminatedDocs]]: instead of joining the full shingle inverted
+    * index, corpus and benchmark docs get MinHash signatures
+    * ([[Dedup.minhashSignatures]], one-pass codegen kernel, no shuffle)
+    * and only banded bucket collisions become candidates, probed
+    * new-vs-all style with the BENCHMARK as the probe side — candidate
+    * volume tracks the (small) benchmark, never corpus². Candidates
+    * are scored by the unbiased minhash Jaccard estimate and kept at
+    * `minEst`; run the exact [[ngramOverlap]] on the survivors when the
+    * verdict must be exact.
+    *
+    * Benchmark ids are mapped into the negative key space internally
+    * (corpus ids must be >= 0), so the two tables never collide inside
+    * the shared signature frame. Output: one row per flagged corpus
+    * doc — (doc_id, worst_bench_id, n_match, est_jaccard) with the
+    * highest-estimate benchmark doc, ties to the smaller bench id. */
+  def lshContaminatedDocs(
+      corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 4,
+      minEst: Double = 0.5): DataFrame = {
+    val cSig = Dedup.minhashSignatures(corpus, idCol, textCol, n, k)
+      .filter(col("doc_id") >= 0) // contract: corpus keys are non-negative
+    val bSig = Dedup.minhashSignatures(bench, idCol, textCol, n, k)
+      .select((-col("doc_id") - 1).as("doc_id"), col("sig"))
+    val pairs = Dedup.minhashLshFromSigs(
+      cSig.unionByName(bSig).cache(), k, bands, minEst,
+      probeIds = Some(bSig.select(col("doc_id"))))
+    // bench side always sorts below corpus side (negative ids), so a
+    // cross pair is exactly (doc_a < 0 <= doc_b); bench-bench pairs
+    // (both negative) are probe artifacts and drop here
+    val cross = pairs.filter(col("doc_a") < 0 && col("doc_b") >= 0)
+      .select(col("doc_b").as("doc_id"),
+        (-col("doc_a") - 1).as("bench_id"),
+        col("n_match"), col("est_jaccard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("est_jaccard").desc, col("bench_id").asc)
+    cross.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("doc_id"), col("bench_id").as("worst_bench_id"),
+        col("n_match"), col("est_jaccard"))
+  }
+
   /** Per-corpus-doc contamination verdict: the worst (max-fraction)
     * overlapping eval doc, ties broken toward the smaller eval id.
     * Returns (doc_id, worst_eval_id, overlap_frac) for docs whose worst

@@ -504,9 +504,13 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: Column,
-      minDocs: Int = 2): DataFrame = {
+      minDocs: Int = 2,
+      /** literal unit separator: "\n" = lines (default); "\n\n" =
+        * paragraph-level dedup, the coarser RefinedWeb variant */
+      sep: String = "\n"): DataFrame = {
     require(minDocs >= 2, "minDocs must be >= 2 (1 would remove every line)")
-    val lines = split(textCol, "\n")
+    require(sep.nonEmpty, "sep must be non-empty")
+    val lines = split(textCol, java.util.regex.Pattern.quote(sep))
     // (id, line-hash) pairs, distinct per doc — the only exploded pass
     val index = df
       .filter(textCol.isNotNull)
@@ -530,6 +534,30 @@ object Dedup {
         col(idCol),
         size(lines).cast("long").as("n_lines"),
         (size(lines) - size(kept)).cast("long").as("n_removed"),
-        array_join(kept, "\n").as("cleaned"))
+        array_join(kept, sep).as("cleaned"))
+  }
+
+  /** URL-level dedup (the very first pass of C4/Gopher-style crawl
+    * curation, upstream of any content hashing): canonicalize each
+    * doc's URL with [[TextFunctions.canonicalUrl]] — so link
+    * decorations (utm params, fragments, www, default ports, trailing
+    * slashes, scheme/host case) collapse — then group by the canonical
+    * form; the smallest id per group is the canonical fetch.
+    *
+    * Scale shape: canonicalization is per-row regex math; the census is
+    * one hash-groupBy keyed by canonical URL (bounded fan-out: a URL's
+    * re-crawl count), and the join back moves (canon_url, id-sized
+    * stats) only. Same posture as exact content dedup.
+    *
+    * Output: (idCol, canon_url, canonical_id, n_dups, is_canonical) per
+    * non-null-URL input row. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: Column): DataFrame = {
+    val canon = df.filter(urlCol.isNotNull)
+      .select(col(idCol), TextFunctions.canonicalUrl(urlCol).as("canon_url"))
+    val groups = canon.groupBy(col("canon_url"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+    canon.join(groups, "canon_url")
+      .select(col(idCol), col("canon_url"), col("canonical_id"), col("n_dups"),
+        (col(idCol) === col("canonical_id")).as("is_canonical"))
   }
 }

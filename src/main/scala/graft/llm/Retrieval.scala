@@ -116,4 +116,37 @@ object Retrieval {
       .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
         col("term"), col("tf").cast("long").as("tf"), col("tfidf"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of two or
+    * more ranked lists — the standard hybrid-retrieval combiner for
+    * keyword ([[bm25TopK]]) + dense ([[Similarity.bruteForceTopK]] /
+    * the ANN family) search: `score(q,d) = Σ_lists 1/(k0 + rnk)`,
+    * rank-only, so BM25 scores and cosines never need calibrating
+    * against each other. Every input carries (q_id, rnk, doc_id); a doc
+    * missing from a list simply contributes nothing for it.
+    *
+    * Determinism: the per-(q,d) float sum folds in list order (each
+    * contribution is tagged with its list index and sorted before the
+    * fold), so fused scores are bit-stable across partitionings and
+    * engines. Scale shape: inputs are already top-k-sized (queries × k
+    * rows, never corpus-sized); one union + one hash aggregation + a
+    * per-query rank window. Output: (q_id, rnk, doc_id, rrf). */
+  def rrfFuse(
+      lists: Seq[DataFrame], k: Int, k0: Double = 60.0): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val tagged = lists.zipWithIndex.map { case (l, i) =>
+      l.select(col("q_id"), col("doc_id"), lit(i).as("_li"),
+        (lit(1.0) / (lit(k0) + col("rnk").cast("double"))).as("_c"))
+    }.reduce(_.unionByName(_))
+    val scored = tagged
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("_li"), col("_c")))),
+        lit(0.0), (acc, x) => acc + x("_c")).as("rrf"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+        col("doc_id"), col("rrf"))
+  }
 }

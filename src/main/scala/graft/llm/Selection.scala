@@ -156,4 +156,41 @@ object Selection {
       .orderBy(col("samp_key").desc, col(idCol).asc)
       .limit(n)
   }
+
+  /** Cluster-balanced (diversity) sampling: cap every semantic
+    * cluster's contribution at `perCell` docs — the embedding-space
+    * twin of [[Mixing.perKeyCap]]'s per-host anti-domination pass, and
+    * the selection step cluster-based pruning methods share (pick a
+    * bounded, spread-out subset instead of letting one dense topic
+    * dominate the mix). Clusters come from the same driver-collected
+    * fused-kernel quantizer as [[Similarity.semDedup]] (id-chosen
+    * centroids by default, or a trained [[Similarity.trainIvfCentroids]]
+    * codebook); within a cell the pick order is a salted md5 draw with
+    * id tiebreak — deterministic, engine-replayable, and uncorrelated
+    * with ids or insertion order.
+    *
+    * Scale shape: assignment is per-row kernel math (no exchange); the
+    * only shuffle is the per-cell rank window, whose key count is the
+    * codebook size — size the codebook so corpus/cells rows fit a
+    * partition (production cells are thousands, not sixteen).
+    * Returns every non-null input vector: (idCol, cell, rk, picked). */
+  def clusterBalancedSample(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cells: Int,
+      perCell: Int,
+      salt: String = "cbs",
+      centroids: Option[DataFrame] = None): DataFrame = {
+    require(perCell >= 1, "perCell must be >= 1")
+    val member = Similarity.kernelMembers(
+      corpus, idCol, vecCol, cells, centroids, "clusterBalancedSample")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+      .orderBy(Mixing.ppmBucket(col("m_id"), salt).asc, col("m_id").asc)
+    member.select(col("m_id"), col("cell"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("m_id").as(idCol), col("cell"), col("rk"),
+        (col("rk") <= perCell).as("picked"))
+  }
 }

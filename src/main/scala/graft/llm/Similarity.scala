@@ -56,6 +56,68 @@ object Similarity {
       .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"), col("cos"))
   }
 
+  /** Hard-negative mining for contrastive training (DPR / SimCSE
+    * style): each query's top-`k` most-similar corpus vectors AFTER
+    * excluding near-duplicates — neighbors at `cos >= maxCos` are
+    * presumed positives/copies of the query (the same threshold the
+    * dedup family uses) and must not be served as negatives, while the
+    * highest-cosine survivors are exactly the "hard" negatives worth
+    * training against. Same scan shape as [[bruteForceTopK]]: queries
+    * broadcast, one corpus pass, per-query rank window over scalar rows;
+    * at scale the shortlist can come from the ANN family instead with
+    * the same post-filter. Output: (q_id, rnk, n_id, cos). */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, maxCos: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("cvec"))
+      .withColumn("cnrm", normD(col("cvec")))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qvec"))
+      .withColumn("qnrm", normD(col("qvec")))
+    val scored = c.join(broadcast(q), col("n_id") =!= col("q_id"))
+      .withColumn("cos", cosineD(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")))
+      // the near-dup exclusion runs BEFORE the rank window, so
+      // positives never occupy (or shift) negative ranks
+      .filter(col("cos") < maxCos)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"), col("cos"))
+  }
+
+  /** Per-group mean-pooled centroids (class prototypes / per-source
+    * embedding profiles), output exploded as one row per (group,
+    * dimension): `(groupCol, j, n, c)` with `c = Σ x_j / n` over the
+    * group's non-null vectors.
+    *
+    * Two summation modes. `exact = false` (production default) is a
+    * plain hash-aggregated `avg` per (group, dim) after a posexplode —
+    * map-side combined, one exchange keyed by (group, dim), any corpus
+    * size. `exact = true` folds each (group, dim)'s addends in (id,
+    * value) sorted order, making the float sum bit-stable across
+    * engines and partitionings — the mode the DuckDB gate replays;
+    * its per-key state is the group's value list, so reserve it for
+    * gating/auditing, not the 100 TB path. */
+  def groupCentroids(
+      df: DataFrame, idCol: String, vecCol: String, groupCol: String,
+      exact: Boolean = false): DataFrame = {
+    val expl = df.filter(col(vecCol).isNotNull)
+      .select(col(groupCol), col(idCol).as("_id"),
+        posexplode(col(vecCol)).as(Seq("j", "_x")))
+      .select(col(groupCol), col("_id"), col("j").cast("long").as("j"),
+        col("_x").cast("double").as("_x"))
+    val summed =
+      if (!exact)
+        expl.groupBy(col(groupCol), col("j"))
+          .agg(count(lit(1)).as("n"), avg(col("_x")).as("c"))
+      else
+        expl.groupBy(col(groupCol), col("j"))
+          .agg(count(lit(1)).as("n"),
+            (aggregate(
+              array_sort(collect_list(struct(col("_id"), col("_x")))),
+              lit(0.0), (acc, e) => acc + e("_x")) / count(lit(1))).as("c"))
+    summed.select(col(groupCol), col("j"), col("n"), col("c"))
+  }
+
   /** All near-duplicate pairs with cosine ≥ threshold. All-pairs — only
     * for modest corpora or within LSH buckets; the scale path routes
     * through [[lshAnn]]-style bucketing first. */
@@ -289,42 +351,7 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, cells: Int = 16,
       centroids: Option[DataFrame] = None): DataFrame = {
-    val centRows = centroids
-      .map(_.select(col("c_id").cast("long").as("c_id"), col("c_vec")))
-      // the id-chosen default skips null vectors (an arbitrary seed
-      // choice anyway); user-supplied quantizers fail loudly below
-      .getOrElse(corpus.filter(col(idCol) < cells && col(vecCol).isNotNull)
-        .select(col(idCol).cast("long").as("c_id"), col(vecCol).as("c_vec")))
-      .orderBy(col("c_id"))
-      .collect()
-    require(centRows.nonEmpty, "semDedup needs at least one centroid")
-    val cents: Seq[(Long, Seq[Double])] = centRows.toSeq.map { r =>
-      val raw = r.getSeq[Any](1)
-      require(raw != null, s"semDedup centroid ${r.getLong(0)} has a null vector")
-      val v = raw.toSeq.map {
-        case f: java.lang.Float  => f.toDouble
-        case d: java.lang.Double => d.doubleValue
-        case null => throw new IllegalArgumentException(
-          s"semDedup centroid ${r.getLong(0)} has a null element")
-      }
-      (r.getLong(0), v)
-    }
-    // argmax-cosine assignment per row: one fused dot kernel per
-    // centroid against a constant array; ties break to the smaller c_id
-    // (cents are c_id-ordered, array_position finds the FIRST max).
-    // Norm fold order matches the kernels (strict left-to-right), so
-    // the oracle's cos arithmetic reproduces bit-for-bit.
-    val vNrm = normD(col(vecCol))
-    val scores = array(cents.map { case (_, cv) =>
-      cosineD(col(vecCol), typedlit(cv), vNrm,
-        lit(math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x))))
-    }: _*)
-    val member = corpus.filter(col(vecCol).isNotNull).select(
-      col(idCol).as("m_id"),
-      col(vecCol).as("m_vec"),
-      vNrm.as("m_nrm"),
-      element_at(typedlit(cents.map(_._1)),
-        array_position(scores, array_max(scores)).cast("int")).as("cell"))
+    val member = kernelMembers(corpus, idCol, vecCol, cells, centroids, "semDedup")
     val a = member.select(col("m_id").as("q_id"), col("m_vec").as("q_vec"),
       col("m_nrm").as("q_nrm"), col("cell"))
     val b = member.select(col("m_id").as("n_id"), col("m_vec").as("n_vec"),
@@ -339,6 +366,89 @@ object Similarity {
       .join(dropped, Seq("m_id"), "left")
       .select(col("m_id").as(idCol), col("cell"),
         col("_dup").isNull.as("kept"))
+  }
+
+  /** Shared fused-kernel cell membership for the clustering family
+    * ([[semDedup]], [[graft.llm.Selection.clusterBalancedSample]]):
+    * collect the (codebook-sized) quantizer to the driver, then assign
+    * every non-null corpus vector to its argmax-cosine centroid with
+    * per-row kernel math — NO exchange at all in the assignment pass.
+    * Ties break to the smaller c_id (cents are c_id-ordered,
+    * array_position finds the FIRST max); norm folds are strict
+    * left-to-right so DuckDB oracles reproduce the cos bit-for-bit.
+    * Returns (m_id, m_vec, m_nrm, cell). */
+  private[llm] def kernelMembers(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cells: Int, centroids: Option[DataFrame], who: String): DataFrame = {
+    val centRows = centroids
+      .map(_.select(col("c_id").cast("long").as("c_id"), col("c_vec")))
+      // the id-chosen default skips null vectors (an arbitrary seed
+      // choice anyway); user-supplied quantizers fail loudly below
+      .getOrElse(corpus.filter(col(idCol) < cells && col(vecCol).isNotNull)
+        .select(col(idCol).cast("long").as("c_id"), col(vecCol).as("c_vec")))
+      .orderBy(col("c_id"))
+      .collect()
+    require(centRows.nonEmpty, s"$who needs at least one centroid")
+    val cents: Seq[(Long, Seq[Double])] = centRows.toSeq.map { r =>
+      val raw = r.getSeq[Any](1)
+      require(raw != null, s"$who centroid ${r.getLong(0)} has a null vector")
+      val v = raw.toSeq.map {
+        case f: java.lang.Float  => f.toDouble
+        case d: java.lang.Double => d.doubleValue
+        case null => throw new IllegalArgumentException(
+          s"$who centroid ${r.getLong(0)} has a null element")
+      }
+      (r.getLong(0), v)
+    }
+    val vNrm = normD(col(vecCol))
+    val scores = array(cents.map { case (_, cv) =>
+      cosineD(col(vecCol), typedlit(cv), vNrm,
+        lit(math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x))))
+    }: _*)
+    corpus.filter(col(vecCol).isNotNull).select(
+      col(idCol).as("m_id"),
+      col(vecCol).as("m_vec"),
+      vNrm.as("m_nrm"),
+      element_at(typedlit(cents.map(_._1)),
+        array_position(scores, array_max(scores)).cast("int")).as("cell"))
+  }
+
+  /** ±1 entry (j, i) of the sign random-projection matrix: the parity
+    * of the same leading-60-md5-bit derivation the LSH planes use —
+    * deterministic, engine-portable (DuckDB replays the identical
+    * string-hash-parity arithmetic). */
+  private[graft] def rpSign(salt: String, j: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$salt:$j:$i".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % 2L) * 2.0 - 1.0
+  }
+
+  /** Sign random projection (Achlioptas 2003's database-friendly
+    * Johnson–Lindenstrauss transform): out[j] = Σᵢ v[i]·s(j,i) / √outDim
+    * with s = ±1 derived from md5 — distance-preserving in expectation,
+    * fully deterministic, no trained state. The narrow output feeds the
+    * ANN family as a cheaper exact-rescore space (reduced vectors are
+    * outDim/dims the bytes of the originals through every downstream
+    * exchange) or as the input space for LSH/IVF at high source dims.
+    *
+    * Scale shape: the matrix rides as outDim literal arrays (codebook-
+    * sized, like the LSH planes); the projection is pure per-row fold
+    * math — no shuffle, no join, no exchange anywhere. Each fold is
+    * strict left-to-right in doubles, so the DuckDB oracle replays the
+    * arithmetic bit-for-bit. Null vectors project to null. */
+  def rpReduce(
+      vec: Column, dims: Int, outDim: Int, salt: String = "rp"): Column = {
+    require(outDim >= 1 && dims >= 1, "rpReduce dims must be >= 1")
+    val scale = math.sqrt(outDim.toDouble)
+    // the when-guard turns a null INPUT into a null output (not an
+    // array of null elements, which downstream kernels would reject)
+    when(vec.isNotNull, array((0 until outDim).map { j =>
+      val signs = (1 to dims).map(i => rpSign(salt, j, i))
+      aggregate(
+        zip_with(vec, lit(signs.toArray), (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, x) => acc + x) / scale
+    }: _*))
   }
 
   /** Recall@k evaluation: per query, the fraction of the EXACT top-k

@@ -345,6 +345,40 @@ object TextFunctions {
   def urlHost(url: Column): Column =
     lower(regexp_extract(url, HostPattern, 1))
 
+  // tracking params stripped by canonicalUrl; a char-class-only RE2/Java
+  // common-subset pattern (no \w, no lookaround)
+  private val TrackParam = "(utm_[a-z0-9_]*|fbclid|gclid)"
+
+  /** Canonical form of a URL for URL-level dedup (the C4/Gopher first
+    * pass — the same page re-crawled via different link decorations must
+    * collapse): drops the #fragment, strips tracking query params
+    * (utm_*, fbclid, gclid) wherever they sit in the query string,
+    * lowercases scheme + host (never the path — paths are case-
+    * sensitive), removes a leading `www.`, drops the scheme-default
+    * port (:80 http / :443 https), and trims trailing `/` and `?`.
+    *
+    * Pure per-row regex math over patterns in the Java/RE2 common
+    * subset, so the DuckDB oracle replays every step; shuffle-free at
+    * any corpus size. A scheme-less input passes through (the prefix
+    * rules simply don't match). */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    // non-leading trackers drop with their '&'; a leading tracker
+    // followed by more params donates its '?' to the successor; a
+    // leading lone tracker drops with the '?'
+    val a = regexp_replace(noFrag, "(?i)&" + TrackParam + "=[^&]*", "")
+    val b = regexp_replace(a, "(?i)\\?" + TrackParam + "=[^&]*&", "?")
+    val c = regexp_replace(b, "(?i)\\?" + TrackParam + "=[^&]*$", "")
+    val prefixPat = "(?i)^https?://[^/?#]*"
+    val pfx = lower(regexp_extract(c, prefixPat, 0))
+    val pfxNoPort = regexp_replace(
+      regexp_replace(pfx, "^(http://[^/:?#]+):80$", "$1"),
+      "^(https://[^/:?#]+):443$", "$1")
+    val pfxNoWww = regexp_replace(pfxNoPort, "^(https?)://www\\.", "$1://")
+    val rest = regexp_replace(c, prefixPat, "")
+    regexp_replace(concat(pfxNoWww, rest), "[/?]+$", "")
+  }
+
   // ---- line-level dedup ----------------------------------------------------
 
   /** Remove repeated lines within a document, keeping the FIRST

@@ -2978,6 +2978,416 @@ object Llm {
                  CAST(common AS DOUBLE) / nb FROM cs)
         SELECT doc_a, doc_b, common, containment
         FROM u WHERE containment >= 0.6
-        ORDER BY doc_a, doc_b""")))
+        ORDER BY doc_a, doc_b"""))),
+
+    // ---- hybrid retrieval: BM25 keyword top-10 and exact-cosine dense
+    //      top-10 fused by reciprocal-rank fusion — rank-only, so the
+    //      two scoring scales never need calibration. The oracle
+    //      replays both searches AND the list-ordered fusion fold
+    "q164_hybrid_rrf" -> ((
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val queries = Seq(
+          (0L, Seq("spark", "merge")),
+          (1L, Seq("window", "filter")),
+          (2L, Seq("customer", "vector"))).toDF("q_id", "terms")
+        val sparse = graft.llm.Retrieval.bm25TopK(
+          t(s, d, "documents"), "doc_id", "text", queries, k = 10)
+        val emb = t(s, d, "embeddings")
+        val dense = Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10)
+          .withColumnRenamed("n_id", "doc_id")
+        graft.llm.Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                      FROM documents),
+        d AS (SELECT doc_id, tk, CAST(len(tk) AS DOUBLE) AS dl FROM toks),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                         CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+                  FROM toks),
+        tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+               FROM (SELECT doc_id, dl, unnest(tk) AS term FROM d)
+               GROUP BY 1, 2, 3),
+        dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+                  GROUP BY 1),
+        q(q_id, term) AS (VALUES
+          (0, 'spark'), (0, 'merge'),
+          (1, 'window'), (1, 'filter'),
+          (2, 'customer'), (2, 'vector')),
+        contrib AS (
+          SELECT q.q_id, tf.doc_id, tf.term,
+                 ln((s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)) AS c
+          FROM tf
+          JOIN q ON q.term = tf.term
+          JOIN dfreq ON dfreq.term = tf.term, stats s),
+        bscored AS (
+          SELECT q_id, doc_id,
+                 list_sum(list_transform(
+                   list_sort(list(struct_pack(term := term, c := c))),
+                   x -> x.c)) AS score
+          FROM contrib GROUP BY 1, 2),
+        sparse AS (
+          SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, rnk FROM (
+            SELECT q_id, doc_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY score DESC, doc_id) AS rnk
+            FROM bscored)
+          WHERE rnk <= 10),
+        nrm AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * x))) AS nrm
+          FROM embeddings),
+        dscored AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
+                 list_sum(list_transform(range(1,65),
+                   i -> CAST(q.embedding[i] AS DOUBLE) * c.embedding[i]))
+                   / (q.nrm * c.nrm) AS cos
+          FROM nrm q JOIN nrm c ON q.vec_id < 3 AND c.vec_id <> q.vec_id),
+        dense AS (
+          SELECT q_id, doc_id, rnk FROM (
+            SELECT q_id, doc_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, doc_id) AS rnk
+            FROM dscored)
+          WHERE rnk <= 10),
+        fused AS (
+          SELECT q_id, doc_id, 0 AS li, 1.0 / (60.0 + rnk) AS c FROM sparse
+          UNION ALL
+          SELECT q_id, doc_id, 1 AS li, 1.0 / (60.0 + rnk) AS c FROM dense),
+        rscored AS (
+          SELECT q_id, doc_id,
+                 list_sum(list_transform(
+                   list_sort(list(struct_pack(li := li, c := c))),
+                   x -> x.c)) AS rrf
+          FROM fused GROUP BY 1, 2)
+        SELECT q_id, rnk, doc_id, rrf FROM (
+          SELECT q_id, doc_id, rrf,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY rrf DESC, doc_id) AS rnk
+          FROM rscored)
+        WHERE rnk <= 10 ORDER BY q_id, rnk"""))),
+
+    // ---- cluster-balanced sampling: semantic cells capped at 3 docs
+    //      each, picked in salted-md5 order — the embedding-space
+    //      anti-domination pass (q146's per-host cap in vector space)
+    "q165_cluster_sample" -> ((
+      (s: SparkSession, d: String) =>
+        graft.llm.Selection.clusterBalancedSample(
+            t(s, d, "embeddings"), "vec_id", "embedding",
+            cells = 16, perCell = 3)
+          .orderBy(col("vec_id")),
+      Some("""
+        WITH nrm AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * x))) AS nrm
+          FROM embeddings),
+        cent AS (SELECT vec_id AS c_id, embedding AS c_vec, nrm AS c_nrm
+                 FROM nrm WHERE vec_id < 16),
+        member AS (
+          SELECT vec_id AS m_id, CAST(c_id AS BIGINT) AS cell FROM (
+            SELECT n.vec_id, c.c_id,
+                   row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(n.embedding[i] AS DOUBLE) * c.c_vec[i]))
+                       / (n.nrm * c.c_nrm) DESC, c.c_id) AS rk
+            FROM nrm n, cent c)
+          WHERE rk = 1),
+        b AS (
+          SELECT m_id, cell,
+                 CAST('0x'||substr(md5('cbs:'||CAST(m_id AS VARCHAR)),1,15)
+                   AS BIGINT) % 1000000 AS bk
+          FROM member)
+        SELECT m_id AS vec_id, cell, rk, rk <= 3 AS picked FROM (
+          SELECT m_id, cell,
+                 row_number() OVER (PARTITION BY cell ORDER BY bk, m_id) AS rk
+          FROM b)
+        ORDER BY vec_id"""))),
+
+    // ---- sign random projection (Johnson–Lindenstrauss): 64 -> 16
+    //      dims with a deterministic md5-derived ±1 matrix; pure
+    //      per-row fold math, and the oracle replays every product and
+    //      the fold order bit-for-bit
+    "q166_rp_reduce" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "embeddings")
+          .select(col("vec_id"),
+            posexplode(Similarity.rpReduce(
+              col("embedding"), dims = 64, outDim = 16)).as(Seq("j", "x")))
+          .orderBy(col("vec_id"), col("j")),
+      Some("""
+        SELECT vec_id, CAST(j AS INTEGER) AS j,
+               list_sum(list_transform(range(1, 65), i ->
+                 CAST(embedding[i] AS DOUBLE) *
+                 CAST((CAST('0x'||substr(md5('rp:'||CAST(j AS VARCHAR)||':'
+                   ||CAST(i AS VARCHAR)),1,15) AS BIGINT) % 2) * 2 - 1
+                   AS DOUBLE)))
+               / sqrt(16.0) AS x
+        FROM embeddings, range(0, 16) r(j)
+        ORDER BY vec_id, j"""))),
+
+    // ---- URL-level dedup: four link-decoration variants per page
+    //      (utm param / fragment / www + trailing slash / port + leading
+    //      tracker) collapse to one canonical fetch; the oracle replays
+    //      the whole canonicalization regex chain
+    "q167_url_dedup" -> ((
+      (s: SparkSession, d: String) => {
+        val m = pmod(col("doc_id"), lit(4))
+        val page = floor(col("doc_id") / 4).cast("long").cast("string")
+        val url = when(m === 0,
+            concat(lit("https://Example.com/Page/"), page, lit("?utm_source=feed")))
+          .when(m === 1, concat(lit("https://example.com/Page/"), page, lit("#top")))
+          .when(m === 2, concat(lit("https://www.example.com/Page/"), page, lit("/")))
+          .otherwise(concat(lit("http://Other.org:80/q"),
+            pmod(col("doc_id"), lit(7)).cast("string"),
+            lit("?fbclid=track123&x=1")))
+        graft.llm.Dedup.urlDedup(
+            t(s, d, "documents").select(col("doc_id"), url.as("url")),
+            "doc_id", col("url"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+                 CASE doc_id % 4
+                   WHEN 0 THEN 'https://Example.com/Page/'
+                     || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=feed'
+                   WHEN 1 THEN 'https://example.com/Page/'
+                     || CAST(doc_id // 4 AS VARCHAR) || '#top'
+                   WHEN 2 THEN 'https://www.example.com/Page/'
+                     || CAST(doc_id // 4 AS VARCHAR) || '/'
+                   ELSE 'http://Other.org:80/q'
+                     || CAST(doc_id % 7 AS VARCHAR) || '?fbclid=track123&x=1'
+                 END AS url
+          FROM documents),
+        s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS x FROM u),
+        s2 AS (SELECT doc_id, regexp_replace(x,
+                 '(?i)&(utm_[a-z0-9_]*|fbclid|gclid)=[^&]*', '', 'g') AS x
+               FROM s1),
+        s3 AS (SELECT doc_id, regexp_replace(x,
+                 '(?i)\?(utm_[a-z0-9_]*|fbclid|gclid)=[^&]*&', '?') AS x
+               FROM s2),
+        s4 AS (SELECT doc_id, regexp_replace(x,
+                 '(?i)\?(utm_[a-z0-9_]*|fbclid|gclid)=[^&]*$', '') AS x
+               FROM s3),
+        s5 AS (SELECT doc_id, x,
+                 lower(regexp_extract(x, '(?i)^https?://[^/?#]*', 0)) AS pfx,
+                 regexp_replace(x, '(?i)^https?://[^/?#]*', '') AS rest
+               FROM s4),
+        s6 AS (SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(pfx,
+                   '^(http://[^/:?#]+):80$', '\1'),
+                   '^(https://[^/:?#]+):443$', '\1'),
+                   '^(https?)://www\.', '\1://') || rest AS y
+               FROM s5),
+        canon AS (SELECT doc_id,
+                    regexp_replace(y, '[/?]+$', '') AS canon_url
+                  FROM s6),
+        g AS (SELECT canon_url, min(doc_id) AS canonical_id,
+                     count(*) AS n_dups
+              FROM canon GROUP BY 1)
+        SELECT c.doc_id, c.canon_url, g.canonical_id, g.n_dups,
+               c.doc_id = g.canonical_id AS is_canonical
+        FROM canon c JOIN g USING (canon_url)
+        ORDER BY c.doc_id"""))),
+
+    // ---- dataset-card vocabulary table: Zipf-ranked top-25 tokens
+    //      with occurrence + document counts (TakeOrdered, never a
+    //      global sort; the rank window sees 25 rows)
+    "q168_token_profile" -> ((
+      (s: SparkSession, d: String) =>
+        graft.llm.Profiling.tokenProfile(
+            t(s, d, "documents"), "doc_id", col("text"), k = 25)
+          .orderBy(col("rnk")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents WHERE text IS NOT NULL),
+        c AS (SELECT token, count(*) AS n_occ,
+                     count(DISTINCT doc_id) AS n_docs
+              FROM toks WHERE token <> '' GROUP BY 1)
+        SELECT rnk, token, n_occ, n_docs FROM (
+          SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, token ASC)
+                   AS BIGINT) AS rnk,
+                 token, n_occ, n_docs
+          FROM c)
+        WHERE rnk <= 25 ORDER BY rnk"""))),
+
+    // ---- per-label mean-pooled centroids (class prototypes), exact
+    //      mode: the per-(group,dim) sum folds in (id, value) sorted
+    //      order so the float mean is bit-stable across engines; the
+    //      production mode is the same plan with a plain hash-agg avg
+    "q170_group_centroids" -> ((
+      (s: SparkSession, d: String) =>
+        Similarity.groupCentroids(
+            t(s, d, "embeddings"), "vec_id", "embedding", "label",
+            exact = true)
+          .orderBy(col("label"), col("j")),
+      Some("""
+        WITH e AS (
+          SELECT label, vec_id, CAST(j AS BIGINT) - 1 AS j,
+                 CAST(embedding[CAST(j AS INTEGER)] AS DOUBLE) AS x
+          FROM embeddings, range(1, 65) r(j))
+        SELECT label, j, CAST(count(*) AS BIGINT) AS n,
+               list_sum(list_transform(
+                 list_sort(list(struct_pack(id := vec_id, x := x))),
+                 s -> s.x)) / count(*) AS c
+        FROM e GROUP BY label, j ORDER BY label, j"""))),
+
+    // ---- distribution-shift audit: KL(P_source || P_corpus) over the
+    //      corpus top-64 tokens with add-one smoothing — one census
+    //      pass, vocabulary-rank-ordered fold, bit-replayed term by term
+    "q171_token_kl_shift" -> ((
+      (s: SparkSession, d: String) =>
+        graft.llm.Profiling.tokenKlShift(
+            t(s, d, "documents"), "source", col("text"), vocabK = 64)
+          .orderBy(col("source")),
+      Some("""
+        WITH toks AS (
+          SELECT source, unnest(string_split(text, ' ')) AS token
+          FROM documents WHERE text IS NOT NULL),
+        gt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+               FROM toks WHERE token <> '' GROUP BY 1, 2),
+        corp AS (SELECT token, CAST(sum(c) AS BIGINT) AS gc FROM gt GROUP BY 1),
+        vocab AS (
+          SELECT token, gc, rnk FROM (
+            SELECT token, gc,
+                   row_number() OVER (ORDER BY gc DESC, token ASC) AS rnk
+            FROM corp)
+          WHERE rnk <= 64),
+        tot AS (SELECT CAST(sum(gc) AS DOUBLE) AS n_all,
+                       CAST(count(*) AS DOUBLE) AS v FROM vocab),
+        grid AS (
+          SELECT g.source, v.token, v.gc, v.rnk, COALESCE(gt.c, 0) AS c
+          FROM (SELECT DISTINCT source FROM gt) g
+          CROSS JOIN vocab v
+          LEFT JOIN gt ON gt.source = g.source AND gt.token = v.token),
+        pg AS (
+          SELECT source, CAST(sum(c) AS BIGINT) AS n_g,
+                 list(struct_pack(rnk := rnk, c := c, gc := gc)) AS terms
+          FROM grid GROUP BY source)
+        SELECT source, n_g AS n_tokens,
+               list_sum(list_transform(list_sort(terms), s ->
+                 ((CAST(s.c AS DOUBLE) + 1.0) / (CAST(n_g AS DOUBLE) + t.v))
+                 * ln(((CAST(s.c AS DOUBLE) + 1.0) / (CAST(n_g AS DOUBLE) + t.v))
+                      / ((CAST(s.gc AS DOUBLE) + 1.0) / (t.n_all + t.v))))) AS kl
+        FROM pg, tot t ORDER BY source"""))),
+
+    // ---- hard-negative mining: planted exact copies of each query
+    //      (scaled ×2, cosine exactly 1.0) MUST be excluded by the
+    //      near-dup gate before the rank window; the top-10 survivors
+    //      are the contrastive-training negatives
+    "q172_hard_negatives" -> ((
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val planted = emb.filter(col("vec_id") < 4)
+          .select((col("vec_id") + 1000).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        Similarity.hardNegatives(
+            emb.select("vec_id", "embedding").unionByName(planted),
+            emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+            k = 10, maxCos = 0.999)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000,
+                 list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+          FROM embeddings WHERE vec_id < 4),
+        nc AS (SELECT vec_id, embedding,
+                      sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * x))) AS nrm
+               FROM corpus),
+        nq AS (SELECT vec_id, embedding,
+                      sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * x))) AS nrm
+               FROM embeddings WHERE vec_id < 4),
+        sc AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                 list_sum(list_transform(range(1, 65),
+                   i -> CAST(q.embedding[i] AS DOUBLE) * c.embedding[i]))
+                   / (q.nrm * c.nrm) AS cos
+          FROM nq q JOIN nc c ON c.vec_id <> q.vec_id)
+        SELECT q_id, rnk, n_id, cos FROM (
+          SELECT q_id, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, n_id) AS rnk
+          FROM sc WHERE cos < 0.999)
+        WHERE rnk <= 10 ORDER BY q_id, rnk"""))),
+
+    // ---- LSH-bucketed decontamination: benchmark docs (exact copies
+    //      at doc_id%50=7, first-half excerpts at %50=23) probe the
+    //      corpus signature store new-vs-all style; flagged corpus docs
+    //      carry their worst benchmark match by minhash-estimated
+    //      Jaccard. The oracle replays signatures, banding, the
+    //      bench-side probe, and the worst-match window
+    "q173_lsh_decontam" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val tk = graft.llm.TextFunctions.wsTokens(col("text"))
+        val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 7)
+          .select(col("doc_id"), col("text"))
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(50)) === 23)
+            .select(col("doc_id"),
+              array_join(slice(tk, lit(1), (size(tk) / 2).cast("int")), " ")
+                .as("text")))
+        graft.llm.Contamination.lshContaminatedDocs(
+            docs, bench, "doc_id", "text", n = 3, k = 16, bands = 4,
+            minEst = 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH bench AS (
+          SELECT doc_id AS bid, text FROM documents WHERE doc_id % 50 = 7
+          UNION ALL
+          SELECT doc_id, array_to_string(list_slice(
+                   string_split(text, ' '), 1,
+                   len(string_split(text, ' ')) // 2), ' ')
+          FROM documents WHERE doc_id % 50 = 23),
+        uni AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+          UNION ALL
+          SELECT -bid - 1, string_split(text, ' ') FROM bench),
+        sh AS (SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+            i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])) AS s FROM uni)),
+        mh AS (
+          SELECT doc_id, i,
+                 min((a * (CAST('0x'||substr(md5(s),1,15) AS BIGINT) % ${Dedup.MinhashPrime})
+                      + b) % ${Dedup.MinhashPrime}) AS h
+          FROM sh, (VALUES ${Dedup.minhashParamsSql(16)}) params(i, a, b)
+          GROUP BY doc_id, i),
+        sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, b,
+                 CAST(sig[b*4+1] AS VARCHAR)||','||CAST(sig[b*4+2] AS VARCHAR)||','||
+                 CAST(sig[b*4+3] AS VARCHAR)||','||CAST(sig[b*4+4] AS VARCHAR) AS bucket
+          FROM sig, range(0, 4) r(b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS bench_key, b.doc_id AS doc_id
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.bucket = b.bucket
+               AND a.doc_id < 0 AND b.doc_id >= 0),
+        scored AS (
+          SELECT c.doc_id, -c.bench_key - 1 AS bench_id,
+                 CAST(len(list_filter(range(1,17), i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS n_match,
+                 len(list_filter(range(1,17), i -> sa.sig[i] = sb.sig[i])) / 16.0 AS est_jaccard
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.bench_key
+          JOIN sig sb ON sb.doc_id = c.doc_id
+          WHERE len(list_filter(range(1,17), i -> sa.sig[i] = sb.sig[i])) >= 8)
+        SELECT doc_id, bench_id AS worst_bench_id, n_match, est_jaccard FROM (
+          SELECT doc_id, bench_id, n_match, est_jaccard,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY est_jaccard DESC, bench_id ASC) AS rk
+          FROM scored)
+        WHERE rk = 1 ORDER BY doc_id""")))
   )
 }

@@ -2447,6 +2447,49 @@ object TableFormat {
         FROM final_state GROUP BY o_orderpriority
         ORDER BY o_orderpriority"""))),
 
+    // ---- incrementally-maintained aggregate table: an additive-counter
+    //      merge strategy (the counter-payload idiom of the reference's
+    //      pluggable HoodieRecordPayload seam) keyed by lang consumes
+    //      each ingest batch's INCREMENTAL read as a delta; after three
+    //      batches — with a mid-stream compaction folding the partial
+    //      sums into the base — the rollup table must equal a full
+    //      recompute over the source. Exercises incremental cursors ×
+    //      custom merge registry × MOR delta merge × compaction
+    //      invariance in one gate.
+    "q169_incr_stats_maintenance" -> ((
+      (s: SparkSession, d: String) => {
+        graft.write.MergeStrategies.register("additive_counts",
+          new graft.write.AdditiveStrategy(Set("n_docs", "n_tokens")))
+        val docs = graft.Tables.t(s, d, "documents")
+        val src = GraftTable.create(s, freshDir(), TableConfig(
+          name = "docs_src", tableType = TableType.COW,
+          keyFields = Seq("doc_id"), targetFileRows = 500000))
+        val stats = GraftTable.create(s, freshDir(), TableConfig(
+          name = "lang_stats", tableType = TableType.MOR,
+          keyFields = Seq("lang"), mergeStrategy = "additive_counts",
+          targetFileRows = 500000))
+        var cursor = ""
+        for (m <- 0 to 2) {
+          val instant = src.upsert(docs.filter(pmod(col("doc_id"), lit(3)) === m))
+          val rs = GraftReader(src)
+          val delta = rs.dataOnly(rs.incremental(cursor))
+          cursor = instant
+          stats.upsert(delta.groupBy(col("lang")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(graft.llm.TextFunctions.wsTokens(col("text")))
+              .cast("long")).as("n_tokens")))
+          if (m == 1) TableServices(stats).compact()
+        }
+        val r = GraftReader(stats)
+        r.dataOnly(r.snapshot())
+          .select(col("lang"), col("n_docs"), col("n_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang ORDER BY lang"""))),
+
     "q122_failed_write_cleanup" -> ((
       (s: SparkSession, d: String) => {
         val orders = graft.Tables.t(s, d, "orders")

@@ -74,6 +74,43 @@ object PartialUpdateStrategy extends MergeStrategy {
   }
 }
 
+/** Additive counter semantics: every column in `counterCols` merges by
+  * SUMMING the key's live versions instead of picking one — the
+  * strategy behind incrementally-maintained aggregate tables (metric
+  * rollups, per-key counters), where each upsert carries a DELTA and
+  * the stored row holds the running total. Non-counter columns keep
+  * overwrite_latest semantics (the newest version's value wins).
+  *
+  * Correct under every physical layout by construction: the sum runs
+  * over ALL live retained versions (COW stored row + incoming, or MOR
+  * base + any number of delta rows), so compaction folding deltas into
+  * the base never changes the answer — the folded base simply carries
+  * the partial sum the deltas used to. A tombstone resets the counter:
+  * versions at or below a key's newest tombstone are dead and excluded
+  * from the frame by the merge pre-filter.
+  *
+  * Contract: batches must be pre-aggregated to one row per key —
+  * intra-batch duplicates go through precombine's pick-one semantics
+  * BEFORE the merge and would not be summed. Parameterized, so it is
+  * not pre-registered: `MergeStrategies.register("my_counts", new
+  * AdditiveStrategy(Set(...)))` before writing or reading the table
+  * (the same register-before-use contract as any custom strategy). */
+class AdditiveStrategy(counterCols: Set[String]) extends MergeStrategy {
+  require(counterCols.nonEmpty, "AdditiveStrategy needs at least one counter column")
+  override def priority(ordering: Column, commitTime: Column, seqno: Column) =
+    Seq(ordering.desc_nulls_last, commitTime.desc, seqno.desc)
+  override def project(df: DataFrame, frame: WindowSpec, dataCols: Seq[String],
+      deleted: Column, live: Column): DataFrame = {
+    val counters = dataCols.filter(counterCols.contains).toSet
+    df.select(df.columns.toSeq.map { c =>
+      if (!counters.contains(c)) col(c)
+      else when(deleted, col(c))
+        .otherwise(sum(when(live, col(c))).over(frame))
+        .as(c)
+    }: _*)
+  }
+}
+
 /** Name -> strategy registry. Built-ins are pre-registered; custom
   * strategies register once per JVM/session before the table is
   * written or read (mirroring the reference's requirement that the

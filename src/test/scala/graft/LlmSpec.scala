@@ -1047,10 +1047,12 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = s2.sql(
       "SELECT normalize_text('cafe\u0301', 'NFC') AS n, " +
         "strip_html('<p>a &amp; b</p>') AS h, " +
-        "url_host('https://Ads.Example.COM/x') AS u").head()
+        "url_host('https://Ads.Example.COM/x') AS u, " +
+        "canonical_url('HTTPS://WWW.A.com/P/?utm_source=x') AS c").head()
     assert(got.getString(0) == "caf\u00e9")
     assert(got.getString(1) == "a & b")
     assert(got.getString(2) == "ads.example.com")
+    assert(got.getString(3) == "https://a.com/P")
   }
 
   test("containment catches the excerpt page that Jaccard misses") {
@@ -1148,5 +1150,250 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out((3L, 1L)) == "muon")
     // doc 1's second keyword is the zero-idf 'the' (nothing else left)
     assert(out((1L, 2L)) == "the")
+  }
+
+  test("corpusLineDedup paragraph mode: cross-doc paragraphs drop, lines inside survive") {
+    import spark.implicits._
+    val boiler = "subscribe now\nget our app"
+    val df = Seq(
+      (1L, s"unique one\n\n$boiler"),
+      (2L, s"$boiler\n\nunique two"),
+      (3L, "all original\n\nnothing shared")).toDF("doc_id", "text")
+    val out = Dedup.corpusLineDedup(df, "doc_id", col("text"), minDocs = 2,
+        sep = "\n\n")
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(3) == "unique one")
+    assert(out(1).getString(3) == "unique two")
+    assert(out(2).getString(3) == "all original\n\nnothing shared")
+    // the shared PARAGRAPH dropped whole; its inner newline was never a
+    // split point in paragraph mode
+    assert(out(0).getLong(2) == 1L && out(1).getLong(2) == 1L)
+  }
+
+  test("tokenProfile ranks by count then token, counts docs distinctly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a b"),
+      (2L, "a b  c")).toDF("doc_id", "text")
+    val out = Profiling.tokenProfile(df, "doc_id", col("text"), k = 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // 'a' x3 in 2 docs; 'b' x2 in 2 docs; the double space yields an
+    // empty token that must not rank
+    assert(out.toSeq == Seq((1L, "a", 3L, 2L), (2L, "b", 2L, 2L)))
+  }
+
+  test("canonicalUrl: trackers, fragments, www, default ports, case rules") {
+    import spark.implicits._
+    import graft.llm.{TextFunctions => TF}
+    val cases = Seq(
+      // leading tracker donates '?' to the next param; non-leading drops
+      "https://a.com/p?utm_source=x&q=1&utm_medium=y" -> "https://a.com/p?q=1",
+      // lone tracker drops with its '?'
+      "https://a.com/p?gclid=abc" -> "https://a.com/p",
+      // fragment, trailing slash, www
+      "HTTPS://WWW.A.com/Path/#sec" -> "https://a.com/Path",
+      // default ports per scheme; non-default kept
+      "http://a.com:80/x" -> "http://a.com/x",
+      "https://a.com:443/x" -> "https://a.com/x",
+      "http://a.com:8080/x" -> "http://a.com:8080/x",
+      // path case preserved, host lowered
+      "https://A.com/CaseSensitive" -> "https://a.com/CaseSensitive",
+      // scheme-less input passes through untouched (minus trim rules)
+      "ftp://a.com/x" -> "ftp://a.com/x")
+    val got = cases.map(_._1).toDF("u")
+      .select(TF.canonicalUrl(col("u"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("urlDedup groups decorated re-crawls under the min-id canonical") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://a.com/p?utm_source=x"),
+      (2L, "https://www.a.com/p/"),
+      (3L, "https://a.com/p#frag"),
+      (4L, "https://a.com/other"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "url")
+    val out = Dedup.urlDedup(df, "doc_id", col("url"))
+      .orderBy("doc_id").collect()
+    assert(out.length == 4) // the null-url row drops
+    assert(out.take(3).forall(r => r.getString(1) == "https://a.com/p"
+      && r.getLong(2) == 1L && r.getLong(3) == 3L))
+    assert(out(0).getBoolean(4) && !out(1).getBoolean(4) && !out(2).getBoolean(4))
+    assert(out(3).getLong(2) == 4L && out(3).getBoolean(4))
+  }
+
+  test("rrfFuse: hand-checked fusion; docs on one list only still score") {
+    import spark.implicits._
+    val a = Seq((0L, 1L, 10L), (0L, 2L, 20L))
+      .toDF("q_id", "rnk", "doc_id")
+    val b = Seq((0L, 1L, 20L), (0L, 2L, 30L))
+      .toDF("q_id", "rnk", "doc_id")
+    val out = Retrieval.rrfFuse(Seq(a, b), k = 3, k0 = 60.0)
+      .collect().map(r => (r.getLong(2), r.getLong(1), r.getDouble(3))).toSeq
+    // doc 20: 1/62 + 1/61 (list order: a then b); 10: 1/61; 30: 1/62
+    val s20 = 1.0 / 62 + 1.0 / 61
+    assert(out.sortBy(_._2) == Seq(
+      (20L, 1L, s20), (10L, 2L, 1.0 / 61), (30L, 3L, 1.0 / 62)))
+  }
+
+  test("clusterBalancedSample caps every cell at perCell, deterministically") {
+    import spark.implicits._
+    // two obvious clusters on a 4-dim axis pair; centroids = ids 0,1
+    val rows = (0L until 20L).map { i =>
+      val v = if (i % 2 == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f)
+      (i, v.map(x => x + (i / 100.0f)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Selection.clusterBalancedSample(
+      df, "vec_id", "embedding", cells = 2, perCell = 4)
+    val picked = out.filter(col("picked")).collect()
+      .map(r => (r.getLong(1), r.getLong(0)))
+    assert(picked.groupBy(_._1).forall(_._2.length == 4))
+    assert(out.count() == 20)
+    // deterministic: a rerun picks the identical ids
+    val again = Selection.clusterBalancedSample(
+        df, "vec_id", "embedding", cells = 2, perCell = 4)
+      .filter(col("picked")).collect().map(r => (r.getLong(1), r.getLong(0)))
+    assert(picked.sorted.toSeq == again.sorted.toSeq)
+    // every even id landed in the even-seed cell (cell 0), odds in 1
+    val cells = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 20L).forall(i => cells(i) == i % 2))
+  }
+
+  test("rpReduce: output dim, null passthrough, and neighborhood preservation") {
+    import spark.implicits._
+    val n = 40
+    val rows = (0 until n).map { i =>
+      // two tight clusters far apart in 16-dim space
+      val base = if (i < n / 2) 0 else 8
+      (i.toLong, Array.tabulate(16)(d =>
+        (if (d == base) 10f else 0f) + (i % 5) * 0.1f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val red = df.select(col("vec_id"),
+      graft.llm.Similarity.rpReduce(col("embedding"), dims = 16, outDim = 8)
+        .as("embedding"))
+    val first = red.orderBy("vec_id").head()
+    assert(first.getSeq[Double](1).length == 8)
+    // JL property on separated clusters: full-dim top-3 survives the
+    // projection for every query (clusters are far apart)
+    val q = df.filter(col("vec_id") < 2)
+    val exact = graft.llm.Similarity.bruteForceTopK(df, q, "vec_id", "embedding", 3)
+    val approx = graft.llm.Similarity.bruteForceTopK(
+      red, red.filter(col("vec_id") < 2), "vec_id", "embedding", 3)
+    val rec = graft.llm.Similarity.topKRecall(exact, approx)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(rec >= 0.9, s"reduced-space recall $rec")
+    // null vectors project to null, not a crash
+    val withNull = Seq((99L, null: Array[Float])).toDF("vec_id", "embedding")
+    val np = withNull.select(
+      graft.llm.Similarity.rpReduce(col("embedding"), 16, 8).as("r")).head()
+    assert(np.isNullAt(0))
+  }
+
+  test("groupCentroids: exact mode matches hand math and the production avg") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", Array(1f, 3f)),
+      (2L, "a", Array(3f, 5f)),
+      (3L, "b", Array(10f, 0f)),
+      (4L, "b", null.asInstanceOf[Array[Float]])).toDF("id", "g", "vec")
+    val exact = Similarity.groupCentroids(df, "id", "vec", "g", exact = true)
+      .orderBy("g", "j").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(exact.toSeq == Seq(
+      ("a", 0L, 2L, 2.0), ("a", 1L, 2L, 4.0),
+      ("b", 0L, 1L, 10.0), ("b", 1L, 1L, 0.0)))
+    val prod = Similarity.groupCentroids(df, "id", "vec", "g", exact = false)
+      .orderBy("g", "j").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // same values on this data; the modes differ only in summation order
+    assert(prod.toSeq == exact.toSeq)
+  }
+
+  test("tokenKlShift: an on-mix slice scores near zero, a drifted slice scores high") {
+    import spark.implicits._
+    val base = "the data engine reads rows and writes rows"
+    val df = Seq(
+      ("s1", base), ("s1", base),
+      ("s2", base), ("s2", base),
+      // s3 drifts: mostly off-mix vocabulary
+      ("s3", "zebra yak xylophone walrus vulture zebra yak xylophone")
+    ).toDF("source", "text")
+    val out = Profiling.tokenKlShift(df, "source", col("text"), vocabK = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // identical slices get the identical (low) score
+    assert(out("s1") == out("s2"))
+    assert(out("s3")._2 > out("s1")._2 + 0.1,
+      s"drifted slice must stand out: $out")
+    // n_tokens is vocab-restricted: s1 = 16 tokens, all in the top-10
+    // vocab only if its 7 distinct tokens all rank — they do (corpus
+    // has 12 distinct tokens; top-10 keeps every s1 token)
+    assert(out("s1")._1 == 16L)
+  }
+
+  test("hardNegatives: near-dup positives are excluded before ranks are assigned") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f)),       // the query
+      (2L, Array(2f, 0f, 0f)),       // exact-direction copy (cos 1.0)
+      (3L, Array(1f, 1f, 0f)),       // cos ~0.707 — the real hard negative
+      (4L, Array(0f, 1f, 0f))        // cos 0
+    ).toDF("id", "vec")
+    val out = Similarity.hardNegatives(
+        corpus, corpus.filter(col("id") === 1L), "id", "vec",
+        k = 2, maxCos = 0.99)
+      .orderBy("rnk")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // id 2 (cosine 1.0) must not appear NOR occupy rank 1
+    assert(out == Seq((1L, 3L), (2L, 4L)))
+  }
+
+  test("lshContaminatedDocs shuffles signatures, never document text") {
+    import spark.implicits._
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val corpus = Seq((10L, "alpha beta gamma delta epsilon zeta"))
+        .toDF("doc_id", "text")
+      val bench = Seq((0L, "alpha beta gamma delta epsilon zeta"))
+        .toDF("doc_id", "text")
+      val out = Contamination.lshContaminatedDocs(
+        corpus, bench, "doc_id", "text", n = 3, k = 16, bands = 4,
+        minEst = 0.5)
+      val exchanges = out.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      // every exchange moves ids, band buckets, and 16-long sigs — the
+      // raw text stays columnar-local (the sig kernel folds it per-row)
+      exchanges.foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"an exchange carries document text: ${e.output.map(_.name)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("lshContaminatedDocs flags bench copies and excerpts, not clean docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "one two three four five six seven eight nine ten eleven twelve"),
+      (12L, "unrelated totally clean document with its own words here")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // copy of 10
+      (1L, "one two three four five six seven eight nine ten")          // prefix of 11
+    ).toDF("doc_id", "text")
+    val out = Contamination.lshContaminatedDocs(
+        corpus, bench, "doc_id", "text", n = 3, k = 16, bands = 8,
+        minEst = 0.3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(10L, 11L), s"flagged: ${out.toSeq}")
+    val byDoc = out.map(x => x._1 -> x).toMap
+    assert(byDoc(10L)._2 == 0L && byDoc(10L)._3 == 1.0)
+    assert(byDoc(11L)._2 == 1L && byDoc(11L)._3 >= 0.3)
   }
 }

@@ -100,6 +100,43 @@ class MergeStrategySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Long]("amt") == 500L, "amt inherits the max across versions")
   }
 
+  test("AdditiveStrategy sums counters across COW, MOR deltas, compaction, and tombstone reset") {
+    import spark.implicits._
+    MergeStrategies.register("add_n",
+      new graft.write.AdditiveStrategy(Set("n")))
+    Seq(TableType.COW, TableType.MOR).foreach { tt =>
+      val tbl = GraftTable.create(spark, tmp(), TableConfig(
+        name = "add", tableType = tt, keyFields = Seq("id"),
+        mergeStrategy = "add_n", targetFileRows = 1000))
+      tbl.bulkInsert(Seq((1L, 10L, "a"), (2L, 5L, "x")).toDF("id", "n", "tag"))
+      tbl.upsert(Seq((1L, 7L, "b")).toDF("id", "n", "tag"))
+      tbl.upsert(Seq((1L, 3L, "c"), (2L, 1L, "y")).toDF("id", "n", "tag"))
+      val read = () => {
+        val r = GraftReader(tbl)
+        r.dataOnly(r.snapshot()).orderBy("id").collect()
+          .map(x => (x.getAs[Long]("id"), x.getAs[Long]("n"),
+            x.getAs[String]("tag"))).toSeq
+      }
+      // counters sum across versions; the non-counter column keeps
+      // latest-wins semantics
+      assert(read() == Seq((1L, 20L, "c"), (2L, 6L, "y")), s"$tt pre-compact")
+      if (tt == TableType.MOR) {
+        graft.services.TableServices(tbl).compact()
+        assert(read() == Seq((1L, 20L, "c"), (2L, 6L, "y")),
+          "compaction folds partial sums without changing the answer")
+        // post-compaction deltas add onto the folded base
+        tbl.upsert(Seq((1L, 5L, "d")).toDF("id", "n", "tag"))
+        assert(read() == Seq((1L, 25L, "d"), (2L, 6L, "y")))
+      }
+      // a delete resets the counter: versions at or below the tombstone
+      // are dead, a re-insert starts the sum over
+      tbl.delete(Seq(Tuple1(2L)).toDF("id"))
+      tbl.upsert(Seq((2L, 100L, "z")).toDF("id", "n", "tag"))
+      assert(read().find(_._1 == 2L).contains((2L, 100L, "z")),
+        s"$tt: tombstone must reset the running sum")
+    }
+  }
+
   test("unknown strategy names fail loudly at merge time") {
     import spark.implicits._
     val tbl = GraftTable.create(spark, tmp(), cfg(TableType.COW).copy(

@@ -183,6 +183,30 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("cluster sampling and random projection never shuffle a vector") {
+    // q165: assignment is kernel math, and the per-cell rank window sees
+    // (id, cell) only — the vector is projected away BEFORE the window's
+    // exchange. q166: the projection is per-row folds; the only exchange
+    // is the output sort, carrying scalars. Neither plan may move an
+    // array column through any Exchange, and neither joins at all.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("q165_cluster_sample", "q166_rp_reduce")) {
+        val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+        val offenders = plan.collect {
+          case e: ShuffleExchangeExec
+            if e.output.exists(_.dataType.isInstanceOf[ArrayType]) => e
+        }
+        assert(offenders.isEmpty,
+          s"$q shuffles an array column:\n${offenders.mkString("\n")}")
+        assert(!plan.toString.contains("Join"), s"$q plans a join")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("novelty / leak-safe split / recall / host-cap plans stay cartesian-free") {
     // q142's inverted-index join output is index-sized by construction;
     // q143/q145 may broadcast tiny sides (the violation scalar, the
