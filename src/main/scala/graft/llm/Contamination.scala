@@ -73,10 +73,18 @@ object Contamination {
       idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, bands: Int = 4,
       minEst: Double = 0.5): DataFrame = {
+    // contract: ids on BOTH sides are non-negative, enforced row-level —
+    // a negative corpus id silently dropped from the signature store
+    // would let a contaminated doc through unflagged, and a negative
+    // bench id would alias into the corpus key space after the flip
+    def nonNeg(side: String) = when(col("doc_id") >= 0, col("doc_id"))
+      .otherwise(raise_error(concat(
+        lit(s"lshContaminatedDocs: $side ids must be >= 0, got "),
+        col("doc_id").cast("string"))))
     val cSig = Dedup.minhashSignatures(corpus, idCol, textCol, n, k)
-      .filter(col("doc_id") >= 0) // contract: corpus keys are non-negative
+      .select(nonNeg("corpus").as("doc_id"), col("sig"))
     val bSig = Dedup.minhashSignatures(bench, idCol, textCol, n, k)
-      .select((-col("doc_id") - 1).as("doc_id"), col("sig"))
+      .select((-nonNeg("benchmark") - 1).as("doc_id"), col("sig"))
     val pairs = Dedup.minhashLshFromSigs(
       cSig.unionByName(bSig).cache(), k, bands, minEst,
       probeIds = Some(bSig.select(col("doc_id"))))

@@ -39,13 +39,16 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         explode(shingles(wsTokens(col(textCol)), n)).as("s"))
       .distinct()
-    maxDocFreq match {
-      case None => sh
-      case Some(cap) =>
-        // windowless filter: count per shingle, keep the cold ones
-        val freq = sh.groupBy("s").agg(count(lit(1)).as("_df")).filter(col("_df") <= cap)
-        sh.join(freq.select("s"), "s")
-    }
+    maxDocFreq.fold(sh)(capIndex(sh, _))
+  }
+
+  /** The one copy of the doc-freq skew-cap rule: count docs per shingle
+    * (windowless), keep the cold ones. Shared by [[shingleIndex]] and
+    * the pair generators (which need the raw index too, for sizing). */
+  private def capIndex(sh: DataFrame, cap: Int): DataFrame = {
+    val freq = sh.groupBy("s").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= cap)
+    sh.join(freq.select("s"), "s")
   }
 
   /** N-gram Jaccard near-dup pairs: inverted-index self-join on shingles
@@ -71,13 +74,7 @@ object Dedup {
       n: Int, threshold: Double,
       maxDocFreq: Option[Int] = Some(1000)): DataFrame = {
     val raw = shingleIndex(df, idCol, textCol, n, None)
-    val sh = maxDocFreq match {
-      case None => raw
-      case Some(cap) =>
-        val freq = raw.groupBy("s").agg(count(lit(1)).as("_df"))
-          .filter(col("_df") <= cap)
-        raw.join(freq.select("s"), "s")
-    }
+    val sh = maxDocFreq.fold(raw)(capIndex(raw, _))
     val sizes = raw.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -111,13 +108,7 @@ object Dedup {
       n: Int, threshold: Double,
       maxDocFreq: Option[Int] = Some(1000)): DataFrame = {
     val raw = shingleIndex(df, idCol, textCol, n, None)
-    val sh = maxDocFreq match {
-      case None => raw
-      case Some(cap) =>
-        val freq = raw.groupBy("s").agg(count(lit(1)).as("_df"))
-          .filter(col("_df") <= cap)
-        raw.join(freq.select("s"), "s")
-    }
+    val sh = maxDocFreq.fold(raw)(capIndex(raw, _))
     val sizes = raw.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -132,6 +123,65 @@ object Dedup {
       col("common"),
       (col("common").cast("double") / col("_nb")).as("containment"))
     ab.unionByName(ba).filter(col("containment") >= threshold)
+  }
+
+  /** Winnowing fingerprint index (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS algorithm): hash every token k-gram, slide a window of `w`
+    * consecutive gram hashes across the document, and keep each window's
+    * MINIMUM hash. The guarantee the whole-document
+    * [[TextFunctions.fingerprintMin]] cannot give: any shared passage of
+    * at least w+k-1 tokens selects at least one common fingerprint in
+    * both documents, while only ~2/(w+1) of the grams are stored —
+    * position-robust partial-overlap detection at a fraction of the
+    * inverted-index size.
+    *
+    * Scale shape: fingerprint selection is pure per-row array math (one
+    * transform over the gram hashes, O(len·w) with w a small constant —
+    * no UDF, no shuffle); the output is the distinct (doc_id, s) posting
+    * list, id + 60-bit hash only. Documents shorter than `k` tokens have
+    * no grams and emit no row; documents shorter than w+k-1 tokens form
+    * a single window (their global min — fingerprintMin semantics). */
+  def winnowIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1, s"k-gram size must be >= 1: $k")
+    require(w >= 1, s"window size must be >= 1: $w")
+    val base = df
+      .select(col(idCol).as("doc_id"),
+        transform(shingles(wsTokens(col(textCol)), k), g => hash60(g)).as("_hs"))
+      .filter(size(col("_hs")) > 0)
+    val nWin = greatest(size(col("_hs")) - (w - 1), lit(1))
+    val fps = array_distinct(transform(
+      sequence(lit(1), nWin), i => array_min(slice(col("_hs"), i, lit(w)))))
+    base.select(col("doc_id"), explode(fps).as("s"))
+  }
+
+  /** Document pairs sharing at least `minShared` winnowing fingerprints
+    * ([[winnowIndex]]), with `overlap` = shared / min(|A|, |B|) — the
+    * MOSS-style partial-plagiarism / shared-passage report. Same
+    * inverted-index join shape and the same `maxDocFreq` hot-key cap as
+    * [[jaccardPairs]] (sizes always from the UNCAPPED fingerprint sets,
+    * so a capped score droops, never inflates).
+    * Output: (doc_a, doc_b, common, overlap). */
+  def winnowOverlap(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Long = 2L,
+      maxDocFreq: Option[Int] = Some(1000)): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val raw = winnowIndex(df, idCol, textCol, k, w)
+    val idx = maxDocFreq.fold(raw)(capIndex(raw, _))
+    val sizes = raw.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val common = idx.as("a").join(idx.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minShared)
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        (col("common").cast("double") / least(col("na"), col("nb")))
+          .as("overlap"))
   }
 
   /** Modulus for the derived MinHash family: largest prime < 2^30, so
@@ -511,10 +561,16 @@ object Dedup {
     require(minDocs >= 2, "minDocs must be >= 2 (1 would remove every line)")
     require(sep.nonEmpty, "sep must be non-empty")
     val lines = split(textCol, java.util.regex.Pattern.quote(sep))
-    // (id, line-hash) pairs, distinct per doc — the only exploded pass
+    // (id, line-hash) pairs, distinct per doc — the only exploded pass.
+    // Empty units are structure (blank lines / trailing separators),
+    // not content: they occur in nearly every real document, so letting
+    // them into the census would flag "" as boilerplate and strip every
+    // blank line corpus-wide. They are excluded here AND in the removal
+    // filter below, so they always survive.
     val index = df
       .filter(textCol.isNotNull)
       .select(col(idCol), explode(array_distinct(lines)).as("_l"))
+      .filter(col("_l") =!= "")
       .select(col(idCol), hash60(col("_l")).as("_lh"))
     val flagged = index
       .groupBy(col("_lh"))
@@ -525,7 +581,7 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(collect_set(col("_lh")).as("_rm"))
     val rm = coalesce(col("_rm"), array().cast("array<bigint>"))
-    val kept = filter(lines, l => !array_contains(rm, hash60(l)))
+    val kept = filter(lines, l => l === "" || !array_contains(rm, hash60(l)))
     // null-text rows carry no lines and are dropped (same stated
     // semantics as chunkTokens: size(null) diverges between ANSI modes)
     df.filter(textCol.isNotNull)

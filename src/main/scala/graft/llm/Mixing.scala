@@ -233,4 +233,90 @@ object Mixing {
       .withColumn("pos", row_number().over(w))
       .drop("_g_shuf")
   }
+
+  /** Waterfilling allocation for a token budget over target mix
+    * proportions — the planning step [[temperatureMix]] skips: when a
+    * domain is too small for its target share, its surplus must be
+    * REDISTRIBUTED to the remaining domains (a recipe asking 40% French
+    * of 12B tokens from a 3.7B-token French slice cannot just cap at
+    * 1.0× and silently deliver a smaller mix; the budget is the
+    * contract). Classic waterfill: hand every active domain its
+    * proportional share of the remaining budget; domains whose available
+    * mass is at or under their share saturate (keep everything, leave
+    * the pool); repeat on the survivors — at most one round per domain.
+    *
+    * All arithmetic is engine-replayable by construction: availabilities
+    * and proportion parts are exact longs, every share is a single
+    * `remaining * part / partSum` double expression, and the final rates
+    * are integral ppm — the DuckDB oracle unrolls the same rounds
+    * term-for-term.
+    *
+    * Returns (domain -> rate_ppm); domains with no target part (or no
+    * mass) are absent = rate 0. */
+  private[graft] def waterfillRatesPpm(
+      avail: Seq[(String, Long)], parts: Map[String, Long],
+      budget: Long): Map[String, Long] = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    require(parts.values.forall(_ >= 0), "proportion parts must be >= 0")
+    var active = avail
+      .filter { case (d, a) => parts.getOrElse(d, 0L) > 0 && a > 0 }
+      .sortBy(_._1)
+    var remaining = budget
+    val rates = scala.collection.mutable.Map[String, Long]()
+    var settled = false
+    while (!settled && active.nonEmpty) {
+      val pSum = active.map { case (d, _) => parts(d) }.sum
+      val shares = active.map { case (d, a) =>
+        (d, a, remaining.toDouble * parts(d).toDouble / pSum.toDouble)
+      }
+      val saturated = shares.filter { case (_, a, sh) => a.toDouble <= sh }
+      if (saturated.isEmpty) {
+        shares.foreach { case (d, a, sh) =>
+          rates(d) = math.min(1000000L,
+            math.floor(sh / a.toDouble * 1000000.0).toLong)
+        }
+        settled = true
+      } else {
+        saturated.foreach { case (d, _, _) => rates(d) = 1000000L }
+        remaining -= saturated.map(_._2).sum
+        val done = saturated.map(_._1).toSet
+        active = active.filterNot { case (d, _) => done(d) }
+      }
+    }
+    rates.toMap
+  }
+
+  /** Token-budget mix: sample the corpus so each target domain
+    * contributes (up to availability) its proportional share of
+    * `budgetTokens`, with shortfall redistributed by
+    * [[waterfillRatesPpm]]. `targetParts` are integral proportion parts
+    * (e.g. en->20, fr->40, de->40); domains outside the target get rate
+    * 0 and drop. Membership is the standard [[ppmBucket]] rule on the
+    * DOCUMENT id, so a kept doc is kept whole and the expected kept
+    * token mass per domain is rate × available (document sampling, the
+    * same estimator every recipe's "epochs per source" table assumes).
+    *
+    * Scale shape: one census aggregation (per-domain token sums — a
+    * handful of rows to the driver to plan), then one scan whose rate
+    * table rides the closure as a CASE expression — no join, no second
+    * shuffle. Returns kept rows + their domain's `rate_ppm`. */
+  def tokenBudgetMix(
+      df: DataFrame, domainCol: String, idCol: String, tokensCol: Column,
+      targetParts: Map[String, Long], budgetTokens: Long,
+      salt: String = "budget"): DataFrame = {
+    val avail = df
+      .filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).cast("string").as("_g_dom"))
+      .agg(sum(tokensCol).cast("long").as("a"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toSeq
+    val rates = waterfillRatesPpm(avail, targetParts, budgetTokens)
+    val rate = rates.foldLeft(lit(0L): Column) {
+      case (alt, (domain, ppm)) =>
+        when(col(domainCol).cast("string") === domain, lit(ppm)).otherwise(alt)
+    }
+    df.withColumn("rate_ppm", rate)
+      .filter(ppmBucket(col(idCol), salt) < col("rate_ppm"))
+  }
 }

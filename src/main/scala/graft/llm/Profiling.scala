@@ -45,14 +45,6 @@ object Profiling {
         col("mean_tokens")) ++ qCols: _*)
   }
 
-  /** The dataset card's vocabulary table: the corpus' top-`k` tokens
-    * with occurrence and document counts, Zipf-ranked (count DESC,
-    * token ASC — deterministic). The census is one explode + hash
-    * aggregation (map-side combined, index-sized output); top-k goes
-    * through `orderBy(...).limit(k)`, which Spark plans as TakeOrdered
-    * (per-partition top-k + driver merge — never a global sort), and
-    * only then does the k-row rank window run, over k rows total.
-    * Output: (rnk, token, n_occ, n_docs). */
   /** Distribution-shift audit for mixing QA: per-slice KL divergence
     * KL(P_slice ‖ P_corpus) between each `groupCol` slice's token
     * distribution and the whole corpus', over the corpus' top-`vocabK`
@@ -115,6 +107,14 @@ object Profiling {
       col("_n_g").cast("long").as("n_tokens"), kl.as("kl"))
   }
 
+  /** The dataset card's vocabulary table: the corpus' top-`k` tokens
+    * with occurrence and document counts, Zipf-ranked (count DESC,
+    * token ASC — deterministic). The census is one explode + hash
+    * aggregation (map-side combined, index-sized output); top-k goes
+    * through `orderBy(...).limit(k)`, which Spark plans as TakeOrdered
+    * (per-partition top-k + driver merge — never a global sort), and
+    * only then does the k-row rank window run, over k rows total.
+    * Output: (rnk, token, n_occ, n_docs). */
   def tokenProfile(
       df: DataFrame, idCol: String, textCol: Column, k: Int): DataFrame = {
     val toks = df.filter(textCol.isNotNull)

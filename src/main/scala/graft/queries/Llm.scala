@@ -2757,15 +2757,15 @@ object Llm {
           FROM documents WHERE text IS NOT NULL),
         l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM p),
         e AS (SELECT DISTINCT doc_id,
-                     unnest(list_transform(ls, x ->
-                       CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS lh
+                     unnest(list_transform(list_filter(ls, x -> x <> ''),
+                       x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS lh
               FROM l),
         f AS (SELECT lh FROM e GROUP BY lh HAVING count(*) >= 2),
         rmv AS (SELECT e.doc_id, list(e.lh) AS rm
                 FROM e JOIN f USING (lh) GROUP BY e.doc_id),
         c AS (
           SELECT l.doc_id, l.ls,
-                 list_filter(l.ls, x -> NOT list_contains(
+                 list_filter(l.ls, x -> x = '' OR NOT list_contains(
                    coalesce(rmv.rm, []),
                    CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS kept
           FROM l LEFT JOIN rmv USING (doc_id))
@@ -3388,6 +3388,115 @@ object Llm {
                  row_number() OVER (PARTITION BY doc_id
                                     ORDER BY est_jaccard DESC, bench_id ASC) AS rk
           FROM scored)
-        WHERE rk = 1 ORDER BY doc_id""")))
+        WHERE rk = 1 ORDER BY doc_id"""))),
+
+    // ---- winnowing fingerprint overlap (Schleimer et al. 2003 / MOSS):
+    //      20-token excerpts planted from position 5 of the first 40
+    //      docs guarantee (passage >= w+k-1 = 6 tokens) at least one
+    //      shared selected fingerprint with the original. Exact gate
+    //      (maxDocFreq=None); the capped path is tested in LlmSpec
+    "q174_winnow_overlap" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").filter(col("text").isNotNull)
+        val excerpts = docs.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            array_join(slice(TF.wsTokens(col("text")), 5, 20), " ").as("text"))
+        val corp = docs.select(col("doc_id"), col("text")).unionByName(excerpts)
+        graft.llm.Dedup
+          .winnowOverlap(corp, "doc_id", "text", k = 3, w = 4,
+            minShared = 2L, maxDocFreq = None)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""
+        WITH corp AS (
+          SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+          UNION ALL
+          SELECT doc_id + 100000,
+                 array_to_string(list_slice(string_split(text, ' '), 5, 24), ' ')
+          FROM documents WHERE text IS NOT NULL AND doc_id < 40),
+        tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM corp),
+        hs AS (SELECT doc_id,
+                 list_transform(range(1, len(t) - 1), j ->
+                   CAST('0x' || substr(md5(t[j]||' '||t[j+1]||' '||t[j+2]), 1, 15)
+                     AS BIGINT)) AS h
+               FROM tk WHERE len(t) >= 3),
+        fp AS (SELECT DISTINCT doc_id, unnest(list_distinct(
+                 list_transform(range(1, greatest(len(h) - 3, 1) + 1),
+                   i -> list_min(h[i : i + 3])))) AS s
+               FROM hs),
+        sz AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
+        cm AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+          FROM fp a JOIN fp b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, common,
+               CAST(common AS DOUBLE) / least(za.n_fp, zb.n_fp) AS overlap
+        FROM cm JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b
+        WHERE common >= 2
+        ORDER BY doc_a, doc_b"""))),
+
+    // ---- token-budget mixture planning (waterfilling): fr and de are
+    //      too small for their 40% shares of the 12k-token budget, so
+    //      they saturate at 1.0x and their surplus redistributes to en.
+    //      The oracle unrolls the same waterfill rounds term-for-term
+    //      (exact longs in, one multiply + divide per share), then
+    //      replays the ppm membership rule
+    "q175_token_budget_mix" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("lang"),
+            size(TF.wsTokens(col("text"))).cast("long").as("n_toks"))
+        graft.llm.Mixing
+          .tokenBudgetMix(docs, "lang", "doc_id", col("n_toks"),
+            Map("en" -> 20L, "fr" -> 40L, "de" -> 40L),
+            budgetTokens = 12000L)
+          .groupBy(col("lang"))
+          .agg(max(col("rate_ppm")).as("rate_ppm"),
+            count(lit(1)).as("kept_docs"),
+            sum(col("n_toks")).as("kept_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+          FROM documents
+          WHERE text IS NOT NULL AND lang IN ('en', 'fr', 'de')),
+        t(lang, part) AS (VALUES ('en', 20), ('fr', 40), ('de', 40)),
+        av AS (SELECT t.lang, t.part, sum(d.n_toks) AS avail
+               FROM t JOIN d USING (lang) GROUP BY 1, 2),
+        r1 AS (SELECT lang, part, avail,
+                 CAST(12000 AS DOUBLE) * part / (SELECT sum(part) FROM av) AS share
+               FROM av),
+        s1 AS (SELECT * FROM r1 WHERE avail <= share),
+        u1 AS (SELECT * FROM r1 WHERE avail > share),
+        r2 AS (SELECT lang, part, avail,
+                 CAST(12000 - coalesce((SELECT sum(avail) FROM s1), 0) AS DOUBLE)
+                   * part / (SELECT sum(part) FROM u1) AS share
+               FROM u1),
+        s2 AS (SELECT * FROM r2 WHERE avail <= share),
+        u2 AS (SELECT * FROM r2 WHERE avail > share),
+        r3 AS (SELECT lang, part, avail,
+                 CAST(12000 - coalesce((SELECT sum(avail) FROM s1), 0)
+                            - coalesce((SELECT sum(avail) FROM s2), 0) AS DOUBLE)
+                   * part / (SELECT sum(part) FROM u2) AS share
+               FROM u2),
+        s3 AS (SELECT * FROM r3 WHERE avail <= share),
+        u3 AS (SELECT * FROM r3 WHERE avail > share),
+        rates AS (
+          SELECT lang, CAST(1000000 AS BIGINT) AS rate_ppm FROM s1
+          UNION ALL SELECT lang, CAST(1000000 AS BIGINT) FROM s2
+          UNION ALL SELECT lang, CAST(1000000 AS BIGINT) FROM s3
+          UNION ALL SELECT lang,
+            CAST(least(1000000, floor(share / avail * 1000000)) AS BIGINT)
+          FROM u3),
+        kept AS (
+          SELECT d.lang, d.n_toks, r.rate_ppm
+          FROM d JOIN rates r USING (lang)
+          WHERE CAST('0x' || substr(md5('budget:' || CAST(d.doc_id AS VARCHAR)),
+                  1, 15) AS BIGINT) % 1000000 < r.rate_ppm)
+        SELECT lang, max(rate_ppm) AS rate_ppm, count(*) AS kept_docs,
+               sum(n_toks) AS kept_tokens
+        FROM kept GROUP BY lang ORDER BY lang""")))
   )
 }

@@ -2335,6 +2335,36 @@ object TableFormat {
         FROM latest
         ORDER BY which, o_orderpriority"""))),
 
+    // ---- incremental read whose BEGIN checkpoint was erased by a
+    //      RESTORE: the consumer's instant no longer exists, but begin
+    //      is an exclusive timestamp bound, post-restore commits mint
+    //      strictly later instants, and the restored-away commit's rows
+    //      are physically gone — so the pull surfaces exactly the
+    //      post-restore batch, never phantom rows from the erased
+    //      commit (same contract as the reference: restore invalidates
+    //      downstream state, the timeline itself stays consistent)
+    "q176_incremental_restored" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_irst", TableType.COW))
+        val t1 = tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        val t2 = tbl.upsert(orders
+          .filter(col("o_orderkey") % 10 >= 6 && col("o_orderkey") % 10 < 8)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        TableServices(tbl).restoreTo(t1)
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 < 2)
+          .withColumn("o_totalprice", col("o_totalprice") + 5000))
+        val r = GraftReader(tbl)
+        summarize(r.incremental(begin = t2)
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor((o_totalprice + 5000) * 100)) AS BIGINT) AS price_c
+        FROM orders WHERE o_orderkey % 10 IN (0, 1)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
     // ---- content dedup AT INGEST: the table is keyed by md5(text)
     //      (stamped by the SQL transformer) and filter-dupes insert
     //      drops every content hash the table already holds — so a

@@ -101,6 +101,12 @@ class AdditiveStrategy(counterCols: Set[String]) extends MergeStrategy {
     Seq(ordering.desc_nulls_last, commitTime.desc, seqno.desc)
   override def project(df: DataFrame, frame: WindowSpec, dataCols: Seq[String],
       deleted: Column, live: Column): DataFrame = {
+    // a misspelled counter column would silently degrade to
+    // overwrite-latest (last delta stored instead of the running total)
+    val missing = counterCols -- dataCols.toSet
+    require(missing.isEmpty,
+      s"AdditiveStrategy counter column(s) ${missing.mkString(", ")} " +
+        s"not found among the table's data columns ${dataCols.mkString(", ")}")
     val counters = dataCols.filter(counterCols.contains).toSet
     df.select(df.columns.toSeq.map { c =>
       if (!counters.contains(c)) col(c)

@@ -1111,6 +1111,28 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains(6L)) // null text dropped, documented semantics
   }
 
+  test("corpusLineDedup never treats blank lines as boilerplate") {
+    import spark.implicits._
+    // two unrelated docs share only a blank line (and a trailing-newline
+    // artifact); neither doc may lose structure
+    val pages = Seq(
+      (1L, "alpha\n\nbeta\n"),
+      (2L, "gamma\n\ndelta\n")).toDF("doc_id", "text")
+    val out = Dedup.corpusLineDedup(pages, "doc_id", col("text"), minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(2) == 0L && out(1).getLong(2) == 0L)
+    assert(out(0).getString(3) == "alpha\n\nbeta\n")
+    assert(out(1).getString(3) == "gamma\n\ndelta\n")
+    // blank lines survive even INSIDE a doc that loses a real banner
+    val mixed = Seq(
+      (1L, "one\n\nSubscribe now\ntail"),
+      (2L, "Subscribe now\n\ntwo")).toDF("doc_id", "text")
+    val cleaned = Dedup.corpusLineDedup(mixed, "doc_id", col("text"), minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(cleaned(0).getString(3) == "one\n\ntail")
+    assert(cleaned(1).getString(3) == "\ntwo")
+  }
+
   test("corpusLineDedup ships only hashes through its exchanges") {
     import spark.implicits._
     // AQE wraps the plan and hides the exchanges until execution
@@ -1395,5 +1417,120 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     val byDoc = out.map(x => x._1 -> x).toMap
     assert(byDoc(10L)._2 == 0L && byDoc(10L)._3 == 1.0)
     assert(byDoc(11L)._2 == 1L && byDoc(11L)._3 >= 0.3)
+  }
+
+  test("waterfillRatesPpm redistributes saturated domains' surplus") {
+    // fr and de are too small for their 40% shares of 120: both keep
+    // everything (1e6 ppm) and the 70 leftover goes to en
+    val rates = Mixing.waterfillRatesPpm(
+      Seq("en" -> 100L, "fr" -> 30L, "de" -> 20L),
+      Map("en" -> 20L, "fr" -> 40L, "de" -> 40L), budget = 120L)
+    assert(rates("fr") == 1000000L && rates("de") == 1000000L)
+    assert(rates("en") == 700000L, s"got ${rates("en")}")
+    // budget covers everything: every domain saturates
+    val all = Mixing.waterfillRatesPpm(
+      Seq("en" -> 100L, "fr" -> 30L), Map("en" -> 1L, "fr" -> 1L), 1000L)
+    assert(all == Map("en" -> 1000000L, "fr" -> 1000000L))
+    // domains outside the target (or with no mass) are absent = rate 0
+    val partial = Mixing.waterfillRatesPpm(
+      Seq("en" -> 100L, "zz" -> 50L, "empty" -> 0L),
+      Map("en" -> 1L, "empty" -> 1L, "ghost" -> 1L), 50L)
+    assert(partial.keySet == Set("en"))
+    assert(partial("en") == 500000L)
+  }
+
+  test("tokenBudgetMix plans rates in one scan, no join") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", 40L), (2L, "en", 60L), (3L, "fr", 10L), (4L, "de", 5L),
+      (5L, "zh", 99L) // outside the target -> dropped
+    ).toDF("doc_id", "lang", "n_toks")
+    val out = Mixing.tokenBudgetMix(docs, "lang", "doc_id", col("n_toks"),
+      Map("en" -> 20L, "fr" -> 40L, "de" -> 40L), budgetTokens = 120L)
+    val rates = out.select("lang", "rate_ppm").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!rates.contains("zh"))
+    rates.get("fr").foreach(r => assert(r == 1000000L))
+    rates.get("de").foreach(r => assert(r == 1000000L))
+    // the apply side is a single filter over the scan — no join node
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"plan has a join:\n$plan")
+  }
+
+  test("winnowing guarantees a shared fingerprint for shared passages") {
+    import spark.implicits._
+    // k=3, w=4: any shared passage of >= w+k-1 = 6 tokens must select at
+    // least one common fingerprint in both docs, wherever it sits
+    val passage = "quick brown fox jumps over lazy"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $passage delta epsilon"),
+      (2L, s"$passage omega psi chi phi upsilon tau"),
+      (3L, "totally unrelated words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowIndex(docs, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared passage must share a print")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    // winnowing stores a fraction of the grams (~2/(w+1))
+    val nGrams1 = docs.filter($"doc_id" === 1L)
+      .select(explode(TextFunctions.shingles(TextFunctions.wsTokens($"text"), 3)))
+      .count()
+    assert(byDoc(1L).size < nGrams1)
+    // shorter than k tokens -> no grams, no rows; shorter than w+k-1 ->
+    // one window, the global min
+    val shorts = Seq((10L, "one two"), (11L, "one two three four"))
+      .toDF("doc_id", "text")
+    val sfp = Dedup.winnowIndex(shorts, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!sfp.map(_._1).contains(10L))
+    assert(sfp.count(_._1 == 11L) == 1)
+  }
+
+  test("winnowOverlap finds planted excerpts; the doc-freq cap bounds hot prints") {
+    import spark.implicits._
+    val body = "the original document discusses sorting networks and their " +
+      "depth bounds in considerable detail across many sections"
+    val docs = Seq(
+      (1L, body),
+      (2L, "an excerpt page quoting sorting networks and their depth bounds verbatim"),
+      (3L, "different topic entirely about cooking pasta with fresh tomatoes")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlap(docs, "doc_id", "text", k = 3, w = 4,
+        minShared = 1L, maxDocFreq = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)), s"got ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // a boilerplate print shared by every doc explodes pairs; the cap
+    // drops it and the pair count collapses
+    val boiler = (1L to 20L).map(i => (i, s"subscribe to our newsletter now $i"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.winnowOverlap(boiler, "doc_id", "text", 3, 4,
+      minShared = 1L, maxDocFreq = None).count()
+    val capped = Dedup.winnowOverlap(boiler, "doc_id", "text", 3, 4,
+      minShared = 1L, maxDocFreq = Some(5)).count()
+    assert(uncapped > 0 && capped == 0, s"uncapped=$uncapped capped=$capped")
+  }
+
+  test("lshContaminatedDocs fails loudly on negative ids, either side") {
+    import spark.implicits._
+    val good = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val bad = Seq((-7L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    // a silently dropped negative corpus id would let a contaminated doc
+    // through unflagged; a negative bench id would alias into the corpus
+    // key space after the sign flip
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val e1 = intercept[Exception] {
+      Contamination.lshContaminatedDocs(bad, good, "doc_id", "text").collect()
+    }
+    assert(chain(e1).contains("corpus ids must be >= 0"), s"got: ${chain(e1)}")
+    val e2 = intercept[Exception] {
+      Contamination.lshContaminatedDocs(good, bad, "doc_id", "text").collect()
+    }
+    assert(chain(e2).contains("benchmark ids must be >= 0"), s"got: ${chain(e2)}")
   }
 }

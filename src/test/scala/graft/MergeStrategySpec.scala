@@ -137,6 +137,23 @@ class MergeStrategySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("AdditiveStrategy rejects counter columns absent from the table") {
+    import spark.implicits._
+    // a misspelled counter column must fail loudly, not silently degrade
+    // the rollup to overwrite-latest (last delta stored as the "total")
+    MergeStrategies.register("add_nDocs",
+      new graft.write.AdditiveStrategy(Set("nDocs")))
+    val tbl = GraftTable.create(spark, tmp(), TableConfig(
+      name = "addbad", tableType = TableType.COW, keyFields = Seq("id"),
+      mergeStrategy = "add_nDocs", targetFileRows = 1000))
+    tbl.bulkInsert(Seq((1L, 10L, "a")).toDF("id", "n_docs", "tag"))
+    val err = intercept[IllegalArgumentException] {
+      tbl.upsert(Seq((1L, 7L, "b")).toDF("id", "n_docs", "tag"))
+    }
+    assert(err.getMessage.contains("nDocs"))
+    assert(err.getMessage.contains("n_docs"))
+  }
+
   test("unknown strategy names fail loudly at merge time") {
     import spark.implicits._
     val tbl = GraftTable.create(spark, tmp(), cfg(TableType.COW).copy(
