@@ -184,6 +184,54 @@ object Dedup {
           .as("overlap"))
   }
 
+  /** Edit-distance verification of CANDIDATE near-dup pairs — the
+    * precision stage after a recall-oriented generator
+    * ([[minhashLsh]]/[[simhashPairsBanded]]/[[jaccardPairs]]): join the
+    * two texts back onto each (doc_a, doc_b) pair and keep pairs whose
+    * Levenshtein distance is at most `maxRatio` of the longer text.
+    * Token-set scores are blind to ORDER (a shuffled bag of the same
+    * shingles can pass Jaccard); edit distance is not — this is the
+    * verifier that kills those false accepts.
+    *
+    * Cost model: Levenshtein is O(|a|·|b|) PER PAIR, so this runs on
+    * candidate-sized input (never the corpus) and both sides are capped
+    * at `maxChars` characters (prefix comparison — the standard trade;
+    * identical prefixes of two long near-dups still verify, and the cap
+    * bounds the worst pair at maxChars²). The two text joins shuffle
+    * pair ids + one capped text each; output is id-pair-sized.
+    * Output: (doc_a, doc_b, dist, edit_ratio), edit_ratio in [0,1]
+    * (two empty texts are identical: ratio 0). */
+  def editVerify(
+      pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      maxRatio: Double, maxChars: Int = 1000): DataFrame = {
+    require(maxRatio >= 0.0 && maxRatio <= 1.0, s"maxRatio in [0,1]: $maxRatio")
+    require(maxChars >= 1, s"maxChars must be >= 1: $maxChars")
+    val capped = docs.select(col(idCol),
+      substring(col(textCol), 1, maxChars).as("_t"))
+    // a candidate pair whose doc is missing from `docs` or has NULL
+    // text must fail loudly — a silent drop here would mark a genuine
+    // near-duplicate as verified-not-duplicate (same loud-input
+    // convention as lshContaminatedDocs' id contract)
+    def checked(side: String) = when(col(s"_t$side").isNotNull, col(s"_t$side"))
+      .otherwise(raise_error(concat(
+        lit(s"editVerify: doc_$side "), col(s"doc_$side").cast("string"),
+        lit(" is missing from docs or has null text"))))
+    val joined = pairs
+      .join(capped.select(col(idCol).as("doc_a"), col("_t").as("_ta")),
+        Seq("doc_a"), "left")
+      .join(capped.select(col(idCol).as("doc_b"), col("_t").as("_tb")),
+        Seq("doc_b"), "left")
+      .withColumn("_ta", checked("a"))
+      .withColumn("_tb", checked("b"))
+      .withColumn("dist", levenshtein(col("_ta"), col("_tb")).cast("long"))
+      .withColumn("edit_ratio",
+        when(greatest(length(col("_ta")), length(col("_tb"))) === 0, lit(0.0))
+          .otherwise(col("dist").cast("double") /
+            greatest(length(col("_ta")), length(col("_tb")))))
+    joined.filter(col("edit_ratio") <= maxRatio)
+      .select(col("doc_a"), col("doc_b"), col("dist"), col("edit_ratio"))
+  }
+
   /** Modulus for the derived MinHash family: largest prime < 2^30, so
     * `a * h0 + b` stays well inside a 64-bit long. */
   val MinhashPrime: Long = 1073741789L

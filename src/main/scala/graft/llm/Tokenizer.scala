@@ -60,14 +60,10 @@ object Tokenizer {
       numMerges: Int,
       minCount: Long = 1L): Seq[BpeMerge] = {
     require(numMerges >= 1, "numMerges must be >= 1")
-    // ONE corpus scan: word-type histogram, then expand types to their
-    // char symbols. Empty tokens (from runs of separators) carry no
-    // pairs and are dropped up front.
-    var types: DataFrame = df
-      .filter(textCol.isNotNull)
-      .select(explode(TF.wsTokens(textCol)).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // ONE corpus scan: the shared word-type histogram ([[wordTypes]] —
+    // empty tokens from separator runs carry no pairs and are dropped
+    // there), then expand types to their char symbols.
+    var types: DataFrame = wordTypes(df, textCol)
       .select(col("w"), col("cnt"), charSymbols(col("w")).as("sym"))
       .persist()
     val merges = ArrayBuffer.empty[BpeMerge]
@@ -132,4 +128,178 @@ object Tokenizer {
     TF.bpeApply(
       flatten(transform(TF.wsTokens(textCol), w => charSymbols(w))),
       merges)
+
+  // ==========================================================================
+  // Unigram-LM tokenizer (Kudo 2018, "Subword Regularization" — the
+  // SentencePiece unigram model), Viterbi-EM variant: the OTHER real-world
+  // tokenizer algorithm next to BPE. Same scale posture as bpeTrain: the
+  // corpus collapses to a word-TYPE histogram in one scan; every EM round
+  // is one job over the types table with the (small) vocab riding the plan
+  // as a single map literal; Viterbi itself is pure per-row array math.
+  // ==========================================================================
+
+  /** Log-prob assigned to an out-of-vocabulary single character — keeps
+    * every position reachable (any text encodes) while making an OOV
+    * char strictly worse than any real piece. Deterministic and
+    * engine-replayable (the oracle inlines the same constant). */
+  val UnkLogProb: Double = -100.0
+
+  /** Viterbi-best segmentation of a single non-empty word under a
+    * unigram piece model: dp(i) = max over j in [i−L, i) of
+    * dp(j) + logprob(w[j+1..i]); ties on score break to the LARGER j
+    * (shorter final piece) via the struct-max. Unknown single chars
+    * fall back to [[UnkLogProb]] — every position stays reachable, any
+    * text encodes; unknown multi-char substrings are simply not
+    * candidates (null score, filtered). Pure Catalyst fold (aggregate
+    * over positions carrying (score, pieces) cells) — no UDF, no
+    * shuffle, O(len · maxPieceLen) per word. Pass `vocab` as a
+    * `typedlit(Map[String, Double])` so the plan carries ONE literal. */
+  def unigramViterbi(word: Column, vocab: Column, maxPieceLen: Int): Column = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1: $maxPieceLen")
+    val init = array(struct(
+      lit(0.0).as("score"),
+      array().cast("array<string>").as("pieces")))
+    // empty words must short-circuit: sequence(1, 0) is the DESCENDING
+    // array [1, 0], which would drive the fold to element_at(dp, 0)
+    val fold = aggregate(
+      sequence(lit(1), length(word)),
+      init,
+      (dp, i) => {
+        val best = array_max(filter(
+          transform(
+            sequence(greatest(i - maxPieceLen, lit(0)), i - 1),
+            j => {
+              val piece = word.substr(j + 1, i - j)
+              val lp = when(i - j === 1,
+                  coalesce(element_at(vocab, piece), lit(UnkLogProb)))
+                .otherwise(element_at(vocab, piece))
+              struct((element_at(dp, j + 1)("score") + lp).as("score"),
+                j.as("j"))
+            }),
+          c => c("score").isNotNull))
+        val bestJ = best("j")
+        concat(dp, array(struct(
+          best("score").as("score"),
+          concat(element_at(dp, bestJ + 1)("pieces"),
+            array(word.substr(bestJ + 1, i - bestJ))).as("pieces"))))
+      },
+      dp => element_at(dp, -1)("pieces"))
+    when(length(word) > 0, fold)
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Tokenize documents with a trained unigram vocab: per word Viterbi,
+    * flattened per document (unigram segmentation never crosses a word
+    * boundary, so flattening is exact). Empty tokens from separator
+    * runs carry nothing and are dropped. */
+  def unigramEncode(textCol: Column, vocab: Column, maxPieceLen: Int): Column =
+    flatten(transform(
+      filter(TF.wsTokens(textCol), w => w =!= ""),
+      w => unigramViterbi(w, vocab, maxPieceLen)))
+
+  /** Substring seed census: every substring (≤ `maxPieceLen` chars) of
+    * every word TYPE, weighted by the type's corpus count — the
+    * candidate pool unigram training selects its seed vocabulary from.
+    * One corpus scan for the histogram; the explode fans out
+    * O(len · maxPieceLen) per TYPE, never per corpus row.
+    * Output: (piece, cnt). */
+  def unigramSeedCounts(
+      df: DataFrame, textCol: Column, maxPieceLen: Int): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1: $maxPieceLen")
+    val types = wordTypes(df, textCol)
+    val subs = flatten(transform(
+      sequence(lit(1), length(col("w"))),
+      i => transform(
+        sequence(lit(1), least(lit(maxPieceLen), length(col("w")) - i + 1)),
+        l => col("w").substr(i, l))))
+    types.select(explode(subs).as("piece"), col("cnt"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** One corpus scan: the word-TYPE histogram every trainer runs on. */
+  private def wordTypes(df: DataFrame, textCol: Column): DataFrame = df
+    .filter(textCol.isNotNull)
+    .select(explode(TF.wsTokens(textCol)).as("w"))
+    .filter(col("w") =!= "")
+    .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** A trained unigram piece: corpus count under the final Viterbi pass
+    * and its log-probability ln(cnt / total) over that pass. */
+  case class UnigramPiece(piece: String, cnt: Long, logprob: Double)
+
+  /** Train a unigram-LM tokenizer vocabulary, Viterbi-EM variant:
+    *
+    *  1. SEED: top `seedSize` substrings by (count desc, piece asc)
+    *     from [[unigramSeedCounts]], plus ALL single characters
+    *     (coverage — training never needs the UNK fallback);
+    *     initial logprob = ln(cnt / total over the selected seed).
+    *  2. EM × `emRounds`: segment every word type with
+    *     [[unigramViterbi]] under the current model (one distributed
+    *     job, vocab-sized result to the driver), recount pieces
+    *     weighted by type counts, re-normalize ln(cnt / total). Pieces
+    *     no Viterbi path uses drop out (count 0) — the pruning force.
+    *  3. FINAL: keep every surviving single-char piece, plus the top
+    *     multi-char pieces by (cnt desc, piece asc) up to `vocabSize`
+    *     total.
+    *
+    * Fully deterministic (no sampling, defined tie-breaks) and
+    * engine-replayable — the q178/q179 oracles unroll the same census,
+    * DP and renormalization term-for-term. */
+  def unigramTrain(
+      df: DataFrame, textCol: Column, vocabSize: Int,
+      maxPieceLen: Int = 4, seedSize: Int = 1000,
+      emRounds: Int = 1): Seq[UnigramPiece] = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1: $maxPieceLen")
+    require(seedSize >= 1, s"seedSize must be >= 1: $seedSize")
+    require(emRounds >= 1, s"emRounds must be >= 1: $emRounds")
+    val types = wordTypes(df, textCol).persist()
+    try {
+      val census = unigramSeedCounts(df, textCol, maxPieceLen).persist()
+      val top = census
+        .orderBy(col("cnt").desc, col("piece").asc)
+        .limit(seedSize)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val chars = census.filter(length(col("piece")) === 1)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      census.unpersist()
+      val seed = (top ++ chars).toMap.toSeq.sortBy(_._1)
+      var counts: Seq[(String, Long)] = seed
+      var round = 0
+      while (round < emRounds) {
+        val total = counts.map(_._2).sum.toDouble
+        val lp = counts.map { case (p, c) => p -> math.log(c / total) }.toMap
+        counts = types
+          .select(explode(
+            unigramViterbi(col("w"), typedlit(lp), maxPieceLen)).as("piece"),
+            col("cnt"))
+          .groupBy(col("piece")).agg(sum(col("cnt")).as("cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+          .sortBy(_._1)
+        round += 1
+      }
+      val total = counts.map(_._2).sum.toDouble
+      val (chars1, multi) = counts.partition(_._1.length == 1)
+      val kept = chars1 ++ multi
+        .sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, vocabSize - chars1.size))
+      kept.sortBy { case (p, c) => (-c, p) }
+        .map { case (p, c) => UnigramPiece(p, c, math.log(c / total)) }
+    } finally types.unpersist()
+  }
+
+  /** [[unigramTrain]] as a (tiny, driver-local) DataFrame for gating:
+    * columns (piece, cnt, logprob), ordered (cnt desc, piece asc). */
+  def unigramTrainDF(
+      spark: SparkSession, df: DataFrame, textCol: Column, vocabSize: Int,
+      maxPieceLen: Int = 4, seedSize: Int = 1000,
+      emRounds: Int = 1): DataFrame = {
+    val rows = unigramTrain(df, textCol, vocabSize, maxPieceLen, seedSize,
+      emRounds).map(p => Row(p.piece, p.cnt, p.logprob))
+    val schema = StructType(Seq(
+      StructField("piece", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false),
+      StructField("logprob", DoubleType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
 }

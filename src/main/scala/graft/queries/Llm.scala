@@ -26,6 +26,87 @@ object Llm {
 
   private val Stopwords = Seq("the", "a")
 
+  /** Recursive-CTE replay of [[graft.llm.Tokenizer.unigramViterbi]]
+    * (maxPieceLen = 3) over the `types` word histogram, reading the
+    * piece→logprob map from `mapFrom`: per position the candidate cells
+    * are (score, split j); `list_sort(...)[-1]` reproduces Spark's
+    * struct array_max — max score, ties to the LARGER split. Emits
+    * `name(w, cnt, pieces)`. */
+  private def unigramVitCte(name: String, mapFrom: String): String = s"""
+        $name AS (
+          WITH RECURSIVE v(w, cnt, m, i, dp) AS (
+            SELECT w, cnt, (SELECT m FROM $mapFrom), 0,
+                   [{'score': 0.0::DOUBLE, 'pieces': []::VARCHAR[]}]
+            FROM types
+            UNION ALL
+            SELECT w, cnt, m, i + 1,
+              list_append(dp, list_transform(
+                [list_sort(list_filter(
+                   list_transform(range(greatest(i + 1 - 3, 0), i + 1), j ->
+                     {'score': dp[(j + 1)::INT].score +
+                        CASE WHEN i + 1 - j = 1
+                          THEN coalesce(
+                            m[substr(w, (j + 1)::INT, (i + 1 - j)::INT)][1],
+                            -100.0::DOUBLE)
+                          ELSE m[substr(w, (j + 1)::INT, (i + 1 - j)::INT)][1]
+                        END,
+                      'j': j}),
+                   c -> c.score IS NOT NULL))[-1]],
+                b -> {'score': b.score,
+                      'pieces': list_append(dp[(b.j + 1)::INT].pieces,
+                        substr(w, (b.j + 1)::INT, (i + 1 - b.j)::INT))})[1])
+            FROM v WHERE i < len(w))
+          SELECT w, cnt, dp[len(w) + 1].pieces AS pieces
+          FROM v WHERE i = len(w))"""
+
+  /** Shared CTE chain replaying [[graft.llm.Tokenizer.unigramTrain]] on
+    * the en slice (vocabSize 60, maxPieceLen 3, seedSize 120, one EM
+    * round): word-type histogram → substring seed census → seed
+    * log-probs (map m0) → Viterbi-EM recount (`counts1`) → pruned vocab
+    * `kept`. Composed by the q178 train gate and the q179 train→encode
+    * gate. */
+  private def unigramTrainCtes: String = s"""
+        types AS (
+          SELECT w, count(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE text IS NOT NULL AND lang = 'en')
+          WHERE w <> '' GROUP BY w),
+        census AS (
+          SELECT piece, sum(cnt) AS cnt FROM (
+            SELECT unnest(flatten(list_transform(range(1, len(w) + 1), i ->
+              list_transform(range(1, least(3, len(w) - i + 1) + 1), l ->
+                substr(w, i::INT, l::INT))))) AS piece, cnt
+            FROM types)
+          GROUP BY piece),
+        top_seed AS (
+          SELECT piece, cnt FROM census
+          ORDER BY cnt DESC, piece ASC LIMIT 120),
+        seed AS (
+          SELECT piece, cnt FROM top_seed
+          UNION
+          SELECT piece, cnt FROM census WHERE len(piece) = 1),
+        lp0 AS (
+          SELECT piece,
+                 ln(cnt / (SELECT sum(cnt)::DOUBLE FROM seed)) AS lp
+          FROM seed),
+        m0 AS (
+          SELECT map(list(piece ORDER BY piece),
+                     list(lp ORDER BY piece)) AS m
+          FROM lp0),
+        ${unigramVitCte("vit", "m0")},
+        counts1 AS (
+          SELECT piece, sum(cnt) AS cnt FROM (
+            SELECT unnest(pieces) AS piece, cnt FROM vit)
+          GROUP BY piece),
+        chars1 AS (SELECT piece, cnt FROM counts1 WHERE len(piece) = 1),
+        multi AS (
+          SELECT piece, cnt FROM (
+            SELECT piece, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+            FROM counts1 WHERE len(piece) > 1)
+          WHERE rk <= greatest(0, 60 - (SELECT count(*) FROM chars1))),
+        kept AS (SELECT * FROM chars1 UNION ALL SELECT * FROM multi)"""
+
   /** Stacked-CTE DuckDB replay of [[graft.llm.Tokenizer.bpeTrain]]'s
     * `k` merge steps. Per step: pair census + argmax (count DESC, pair
     * ASC), then greedy left-to-right non-overlapping application. The
@@ -3497,6 +3578,142 @@ object Llm {
                   1, 15) AS BIGINT) % 1000000 < r.rate_ppm)
         SELECT lang, max(rate_ppm) AS rate_ppm, count(*) AS kept_docs,
                sum(n_toks) AS kept_tokens
-        FROM kept GROUP BY lang ORDER BY lang""")))
+        FROM kept GROUP BY lang ORDER BY lang"""))),
+
+    // ---- edit-distance verification of near-dup candidates: unigram
+    //      Jaccard is order-BLIND, so a token-reversed copy scores 1.0
+    //      — the planted false accept the verifier must kill — while a
+    //      re-crawl with an appended tail verifies at a tiny ratio.
+    //      ASCII-scrubbed (DuckDB's levenshtein is byte-based, Spark's
+    //      is char-based; on ASCII they agree), en slice only
+    "q177_edit_verify" -> ((
+      (s: SparkSession, d: String) => {
+        val base = t(s, d, "documents")
+          .filter(col("text").isNotNull && col("lang") === "en")
+          .select(col("doc_id"),
+            regexp_replace(col("text"), "[^ -~]", "").as("text"))
+        val reversed = base.filter(col("doc_id") < 60)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            array_join(reverse(TF.wsTokens(col("text"))), " ").as("text"))
+        val recrawl = base
+          .filter(col("doc_id") >= 60 && col("doc_id") < 120)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" appended tail token")).as("text"))
+        val corp = base.unionByName(reversed).unionByName(recrawl)
+        val cand = graft.llm.Dedup
+          .jaccardPairs(corp, "doc_id", "text", n = 1,
+            threshold = 0.8, maxDocFreq = None)
+          .select(col("doc_a"), col("doc_b"))
+        graft.llm.Dedup
+          .editVerify(cand, corp, "doc_id", "text",
+            maxRatio = 0.3, maxChars = 500)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
+          FROM documents WHERE text IS NOT NULL AND lang = 'en'),
+        corp AS (
+          SELECT doc_id, text FROM base
+          UNION ALL
+          SELECT doc_id + 100000,
+                 array_to_string(list_reverse(string_split(text, ' ')), ' ')
+          FROM base WHERE doc_id < 60
+          UNION ALL
+          SELECT doc_id + 200000, text || ' appended tail token'
+          FROM base WHERE doc_id >= 60 AND doc_id < 120),
+        tok AS (SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS s FROM corp)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      count(*) AS common
+               FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        cand AS (
+          SELECT doc_a, doc_b FROM cm
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8),
+        t AS (SELECT doc_id, substr(text, 1, 500) AS tt FROM corp),
+        v AS (SELECT doc_a, doc_b,
+                CAST(levenshtein(ta.tt, tb.tt) AS BIGINT) AS dist,
+                CASE WHEN greatest(len(ta.tt), len(tb.tt)) = 0 THEN 0.0
+                     ELSE CAST(levenshtein(ta.tt, tb.tt) AS DOUBLE)
+                          / greatest(len(ta.tt), len(tb.tt)) END AS edit_ratio
+              FROM cand
+              JOIN t ta ON ta.doc_id = doc_a
+              JOIN t tb ON tb.doc_id = doc_b)
+        SELECT doc_a, doc_b, dist, edit_ratio FROM v
+        WHERE edit_ratio <= 0.3
+        ORDER BY doc_a, doc_b"""))),
+
+    // ---- unigram-LM tokenizer training (Kudo 2018 / SentencePiece,
+    //      Viterbi-EM variant) — the OTHER real tokenizer algorithm
+    //      next to q157's BPE: substring seed census -> seed
+    //      log-probs -> one Viterbi-EM round over the word-type
+    //      histogram -> renormalized, pruned vocab. The oracle replays
+    //      every stage, the per-word DP as a recursive CTE carrying
+    //      (score, pieces) cells with the SAME larger-split tie-break
+    //      (list_sort[-1] == Spark's struct array_max)
+    "q178_unigram_train" -> ((
+      (s: SparkSession, d: String) => {
+        val en = t(s, d, "documents")
+          .filter(col("text").isNotNull && col("lang") === "en")
+        graft.llm.Tokenizer.unigramTrainDF(s, en, col("text"),
+            vocabSize = 60, maxPieceLen = 3, seedSize = 120, emRounds = 1)
+          .orderBy(col("cnt").desc, col("piece").asc)
+      },
+      Some(s"""
+        WITH $unigramTrainCtes
+        SELECT piece, cnt,
+               ln(cnt / (SELECT sum(cnt)::DOUBLE FROM counts1)) AS logprob
+        FROM kept ORDER BY cnt DESC, piece ASC"""))),
+
+    // ---- unigram train → encode: the full tokenizer round trip. The
+    //      vocab trained by q178's pipeline segments every en document
+    //      (per-word Viterbi, flattened in token order); the oracle
+    //      re-derives the vocab with the same CTEs, re-runs the DP with
+    //      the FINAL log-probs, and rebuilds each document's exact
+    //      piece stream
+    "q179_unigram_encode" -> ((
+      (s: SparkSession, d: String) => {
+        val en = t(s, d, "documents")
+          .filter(col("text").isNotNull && col("lang") === "en")
+        val vocab = graft.llm.Tokenizer.unigramTrain(en, col("text"),
+          vocabSize = 60, maxPieceLen = 3, seedSize = 120, emRounds = 1)
+        val lp = vocab.map(p => p.piece -> p.logprob).toMap
+        en.select(col("doc_id"),
+            graft.llm.Tokenizer.unigramEncode(col("text"), typedlit(lp), 3)
+              .as("p"))
+          .select(col("doc_id"), size(col("p")).cast("long").as("n_pieces"),
+            array_join(col("p"), " ").as("enc"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $unigramTrainCtes,
+        m1 AS (
+          SELECT map(list(piece ORDER BY piece),
+                     list(ln(cnt / (SELECT sum(cnt)::DOUBLE FROM counts1))
+                          ORDER BY piece)) AS m
+          FROM kept),
+        ${unigramVitCte("vit2", "m1")},
+        dt AS (
+          SELECT doc_id, u.i AS i, u.tok AS tok FROM (
+            SELECT doc_id, string_split(text, ' ') AS tk
+            FROM documents WHERE text IS NOT NULL AND lang = 'en') s,
+            unnest(list_transform(range(1, len(tk) + 1), i ->
+              {'i': i, 'tok': tk[i::INT]})) AS t(u)
+          WHERE u.tok <> ''),
+        enc AS (
+          SELECT dt.doc_id, flatten(list(vit2.pieces ORDER BY dt.i)) AS p
+          FROM dt JOIN vit2 ON vit2.w = dt.tok
+          GROUP BY dt.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(len(e.p), 0) AS BIGINT) AS n_pieces,
+               coalesce(array_to_string(e.p, ' '), '') AS enc
+        FROM (SELECT doc_id FROM documents
+              WHERE text IS NOT NULL AND lang = 'en') d
+        LEFT JOIN enc e USING (doc_id)
+        ORDER BY doc_id""")))
   )
 }

@@ -1512,6 +1512,45 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(uncapped > 0 && capped == 0, s"uncapped=$uncapped capped=$capped")
   }
 
+  test("editVerify kills order-blind false accepts, keeps true near-dups") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "theta eta zeta epsilon delta gamma beta alpha"), // reversed: bag-identical
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota"), // true near-dup of 1
+      (4L, ""), (5L, "")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = Dedup.editVerify(pairs, docs, "doc_id", "text", maxRatio = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(!out.contains((1L, 2L)), "reversed copy must fail the verifier")
+    assert(out.contains((1L, 3L)) && out((1L, 3L)) <= 0.3)
+    assert(out((4L, 5L)) == 0.0, "two empty texts are identical")
+    // the cap bounds the comparison: wildly different tails beyond
+    // maxChars cannot fail a pair whose prefixes match
+    val long = Seq(
+      (10L, ("x " * 50) + "shared prefix " + ("a " * 200)),
+      (11L, ("x " * 50) + "shared prefix " + ("b " * 200))).toDF("doc_id", "text")
+    val capped = Dedup.editVerify(Seq((10L, 11L)).toDF("doc_a", "doc_b"),
+      long, "doc_id", "text", maxRatio = 0.1, maxChars = 100)
+    assert(capped.count() == 1)
+    // a pair whose doc is missing (or has null text) fails loudly — a
+    // silent drop would mark a real near-dup as verified-not-duplicate
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val missing = intercept[Exception] {
+      Dedup.editVerify(Seq((1L, 99L)).toDF("doc_a", "doc_b"),
+        docs, "doc_id", "text", maxRatio = 1.0).collect()
+    }
+    assert(chain(missing).contains("doc_b 99"), chain(missing))
+    val nulled = intercept[Exception] {
+      Dedup.editVerify(Seq((1L, 6L)).toDF("doc_a", "doc_b"),
+        docs.unionByName(Seq((6L, null.asInstanceOf[String])).toDF("doc_id", "text")),
+        "doc_id", "text", maxRatio = 1.0).collect()
+    }
+    assert(chain(nulled).contains("doc_b 6"), chain(nulled))
+  }
+
   test("lshContaminatedDocs fails loudly on negative ids, either side") {
     import spark.implicits._
     val good = Seq((1L, "alpha beta gamma delta epsilon zeta"))

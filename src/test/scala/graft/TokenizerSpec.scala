@@ -123,4 +123,96 @@ class TokenizerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes == sizes.sorted.reverse)
     assert(merges.map(_._1) == (1L to 6L))
   }
+
+  /** Independent in-memory Viterbi (same contract: max score, ties to
+    * the larger split point, OOV single chars at UnkLogProb). */
+  private def refViterbi(
+      w: String, lp: Map[String, Double], maxLen: Int): Seq[String] = {
+    val n = w.length
+    val score = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = Array.fill(n + 1)(-1)
+    score(0) = 0.0
+    for (i <- 1 to n; j <- math.max(0, i - maxLen) until i) {
+      val piece = w.substring(j, i)
+      val p =
+        if (i - j == 1) Some(lp.getOrElse(piece, Tokenizer.UnkLogProb))
+        else lp.get(piece)
+      p.foreach { x =>
+        val s = score(j) + x
+        // >= : the LARGER j wins exact ties (struct-max semantics)
+        if (s >= score(i)) { score(i) = s; back(i) = j }
+      }
+    }
+    val pieces = scala.collection.mutable.ListBuffer.empty[String]
+    var i = n
+    while (i > 0) { pieces.prepend(w.substring(back(i), i)); i = back(i) }
+    pieces.toList
+  }
+
+  private def sparkViterbi(
+      words: Seq[String], lp: Map[String, Double], maxLen: Int): Seq[Seq[String]] = {
+    import spark.implicits._
+    words.toDF("w")
+      .select(Tokenizer.unigramViterbi(col("w"), typedlit(lp), maxLen).as("p"))
+      .collect().map(_.getSeq[String](0)).toSeq
+  }
+
+  test("unigramViterbi picks the max-probability segmentation") {
+    val lp = Map("ab" -> math.log(0.5), "a" -> math.log(0.25), "b" -> math.log(0.25))
+    assert(sparkViterbi(Seq("ab"), lp, 2) == Seq(Seq("ab")))
+    // equal-score paths: ab|c vs a|bc, the larger split point wins -> ab|c
+    val flat = Map("a" -> -1.0, "b" -> -1.0, "c" -> -1.0, "ab" -> -1.0, "bc" -> -1.0)
+    assert(sparkViterbi(Seq("abc"), flat, 2) == Seq(Seq("ab", "c")))
+    // OOV single char falls back to UnkLogProb; OOV multi-char never used
+    assert(sparkViterbi(Seq("xy"), Map("x" -> -1.0), 2) == Seq(Seq("x", "y")))
+    // empty word short-circuits to an empty segmentation (sequence(1,0)
+    // is DESCENDING in Spark — the fold must never see it)
+    assert(sparkViterbi(Seq(""), Map("x" -> -1.0), 2) == Seq(Seq()))
+  }
+
+  test("unigramViterbi matches the reference on random words and vocabs") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcd"
+    for (trial <- 1 to 8) {
+      val pieces = (for (_ <- 1 to 12) yield {
+        val len = 1 + rnd.nextInt(3)
+        (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }).distinct
+      // distinct log-probs avoid cross-impl tie sensitivity beyond the
+      // defined larger-j rule (which the flat-vocab case pins exactly)
+      val lp = pieces.zipWithIndex
+        .map { case (p, i) => p -> (-1.0 - i * 0.137) }.toMap
+      val words = (1 to 30).map { _ =>
+        val len = 1 + rnd.nextInt(9)
+        (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val got = sparkViterbi(words, lp, 3)
+      val want = words.map(w => refViterbi(w, lp, 3))
+      assert(got == want, s"trial $trial: $words")
+    }
+  }
+
+  test("unigramTrain: seed covers chars, EM prunes, logprobs normalize") {
+    import spark.implicits._
+    val corpus = (Seq.fill(6)("low") ++ Seq.fill(3)("lower") ++
+      Seq.fill(3)("lowest") ++ Seq.fill(4)("newer") ++ Seq.fill(2)("widest"))
+      .mkString(" ")
+    val df = Seq(corpus).toDF("text")
+    val vocab = Tokenizer.unigramTrain(df, col("text"), vocabSize = 12,
+      maxPieceLen = 3, seedSize = 20, emRounds = 2)
+    assert(vocab.nonEmpty && vocab.forall(_.cnt > 0))
+    // every surviving piece's logprob is ln(cnt / total)
+    val total = vocab.map(_.cnt).sum.toDouble
+    vocab.foreach(p => assert(p.logprob == math.log(p.cnt / total)))
+    // deterministic: a second run is identical
+    val again = Tokenizer.unigramTrain(df, col("text"), vocabSize = 12,
+      maxPieceLen = 3, seedSize = 20, emRounds = 2)
+    assert(vocab == again)
+    // encode round-trips: concatenated pieces rebuild each word
+    val lp = vocab.map(p => p.piece -> p.logprob).toMap
+    val enc = Seq("lowest widest unseen").toDF("text")
+      .select(Tokenizer.unigramEncode(col("text"), typedlit(lp), 3).as("p"))
+      .head().getSeq[String](0)
+    assert(enc.mkString == "lowestwidestunseen")
+  }
 }
