@@ -65,8 +65,13 @@ object Contamination {
     *
     * Benchmark ids are mapped into the negative key space internally
     * (corpus ids must be >= 0), so the two tables never collide inside
-    * the shared signature frame. Output: one row per flagged corpus
-    * doc — (doc_id, worst_bench_id, n_match, est_jaccard) with the
+    * the shared signature frame. The id contract is enforced row-level
+    * ON THE SIGNATURE FRAME: a doc too short to shingle never enters
+    * the shared frame at all, so it can neither collide nor alias — its
+    * id is never read and never validated (checking it would cost a
+    * second full corpus scan for a row that cannot affect the result).
+    * Output: one row per flagged corpus doc —
+    * (doc_id, worst_bench_id, n_match, est_jaccard) with the
     * highest-estimate benchmark doc, ties to the smaller bench id. */
   def lshContaminatedDocs(
       corpus: DataFrame, bench: DataFrame,

@@ -153,7 +153,10 @@ object Dedup {
     val nWin = greatest(size(col("_hs")) - (w - 1), lit(1))
     val fps = array_distinct(transform(
       sequence(lit(1), nWin), i => array_min(slice(col("_hs"), i, lit(w)))))
-    base.select(col("doc_id"), explode(fps).as("s"))
+    // cross-ROW distinct too (same as shingleIndex): a doc_id split
+    // across input rows must not double its postings — overlap scores
+    // of > 1.0 would otherwise be possible
+    base.select(col("doc_id"), explode(fps).as("s")).distinct()
   }
 
   /** Document pairs sharing at least `minShared` winnowing fingerprints

@@ -304,10 +304,17 @@ object Mixing {
       df: DataFrame, domainCol: String, idCol: String, tokensCol: Column,
       targetParts: Map[String, Long], budgetTokens: Long,
       salt: String = "budget"): DataFrame = {
+    // a null token count is a misconfigured pipeline (wrong column, an
+    // unscored slice) — fail loudly with the domain, never NPE on the
+    // driver or silently under-count a domain's mass
+    val checkedToks = when(tokensCol.isNotNull, tokensCol)
+      .otherwise(raise_error(concat(
+        lit("tokenBudgetMix: null token count in domain "),
+        coalesce(col(domainCol).cast("string"), lit("null")))))
     val avail = df
       .filter(col(domainCol).isNotNull)
       .groupBy(col(domainCol).cast("string").as("_g_dom"))
-      .agg(sum(tokensCol).cast("long").as("a"))
+      .agg(sum(checkedToks).cast("long").as("a"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toSeq

@@ -244,7 +244,12 @@ object Tokenizer {
     *
     * Fully deterministic (no sampling, defined tie-breaks) and
     * engine-replayable — the q178/q179 oracles unroll the same census,
-    * DP and renormalization term-for-term. */
+    * DP and renormalization term-for-term. Log-probs are doubles, so
+    * the gates lean on ln() producing identical bits across JVM libm
+    * and DuckDB (the same reliance every xent/LM gate in this repo
+    * already makes — q97/q99/q137); all DISCRETE decisions (seed
+    * selection, pruning, tie-breaks) use exact longs and codepoint
+    * string order, never floats. */
   def unigramTrain(
       df: DataFrame, textCol: Column, vocabSize: Int,
       maxPieceLen: Int = 4, seedSize: Int = 1000,
@@ -253,17 +258,20 @@ object Tokenizer {
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1: $maxPieceLen")
     require(seedSize >= 1, s"seedSize must be >= 1: $seedSize")
     require(emRounds >= 1, s"emRounds must be >= 1: $emRounds")
+    // driver-side tie-breaks must match Spark/DuckDB string order
+    // (codepoint == UTF-8 byte order); Ordering.String is UTF-16
+    // code-unit order, which disagrees beyond the BMP
+    val byCntThenPiece = Ordering.Tuple2(Ordering.Long, CodepointOrder)
     val types = wordTypes(df, textCol).persist()
+    val census = unigramSeedCounts(df, textCol, maxPieceLen).persist()
     try {
-      val census = unigramSeedCounts(df, textCol, maxPieceLen).persist()
       val top = census
         .orderBy(col("cnt").desc, col("piece").asc)
         .limit(seedSize)
         .collect().map(r => r.getString(0) -> r.getLong(1))
       val chars = census.filter(length(col("piece")) === 1)
         .collect().map(r => r.getString(0) -> r.getLong(1))
-      census.unpersist()
-      val seed = (top ++ chars).toMap.toSeq.sortBy(_._1)
+      val seed = (top ++ chars).toMap.toSeq.sortBy(_._1)(CodepointOrder)
       var counts: Seq[(String, Long)] = seed
       var round = 0
       while (round < emRounds) {
@@ -275,17 +283,40 @@ object Tokenizer {
             col("cnt"))
           .groupBy(col("piece")).agg(sum(col("cnt")).as("cnt"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-          .sortBy(_._1)
+          .sortBy(_._1)(CodepointOrder)
         round += 1
       }
       val total = counts.map(_._2).sum.toDouble
-      val (chars1, multi) = counts.partition(_._1.length == 1)
+      // single-CODEPOINT pieces (not single UTF-16 units: a non-BMP char
+      // is one piece and must keep its coverage exemption)
+      val (chars1, multi) = counts.partition(p =>
+        p._1.codePointCount(0, p._1.length) == 1)
       val kept = chars1 ++ multi
-        .sortBy { case (p, c) => (-c, p) }
+        .sortBy { case (p, c) => (-c, p) }(byCntThenPiece)
         .take(math.max(0, vocabSize - chars1.size))
-      kept.sortBy { case (p, c) => (-c, p) }
+      kept.sortBy { case (p, c) => (-c, p) }(byCntThenPiece)
         .map { case (p, c) => UnigramPiece(p, c, math.log(c / total)) }
-    } finally types.unpersist()
+    } finally {
+      census.unpersist()
+      types.unpersist()
+    }
+  }
+
+  /** Codepoint-lexicographic string order — identical to Spark's
+    * UTF8String ordering and DuckDB's binary collation. */
+  private object CodepointOrder extends Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      var i = 0
+      var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i)
+        val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca)
+        j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
   }
 
   /** [[unigramTrain]] as a (tiny, driver-local) DataFrame for gating:

@@ -1487,6 +1487,36 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sfp.count(_._1 == 11L) == 1)
   }
 
+  test("winnowIndex dedups across rows: a split doc never doubles postings") {
+    import spark.implicits._
+    val doc = "alpha beta gamma delta epsilon zeta eta theta"
+    val once = Seq((1L, doc), (2L, doc + " extra tail words here"))
+      .toDF("doc_id", "text")
+    val twice = once.unionByName(Seq((1L, doc)).toDF("doc_id", "text"))
+    val a = Dedup.winnowOverlap(once, "doc_id", "text", 3, 4, 1L, None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val b = Dedup.winnowOverlap(twice, "doc_id", "text", 3, 4, 1L, None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(a.toSet == b.toSet, s"duplicated input row changed overlap: $a vs $b")
+    assert(b.forall(_._4 <= 1.0))
+  }
+
+  test("tokenBudgetMix fails loudly on a null token count, naming the domain") {
+    import spark.implicits._
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val docs = Seq(
+      (1L, "en", Some(40L)), (2L, "fr", Some(10L)),
+      (3L, "fr", None) // unscored row: must raise, not under-count fr
+    ).toDF("doc_id", "lang", "n_toks")
+    val e = intercept[Exception] {
+      Mixing.tokenBudgetMix(docs, "lang", "doc_id", col("n_toks"),
+        Map("en" -> 1L, "fr" -> 1L), budgetTokens = 40L).collect()
+    }
+    assert(chain(e).contains("null token count in domain fr"), chain(e))
+  }
+
   test("winnowOverlap finds planted excerpts; the doc-freq cap bounds hot prints") {
     import spark.implicits._
     val body = "the original document discusses sorting networks and their " +

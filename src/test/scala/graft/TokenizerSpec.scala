@@ -192,6 +192,22 @@ class TokenizerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("unigramTrain treats a non-BMP char as a single piece (codepoints, not UTF-16 units)") {
+    import spark.implicits._
+    // U+1D569 is two UTF-16 code units. It survives EM as a standalone
+    // word piece (count 2); with vocabSize = 1 every MULTI-char piece is
+    // pruned and the higher-count "ab" (3) would crowd it out — so "𝕩"
+    // stays in the vocab only if the coverage partition counts
+    // CODEPOINTS (a UTF-16 .length == 1 check routes it to the pruned
+    // multi-char pool)
+    val df = Seq("𝕩 𝕩 ab ab ab").toDF("text")
+    val vocab = Tokenizer.unigramTrain(df, col("text"), vocabSize = 1,
+      maxPieceLen = 2, seedSize = 10, emRounds = 1)
+    val pieces = vocab.map(_.piece).toSet
+    assert(pieces.contains("𝕩"), s"non-BMP char pruned: $pieces")
+    assert(!pieces.contains("ab"), s"vocabSize=1 must prune multi pieces: $pieces")
+  }
+
   test("unigramTrain: seed covers chars, EM prunes, logprobs normalize") {
     import spark.implicits._
     val corpus = (Seq.fill(6)("low") ++ Seq.fill(3)("lower") ++
