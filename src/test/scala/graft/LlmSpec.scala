@@ -1487,6 +1487,54 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sfp.count(_._1 == 11L) == 1)
   }
 
+  test("winnowing guarantee fuzz: every shared passage >= w+k-1 tokens shares a print") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val k = 2 + rnd.nextInt(2) // 2..3
+      val w = 2 + rnd.nextInt(4) // 2..5
+      val need = w + k - 1
+      def tok() = s"t${rnd.nextInt(5000)}"
+      val passage = (1 to (need + rnd.nextInt(4))).map(_ => tok()).mkString(" ")
+      def pad(n: Int) = (1 to n).map(_ => tok()).mkString(" ")
+      // the passage sits at a random offset in both docs
+      val docs = Seq(
+        (1L, s"${pad(rnd.nextInt(8))} $passage ${pad(rnd.nextInt(8))}".trim),
+        (2L, s"${pad(rnd.nextInt(8))} $passage ${pad(rnd.nextInt(8))}".trim))
+        .toDF("doc_id", "text")
+      val fp = Dedup.winnowIndex(docs, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+        s"trial $trial (k=$k w=$w): shared passage selected no common print")
+    }
+  }
+
+  test("waterfill invariants: budget respected, saturation exact, monotone") {
+    val avail = Seq("a" -> 100L, "b" -> 40L, "c" -> 10L, "d" -> 250L)
+    val parts = Map("a" -> 10L, "b" -> 30L, "c" -> 30L, "d" -> 30L)
+    for (budget <- Seq(0L, 50L, 120L, 300L, 399L, 400L, 10000L)) {
+      val rates = Mixing.waterfillRatesPpm(avail, parts, budget)
+      // expected kept token mass never exceeds the budget (floor-ppm
+      // rates only round DOWN) and never exceeds availability
+      val mass = avail.map { case (d, a) =>
+        rates.getOrElse(d, 0L).toDouble / 1e6 * a }.sum
+      assert(mass <= budget + 1e-6, s"budget=$budget mass=$mass")
+      assert(rates.values.forall(r => r >= 0L && r <= 1000000L))
+      // budget >= total avail saturates everything
+      if (budget >= 400L) assert(rates.values.forall(_ == 1000000L))
+    }
+    // monotone: a bigger budget never lowers any domain's rate
+    val steps = Seq(50L, 120L, 200L, 300L, 400L)
+      .map(b => Mixing.waterfillRatesPpm(avail, parts, b))
+    steps.sliding(2).foreach { case Seq(lo, hi) =>
+      (lo.keySet ++ hi.keySet).foreach { d =>
+        assert(lo.getOrElse(d, 0L) <= hi.getOrElse(d, 0L),
+          s"rate for $d dropped when the budget grew: $lo -> $hi")
+      }
+    }
+  }
+
   test("winnowIndex dedups across rows: a split doc never doubles postings") {
     import spark.implicits._
     val doc = "alpha beta gamma delta epsilon zeta eta theta"

@@ -227,4 +227,46 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = planOf("q29b_embed_neardup_bucketed")
     assert(p.contains("lshbandbuckets("), s"expected the LSH kernel in the plan")
   }
+
+  test("winnow/edit-verify/budget-mix plans: no cartesian, budget apply joinless") {
+    // winnow overlap joins through the fingerprint inverted index like
+    // jaccard; edit verify joins candidate ids to capped text, never
+    // all-pairs; the budget-mix rate table rides the closure as a CASE —
+    // the sampled scan must plan NO join at all
+    for (q <- Seq("q174_winnow_overlap", "q177_edit_verify",
+        "q175_token_budget_mix")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
+    }
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq((1L, "en", 40L), (2L, "fr", 10L))
+      .toDF("doc_id", "lang", "n_toks")
+    val mix = graft.llm.Mixing.tokenBudgetMix(
+      docs, "lang", "doc_id", col("n_toks"), Map("en" -> 1L, "fr" -> 1L), 30L)
+    val p = mix.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"budget-mix apply plans a join:\n$p")
+  }
+
+  test("unigram EM round: one aggregation exchange, vocab as a single literal") {
+    // the EM recount is explode(viterbi) -> hash agg: exactly one hash
+    // exchange (the groupBy), and the vocab map must ride the plan as a
+    // broadcast-free literal (keys would appear as a join otherwise)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq("low lower lowest low low newer").toDF("text")
+    val lp = Map("low" -> -1.0, "er" -> -2.0, "l" -> -3.0, "o" -> -3.0,
+      "w" -> -3.0, "e" -> -3.0, "n" -> -3.0, "s" -> -3.0, "t" -> -3.0)
+    val counts = df
+      .select(explode(graft.llm.TextFunctions.wsTokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .select(explode(
+        graft.llm.Tokenizer.unigramViterbi(col("w"), typedlit(lp), 3))
+        .as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
+    val p = counts.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"EM recount plans a join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"EM recount has $exchanges hash exchanges:\n$p")
+  }
 }
