@@ -41,11 +41,13 @@ object SparkEntry {
     "q123_sq8_ann", "q131_ivfpq_ann", "q139_semdedup",
     "q95_span_dedup", "q97_unigram_xent", "q104_asof_purchase_click",
     "q138_seq_packing", "q178_unigram_train",
-    "q33_mor_compaction_roundtrip", "q57_publish_many_groups")
+    "q33_mor_compaction_roundtrip", "q57_publish_many_groups",
+    "q180_publish_put_profile")
 
   /** Bench entries that time the WRITE path (table build + mutation);
     * everything else in [[benchQueries]] times reads. Reported as
     * separate totals so read regressions aren't masked by write noise. */
   def writePathQueries: Set[String] =
-    Set("q33_mor_compaction_roundtrip", "q57_publish_many_groups")
+    Set("q33_mor_compaction_roundtrip", "q57_publish_many_groups",
+      "q180_publish_put_profile")
 }

@@ -89,6 +89,10 @@ object TimelineLock {
   val LockFile = ".lock"
   val File = "file"
   val InProcess = "inprocess"
+  /** `tcp:<host>:<port>` — the out-of-process [[LockServer]] binding
+    * (the ZK-analog: exclusion state lives in an external service,
+    * session loss releases the lock). */
+  val TcpPrefix = "tcp:"
 
   def providerFor(timeline: Timeline, staleMs: Long = 60000): LockProvider = {
     // only the not-yet-initialized bootstrap may default; a config READ
@@ -100,8 +104,16 @@ object TimelineLock {
     n match {
       case File      => new FileLockProvider(timeline, staleMs)
       case InProcess => new InProcessLockProvider(timeline.basePath)
+      case tcp if tcp.startsWith(TcpPrefix) =>
+        tcp.stripPrefix(TcpPrefix).split(":", 2) match {
+          case Array(host, port) if host.nonEmpty && port.forall(_.isDigit) && port.nonEmpty =>
+            new TcpLockProvider(host, port.toInt, timeline.basePath)
+          case _ => throw new IllegalArgumentException(
+            s"malformed lockProvider '$tcp' (expected 'tcp:<host>:<port>')")
+        }
       case other => throw new IllegalArgumentException(
-        s"unknown lockProvider '$other' (expected '$File' or '$InProcess')")
+        s"unknown lockProvider '$other' " +
+          s"(expected '$File', '$InProcess' or '$TcpPrefix<host>:<port>')")
     }
   }
 }

@@ -252,7 +252,12 @@ object Mixing {
     * term-for-term.
     *
     * Returns (domain -> rate_ppm); domains with no target part (or no
-    * mass) are absent = rate 0. */
+    * mass) are absent = rate 0. NOTE: a target domain present with ZERO
+    * token mass is excluded up front here (absent = rate 0), whereas a
+    * naive waterfill would saturate it at 1e6 ppm and count its part in
+    * the round-1 shares — the q175 oracle states the same exclusion
+    * explicitly (`HAVING sum(n_toks) > 0`), keeping the two contracts
+    * aligned even off the fixture path. */
   private[graft] def waterfillRatesPpm(
       avail: Seq[(String, Long)], parts: Map[String, Long],
       budget: Long): Map[String, Long] = {

@@ -32,7 +32,8 @@ object Llm {
     * are (score, split j); `list_sort(...)[-1]` reproduces Spark's
     * struct array_max — max score, ties to the LARGER split. Emits
     * `name(w, cnt, pieces)`. */
-  private def unigramVitCte(name: String, mapFrom: String): String = s"""
+  private def unigramVitCte(name: String, mapFrom: String,
+      maxPieceLen: Int = 3): String = s"""
         $name AS (
           WITH RECURSIVE v(w, cnt, m, i, dp) AS (
             SELECT w, cnt, (SELECT m FROM $mapFrom), 0,
@@ -42,7 +43,7 @@ object Llm {
             SELECT w, cnt, m, i + 1,
               list_append(dp, list_transform(
                 [list_sort(list_filter(
-                   list_transform(range(greatest(i + 1 - 3, 0), i + 1), j ->
+                   list_transform(range(greatest(i + 1 - $maxPieceLen, 0), i + 1), j ->
                      {'score': dp[(j + 1)::INT].score +
                         CASE WHEN i + 1 - j = 1
                           THEN coalesce(
@@ -60,12 +61,30 @@ object Llm {
           FROM v WHERE i = len(w))"""
 
   /** Shared CTE chain replaying [[graft.llm.Tokenizer.unigramTrain]] on
-    * the en slice (vocabSize 60, maxPieceLen 3, seedSize 120, one EM
-    * round): word-type histogram → substring seed census → seed
-    * log-probs (map m0) → Viterbi-EM recount (`counts1`) → pruned vocab
-    * `kept`. Composed by the q178 train gate and the q179 train→encode
-    * gate. */
-  private def unigramTrainCtes: String = s"""
+    * the en slice, PARAMETERIZED exactly like the trainer: word-type
+    * histogram → substring seed census → seed log-probs (map `emm0`) →
+    * `emRounds` × (Viterbi `emvit_r` under model `emm_{r-1}` → recount
+    * `emcounts_r` → renormalized model `emm_r`) → final counts
+    * `fcounts` → pruned vocab `keptf`. The unroll depth equals the
+    * trainer's `emRounds` loop (Tokenizer.scala recount loop) —
+    * composed by the q178/q179 single-round gates and the q181
+    * multi-round pruning-churn gate. */
+  private def unigramTrainCtes(emRounds: Int = 1, seedSize: Int = 120,
+      vocabSize: Int = 60, maxPieceLen: Int = 3): String = {
+    val rounds = (1 to emRounds).map { r =>
+      val prev = if (r == 1) "seed" else s"emcounts${r - 1}"
+      s"""emm${r - 1} AS (
+          SELECT map(list(piece ORDER BY piece),
+                     list(ln(cnt / (SELECT sum(cnt)::DOUBLE FROM $prev))
+                          ORDER BY piece)) AS m
+          FROM $prev),
+        ${unigramVitCte(s"emvit$r", s"emm${r - 1}", maxPieceLen)},
+        emcounts$r AS (
+          SELECT piece, sum(cnt) AS cnt FROM (
+            SELECT unnest(pieces) AS piece, cnt FROM emvit$r)
+          GROUP BY piece)"""
+    }.mkString(",\n        ")
+    s"""
         types AS (
           SELECT w, count(*) AS cnt FROM (
             SELECT unnest(string_split(text, ' ')) AS w
@@ -74,38 +93,28 @@ object Llm {
         census AS (
           SELECT piece, sum(cnt) AS cnt FROM (
             SELECT unnest(flatten(list_transform(range(1, len(w) + 1), i ->
-              list_transform(range(1, least(3, len(w) - i + 1) + 1), l ->
+              list_transform(range(1, least($maxPieceLen, len(w) - i + 1) + 1), l ->
                 substr(w, i::INT, l::INT))))) AS piece, cnt
             FROM types)
           GROUP BY piece),
         top_seed AS (
           SELECT piece, cnt FROM census
-          ORDER BY cnt DESC, piece ASC LIMIT 120),
+          ORDER BY cnt DESC, piece ASC LIMIT $seedSize),
         seed AS (
           SELECT piece, cnt FROM top_seed
           UNION
           SELECT piece, cnt FROM census WHERE len(piece) = 1),
-        lp0 AS (
-          SELECT piece,
-                 ln(cnt / (SELECT sum(cnt)::DOUBLE FROM seed)) AS lp
-          FROM seed),
-        m0 AS (
-          SELECT map(list(piece ORDER BY piece),
-                     list(lp ORDER BY piece)) AS m
-          FROM lp0),
-        ${unigramVitCte("vit", "m0")},
-        counts1 AS (
-          SELECT piece, sum(cnt) AS cnt FROM (
-            SELECT unnest(pieces) AS piece, cnt FROM vit)
-          GROUP BY piece),
-        chars1 AS (SELECT piece, cnt FROM counts1 WHERE len(piece) = 1),
-        multi AS (
+        $rounds,
+        fcounts AS (SELECT piece, cnt FROM emcounts$emRounds),
+        charsf AS (SELECT piece, cnt FROM fcounts WHERE len(piece) = 1),
+        multif AS (
           SELECT piece, cnt FROM (
             SELECT piece, cnt,
                    row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk
-            FROM counts1 WHERE len(piece) > 1)
-          WHERE rk <= greatest(0, 60 - (SELECT count(*) FROM chars1))),
-        kept AS (SELECT * FROM chars1 UNION ALL SELECT * FROM multi)"""
+            FROM fcounts WHERE len(piece) > 1)
+          WHERE rk <= greatest(0, $vocabSize - (SELECT count(*) FROM charsf))),
+        keptf AS (SELECT * FROM charsf UNION ALL SELECT * FROM multif)"""
+  }
 
   /** Stacked-CTE DuckDB replay of [[graft.llm.Tokenizer.bpeTrain]]'s
     * `k` merge steps. Per step: pair census + argmax (count DESC, pair
@@ -3544,8 +3553,14 @@ object Llm {
           FROM documents
           WHERE text IS NOT NULL AND lang IN ('en', 'fr', 'de')),
         t(lang, part) AS (VALUES ('en', 20), ('fr', 40), ('de', 40)),
+        -- zero-mass target domains are excluded up front (HAVING), matching
+        -- waterfillRatesPpm's absent-domain = rate-0 contract; the unroll
+        -- below is 3 rounds deep and MUST be >= the number of target
+        -- domains (at most one saturation round per domain; extra rounds
+        -- are idempotent when nothing saturates)
         av AS (SELECT t.lang, t.part, sum(d.n_toks) AS avail
-               FROM t JOIN d USING (lang) GROUP BY 1, 2),
+               FROM t JOIN d USING (lang) GROUP BY 1, 2
+               HAVING sum(d.n_toks) > 0),
         r1 AS (SELECT lang, part, avail,
                  CAST(12000 AS DOUBLE) * part / (SELECT sum(part) FROM av) AS share
                FROM av),
@@ -3577,7 +3592,7 @@ object Llm {
           WHERE CAST('0x' || substr(md5('budget:' || CAST(d.doc_id AS VARCHAR)),
                   1, 15) AS BIGINT) % 1000000 < r.rate_ppm)
         SELECT lang, max(rate_ppm) AS rate_ppm, count(*) AS kept_docs,
-               sum(n_toks) AS kept_tokens
+               CAST(sum(n_toks) AS BIGINT) AS kept_tokens
         FROM kept GROUP BY lang ORDER BY lang"""))),
 
     // ---- edit-distance verification of near-dup candidates: unigram
@@ -3664,10 +3679,10 @@ object Llm {
           .orderBy(col("cnt").desc, col("piece").asc)
       },
       Some(s"""
-        WITH $unigramTrainCtes
-        SELECT piece, cnt,
-               ln(cnt / (SELECT sum(cnt)::DOUBLE FROM counts1)) AS logprob
-        FROM kept ORDER BY cnt DESC, piece ASC"""))),
+        WITH ${unigramTrainCtes()}
+        SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+               ln(cnt / (SELECT sum(cnt)::DOUBLE FROM fcounts)) AS logprob
+        FROM keptf ORDER BY cnt DESC, piece ASC"""))),
 
     // ---- unigram train → encode: the full tokenizer round trip. The
     //      vocab trained by q178's pipeline segments every en document
@@ -3690,13 +3705,13 @@ object Llm {
           .orderBy(col("doc_id"))
       },
       Some(s"""
-        WITH $unigramTrainCtes,
-        m1 AS (
+        WITH ${unigramTrainCtes()},
+        mfin AS (
           SELECT map(list(piece ORDER BY piece),
-                     list(ln(cnt / (SELECT sum(cnt)::DOUBLE FROM counts1))
+                     list(ln(cnt / (SELECT sum(cnt)::DOUBLE FROM fcounts))
                           ORDER BY piece)) AS m
-          FROM kept),
-        ${unigramVitCte("vit2", "m1")},
+          FROM keptf),
+        ${unigramVitCte("vit2", "mfin")},
         dt AS (
           SELECT doc_id, u.i AS i, u.tok AS tok FROM (
             SELECT doc_id, string_split(text, ' ') AS tk
@@ -3714,6 +3729,154 @@ object Llm {
         FROM (SELECT doc_id FROM documents
               WHERE text IS NOT NULL AND lang = 'en') d
         LEFT JOIN enc e USING (doc_id)
-        ORDER BY doc_id""")))
+        ORDER BY doc_id"""))),
+
+    // ---- MULTI-round Viterbi-EM unigram training: 3 EM rounds over a
+    //      LARGER seed pool (200) pruned to a SMALLER vocab (40) — the
+    //      combination that forces pruning churn (pieces the round-1
+    //      model kept drop to count 0 under the round-2 model and leave
+    //      it, so later DPs run against a shrunken piece set and the
+    //      single-char -100 UNK fallback fires for dropped chars). Pins
+    //      the trainer's recount loop ACROSS rounds; the oracle unrolls
+    //      the identical 3 rounds term-for-term
+    "q181_unigram_train_multiround" -> ((
+      (s: SparkSession, d: String) => {
+        val en = t(s, d, "documents")
+          .filter(col("text").isNotNull && col("lang") === "en")
+        graft.llm.Tokenizer.unigramTrainDF(s, en, col("text"),
+            vocabSize = 40, maxPieceLen = 3, seedSize = 200, emRounds = 3)
+          .orderBy(col("cnt").desc, col("piece").asc)
+      },
+      Some(s"""
+        WITH ${unigramTrainCtes(emRounds = 3, seedSize = 200, vocabSize = 40)}
+        SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+               ln(cnt / (SELECT sum(cnt)::DOUBLE FROM fcounts)) AS logprob
+        FROM keptf ORDER BY cnt DESC, piece ASC"""))),
+
+    // ---- incremental ANN index kept fresh through the WRITE path: the
+    //      stored-codes table (q136) lives through three commits — bulk
+    //      load, a later-arriving batch, then a RE-EMBEDDING wave that
+    //      upserts refreshed codes for changed vectors (ids % 5 == 1 get
+    //      re-embedded as the reversed vector) — and search quality is
+    //      then judged against brute force over the UPDATED corpus with
+    //      q145's recall harness. A stale index (old codes for changed
+    //      ids) would tank recall for exactly those queries; the
+    //      incremental refresh keeps it at the from-scratch level, and
+    //      strictCoverage would raise loudly on ids the rerank cannot
+    //      resolve
+    "q182_ann_index_refresh" -> ((
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val upd = emb.select(col("vec_id"),
+          when(col("vec_id") % 5 === 1, reverse(col("embedding")))
+            .otherwise(col("embedding")).as("embedding"))
+        val b1 = emb.filter(col("vec_id") % 3 =!= 0)
+        val b2 = emb.filter(col("vec_id") % 3 === 0)
+        // codebooks seeded from the ORIGINAL initial corpus — the index
+        // never retrains on refresh, only re-encodes (the incremental
+        // contract: refresh cost is batch-sized, never corpus-sized)
+        val cb = Similarity.pqInitCodebooks(b1, "vec_id", "embedding",
+          m = 8, ksub = 16)
+        val tbl = graft.write.GraftTable.create(s, freshDir(),
+          graft.core.TableConfig(
+            name = "pq_refresh", tableType = graft.core.TableType.COW,
+            keyFields = Seq("vec_id"), targetFileRows = 500000))
+        tbl.bulkInsert(b1.select(col("vec_id"),
+          Similarity.pqCodes(col("embedding"), cb).as("codes")))
+        tbl.upsert(b2.select(col("vec_id"),
+          Similarity.pqCodes(col("embedding"), cb).as("codes")))
+        tbl.upsert(upd.filter(col("vec_id") % 5 === 1)
+          .select(col("vec_id"),
+            Similarity.pqCodes(col("embedding"), cb).as("codes")))
+        val r = graft.read.GraftReader(tbl)
+        val stored = r.dataOnly(r.snapshot()).select(col("vec_id"), col("codes"))
+        val qs = upd.filter(col("vec_id") < 5)
+        val approx = Similarity.pqTopKFromCodes(stored, upd, qs,
+          "vec_id", "codes", "embedding", k = 3, cb, rerank = 10)
+        val exact = Similarity.bruteForceTopK(upd, qs, "vec_id", "embedding", k = 3)
+        Similarity.topKRecall(exact, approx).orderBy(col("q_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        u AS (
+          SELECT vec_id,
+                 CASE WHEN vec_id % 5 = 1 THEN list_reverse(v) ELSE v END AS v
+          FROM e),
+        cbs AS (
+          SELECT s, list(blk ORDER BY j) AS cb
+          FROM (
+            SELECT s, seed.vec_id AS j,
+                   list_transform(range(1, 9), i -> seed.v[s*8 + i]) AS blk
+            FROM (SELECT vec_id, v FROM e WHERE vec_id % 3 <> 0
+                  ORDER BY vec_id LIMIT 16) seed,
+                 (SELECT unnest(range(0, 8)) AS s))
+          GROUP BY s),
+        codes AS (
+          SELECT vec_id, s,
+                 CAST(list_position(d, list_min(d)) - 1 AS INTEGER) AS code
+          FROM (
+            SELECT u.vec_id, c.s,
+                   list_transform(range(1, 17), j ->
+                     list_sum(list_transform(range(1, 9), i ->
+                       (u.v[c.s*8 + i] - c.cb[j][i])
+                         * (u.v[c.s*8 + i] - c.cb[j][i])))) AS d
+            FROM u, cbs c)),
+        dec AS (
+          SELECT vec_id, flatten(list(blk ORDER BY s)) AS dvec
+          FROM (SELECT cd.vec_id, cd.s, c.cb[cd.code + 1] AS blk
+                FROM codes cd JOIN cbs c ON c.s = cd.s)
+          GROUP BY vec_id),
+        nrm AS (
+          SELECT vec_id, dvec,
+                 sqrt(list_sum(list_transform(dvec, x -> x * x))) AS dnrm
+          FROM dec),
+        qn AS (
+          SELECT vec_id AS q_id, v AS qv,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS qnrm
+          FROM u WHERE vec_id < 5),
+        adc AS (
+          SELECT q.q_id, c.vec_id AS n_id,
+                 list_sum(list_transform(range(1, 65),
+                   i -> q.qv[i] * c.dvec[i])) / (q.qnrm * c.dnrm) AS cos_adc
+          FROM qn q JOIN nrm c ON c.vec_id <> q.q_id),
+        short AS (
+          SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos_adc DESC, n_id) AS srnk
+            FROM adc) WHERE srnk <= 10),
+        un AS (
+          SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nr
+          FROM u),
+        ap AS (
+          SELECT q_id, n_id FROM (
+            SELECT s.q_id, s.n_id,
+                   row_number() OVER (PARTITION BY s.q_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> q.qv[i] * n.v[i])) / (q.qnrm * n.nr) DESC,
+                     s.n_id) AS rnk
+            FROM short s JOIN qn q ON q.q_id = s.q_id
+                         JOIN un n ON n.vec_id = s.n_id)
+          WHERE rnk <= 3),
+        bf AS (
+          SELECT q_id, n_id FROM (
+            SELECT q.q_id, n.vec_id AS n_id,
+                   row_number() OVER (PARTITION BY q.q_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> q.qv[i] * n.v[i])) / (q.qnrm * n.nr) DESC,
+                     n.vec_id) AS rnk
+            FROM qn q JOIN un n ON n.vec_id <> q.q_id)
+          WHERE rnk <= 3)
+        SELECT bf.q_id, count(*) AS n_exact,
+               CAST(sum(CASE WHEN ap.n_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               CAST(sum(CASE WHEN ap.n_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS recall
+        FROM bf LEFT JOIN ap ON ap.q_id = bf.q_id AND ap.n_id = bf.n_id
+        GROUP BY bf.q_id ORDER BY bf.q_id""")))
   )
 }

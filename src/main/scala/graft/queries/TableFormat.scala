@@ -499,6 +499,32 @@ object TableFormat {
       },
       Some(SummarySql))),
 
+    // ---- FULL_RECORD bootstrap: the source is REWRITTEN through the
+    //      normal bulk_insert path (meta columns stored, layout rebuilt)
+    //      — so mixed-partition source files, which the zero-copy mode
+    //      rejects by contract, bootstrap fine here; the mutated table
+    //      then behaves like any native one (reference analog:
+    //      FULL_RECORD, SparkBootstrapCommitActionExecutor.java:84)
+    "q183_bootstrap_full_record" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val extDir = freshDir() + "/ext"
+        // deliberately partition-mixed source files
+        orders.filter(col("o_orderkey") % 10 < 8)
+          .coalesce(2).write.mode("overwrite").parquet(extDir)
+        val tbl = graft.sql.GraftDdl.bootstrap(
+          s, freshDir(), cfg("orders_bsf", TableType.COW), extDir,
+          mode = "full")
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 >= 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        tbl.delete(orders.filter(col("o_orderkey") % 10 === 7)
+          .select("o_orderkey", "o_orderpriority"))
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some(SummarySql))),
+
     // ---- insert_overwrite_table: one replacecommit swaps the whole
     //      table for the incoming frame
     "q54_overwrite_table" -> ((
@@ -598,6 +624,30 @@ object TableFormat {
       (s: SparkSession, d: String) => {
         val orders = graft.Tables.t(s, d, "orders")
         val c = cfg("orders_pub", TableType.COW).copy(targetFileRows = 75)
+        val tbl = GraftTable.create(s, freshDir(), c)
+        tbl.bulkInsert(orders)
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS price_c
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- q57 under the OBJECT-STORE commit profile: same many-group
+    //      bulk_insert, but every data-file "move" is a copy (no atomic
+    //      rename) and exclusivity is a conditional write. Publication
+    //      runs as a distributed Spark job (publishMode=auto resolves to
+    //      distributed here), so the copy BYTES never transit the driver
+    //      — this is the profile's perf gate next to q118's sf0.01
+    //      correctness gate
+    "q180_publish_put_profile" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val c = cfg("orders_pubput", TableType.COW)
+          .copy(targetFileRows = 75, commitStore = graft.core.CommitStore.Put)
         val tbl = GraftTable.create(s, freshDir(), c)
         tbl.bulkInsert(orders)
         val r = GraftReader(tbl)

@@ -130,6 +130,27 @@ object GraftDdl {
     * and source file basenames must be unique. */
   def bootstrap(
       spark: SparkSession, path: String, config: TableConfig,
+      sourceDir: String,
+      /** "metadata" (default): zero-copy — adopt source files in place,
+        * stamping meta at read (reference analog: METADATA_ONLY
+        * bootstrap, BootstrapMode.java + skeleton files). "full":
+        * rewrite every source record through the normal bulk_insert
+        * path — meta columns stored, files re-laid-out, no
+        * single-partition-per-file requirement (reference analog:
+        * FULL_RECORD mode, SparkBootstrapCommitActionExecutor.java:84,
+        * which is likewise "a bulk insert of the source"). */
+      mode: String = "metadata"): GraftTable = mode match {
+    case "full" =>
+      val table = GraftTable.create(spark, path, config)
+      table.bulkInsert(spark.read.parquet(sourceDir))
+      table
+    case "metadata" => bootstrapMetadataOnly(spark, path, config, sourceDir)
+    case other => throw new IllegalArgumentException(
+      s"unknown bootstrap mode '$other' (expected 'metadata' or 'full')")
+  }
+
+  private def bootstrapMetadataOnly(
+      spark: SparkSession, path: String, config: TableConfig,
       sourceDir: String): GraftTable = {
     val table = GraftTable.create(spark, path, config)
     val src = spark.read.parquet(sourceDir)

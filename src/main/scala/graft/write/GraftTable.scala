@@ -359,75 +359,109 @@ class GraftTable private (
         data.schema.fields.find(_.name == c).map(f => c -> f.dataType)).toMap
     val hconf = spark.sessionState.newHadoopConf()
 
-    // publish renames run on a driver-side pool: at thousands of file
-    // groups per commit a serial rename loop becomes the publish tail
-    // (Hadoop FileSystem instances are thread-safe)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(GraftTable.PublishThreads, math.max(1, byGroup.size)))
-    val out =
-      try {
-        val futures = byGroup.toSeq.map { case (gDir, parts) =>
-          pool.submit(new java.util.concurrent.Callable[WriteStat] {
-            override def call(): WriteStat = {
-              val isDelta =
-                if (mixed) gDir.getName.stripPrefix(s"$GD=").toBoolean else delta
-              val fDir = if (mixed) gDir.getParent else gDir
-              val fileId = unescapePath(fDir.getName.stripPrefix(s"$GF="))
-              val partRaw = unescapePath(
-                fDir.getParent.getName.stripPrefix(s"$GP="))
-              val part = if (partRaw == RootPartition) "" else partRaw
-              require(parts.size == 1,
-                s"expected 1 staged file per group, got ${parts.size} in $gDir")
-              val suffix =
-                if (isDelta) s"_$commitTime.delta.parquet" else s"_$commitTime.parquet"
-              val destDir = if (part == "") new Path(basePath) else new Path(basePath, part)
-              fs.mkdirs(destDir)
-              val dest = new Path(destDir, s"$fileId$suffix")
-              // profile-dependent move: atomic rename (HDFS/local) or
-              // copy+delete (object stores) — see graft.core.CommitStore
-              timeline.commitStore.moveFile(fs, parts.head.getPath, dest)
-              val bytes = fs.getFileStatus(dest).getLen
-              val rel = if (part == "") dest.getName else s"$part/${dest.getName}"
-              val (rows, colStats) = GraftTable.footerStats(dest, hconf, statTypes)
-              val keyStat = colStats.get(Key)
-              // a file group lives in exactly ONE partition, so each
-              // dropped partition field is single-valued in this file:
-              // min = max = its (read-visible) path segment — stats
-              // skipping on partition-field predicates keeps working
-              // with the column gone from storage
-              val partStats: Map[String, ColStat] =
-                if (droppedPartCols.isEmpty) Map.empty
-                else {
-                  val segs = part.split("/", -1)
-                  // segment position = the field's position in the FULL
-                  // partition spec (a batch carrying only a subset of
-                  // the partition columns must not shift the mapping)
-                  droppedPartCols.flatMap { f =>
-                    val i = config.partitionFields.indexOf(f)
-                    if (i < 0 || i >= segs.length) None
-                    else decodePartSegment(f, segs(i)) match {
-                      // null-partition sentinel: every row of the file is
-                      // null in this field (boundCmp reads null bounds as
-                      // an empty range; IsNull needs nullCount = rows)
-                      case null => Some(f -> ColStat(null, null, rows))
-                      case v    => Some(f -> ColStat(v, v, 0L))
-                    }
-                  }.toMap
-                }
-              WriteStat(part, fileId, rel, isDelta = isDelta, rows = rows, bytes = bytes,
-                minKey = keyStat.flatMap(s => Option(s.min)).getOrElse(""),
-                maxKey = keyStat.flatMap(s => Option(s.max)).getOrElse(""),
-                columnStats = colStats.filter { case (c, _) => c != Key } ++ partStats)
+    // resolve every group's published destination on the driver first —
+    // pure path math over the glob result, no I/O
+    case class Move(src: Path, dest: Path, part: String, fileId: String,
+      isDelta: Boolean, rel: String)
+    val moves: Seq[Move] = byGroup.toSeq.map { case (gDir, parts) =>
+      val isDelta =
+        if (mixed) gDir.getName.stripPrefix(s"$GD=").toBoolean else delta
+      val fDir = if (mixed) gDir.getParent else gDir
+      val fileId = unescapePath(fDir.getName.stripPrefix(s"$GF="))
+      val partRaw = unescapePath(
+        fDir.getParent.getName.stripPrefix(s"$GP="))
+      val part = if (partRaw == RootPartition) "" else partRaw
+      require(parts.size == 1,
+        s"expected 1 staged file per group, got ${parts.size} in $gDir")
+      val suffix =
+        if (isDelta) s"_$commitTime.delta.parquet" else s"_$commitTime.parquet"
+      val destDir = if (part == "") new Path(basePath) else new Path(basePath, part)
+      val dest = new Path(destDir, s"$fileId$suffix")
+      val rel = if (part == "") dest.getName else s"$part/${dest.getName}"
+      Move(parts.head.getPath, dest, part, fileId, isDelta, rel)
+    }
+
+    // Publication mode. The per-file work (profile-dependent move +
+    // footer-stats read — see graft.core.CommitStore) is O(#files) and,
+    // under the `put` profile, O(bytes): at 100k-file commits a
+    // driver-side loop is the publish tail, and under `put` the commit's
+    // whole data volume would transit one JVM. "auto" keeps small
+    // rename-profile commits on the cheap driver pool and distributes
+    // everything else as a Spark job (the executor-side accounting the
+    // reference gets from its write handles, HoodieCreateHandle.java:52).
+    val mode = Option(config.publishMode).map(_.trim.toLowerCase)
+      .filter(_.nonEmpty).getOrElse("auto")
+    val distribute = mode match {
+      case "driver"      => false
+      case "distributed" => true
+      case "auto" =>
+        moves.size > GraftTable.PublishThreads ||
+          (timeline.commitStore.name == CommitStore.Put &&
+            partFiles.map(_.getLen).sum > GraftTable.PutDriverCopyMaxBytes)
+      case other => throw new IllegalArgumentException(
+        s"unknown publishMode '$other' (expected auto|driver|distributed)")
+    }
+    val published: Map[String, (Long, Long, Map[String, ColStat])] =
+      if (distribute)
+        GraftTable.publishDistributed(spark,
+          moves.map(m => (m.src.toString, m.dest.toString)),
+          timeline.commitStore.name, statTypes, new SerializableHadoopConf(hconf))
+      else {
+        // driver-side pool (Hadoop FileSystem instances are thread-safe)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(GraftTable.PublishThreads, math.max(1, moves.size)))
+        try moves.map { m =>
+          pool.submit(new java.util.concurrent.Callable[(String, (Long, Long, Map[String, ColStat]))] {
+            override def call(): (String, (Long, Long, Map[String, ColStat])) = {
+              fs.mkdirs(m.dest.getParent)
+              timeline.commitStore.moveFile(fs, m.src, m.dest)
+              val bytes = fs.getFileStatus(m.dest).getLen
+              val (rows, colStats) = GraftTable.footerStats(m.dest, hconf, statTypes)
+              m.dest.toString -> ((rows, bytes, colStats))
             }
           })
+        }.map(_.get()).toMap
+        finally pool.shutdown()
+      }
+
+    val out = moves.map { m =>
+      val (rows, bytes, colStats) = published(m.dest.toString)
+      val keyStat = colStats.get(Key)
+      // a file group lives in exactly ONE partition, so each
+      // dropped partition field is single-valued in this file:
+      // min = max = its (read-visible) path segment — stats
+      // skipping on partition-field predicates keeps working
+      // with the column gone from storage
+      val partStats: Map[String, ColStat] =
+        if (droppedPartCols.isEmpty) Map.empty
+        else {
+          val segs = m.part.split("/", -1)
+          // segment position = the field's position in the FULL
+          // partition spec (a batch carrying only a subset of
+          // the partition columns must not shift the mapping)
+          droppedPartCols.flatMap { f =>
+            val i = config.partitionFields.indexOf(f)
+            if (i < 0 || i >= segs.length) None
+            else decodePartSegment(f, segs(i)) match {
+              // null-partition sentinel: every row of the file is
+              // null in this field (boundCmp reads null bounds as
+              // an empty range; IsNull needs nullCount = rows)
+              case null => Some(f -> ColStat(null, null, rows))
+              case v    => Some(f -> ColStat(v, v, 0L))
+            }
+          }.toMap
         }
-        futures.map(_.get())
-      } finally pool.shutdown()
+      WriteStat(m.part, m.fileId, m.rel, isDelta = m.isDelta, rows = rows, bytes = bytes,
+        minKey = keyStat.flatMap(s => Option(s.min)).getOrElse(""),
+        maxKey = keyStat.flatMap(s => Option(s.max)).getOrElse(""),
+        columnStats = colStats.filter { case (c, _) => c != Key } ++ partStats)
+    }
     fs.delete(stagingDir, true)
     if (config.bloomIndex && out.nonEmpty) buildBlooms(out)
     if (sys.env.contains("GRAFT_PUBLISH_DEBUG"))
       System.err.println(f"[publish] groups=${byGroup.size} write=$tWrite%.2fs " +
-        f"tail=${(System.nanoTime() - tList0) / 1e9}%.2fs")
+        f"tail=${(System.nanoTime() - tList0) / 1e9}%.2fs " +
+        s"mode=${if (distribute) "distributed" else "driver"}")
     out
   }
 
@@ -1604,6 +1638,40 @@ object GraftTable {
   /** Driver-side parallelism for publish renames. */
   private[write] val PublishThreads = 32
 
+  /** Under `publishMode=auto` + the `put` commit-store profile, commits
+    * staging more than this many bytes publish via the distributed job
+    * (a `put` "move" is a byte copy — above this, those bytes must not
+    * transit the driver). */
+  private[write] val PutDriverCopyMaxBytes = 16L * 1024 * 1024
+
+  /** Executor-side publication: one Spark job moves every staged file to
+    * its published name (per the commit-store profile) and reads its
+    * parquet footer stats, returning only metadata to the driver. This
+    * is the shape that survives 100k-file commits: moves, `put`-profile
+    * copy bytes, and footer round-trips all scale out with the cluster
+    * instead of serializing on the driver publish pool (reference
+    * analog: HoodieWriteStat is populated executor-side by the write
+    * handles, io/HoodieCreateHandle.java:52-210). */
+  private[write] def publishDistributed(
+      spark: SparkSession,
+      moves: Seq[(String, String)],
+      storeName: String,
+      statTypes: Map[String, DataType],
+      conf: SerializableHadoopConf): Map[String, (Long, Long, Map[String, ColStat])] = {
+    val slices = math.min(moves.size,
+      math.max(1, spark.sessionState.conf.numShufflePartitions))
+    spark.sparkContext.parallelize(moves, slices).map { case (srcS, destS) =>
+      val src = new Path(srcS)
+      val dest = new Path(destS)
+      val dfs = dest.getFileSystem(conf.value)
+      dfs.mkdirs(dest.getParent)
+      CommitStore.forName(storeName).moveFile(dfs, src, dest)
+      val bytes = dfs.getFileStatus(dest).getLen
+      val (rows, colStats) = footerStats(dest, conf.value, statTypes)
+      destS -> ((rows, bytes, colStats))
+    }.collect().toMap
+  }
+
   /** Remove a data file AND its bloom sidecar (if any) — every physical
     * data-file removal (clean, rollback, restore, aborted commit) goes
     * through here so sidecars never outlive their file. */
@@ -1634,6 +1702,10 @@ object GraftTable {
         .contains(config.failedWritesPolicy),
       s"unknown failedWritesPolicy '${config.failedWritesPolicy}' " +
         "(expected 'auto', 'eager', 'lazy' or 'none')")
+    require(Seq(null, "", "auto", "driver", "distributed")
+        .contains(config.publishMode),
+      s"unknown publishMode '${config.publishMode}' " +
+        "(expected 'auto', 'driver' or 'distributed')")
   }
 
   def create(spark: SparkSession, path: String, config: TableConfig): GraftTable = {

@@ -21,7 +21,14 @@ class ArchiveOccSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false"))
     .getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  // shared out-of-process lock service for the tcp-provider profiles
+  // (the ZK-analog: exclusion state lives outside every writer JVM)
+  lazy val lockServer: LockServer = { val s = new LockServer(); s.start(); s }
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    lockServer.stop()
+  }
 
   def tmp(): String = Files.createTempDirectory("graft-arch").toString
 
@@ -210,10 +217,16 @@ class ArchiveOccSpec extends AnyFunSuite with BeforeAndAfterAll {
   for ((store, lock) <- Seq(
       (CommitStore.Rename, TimelineLock.File),
       (CommitStore.Put, TimelineLock.File),
-      (CommitStore.Put, TimelineLock.InProcess))) {
+      (CommitStore.Put, TimelineLock.InProcess),
+      // "tcp" resolves to the live server's port inside pcfg (the port
+      // is only known once the shared LockServer binds)
+      (CommitStore.Rename, "tcp"),
+      (CommitStore.Put, "tcp"))) {
 
     def pcfg(occ: Boolean = false): TableConfig =
-      cfg(occ).copy(commitStore = store, lockProvider = lock)
+      cfg(occ).copy(commitStore = store,
+        lockProvider =
+          if (lock == "tcp") s"tcp:127.0.0.1:${lockServer.port}" else lock)
 
     test(s"[$store/$lock] MOR lifecycle + archive round-trips") {
       val tbl = GraftTable.create(spark, tmp(),
@@ -253,6 +266,47 @@ class ArchiveOccSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(state(tbl) == Seq(1L, 2L, 3L))
       assert(tbl.timeline.instants().forall(_.isCompleted))
     }
+  }
+
+  test("tcp lock provider: session semantics match the ZK contract") {
+    val srv = new LockServer()
+    val port = srv.start()
+    try {
+      val a = new TcpLockProvider("127.0.0.1", port, "/t1")
+      val b = new TcpLockProvider("127.0.0.1", port, "/t1")
+      val other = new TcpLockProvider("127.0.0.1", port, "/t2")
+      // mutual exclusion across sessions; independence across keys
+      assert(a.tryLock())
+      assert(!b.tryLock())
+      assert(other.tryLock())
+      // re-acquire of a held key by its OWN session is idempotent
+      assert(a.tryLock())
+      // only the owner can release
+      b.unlock()
+      assert(!b.tryLock(), "a non-owner RELEASE must not free the lock")
+      a.unlock()
+      assert(b.tryLock())
+      b.unlock(); other.unlock()
+
+      // ephemeral release: a crashed writer (dropped session) frees its
+      // locks without any unlock call
+      val crasher = new TcpLockProvider("127.0.0.1", port, "/t3")
+      assert(crasher.tryLock())
+      assert(srv.heldKeys.contains("/t3"))
+      // simulate the crash: kill the socket behind the provider's back
+      val f = classOf[TcpLockProvider].getDeclaredField("sock")
+      f.setAccessible(true)
+      f.get(crasher).asInstanceOf[java.net.Socket].close()
+      val deadline = System.currentTimeMillis() + 10000
+      while (srv.heldKeys.contains("/t3") && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(!srv.heldKeys.contains("/t3"),
+        "server must release a dead session's locks (ephemeral semantics)")
+    } finally srv.stop()
+
+    // an unreachable server fails LOUDLY — never a silent "held"
+    val dead = new TcpLockProvider("127.0.0.1", port, "/t1")
+    intercept[IllegalStateException] { dead.tryLock() }
   }
 
   test("put-store publish: many file groups land by copy, none renamed") {

@@ -244,4 +244,48 @@ class HeartbeatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.timeline.instants().exists(i => !i.isCompleted && i.time == t),
       "age gate: a fresh instant is not reaped even with an aged heartbeat")
   }
+
+  // a lazy-policy cleaner hammering rollbackFailedWrites WHILE a live
+  // writer mints/stages/publishes commit after commit (reference
+  // contract: the LAZY policy + heartbeats exist precisely so cleanup is
+  // safe next to in-flight writers, AbstractHoodieWriteClient.java:963).
+  // The cleaner must reap ONLY the planted crashed write, never a live
+  // one — under both storage profiles (rename moves vs put copies)
+  Seq(CommitStore.Rename, CommitStore.Put).foreach { store =>
+    test(s"lazy cleaner racing a live writer reaps only the crashed instant ($store)") {
+      val dir = tmp()
+      val tbl = GraftTable.create(spark, dir,
+        cfg(policy = "lazy", occ = true, ttlMs = 60000).copy(commitStore = store))
+      tbl.bulkInsert(rows(1L, 2L, 3L, 4L, 5L))
+      val crashT = "19990101000000000"
+      val (staged, orphan) = plantCrash(tbl, crashT)
+
+      // the cleaner runs through its OWN handle (a second process in
+      // production; the timeline lock is what coordinates them)
+      val svc = TableServices(GraftTable.load(spark, dir))
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val reaped = new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+      val cleanerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val cleaner = new Thread(() => {
+        try while (!stop.get()) {
+          val r = svc.rollbackFailedWrites()
+          if (r.nonEmpty) reaped.updateAndGet(_ ++ r)
+          Thread.sleep(5)
+        } catch { case e: Throwable => cleanerErr.set(e) }
+      }, "race-cleaner")
+      cleaner.start()
+      try (6L to 15L).foreach(i => tbl.upsert(rows(i)))
+      finally { stop.set(true); cleaner.join(30000) }
+
+      assert(cleanerErr.get() == null,
+        s"cleaner must never throw next to a live writer: ${cleanerErr.get()}")
+      assert(reaped.get().distinct == Seq(crashT),
+        s"cleaner must reap exactly the crashed instant: ${reaped.get()}")
+      val fs = tbl.timeline.fileSystem
+      assert(!fs.exists(staged) && !fs.exists(orphan))
+      assert(tbl.timeline.instants().forall(_.isCompleted),
+        "every live write must have published")
+      assert(state(tbl) == (1L to 15L))
+    }
+  }
 }

@@ -254,19 +254,25 @@ class PlanShapeSpec extends AnyFunSuite {
     // broadcast-free literal (keys would appear as a join otherwise)
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val df = Seq("low lower lowest low low newer").toDF("text")
-    val lp = Map("low" -> -1.0, "er" -> -2.0, "l" -> -3.0, "o" -> -3.0,
-      "w" -> -3.0, "e" -> -3.0, "n" -> -3.0, "s" -> -3.0, "t" -> -3.0)
-    val counts = df
-      .select(explode(graft.llm.TextFunctions.wsTokens(col("text"))).as("w"))
-      .filter(col("w") =!= "")
-      .select(explode(
-        graft.llm.Tokenizer.unigramViterbi(col("w"), typedlit(lp), 3))
-        .as("piece"))
-      .groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
-    val p = counts.queryExecution.executedPlan.toString
-    assert(!p.contains("Join"), s"EM recount plans a join:\n$p")
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(exchanges <= 1, s"EM recount has $exchanges hash exchanges:\n$p")
+    // AQE off: the adaptive wrapper hides exchanges in the plan string
+    // until execution, which would make the count vacuously 0
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Seq("low lower lowest low low newer").toDF("text")
+      val lp = Map("low" -> -1.0, "er" -> -2.0, "l" -> -3.0, "o" -> -3.0,
+        "w" -> -3.0, "e" -> -3.0, "n" -> -3.0, "s" -> -3.0, "t" -> -3.0)
+      val counts = df
+        .select(explode(graft.llm.TextFunctions.wsTokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .select(explode(
+          graft.llm.Tokenizer.unigramViterbi(col("w"), typedlit(lp), 3))
+          .as("piece"))
+        .groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
+      val p = counts.queryExecution.executedPlan.toString
+      assert(!p.contains("Join"), s"EM recount plans a join:\n$p")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges == 1, s"EM recount has $exchanges hash exchanges:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }

@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.read.GraftReader
+import graft.write.GraftTable
+
+/** Publish-tail scale probe (the guardrail for distributed publication
+  * — reference contract: per-file accounting is executor-side there,
+  * HoodieWriteStat populated by write handles,
+  * io/HoodieCreateHandle.java:52-210).
+  *
+  * A commit's publish cost (move + footer-stats per staged file) must
+  * grow ~linearly in the number of file groups: a super-linear driver
+  * bottleneck at thousands of groups is exactly the failure mode the
+  * distributed publish job exists to prevent. Tiny one-row groups keep
+  * the probe cheap — publish cost is per-FILE, so near-empty files
+  * exercise it at full fidelity. */
+class PublishScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Tables.configure(SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(): String = Files.createTempDirectory("graft-pubscale").toString
+
+  private def df(n: Int): DataFrame = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong, s"p$i", s"v$i", i.toLong))
+      .toDF("id", "p", "v", "ts")
+  }
+
+  // one row per partition -> EXACTLY one file group per row (bucket
+  // packing never crosses partitions), giving the probe a precise group
+  // count without depending on bin-packer internals
+  private def cfg(store: String): TableConfig = TableConfig(
+    name = "pubscale", tableType = TableType.COW, keyFields = Seq("id"),
+    partitionFields = Seq("p"), orderingField = "ts",
+    targetFileRows = 1000, statsColumns = Seq("v"), commitStore = store)
+
+  /** Wall time of one bulk_insert producing exactly `groups` file groups. */
+  private def timeCommit(groups: Int, store: String): Double = {
+    val tbl = GraftTable.create(spark, tmp(), cfg(store))
+    val t0 = System.nanoTime()
+    tbl.bulkInsert(df(groups))
+    val sec = (System.nanoTime() - t0) / 1e9
+    val snap = Snapshot.resolve(tbl.timeline)
+    assert(snap.slices.size == groups,
+      s"probe expects one group per row: ${snap.slices.size} vs $groups")
+    sec
+  }
+
+  test("publish cost stays ~linear per group into the thousands (both profiles)") {
+    timeCommit(64, CommitStore.Rename) // warm codegen + writer classes
+    Seq(CommitStore.Rename, CommitStore.Put).foreach { store =>
+      val small = 500
+      val big = 4000
+      val tSmall = timeCommit(small, store)
+      val tBig = timeCommit(big, store)
+      val perSmall = tSmall / small
+      val perBig = tBig / big
+      // 8x the groups may cost at most ~4x per group (a generous linearity
+      // bound: a driver-serialized tail would blow far past it, while
+      // scheduler noise on near-empty files stays well inside)
+      assert(perBig < perSmall * 4.0,
+        f"$store: per-group publish cost grew super-linearly: " +
+          f"$perSmall%.5fs/group at $small vs $perBig%.5fs/group at $big")
+    }
+  }
+
+  test("auto mode distributes large commits and keeps small ones on the driver") {
+    val tbl = GraftTable.create(spark, tmp(), cfg(CommitStore.Rename))
+    tbl.bulkInsert(df(5)) // 5 groups <= pool width -> driver path
+    val r = GraftReader(tbl)
+    assert(r.dataOnly(r.snapshot()).count() == 5)
+
+    // forced-distributed tiny commit: same bytes, same stats
+    val tbl2 = GraftTable.create(spark, tmp(),
+      cfg(CommitStore.Rename).copy(publishMode = "distributed"))
+    tbl2.bulkInsert(df(5))
+    val r2 = GraftReader(tbl2)
+    assert(r2.dataOnly(r2.snapshot()).count() == 5)
+    val s1 = Snapshot.resolve(tbl.timeline).slices.flatMap(_.baseFile)
+      .map(st => (st.fileId.length > 0, st.rows, st.columnStats.keySet)).sortBy(_._2)
+    val s2 = Snapshot.resolve(tbl2.timeline).slices.flatMap(_.baseFile)
+      .map(st => (st.fileId.length > 0, st.rows, st.columnStats.keySet)).sortBy(_._2)
+    assert(s1 == s2, "driver and distributed publication must record identical stats shapes")
+  }
+
+  test("put profile under auto distributes once the byte volume matters") {
+    // ~200 one-row groups stay under the byte threshold but over the
+    // pool width -> distributed by group count; assert written state is
+    // byte-exact regardless of the publication vehicle
+    val tbl = GraftTable.create(spark, tmp(), cfg(CommitStore.Put))
+    tbl.bulkInsert(df(200))
+    val r = GraftReader(tbl)
+    import spark.implicits._
+    val got = r.dataOnly(r.snapshot()).select("id").as[Long].collect().sorted
+    assert(got.toSeq == (1L to 200L))
+    // footer-derived stats made it into the commit metadata
+    val stats = Snapshot.resolve(tbl.timeline).slices.flatMap(_.baseFile)
+    assert(stats.forall(_.rows == 1L))
+    assert(stats.forall(_.columnStats.contains("v")))
+  }
+
+  test("unknown publishMode is rejected at create") {
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmp(),
+        cfg(CommitStore.Rename).copy(publishMode = "teleport"))
+    }
+    assert(e.getMessage.contains("publishMode"))
+  }
+}

@@ -46,6 +46,17 @@ def main():
         bad = None
         for c in got.columns:
             g, e = got[c], exp[c]
+            # The driver hashes EXACT typed values: an int64 Spark column
+            # vs a HUGEINT/float oracle column fails its hash even when
+            # the values are identical. Mirror that strictness here —
+            # never let allclose() coerce across an int/float kind split.
+            gk, ek = g.dtype.kind, e.dtype.kind
+            if {gk, ek} & {'i', 'u'} and {gk, ek} & {'f', 'O'} \
+                    and not (g.isna().any() or e.isna().any()):
+                bad = (f"{c}: dtype kind mismatch got={g.dtype} exp={e.dtype}"
+                       " (driver's exact hash would reject; CAST the oracle"
+                       " side, e.g. CAST(sum(x) AS BIGINT))")
+                break
             try:
                 if g.dtype.kind == 'f' or e.dtype.kind == 'f':
                     import numpy as np
