@@ -183,6 +183,17 @@ case class TableConfig(
       * reference analog: the rename seam of
       * HoodieActiveTimeline.java:525-641. */
     commitStore: String = "rename",
+    /** base/delta data-file format: "parquet" (default) or "orc" — both
+      * written and read through Spark's native columnar datasources, so
+      * pushdown/pruning/vectorization hold for either (reference analog:
+      * hoodie.table.base.file.format, HoodieFileFormat.java:29-43 +
+      * io/storage/HoodieOrcWriter.java; HFILE is out of scope — HBase
+      * client). File-level column stats come from the matching footer
+      * reader (parquet row groups / ORC file statistics). Timeline,
+      * checkpoint and bloom-sidecar INTERNAL files stay parquet — the
+      * format choice governs data files only. Old table.json → null =
+      * parquet. */
+    baseFormat: String = "parquet",
     /** where data-file publication (move + footer-stats) runs: "driver"
       * (thread pool on the driver — fine for small commits on a
       * rename-cheap store), "distributed" (a Spark job over the staged
@@ -217,7 +228,14 @@ case class TableConfig(
       * HoodieWriteConfig.java:368,373 — 60 s × 2 there; live writers
       * refresh every [[Heartbeat.RefreshMs]]). 0 = default. */
     heartbeatTtlMs: Long = 0L,
-    version: Int = 1)
+    version: Int = 1) {
+
+  /** [[baseFormat]] with the old-table.json null/empty default applied —
+    * every format-sensitive code path reads THIS, never the raw field. */
+  def dataFormat: String =
+    Option(baseFormat).map(_.trim.toLowerCase).filter(_.nonEmpty)
+      .getOrElse("parquet")
+}
 
 object TableType { val COW = "COW"; val MOR = "MOR" }
 

@@ -525,6 +525,28 @@ object TableFormat {
       },
       Some(SummarySql))),
 
+    // ---- ORC base format: the full MOR lifecycle (bulk_insert + upsert
+    //      deltas + delete + compaction + merged snapshot) over ORC data
+    //      files — the format choice must be answer-invisible (reference
+    //      analog: hoodie.table.base.file.format ORC,
+    //      HoodieFileFormat.java:29-43 + io/storage/HoodieOrcWriter.java)
+    "q184_orc_mor_roundtrip" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(),
+          cfg("orders_orc", TableType.MOR).copy(baseFormat = "orc"))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 >= 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        tbl.delete(orders.filter(col("o_orderkey") % 10 === 7)
+          .select("o_orderkey", "o_orderpriority"))
+        TableServices(tbl).compact()
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some(SummarySql))),
+
     // ---- insert_overwrite_table: one replacecommit swaps the whole
     //      table for the incoming frame
     "q54_overwrite_table" -> ((

@@ -113,11 +113,18 @@ object GraftFileIndex {
       files: Seq[WriteStat],
       schema: StructType,
       partitionSchema: StructType = new StructType(),
-      partValues: Map[String, InternalRow] = Map.empty): DataFrame = {
+      partValues: Map[String, InternalRow] = Map.empty,
+      /** data-file format of `files` (TableConfig.dataFormat) — picks
+        * the matching vectorized FileFormat for the scan */
+      fileFormat: String = "parquet"): DataFrame = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val idx = new GraftFileIndex(basePath, files, schema, partitionSchema, partValues)
+    val fmt: org.apache.spark.sql.execution.datasources.FileFormat =
+      if (fileFormat == "orc")
+        new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
+      else new ParquetFileFormat
     val rel = HadoopFsRelation(
-      idx, partitionSchema, schema, None, new ParquetFileFormat, Map.empty[String, String])(cs)
+      idx, partitionSchema, schema, None, fmt, Map.empty[String, String])(cs)
     cs.baseRelationToDataFrame(rel)
   }
 }

@@ -54,8 +54,9 @@ class GraftReader(table: GraftTable) {
             val (dataSchema, partSchema, rows) =
               table.partitionedReadLayout(withPf, native.map(_.partition))
             GraftFileIndex.relation(spark, table.basePath, native,
-              dataSchema, partSchema, rows)
-          } else GraftFileIndex.relation(spark, table.basePath, native, stored)
+              dataSchema, partSchema, rows, fileFormat = cfg.dataFormat)
+          } else GraftFileIndex.relation(spark, table.basePath, native, stored,
+            fileFormat = cfg.dataFormat)
         Some(table.stampVirtual(rel, schema, native))
       } else if (cfg.dropPartitionColumns && cfg.partitionFields.nonEmpty) {
         // partition fields live only in the path: declare them as a real
@@ -64,9 +65,10 @@ class GraftReader(table: GraftTable) {
         val (dataSchema, partSchema, rows) =
           table.partitionedReadLayout(schema, native.map(_.partition))
         Some(GraftFileIndex.relation(spark, table.basePath, native,
-            dataSchema, partSchema, rows)
+            dataSchema, partSchema, rows, fileFormat = cfg.dataFormat)
           .select(schema.fieldNames.toSeq.map(col): _*))
-      } else Some(GraftFileIndex.relation(spark, table.basePath, native, schema))
+      } else Some(GraftFileIndex.relation(spark, table.basePath, native, schema,
+        fileFormat = cfg.dataFormat))
     val parts = Seq(
       nativeDf,
       if (ext.isEmpty) None else Some(table.readStatsDf(schema, ext))

@@ -819,7 +819,8 @@ class TableServices(table: GraftTable) {
     * path pays this listing. */
   private def orphanDataFiles(time: String): Seq[Path] = {
     val suffixes =
-      Seq(s"_$time.parquet", s"_$time.delta.parquet")
+      Seq(s"_$time.parquet", s"_$time.delta.parquet",
+        s"_$time.orc", s"_$time.delta.orc")
     def walk(dir: Path): Seq[Path] = {
       val entries =
         try fs.listStatus(dir).toSeq

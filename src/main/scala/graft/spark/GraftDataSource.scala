@@ -200,6 +200,7 @@ class GraftDataSource
           parameters.getOrElse("archive.max.commits", "0").toInt,
         occ = parameters.getOrElse("occ", "false").toBoolean,
         commitStore = parameters.getOrElse("commit.store", "rename"),
+        baseFormat = parameters.getOrElse("base.format", "parquet"),
         publishMode = parameters.getOrElse("publish.mode", "auto"),
         lockProvider = parameters.getOrElse("lock.provider", "file"),
         failedWritesPolicy =

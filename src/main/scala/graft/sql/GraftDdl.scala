@@ -142,7 +142,8 @@ object GraftDdl {
       mode: String = "metadata"): GraftTable = mode match {
     case "full" =>
       val table = GraftTable.create(spark, path, config)
-      table.bulkInsert(spark.read.parquet(sourceDir))
+      table.bulkInsert(
+        spark.read.format(config.dataFormat).load(sourceDir))
       table
     case "metadata" => bootstrapMetadataOnly(spark, path, config, sourceDir)
     case other => throw new IllegalArgumentException(
@@ -153,7 +154,7 @@ object GraftDdl {
       spark: SparkSession, path: String, config: TableConfig,
       sourceDir: String): GraftTable = {
     val table = GraftTable.create(spark, path, config)
-    val src = spark.read.parquet(sourceDir)
+    val src = spark.read.format(config.dataFormat).load(sourceDir)
     val missing = config.partitionFields.filterNot(src.columns.contains)
     require(missing.isEmpty,
       s"bootstrap needs partition columns in the source files; missing: ${missing.mkString(",")}")

@@ -329,7 +329,8 @@ class GraftTable private (
       spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
     val tWrite0 = System.nanoTime()
     val stagingCols = if (mixed) Seq(GP, GF, GD) else Seq(GP, GF)
-    staged.write.mode("overwrite").partitionBy(stagingCols: _*).parquet(stagingDir.toString)
+    staged.write.mode("overwrite").partitionBy(stagingCols: _*)
+      .format(config.dataFormat).save(stagingDir.toString)
     val tWrite = (System.nanoTime() - tWrite0) / 1e9
 
     // empty input leaves only _SUCCESS behind; nothing to publish.
@@ -374,7 +375,8 @@ class GraftTable private (
       require(parts.size == 1,
         s"expected 1 staged file per group, got ${parts.size} in $gDir")
       val suffix =
-        if (isDelta) s"_$commitTime.delta.parquet" else s"_$commitTime.parquet"
+        if (isDelta) s"_$commitTime.delta.${config.dataFormat}"
+        else s"_$commitTime.${config.dataFormat}"
       val destDir = if (part == "") new Path(basePath) else new Path(basePath, part)
       val dest = new Path(destDir, s"$fileId$suffix")
       val rel = if (part == "") dest.getName else s"$part/${dest.getName}"
@@ -484,7 +486,7 @@ class GraftTable private (
       native.map(st => new Path(st.path).getName -> st.rows).toMap
     val fpp = config.bloomFpp
     val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
-    spark.read.parquet(native.map(absPath): _*)
+    spark.read.format(config.dataFormat).load(native.map(absPath): _*)
       .select(input_file_name().as("_g_bf"), col(Key))
       .as[(String, String)]
       .groupByKey(_._1)
@@ -672,10 +674,11 @@ class GraftTable private (
       else if (config.virtualKeys)
         Some(stampVirtual(
           spark.read.schema(virtualStoredSchema(schema))
-            .parquet(native.map(absPath): _*),
+            .format(config.dataFormat).load(native.map(absPath): _*),
           schema, native))
       else Some(restorePartitionCols(
-        spark.read.schema(schema).parquet(native.map(absPath): _*))),
+        spark.read.schema(schema)
+          .format(config.dataFormat).load(native.map(absPath): _*))),
       if (ext.isEmpty) None else Some(stampExternal(schema, ext))
     ).flatten
     parts match {
@@ -802,7 +805,7 @@ class GraftTable private (
     val info = native.map { st =>
       val name = new Path(st.path).getName
       val commit = name
-        .stripSuffix(".parquet").stripSuffix(".delta")
+        .stripSuffix(".parquet").stripSuffix(".orc").stripSuffix(".delta")
         .stripPrefix(s"${st.fileId}_")
       (name, st.fileId, commit, st.partition)
     }.toDF("_g_vf_name", "_g_vf_file", "_g_vf_commit", "_g_vf_part")
@@ -839,7 +842,8 @@ class GraftTable private (
     val t = bootstrapInstant.getOrElse("00000000000000000")
     val dataSchema = StructType(schema.fields.filterNot(f => Meta.all.contains(f.name)))
     val mapping = ext.map(st => new Path(st.path).getName -> st.fileId).toMap
-    spark.read.schema(dataSchema).parquet(ext.map(_.path): _*)
+    spark.read.schema(dataSchema)
+      .format(config.dataFormat).load(ext.map(_.path): _*)
       .withColumn(Key, keyExpr)
       // partition columns live IN the external files (bootstrap
       // contract), so the path value derives row-wise like any write
@@ -1542,13 +1546,22 @@ object DataTypeJson {
 
 object GraftTable {
 
-  /** Row count + per-column [min,max,nullCount] for one parquet file,
-    * read from its FOOTER only (row-group metadata; no data pages touched).
-    * `types` maps column name → the Spark type it was written as; columns
-    * with unusable footer stats (missing, unknown null counts, or a type
-    * this decoder doesn't cover) are omitted from the result — callers
-    * treat absent stats as "cannot skip", which is always sound. */
+  /** Row count + per-column [min,max,nullCount] for one data file, read
+    * from its FOOTER metadata only (parquet row groups / ORC file
+    * statistics; no data pages touched), dispatched on the extension the
+    * publish path wrote. `types` maps column name → the Spark type it
+    * was written as; columns with unusable footer stats (missing,
+    * unknown null counts, or a type this decoder doesn't cover) are
+    * omitted from the result — callers treat absent stats as "cannot
+    * skip", which is always sound. */
   private[graft] def footerStats(
+      file: Path,
+      conf: Configuration,
+      types: Map[String, DataType]): (Long, Map[String, ColStat]) =
+    if (file.getName.endsWith(".orc")) orcStats(file, conf, types)
+    else parquetFooterStats(file, conf, types)
+
+  private def parquetFooterStats(
       file: Path,
       conf: Configuration,
       types: Map[String, DataType]): (Long, Map[String, ColStat]) = {
@@ -1576,6 +1589,66 @@ object GraftTable {
               case (Some(lo), Some(hi)) => Some(name -> ColStat(lo, hi, nulls))
               case _                    => None
             }
+          }
+        }
+      }
+      (rows, stats)
+    } finally reader.close()
+  }
+
+  /** ORC twin of [[parquetFooterStats]]: file-level column statistics
+    * from the ORC reader (orc-core ships with Spark; reference analog:
+    * io/storage/HoodieOrcWriter.java writes the same stats its readers
+    * consume). Top-level columns only, like the parquet path. Null
+    * count = rows − numberOfValues (exact for top-level columns).
+    * Timestamp stats are deliberately OMITTED: ORC's timestamp
+    * statistics API is writer-timezone entangled, and an omitted stat
+    * is sound (file kept) where a misdecoded bound is not. */
+  private def orcStats(
+      file: Path,
+      conf: Configuration,
+      types: Map[String, DataType]): (Long, Map[String, ColStat]) = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.orc.{ColumnStatistics => OrcStat, _}
+    import org.apache.spark.sql.types._
+    val reader = OrcFile.createReader(file, OrcFile.readerOptions(conf))
+    try {
+      val rows = reader.getNumberOfRows
+      val schema = reader.getSchema
+      val all = reader.getStatistics
+      val byName: Map[String, OrcStat] =
+        schema.getFieldNames.asScala.zip(schema.getChildren.asScala)
+          .collect { case (n, t) if t.getId < all.length => n -> all(t.getId) }
+          .toMap
+      val stats = types.flatMap { case (name, dt) =>
+        byName.get(name).flatMap { s =>
+          val nulls = rows - s.getNumberOfValues
+          if (s.getNumberOfValues == 0L) Some(name -> ColStat(null, null, nulls))
+          else {
+            val bounds: Option[(String, String)] = (dt, s) match {
+              case (StringType, ss: StringColumnStatistics)
+                  if ss.getMinimum != null && ss.getMaximum != null =>
+                Some((ss.getMinimum, ss.getMaximum))
+              case (ByteType | ShortType | IntegerType | LongType,
+                  is: IntegerColumnStatistics) =>
+                Some((is.getMinimum.toString, is.getMaximum.toString))
+              case (FloatType | DoubleType, ds: DoubleColumnStatistics) =>
+                // a float's bound widens to the exact same double, so the
+                // re-parsed interval is unchanged
+                Some((ds.getMinimum.toString, ds.getMaximum.toString))
+              case (BooleanType, bs: BooleanColumnStatistics) =>
+                Some((if (bs.getFalseCount > 0) "false" else "true",
+                  if (bs.getTrueCount > 0) "true" else "false"))
+              case (d: DecimalType, ds: DecimalColumnStatistics)
+                  if ds.getMinimum != null && ds.getMaximum != null =>
+                Some((ds.getMinimum.bigDecimalValue.setScale(d.scale).toPlainString,
+                  ds.getMaximum.bigDecimalValue.setScale(d.scale).toPlainString))
+              case (DateType, ds: DateColumnStatistics)
+                  if ds.getMinimumLocalDate != null && ds.getMaximumLocalDate != null =>
+                Some((ds.getMinimumLocalDate.toString, ds.getMaximumLocalDate.toString))
+              case _ => None
+            }
+            bounds.map { case (lo, hi) => name -> ColStat(lo, hi, nulls) }
           }
         }
       }
@@ -1706,6 +1779,9 @@ object GraftTable {
         .contains(config.publishMode),
       s"unknown publishMode '${config.publishMode}' " +
         "(expected 'auto', 'driver' or 'distributed')")
+    require(Seq(null, "", "parquet", "orc").contains(config.baseFormat),
+      s"unknown baseFormat '${config.baseFormat}' " +
+        "(expected 'parquet' or 'orc')")
   }
 
   def create(spark: SparkSession, path: String, config: TableConfig): GraftTable = {

@@ -1,0 +1,192 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.read.GraftReader
+import graft.write.{GraftTable, Meta}
+
+/** ORC base-file format (`TableConfig.baseFormat = "orc"`) — reference
+  * analog: hoodie.table.base.file.format ORC,
+  * common/model/HoodieFileFormat.java:29-43 +
+  * io/storage/HoodieOrcWriter.java. The format choice must be invisible
+  * to every table-level semantic: COW/MOR lifecycle, incremental reads,
+  * footer-derived column stats (data skipping), bloom sidecars,
+  * compaction — only the bytes on disk differ. */
+class OrcFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Tables.configure(SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  def tmp(): String = Files.createTempDirectory("graft-orc").toString
+
+  def orders: DataFrame = spark.read.parquet(s"$sf/orders.parquet")
+
+  def batch1: DataFrame = orders.filter(col("o_orderkey") % 4 < 3)
+  def batch2: DataFrame = orders.filter(col("o_orderkey") % 4 >= 2)
+    .withColumn("o_totalprice", col("o_totalprice") + 1000)
+
+  def expectedMerged: DataFrame = orders.withColumn("o_totalprice",
+    when(col("o_orderkey") % 4 >= 2, col("o_totalprice") + 1000)
+      .otherwise(col("o_totalprice")))
+
+  def assertSameRows(got: DataFrame, want: DataFrame, hint: String): Unit = {
+    val g = got.select(want.columns.map(col): _*)
+    val extra = g.exceptAll(want).count()
+    val missing = want.exceptAll(g).count()
+    assert(extra == 0 && missing == 0,
+      s"$hint: extra=$extra missing=$missing (got=${g.count()}, want=${want.count()})")
+  }
+
+  def cfg(tt: String): TableConfig = TableConfig(
+    name = "orders", tableType = tt, keyFields = Seq("o_orderkey"),
+    partitionFields = Seq("o_orderpriority"), orderingField = "o_orderdate",
+    targetFileRows = 500, baseFormat = "orc",
+    statsColumns = Seq("o_orderkey", "o_orderstatus"))
+
+  /** every data file under the table (outside .graft) */
+  private def dataFiles(dir: String): Seq[String] = {
+    def walk(p: java.io.File): Seq[java.io.File] =
+      if (p.isDirectory) {
+        if (p.getName == Timeline.MetaDir) Nil
+        else Option(p.listFiles()).toSeq.flatten.flatMap(walk)
+      } else Seq(p)
+    walk(new java.io.File(dir)).map(_.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+  }
+
+  test("COW lifecycle on ORC: bulk_insert + upsert + delete + time travel") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.COW))
+    val t1 = tbl.bulkInsert(batch1)
+    val r = GraftReader(tbl)
+    assertSameRows(r.dataOnly(r.snapshot()), batch1, "after bulk_insert")
+    tbl.upsert(batch2)
+    assertSameRows(r.dataOnly(r.snapshot()), expectedMerged, "after upsert")
+
+    // storage is ORC only: no parquet data file anywhere, no bare files
+    val names = dataFiles(dir)
+    assert(names.nonEmpty && names.forall(_.endsWith(".orc")),
+      s"expected only .orc data files, got: ${names.take(5)}")
+
+    tbl.delete(batch2.select("o_orderkey", "o_orderpriority"))
+    assertSameRows(r.dataOnly(r.snapshot()),
+      expectedMerged.filter(col("o_orderkey") % 4 < 2), "after delete")
+    assertSameRows(r.dataOnly(r.snapshot(asOf = Some(t1))), batch1,
+      "time travel to t1")
+  }
+
+  test("MOR on ORC: delta files, merged snapshot, compaction") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.MOR))
+    tbl.bulkInsert(batch1)
+    tbl.upsert(batch2)
+    val r = GraftReader(tbl)
+    assertSameRows(r.dataOnly(r.snapshot()), expectedMerged, "MOR snapshot")
+    val names = dataFiles(dir)
+    assert(names.exists(_.endsWith(".delta.orc")),
+      s"MOR upsert must land .delta.orc files, got: ${names.take(5)}")
+    assert(names.forall(_.endsWith(".orc")))
+
+    graft.services.TableServices(tbl).compact()
+    val afterNames = dataFiles(dir)
+    assert(afterNames.forall(_.endsWith(".orc")))
+    assertSameRows(r.dataOnly(r.snapshot()), expectedMerged,
+      "MOR snapshot after compaction")
+    assertSameRows(r.dataOnly(r.readOptimized()), expectedMerged,
+      "read-optimized after compaction")
+  }
+
+  test("incremental read on ORC") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.COW))
+    val t1 = tbl.bulkInsert(batch1)
+    tbl.upsert(batch2)
+    val r = GraftReader(tbl)
+    assertSameRows(r.dataOnly(r.incremental(t1)), batch2, "incremental t1->t2")
+  }
+
+  test("ORC footer stats power key-range and column pruning like parquet") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.COW))
+    tbl.bulkInsert(batch1)
+    val snap = Snapshot.resolve(tbl.timeline)
+    val stats = snap.slices.flatMap(_.baseFile)
+    assert(stats.nonEmpty)
+    // key range recorded from ORC string statistics
+    assert(stats.forall(st => st.minKey.nonEmpty && st.maxKey.nonEmpty),
+      "every ORC file must carry a key range")
+    // configured stats columns decoded (long + string)
+    assert(stats.forall(st => st.columnStats.contains("o_orderkey")),
+      "o_orderkey (long) stats missing")
+    assert(stats.forall(st => st.columnStats.contains("o_orderstatus")),
+      "o_clerk (string) stats missing")
+    // the bounds are true bounds: global min/max across files == data min/max
+    val loHi = batch1.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val statLo = stats.map(_.columnStats("o_orderkey").min.toLong).min
+    val statHi = stats.map(_.columnStats("o_orderkey").max.toLong).max
+    assert(statLo == loHi.getLong(0) && statHi == loHi.getLong(1),
+      s"ORC bounds [$statLo,$statHi] != data [${loHi.getLong(0)},${loHi.getLong(1)}]")
+  }
+
+  test("ORC scan keeps Catalyst pushdown: FileScan orc with PushedFilters") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.COW))
+    tbl.bulkInsert(batch1)
+    val r = GraftReader(tbl)
+    val q = r.snapshot().filter(col("o_orderkey") === 42L)
+      .select("o_orderkey", "o_totalprice")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan orc"), s"expected an ORC file scan:\n$plan")
+    assert(plan.contains("Batched: true"),
+      s"ORC scan must stay vectorized:\n$plan")
+    // the key predicate (and the tombstone filter) reach the reader;
+    // exact order varies and the plan string truncates the list
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("EqualTo(o_orderkey,"),
+      s"filter not pushed to the ORC reader:\n$plan")
+  }
+
+  test("bloom sidecar + point membership on ORC") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir,
+      cfg(TableType.COW).copy(bloomIndex = true))
+    tbl.bulkInsert(batch1)
+    val fs = tbl.timeline.fileSystem
+    val snap = Snapshot.resolve(tbl.timeline)
+    val withBloom = snap.slices.flatMap(_.baseFile).count { st =>
+      fs.exists(graft.write.KeyBloom.sidecar(
+        new Path(s"${tbl.basePath}/${st.path}")))
+    }
+    assert(withBloom > 0, "ORC files must still get bloom sidecars")
+    // filterExists keeps the NOT-yet-present rows: existing keys drop,
+    // unseen keys (k%4==3, never in batch1) pass through
+    val r = GraftReader(tbl)
+    val present = batch1.select("o_orderkey", "o_orderpriority").limit(10)
+    assert(r.filterExists(present).count() == 0)
+    val absent = orders.filter(col("o_orderkey") % 4 === 3)
+      .select("o_orderkey", "o_orderpriority")
+    assert(r.filterExists(absent).count() == absent.count())
+  }
+
+  test("unknown baseFormat is rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmp(), cfg(TableType.COW).copy(baseFormat = "hfile"))
+    }
+    assert(e.getMessage.contains("baseFormat"))
+  }
+
+  override def afterAll(): Unit = spark.stop()
+}
