@@ -94,6 +94,23 @@ class LockServer(bindPort: Int = 0) {
   }
 }
 
+/** Minimal foreign-writer stand-in for cross-JVM lock tests: acquires
+  * `key` against a running [[LockServer]], reports the verdict on
+  * stdout (`ACQUIRED` / `HELD`), then holds the session open until the
+  * process dies — so a test can assert real inter-PROCESS exclusion and
+  * the crash-release (ephemeral) contract by killing it. Pure JVM, no
+  * Spark: launchable with just the compiled classes on the classpath.
+  * Usage: `LockProbe <host> <port> <key>`. */
+object LockProbe {
+  def main(args: Array[String]): Unit = {
+    val Array(host, port, key) = args
+    val p = new TcpLockProvider(host, port.toInt, key)
+    // println flushes; the parent reads this line before acting
+    println(if (p.tryLock()) "ACQUIRED" else "HELD")
+    while (true) Thread.sleep(1000) // hold until killed
+  }
+}
+
 /** Client side of [[LockServer]]: one socket = one session, so a crashed
   * writer's locks evaporate server-side exactly like a lost ZooKeeper
   * session's ephemeral nodes. An unreachable server FAILS LOUDLY — a

@@ -194,6 +194,15 @@ case class TableConfig(
       * format choice governs data files only. Old table.json → null =
       * parquet. */
     baseFormat: String = "parquet",
+    /** schema contract for merging writes whose batch is missing table
+      * columns. Default false = reconcile by union: the commit records
+      * current ∪ batch so the absent column never narrows out of the
+      * read view (the data paths already carry it physically) — the
+      * `hoodie.datasource.write.reconcile.schema=true` behavior
+      * (DataSourceOptions.scala:366). true = the reference's DEFAULT
+      * contract: reject the write (Avro compatibility gate,
+      * TableSchemaResolver.isSchemaCompatible :337-345). */
+    strictSchema: Boolean = false,
     /** where data-file publication (move + footer-stats) runs: "driver"
       * (thread pool on the driver — fine for small commits on a
       * rename-cheap store), "distributed" (a Spark job over the staged

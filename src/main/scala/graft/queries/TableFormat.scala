@@ -547,6 +547,48 @@ object TableFormat {
       },
       Some(SummarySql))),
 
+    // ---- schema reconciliation: an upsert batch MISSING columns
+    //      (o_custkey, o_orderstatus) must not narrow them out of the
+    //      read view — untouched rows keep their values, rewritten rows
+    //      read null (latest-wins replaces the whole row; reference
+    //      analog: hoodie.datasource.write.reconcile.schema,
+    //      DataSourceOptions.scala:366)
+    "q185_schema_reconcile" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_sch", TableType.COW))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 >= 6)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            // strictly newer ordering value so every update wins the merge
+            (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("o_orderdate"),
+            (col("o_totalprice") + 1000).as("o_totalprice")))
+        val r = GraftReader(tbl)
+        r.dataOnly(r.snapshot())
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("key_sum"),
+            (count(lit(1)) - count(col("o_custkey"))).as("cust_nulls"),
+            sum(col("o_custkey")).cast("long").as("cust_sum"),
+            sum(floor(col("o_totalprice") * 100)).cast("long").as("price_c"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        WITH st AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 10 >= 6 THEN NULL
+                      ELSE o_custkey END AS o_custkey,
+                 CASE WHEN o_orderkey % 10 >= 6 THEN o_totalprice + 1000
+                      ELSE o_totalprice END AS price
+          FROM orders)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(count(*) - count(o_custkey) AS BIGINT) AS cust_nulls,
+               CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM st GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
     // ---- insert_overwrite_table: one replacecommit swaps the whole
     //      table for the incoming frame
     "q54_overwrite_table" -> ((

@@ -201,6 +201,7 @@ class GraftDataSource
         occ = parameters.getOrElse("occ", "false").toBoolean,
         commitStore = parameters.getOrElse("commit.store", "rename"),
         baseFormat = parameters.getOrElse("base.format", "parquet"),
+        strictSchema = parameters.getOrElse("strict.schema", "false").toBoolean,
         publishMode = parameters.getOrElse("publish.mode", "auto"),
         lockProvider = parameters.getOrElse("lock.provider", "file"),
         failedWritesPolicy =

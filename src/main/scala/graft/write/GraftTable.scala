@@ -1170,7 +1170,10 @@ class GraftTable private (
     }
     val stats = stageAndPublish(sorted, t)
     finishCommit(t, Action.Commit,
-      CommitMetadata("bulk_insert", schemaJson(prepared), stats, extra = extra),
+      CommitMetadata("bulk_insert",
+        reconciledSchemaJson(
+          sizingSnap.getOrElse(Snapshot.resolve(timeline)), prepared),
+        stats, extra = extra),
       plannedAsOf = "", guarded = false)
     t
     }
@@ -1207,8 +1210,11 @@ class GraftTable private (
               .unionByName(fillRows, allowMissingColumns = true))
           stageAndPublish(merged.unionByName(freshRows, allowMissingColumns = true), t)
         }
-      val meta = CommitMetadata("insert", schemaJson(assigned.drop(NewGroup)), stats,
-        extra = extra)
+      val meta = CommitMetadata("insert",
+        reconciledSchemaJson(
+          snap.orElse(sizingSnap).getOrElse(Snapshot.resolve(timeline)),
+          assigned.drop(NewGroup)),
+        stats, extra = extra)
       // brand-new groups cannot conflict; a small-file FILL rewrites an
       // existing group and must go through the OCC conflict guard
       finishCommit(t, Action.Commit, meta, snap.map(_.asOf).getOrElse(""),
@@ -1295,7 +1301,7 @@ class GraftTable private (
             merged.unionByName(inserts, allowMissingColumns = true), t)
         }
       finishCommit(t, action,
-        CommitMetadata("upsert", schemaJson(prepared), stats,
+        CommitMetadata("upsert", reconciledSchemaJson(snap, prepared), stats,
           // write-amplification accounting (stats wa): incoming batch
           // size, measured by the index probe's already-paid aggregation
           extra = extra + ("incoming_rows" -> incomingRows.toString)),
@@ -1381,7 +1387,11 @@ class GraftTable private (
     val replaced = snap.slices.filter(s => parts.contains(s.partition))
       .groupBy(_.partition).map { case (p, ss) => p -> ss.map(_.fileId).toSeq }
     finishCommit(t, Action.ReplaceCommit,
-      CommitMetadata("insert_overwrite", schemaJson(prepared), stats, replaced),
+      // partitions outside the replacement keep their old files, so the
+      // schema reconciles like a merge; _table overwrite below replaces
+      // EVERYTHING and may legitimately narrow
+      CommitMetadata("insert_overwrite",
+        reconciledSchemaJson(snap, prepared), stats, replaced),
       snap.asOf, guarded = true)
     t
     }
@@ -1500,6 +1510,39 @@ class GraftTable private (
   // =========================================================================
   // schema plumbing
   // =========================================================================
+
+  /** Commit-schema reconciliation for MERGING write operations
+    * (reference analog: hoodie.datasource.write.reconcile.schema,
+    * DataSourceOptions.scala:366, + the Avro compatibility gate,
+    * TableSchemaResolver.isSchemaCompatible :337-345): the recorded
+    * schema is the UNION of the table's current data schema and the
+    * batch's. A batch missing a column must not NARROW the read view —
+    * the column still lives in every untouched file, and the rewrite
+    * paths already carry it physically (`unionByName(allowMissing)`);
+    * only the schema record would lose it. New batch columns widen the
+    * view (old files read them as null). Under [[TableConfig.strictSchema]]
+    * the reference's DEFAULT contract applies instead: a batch missing
+    * table columns is rejected outright. Same-name columns keep the
+    * batch's type, exactly as the data path does. */
+  private def reconciledSchemaJson(snap: Snapshot, prepared: DataFrame): String = {
+    val batchJson = schemaJson(prepared)
+    val current = readSchema(snap).fields
+      .filterNot(f => Meta.all.contains(f.name))
+    if (current.isEmpty) return batchJson
+    val batch = DataTypeJson.parse(batchJson)
+    val batchNames = batch.fieldNames.toSet
+    val missing = current.filterNot(f => batchNames.contains(f.name))
+    if (missing.isEmpty) batchJson
+    else {
+      require(!config.strictSchema,
+        s"incoming batch is missing table columns " +
+          s"${missing.map(_.name).mkString(", ")} — strictSchema rejects " +
+          "field drops (the reference's schema-compatibility gate, " +
+          "TableSchemaResolver.isSchemaCompatible); write the full schema " +
+          "or unset strictSchema to reconcile by union")
+      StructType(batch.fields ++ missing).json
+    }
+  }
 
   private def schemaJson(prepared: DataFrame): String = {
     import org.apache.spark.sql.types._
@@ -1645,7 +1688,14 @@ object GraftTable {
                   ds.getMaximum.bigDecimalValue.setScale(d.scale).toPlainString))
               case (DateType, ds: DateColumnStatistics)
                   if ds.getMinimumLocalDate != null && ds.getMaximumLocalDate != null =>
-                Some((ds.getMinimumLocalDate.toString, ds.getMaximumLocalDate.toString))
+                // decode via epoch day, NOT getMinimumLocalDate.toString:
+                // ORC's LocalDate accessors return hybrid-calendar
+                // ChronoLocalDates ("Hybrid AD 2020-01-02"), while
+                // ColStat carries the same ISO form the parquet path
+                // derives from the stored epoch day
+                Some((
+                  java.time.LocalDate.ofEpochDay(ds.getMinimumDayOfEpoch).toString,
+                  java.time.LocalDate.ofEpochDay(ds.getMaximumDayOfEpoch).toString))
               case _ => None
             }
             bounds.map { case (lo, hi) => name -> ColStat(lo, hi, nulls) }

@@ -309,6 +309,44 @@ class ArchiveOccSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalStateException] { dead.tryLock() }
   }
 
+  test("tcp lock provider excludes a writer in a DIFFERENT JVM; its crash releases") {
+    // a real second process (no Spark on its classpath — LockProbe is
+    // pure JVM) acquires the table lock through the shared server; this
+    // JVM must see HELD until the foreign process is killed, after which
+    // the lock evaporates (the ephemeral/crash contract ZK gives the
+    // reference, ZookeeperBasedLockProvider.java:55)
+    val key = "/crossjvm"
+    val classes = new java.io.File(
+      classOf[LockServer].getProtectionDomain.getCodeSource.getLocation.toURI)
+    val scalaLib = new java.io.File(
+      classOf[scala.Option[_]].getProtectionDomain.getCodeSource.getLocation.toURI)
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val child = new ProcessBuilder(javaBin,
+      "-cp", s"${classes.getPath}:${scalaLib.getPath}",
+      "graft.core.LockProbe", "127.0.0.1", lockServer.port.toString, key)
+      .redirectErrorStream(true).start()
+    try {
+      val out = new java.io.BufferedReader(
+        new java.io.InputStreamReader(child.getInputStream))
+      val verdict = out.readLine()
+      assert(verdict == "ACQUIRED", s"probe JVM could not acquire: $verdict")
+      // exclusion across process boundaries
+      val mine = new TcpLockProvider("127.0.0.1", lockServer.port, key)
+      assert(!mine.tryLock(), "lock held by another JVM must read HELD here")
+      // crash the foreign writer -> its session's locks evaporate
+      child.destroyForcibly()
+      child.waitFor()
+      val deadline = System.currentTimeMillis() + 10000
+      var got = false
+      while (!got && System.currentTimeMillis() < deadline) {
+        got = mine.tryLock()
+        if (!got) Thread.sleep(50)
+      }
+      assert(got, "a crashed JVM's lock must release without any unlock call")
+      mine.unlock()
+    } finally if (child.isAlive) { child.destroyForcibly(); child.waitFor() }
+  }
+
   test("put-store publish: many file groups land by copy, none renamed") {
     import spark.implicits._
     // mini version of the q57 publish-tail probe through the object-store

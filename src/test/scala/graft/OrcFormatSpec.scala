@@ -181,6 +181,66 @@ class OrcFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.filterExists(absent).count() == absent.count())
   }
 
+  test("stats decoders agree across formats: parquet vs ORC ColStats") {
+    import spark.implicits._
+    // one frame covering every decode branch both readers share:
+    // long, string, double, boolean, decimal, date — plus nulls so the
+    // null-count paths (parquet numNulls vs ORC rows−numberOfValues) meet
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "p", "alpha", 1.5d, true,
+          new java.math.BigDecimal("12.340"), java.sql.Date.valueOf("2020-01-02"), 10L),
+        org.apache.spark.sql.Row(2L, "p", null, -2.25d, false,
+          new java.math.BigDecimal("-3.100"), java.sql.Date.valueOf("2021-06-30"), 20L),
+        org.apache.spark.sql.Row(3L, "p", "omega", 0.0d, true,
+          null, null, 30L))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("d", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("dec",
+          org.apache.spark.sql.types.DecimalType(10, 3)),
+        org.apache.spark.sql.types.StructField("dt", org.apache.spark.sql.types.DateType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType))))
+    def statsOf(format: String): Map[String, ColStat] = {
+      val c = TableConfig(name = "parity", tableType = TableType.COW,
+        keyFields = Seq("id"), partitionFields = Seq("p"), orderingField = "ts",
+        baseFormat = format,
+        statsColumns = Seq("s", "d", "b", "dec", "dt"))
+      val tbl = GraftTable.create(spark, tmp(), c)
+      tbl.bulkInsert(df)
+      val files = Snapshot.resolve(tbl.timeline).slices.flatMap(_.baseFile)
+      assert(files.size == 1)
+      files.head.columnStats
+    }
+    val pq = statsOf("parquet")
+    val orc = statsOf("orc")
+    for (c <- Seq("s", "d", "b", "dec", "dt")) {
+      assert(pq.contains(c), s"parquet stats missing for $c")
+      assert(orc.contains(c), s"orc stats missing for $c")
+      assert(pq(c) == orc(c),
+        s"decoder divergence on $c: parquet=${pq(c)} orc=${orc(c)}")
+    }
+  }
+
+  test("format(\"graft\") honors base.format=orc end-to-end") {
+    val dir = tmp() + "/t"
+    batch1.write.format("graft")
+      .option("key.fields", "o_orderkey")
+      .option("partition.fields", "o_orderpriority")
+      .option("ordering.field", "o_orderdate")
+      .option("base.format", "orc")
+      .save(dir)
+    val names = dataFiles(dir)
+    assert(names.nonEmpty && names.forall(_.endsWith(".orc")),
+      s"DataSource write must land ORC files, got: ${names.take(5)}")
+    val back = spark.read.format("graft").load(dir)
+    assertSameRows(back.drop(graft.write.Meta.all: _*), batch1,
+      "DataSource read-back over ORC")
+  }
+
   test("unknown baseFormat is rejected loudly") {
     val e = intercept[IllegalArgumentException] {
       GraftTable.create(spark, tmp(), cfg(TableType.COW).copy(baseFormat = "hfile"))
