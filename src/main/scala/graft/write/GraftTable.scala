@@ -1162,7 +1162,9 @@ class GraftTable private (
     heartbeatGuard(t) {
     val sizingSnap =
       if (config.targetFileBytes > 0) Some(Snapshot.resolve(timeline)) else None
-    val prepared = assignInsertGroups(prepare(df, t), t,
+    val schemaSnap = sizingSnap.getOrElse(Snapshot.resolve(timeline))
+    val prepared = assignInsertGroups(
+      prepare(alignBatchTypes(df, schemaSnap), t), t,
       targetRows = effectiveTargetRows(sizingSnap)).drop(NewGroup)
     val sorted = sortMode match {
       case "global" => prepared.orderBy(col(Partition), col(Key))
@@ -1171,8 +1173,7 @@ class GraftTable private (
     val stats = stageAndPublish(sorted, t)
     finishCommit(t, Action.Commit,
       CommitMetadata("bulk_insert",
-        reconciledSchemaJson(
-          sizingSnap.getOrElse(Snapshot.resolve(timeline)), prepared),
+        reconciledSchemaJson(schemaSnap, prepared),
         stats, extra = extra),
       plannedAsOf = "", guarded = false)
     t
@@ -1193,7 +1194,9 @@ class GraftTable private (
       if (config.targetFileBytes > 0) Some(Snapshot.resolve(timeline)) else None)
     val target = effectiveTargetRows(sizingSnap)
     val fills = fillTargets(snap, target)
-    val assigned = assignInsertGroups(precombine(prepare(df, t)), t, fills, target).persist()
+    val schemaSnap = snap.orElse(sizingSnap).getOrElse(Snapshot.resolve(timeline))
+    val assigned = assignInsertGroups(
+      precombine(prepare(alignBatchTypes(df, schemaSnap), t)), t, fills, target).persist()
     try {
       val fillRows = assigned.filter(!col(NewGroup)).drop(NewGroup)
       val freshRows = assigned.filter(col(NewGroup)).drop(NewGroup)
@@ -1211,9 +1214,7 @@ class GraftTable private (
           stageAndPublish(merged.unionByName(freshRows, allowMissingColumns = true), t)
         }
       val meta = CommitMetadata("insert",
-        reconciledSchemaJson(
-          snap.orElse(sizingSnap).getOrElse(Snapshot.resolve(timeline)),
-          assigned.drop(NewGroup)),
+        reconciledSchemaJson(schemaSnap, assigned.drop(NewGroup)),
         stats, extra = extra)
       // brand-new groups cannot conflict; a small-file FILL rewrites an
       // existing group and must go through the OCC conflict guard
@@ -1235,7 +1236,7 @@ class GraftTable private (
     val t = startWrite(action)
     heartbeatGuard(t) {
     val snap = Snapshot.resolve(timeline)
-    val stamped = prepare(df, t)
+    val stamped = prepare(alignBatchTypes(df, snap), t)
     val prepared = precombine(stamped)
 
     // probe the PRE-precombine batch: touched partitions / key ranges are
@@ -1380,7 +1381,8 @@ class GraftTable private (
     val t = startWrite(Action.ReplaceCommit)
     heartbeatGuard(t) {
     val snap = Snapshot.resolve(timeline)
-    val prepared = assignInsertGroups(precombine(prepare(df, t)), t,
+    val prepared = assignInsertGroups(
+      precombine(prepare(alignBatchTypes(df, snap), t)), t,
       targetRows = effectiveTargetRows(Some(snap))).drop(NewGroup)
     val parts = prepared.select(Partition).distinct().collect().map(_.getString(0)).toSet
     val stats = stageAndPublish(prepared, t)
@@ -1510,6 +1512,46 @@ class GraftTable private (
   // =========================================================================
   // schema plumbing
   // =========================================================================
+
+  /** Align common-column TYPES between an incoming batch and the table's
+    * current schema (reference analog: the Avro promotion rules inside
+    * the TableSchemaResolver.isSchemaCompatible gate :337-345). A batch
+    * column strictly NARROWER than the table's (tightest common type ==
+    * the table's: int→long, float→double) is cast up losslessly before
+    * staging — without this, a narrow batch stages files whose physical
+    * type the table schema can't read back (Spark's columnar readers
+    * refuse demotion reads: PARQUET_COLUMN_DATA_TYPE_MISMATCH). A
+    * strictly WIDER batch column is a valid promotion: the commit schema
+    * evolves to it and old narrow files read through it (the readers DO
+    * promote upward). Anything else — string↔numeric, decimal
+    * precision/scale changes — is rejected loudly. */
+  private def alignBatchTypes(df: DataFrame, snap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCoercion
+    val current = readSchema(snap).fields
+      .filterNot(f => Meta.all.contains(f.name))
+      .map(f => f.name -> f.dataType).toMap
+    if (current.isEmpty) return df
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      current.get(f.name) match {
+        case Some(cur) if nullableDeep(cur) == nullableDeep(f.dataType) => d
+        case Some(cur) =>
+          val tight = TypeCoercion.findTightestCommonType(f.dataType, cur)
+            .map(nullableDeep)
+          if (tight.contains(nullableDeep(cur)))
+            d.withColumn(f.name, col(f.name).cast(cur))
+          else {
+            require(tight.contains(nullableDeep(f.dataType)),
+              s"incompatible type change for column '${f.name}': table has " +
+                s"$cur, batch has ${f.dataType} — neither promotes to the " +
+                "other (the reference's schema-compatibility gate, " +
+                "TableSchemaResolver.isSchemaCompatible, rejects this; use " +
+                "ALTER TABLE CHANGE COLUMN for deliberate type evolution)")
+            d // valid widening: the batch type becomes the evolved schema
+          }
+        case None => d
+      }
+    }
+  }
 
   /** Commit-schema reconciliation for MERGING write operations
     * (reference analog: hoodie.datasource.write.reconcile.schema,
