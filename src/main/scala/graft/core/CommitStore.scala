@@ -42,7 +42,15 @@ trait CommitStore {
 
   /** Move a file to its published location, failing loudly if the move
     * cannot complete. Data-file publication and archive moves go through
-    * here — the op whose cost model differs 1000× between profiles. */
+    * here — the op whose cost model differs 1000× between profiles.
+    *
+    * MUST be idempotent w.r.t. re-execution after a completed move
+    * (src gone, dest present → success, not an error): distributed
+    * publication runs moves inside Spark tasks, and a task that finished
+    * its move but died before reporting is re-run verbatim on retry or
+    * speculation — on a real cluster that retry must not fail the whole
+    * commit. Source deletion is always the LAST step after the move is
+    * verified complete, so src-absent + dest-present proves completion. */
   def moveFile(fs: FileSystem, src: Path, dest: Path): Unit
 }
 
@@ -86,8 +94,12 @@ object RenameCommitStore extends CommitStore {
   }
 
   override def moveFile(fs: FileSystem, src: Path, dest: Path): Unit =
-    if (!fs.rename(src, dest))
-      throw new IllegalStateException(s"publish rename failed: $src -> $dest")
+    if (!fs.rename(src, dest)) {
+      // idempotent re-run (task retry/speculation after the original
+      // attempt's rename landed): src gone + dest present = already moved
+      if (fs.exists(src) || !fs.exists(dest))
+        throw new IllegalStateException(s"publish rename failed: $src -> $dest")
+    }
 }
 
 /** Simulated object-store profile: moves are copies, exclusivity is a
@@ -108,6 +120,15 @@ object ConditionalPutCommitStore extends CommitStore {
     RenameCommitStore.putAtomic(fs, dest, content)
 
   override def moveFile(fs: FileSystem, src: Path, dest: Path): Unit = {
+    // idempotent re-run: the source is only deleted AFTER the copy is
+    // length-verified, so src-absent + dest-present proves a completed
+    // earlier attempt (task retry/speculation); a half-copied dest from
+    // a crash mid-copy still has its src and is re-copied with overwrite
+    if (!fs.exists(src)) {
+      if (fs.exists(dest)) return
+      throw new IllegalStateException(
+        s"publish copy source missing and dest absent: $src -> $dest")
+    }
     // object-store "rename" = server-side copy + delete source; stream
     // copy here (the simulation pays the same O(bytes) cost shape)
     val in = fs.open(src)

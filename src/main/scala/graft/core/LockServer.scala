@@ -117,7 +117,21 @@ object LockProbe {
   * silent false from tryLock would read as "held by a peer" and break
   * the mutual-exclusion guarantee the table was configured for
   * (reference analog: ZookeeperBasedLockProvider.java:55; selected via
-  * `lockProvider = "tcp:<host>:<port>"`). */
+  * `lockProvider = "tcp:<host>:<port>"`).
+  *
+  * Known window, shared with every ephemeral-session lock including the
+  * reference's ZK provider: if the SESSION drops while the lock is held
+  * (connection reset mid-critical-section), the server frees the key and
+  * a second writer may enter before the first writer's next call notices
+  * the loss — exactly the ZK session-expiry race. Publication layers a
+  * second defense — the overlapping-file-group conflict check re-reads
+  * the timeline under the (believed-held) lock before the
+  * create-exclusive instant write — which narrows the exposure to both
+  * writers passing their checks inside the same loss interval, but does
+  * not close it: check-then-complete is itself lock-dependent. Closing
+  * it fully needs fencing (a token minted with the lock and verified at
+  * the commit point), which neither this provider nor the reference's
+  * ZK provider implements. */
 class TcpLockProvider(host: String, port: Int, key: String)
     extends LockProvider {
   private var sock: Socket = null
@@ -157,5 +171,17 @@ class TcpLockProvider(host: String, port: Int, key: String)
 
   override def tryLock(): Boolean = call(s"ACQUIRE $key") == "OK"
   override def unlock(): Unit = { call(s"RELEASE $key"); () }
+
+  /** End the session: closes the socket (the server then ephemeral-
+    * releases anything the session still held). One provider is minted
+    * per commit, so without this every commit would leak a client fd
+    * AND a server session thread. Idempotent. */
+  override def close(): Unit = synchronized {
+    if (sock != null) {
+      try sock.close() catch { case _: Exception => () }
+      sock = null
+    }
+  }
+
   override def describe: String = s"tcp://$host:$port/$key"
 }

@@ -10,6 +10,12 @@ trait LockProvider {
   def tryLock(): Boolean
   def unlock(): Unit
   def describe: String
+  /** Release any resource the provider holds beyond the lock itself
+    * (sockets, sessions). A provider is created per lock SCOPE
+    * (TimelineLock instantiates one per commit), so leaking here leaks
+    * once per commit — a long-running ingest writer would exhaust file
+    * descriptors. Idempotent; called after the final unlock. */
+  def close(): Unit = ()
 }
 
 /** Filesystem lock file: `fs.create(path, overwrite = false)` is atomic
@@ -68,10 +74,14 @@ class TimelineLock(
   private val provider: LockProvider =
     TimelineLock.providerFor(timeline, staleMs)
 
-  def withLock[T](f: => T): T = {
-    acquire()
-    try f finally provider.unlock()
-  }
+  def withLock[T](f: => T): T =
+    // close() in the OUTER finally: a timed-out acquire() has still
+    // opened provider resources (e.g. the tcp session) that must not
+    // leak on the failure path
+    try {
+      acquire()
+      try f finally provider.unlock()
+    } finally provider.close()
 
   private def acquire(): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs

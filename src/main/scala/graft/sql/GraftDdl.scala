@@ -139,15 +139,29 @@ object GraftDdl {
         * single-partition-per-file requirement (reference analog:
         * FULL_RECORD mode, SparkBootstrapCommitActionExecutor.java:84,
         * which is likewise "a bulk insert of the source"). */
-      mode: String = "metadata"): GraftTable = mode match {
-    case "full" =>
-      val table = GraftTable.create(spark, path, config)
-      table.bulkInsert(
-        spark.read.format(config.dataFormat).load(sourceDir))
-      table
-    case "metadata" => bootstrapMetadataOnly(spark, path, config, sourceDir)
-    case other => throw new IllegalArgumentException(
-      s"unknown bootstrap mode '$other' (expected 'metadata' or 'full')")
+      mode: String = "metadata",
+      /** format of the files under `sourceDir`. Defaults to the TABLE's
+        * data format. In "metadata" mode they must match anyway (the
+        * source files are adopted in place as the table's own); in
+        * "full" mode the source is rewritten, so e.g. a parquet lake can
+        * bootstrap into an ORC table by passing sourceFormat="parquet". */
+      sourceFormat: String = null): GraftTable = {
+    val srcFmt = Option(sourceFormat).map(_.trim.toLowerCase)
+      .filter(_.nonEmpty).getOrElse(config.dataFormat)
+    mode match {
+      case "full" =>
+        val table = GraftTable.create(spark, path, config)
+        table.bulkInsert(spark.read.format(srcFmt).load(sourceDir))
+        table
+      case "metadata" =>
+        require(srcFmt == config.dataFormat,
+          s"zero-copy bootstrap adopts the source files in place, so their " +
+            s"format ($srcFmt) must equal the table's (${config.dataFormat}); " +
+            "use mode=\"full\" to rewrite across formats")
+        bootstrapMetadataOnly(spark, path, config, sourceDir)
+      case other => throw new IllegalArgumentException(
+        s"unknown bootstrap mode '$other' (expected 'metadata' or 'full')")
+    }
   }
 
   private def bootstrapMetadataOnly(

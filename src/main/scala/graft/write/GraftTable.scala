@@ -1526,21 +1526,32 @@ class GraftTable private (
     * promote upward). Anything else — string↔numeric, decimal
     * precision/scale changes — is rejected loudly. */
   private def alignBatchTypes(df: DataFrame, snap: Snapshot): DataFrame = {
-    import org.apache.spark.sql.catalyst.analysis.TypeCoercion
     val current = readSchema(snap).fields
       .filterNot(f => Meta.all.contains(f.name))
       .map(f => f.name -> f.dataType).toMap
     if (current.isEmpty) return df
+    // strict-mode rejection runs HERE, before any staging I/O — firing
+    // it from the commit-metadata step would first pay the full staged
+    // write and publish every data file, leaving orphans for the
+    // failed-write cleaner (the reference's compatibility gate runs
+    // up front too)
+    if (config.strictSchema) {
+      val missing = current.keySet -- df.schema.fieldNames.toSet
+      require(missing.isEmpty,
+        s"incoming batch is missing table columns " +
+          s"${missing.toSeq.sorted.mkString(", ")} — strictSchema rejects " +
+          "field drops (the reference's schema-compatibility gate, " +
+          "TableSchemaResolver.isSchemaCompatible); write the full schema " +
+          "or unset strictSchema to reconcile by union")
+    }
     df.schema.fields.foldLeft(df) { (d, f) =>
       current.get(f.name) match {
         case Some(cur) if nullableDeep(cur) == nullableDeep(f.dataType) => d
         case Some(cur) =>
-          val tight = TypeCoercion.findTightestCommonType(f.dataType, cur)
-            .map(nullableDeep)
-          if (tight.contains(nullableDeep(cur)))
+          if (GraftTable.promotesLossless(f.dataType, cur))
             d.withColumn(f.name, col(f.name).cast(cur))
           else {
-            require(tight.contains(nullableDeep(f.dataType)),
+            require(GraftTable.promotesLossless(cur, f.dataType),
               s"incompatible type change for column '${f.name}': table has " +
                 s"$cur, batch has ${f.dataType} — neither promotes to the " +
                 "other (the reference's schema-compatibility gate, " +
@@ -1799,6 +1810,23 @@ object GraftTable {
         case None => true
       }
     }
+
+  /** Lossless type-promotion lattice for [[alignBatchTypes]] — NOT
+    * Spark's coercion precedence, which ranks Float/Double above Long
+    * (long→float "coerces" but loses precision above 2^24, and a
+    * float-typed commit schema cannot read existing int64 files back).
+    * Only within-integral widening and float→double are (a) value-exact
+    * and (b) supported as read-time promotions by Spark's vectorized
+    * parquet/ORC readers over files written in the narrower type. */
+  private[write] def promotesLossless(
+      narrow: org.apache.spark.sql.types.DataType,
+      wide: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val integral: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+    val (ni, wi) = (integral.indexOf(narrow), integral.indexOf(wide))
+    (ni >= 0 && wi >= 0 && ni < wi) ||
+      (narrow == FloatType && wide == DoubleType)
+  }
 
   /** Driver-side parallelism for publish renames. */
   private[write] val PublishThreads = 32

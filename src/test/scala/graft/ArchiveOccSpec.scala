@@ -347,6 +347,46 @@ class ArchiveOccSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally if (child.isAlive) { child.destroyForcibly(); child.waitFor() }
   }
 
+  test("moveFile is idempotent under task retry: completed move re-runs as a no-op") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmp()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    for (store <- Seq(CommitStore.Rename, CommitStore.Put)) {
+      val src = new Path(dir, s"src-$store")
+      val dest = new Path(dir, s"dest-$store")
+      val out = fs.create(src, true); out.write("payload".getBytes); out.close()
+      val cs = CommitStore.forName(store)
+      cs.moveFile(fs, src, dest)
+      assert(!fs.exists(src) && fs.exists(dest))
+      // the retry re-executes the identical call after the move landed —
+      // a distributed-publish task that died before REPORTING does this
+      cs.moveFile(fs, src, dest)
+      assert(fs.exists(dest) && fs.getFileStatus(dest).getLen == 7L)
+      // but a move where NOTHING landed must still fail loudly (the
+      // exception type is filesystem-dependent: LocalFS throws
+      // FileNotFound from rename itself, the guard throws IllegalState)
+      val e = intercept[Exception] {
+        cs.moveFile(fs, new Path(dir, "absent"), new Path(dir, s"never-$store"))
+      }
+      assert(e.isInstanceOf[IllegalStateException] ||
+        e.isInstanceOf[java.io.FileNotFoundException], s"unexpected: $e")
+    }
+  }
+
+  test("tcp provider close() ends the session and releases its locks") {
+    val a = new TcpLockProvider("127.0.0.1", lockServer.port, "/closeme")
+    assert(a.tryLock())
+    assert(lockServer.heldKeys.contains("/closeme"))
+    a.close()
+    a.close() // idempotent
+    val deadline = System.currentTimeMillis() + 10000
+    while (lockServer.heldKeys.contains("/closeme") &&
+      System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(!lockServer.heldKeys.contains("/closeme"),
+      "close() must end the session so held keys ephemeral-release")
+  }
+
   test("put-store publish: many file groups land by copy, none renamed") {
     import spark.implicits._
     // mini version of the q57 publish-tail probe through the object-store

@@ -65,16 +65,21 @@ class PublishScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq(CommitStore.Rename, CommitStore.Put).foreach { store =>
       val small = 500
       val big = 4000
-      val tSmall = timeCommit(small, store)
-      val tBig = timeCommit(big, store)
-      val perSmall = tSmall / small
-      val perBig = tBig / big
       // 8x the groups may cost at most ~4x per group (a generous linearity
       // bound: a driver-serialized tail would blow far past it, while
-      // scheduler noise on near-empty files stays well inside)
-      assert(perBig < perSmall * 4.0,
-        f"$store: per-group publish cost grew super-linearly: " +
-          f"$perSmall%.5fs/group at $small vs $perBig%.5fs/group at $big")
+      // scheduler noise on near-empty files stays well inside). Wall-clock
+      // on a shared box is noisy, so one clean RE-measure is allowed
+      // before declaring a regression — a real super-linear tail fails
+      // both attempts; a GC pause or noisy neighbor fails at most one.
+      var lastMsg = ""
+      val ok = (1 to 2).exists { _ =>
+        val perSmall = timeCommit(small, store) / small
+        val perBig = timeCommit(big, store) / big
+        lastMsg = f"$store: per-group publish cost grew super-linearly: " +
+          f"$perSmall%.5fs/group at $small vs $perBig%.5fs/group at $big"
+        perBig < perSmall * 4.0
+      }
+      assert(ok, lastMsg)
     }
   }
 

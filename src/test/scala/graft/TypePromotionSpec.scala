@@ -87,5 +87,46 @@ class TypePromotionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("incompatible type change for column 'v'"))
   }
 
+  test("integral<->fractional is NOT a promotion in either direction") {
+    import spark.implicits._
+    // Spark's coercion precedence ranks Float above Long, but long->float
+    // loses precision above 2^24 and a float commit schema cannot read
+    // existing int64 files — both directions must reject, not 'widen'
+    val tbl = longTable()
+    val e1 = intercept[IllegalArgumentException] {
+      tbl.upsert(Seq((2L, "p0", 6.5f, 2L)).toDF("id", "p", "v", "ts"))
+    }
+    assert(e1.getMessage.contains("incompatible type change for column 'v'"))
+
+    val tblF = GraftTable.create(spark, tmp(), cfg())
+    tblF.bulkInsert(Seq((1L, "p0", 5.5f, 1L)).toDF("id", "p", "v", "ts"))
+    val e2 = intercept[IllegalArgumentException] {
+      tblF.upsert(Seq((2L, "p0", 6L, 2L)).toDF("id", "p", "v", "ts"))
+    }
+    assert(e2.getMessage.contains("incompatible type change for column 'v'"))
+  }
+
+  for (fmt <- Seq("parquet", "orc")) {
+    test(s"[$fmt] float->double is a valid promotion both ways (cast-up / widen)") {
+      import spark.implicits._
+      // narrower batch: float into a double column casts up
+      val tblD = GraftTable.create(spark, tmp(), cfg(fmt = fmt))
+      tblD.bulkInsert(Seq((1L, "p0", 1.5d, 1L)).toDF("id", "p", "v", "ts"))
+      tblD.upsert(Seq((2L, "p0", 2.5f, 2L)).toDF("id", "p", "v", "ts"))
+      val snapD = GraftReader(tblD).snapshot()
+      assert(snapD.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
+      assert(snapD.select(sum("v")).head().getDouble(0) == 4.0d)
+
+      // wider batch: double batch widens a float column; old float files
+      // read up through the double schema
+      val tblF = GraftTable.create(spark, tmp(), cfg(fmt = fmt))
+      tblF.bulkInsert(Seq((1L, "p0", 1.5f, 1L)).toDF("id", "p", "v", "ts"))
+      tblF.upsert(Seq((2L, "p0", 2.5d, 2L)).toDF("id", "p", "v", "ts"))
+      val snapF = GraftReader(tblF).snapshot()
+      assert(snapF.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
+      assert(snapF.select(sum("v")).head().getDouble(0) == 4.0d)
+    }
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
