@@ -1992,6 +1992,47 @@ object TableFormat {
         c => c.copy(commitStore = "put", lockProvider = "inprocess")),
       Some(OccRaceSql))),
 
+    // ---- the same OCC race with mutual exclusion served by a real
+    //      OUT-OF-PROCESS lock service over TCP (the ZK stand-in:
+    //      exclusion state lives outside every writer; reference analog:
+    //      ZookeeperBasedLockProvider.java:55) — combined with the
+    //      object-store commit profile, i.e. the full production
+    //      multi-writer posture
+    "q186_occ_conflict_tcp_lock" -> ((
+      (s: SparkSession, d: String) => {
+        val srv = new graft.core.LockServer()
+        val port = srv.start()
+        try occRace(s, d, c => c.copy(
+          commitStore = graft.core.CommitStore.Put,
+          lockProvider = s"tcp:127.0.0.1:$port"))
+        finally srv.stop()
+      },
+      Some(OccRaceSql))),
+
+    // ---- cross-format full-record bootstrap: a PARQUET lake rewrites
+    //      into an ORC table through bulk_insert (sourceFormat decouples
+    //      the lake's format from the table's; reference analog:
+    //      FULL_RECORD bootstrap + hoodie.table.base.file.format)
+    "q187_bootstrap_cross_format" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val extDir = freshDir() + "/lake"
+        orders.filter(col("o_orderkey") % 10 < 8)
+          .coalesce(2).write.mode("overwrite").parquet(extDir)
+        val tbl = graft.sql.GraftDdl.bootstrap(
+          s, freshDir(),
+          cfg("orders_xfmt", TableType.COW).copy(baseFormat = "orc"),
+          extDir, mode = "full", sourceFormat = "parquet")
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 >= 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        tbl.delete(orders.filter(col("o_orderkey") % 10 === 7)
+          .select("o_orderkey", "o_orderpriority"))
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some(SummarySql))),
+
     // ---- object-storage event-notification ingest (reference analog:
     //      S3EventsSource.java:44 / S3EventsHoodieIncrSource.java:62):
     //      new data objects arrive via an event feed naming them — the
