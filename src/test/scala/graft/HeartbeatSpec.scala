@@ -245,6 +245,27 @@ class HeartbeatSpec extends AnyFunSuite with BeforeAndAfterAll {
       "age gate: a fresh instant is not reaped even with an aged heartbeat")
   }
 
+  test("failed-write cleanup reaps .orc orphans on an ORC table") {
+    val tbl = GraftTable.create(spark, tmp(), cfg(policy = "eager")
+      .copy(baseFormat = "orc"))
+    tbl.bulkInsert(rows(1L, 2L))
+    val crashT = "19990101000000000"
+    val metaDir = tbl.timeline.metaDir
+    touchFile(tbl, new Path(metaDir, s"$crashT.commit.inflight"), "{}")
+    val staged = new Path(metaDir, s".tmp/$crashT/part-junk")
+    touchFile(tbl, staged, "staged")
+    // orphans at BOTH final-name shapes the format can produce
+    val orphanBase = new Path(tbl.basePath, s"dead-0_$crashT.orc")
+    val orphanDelta = new Path(tbl.basePath, s"dead-1_$crashT.delta.orc")
+    touchFile(tbl, orphanBase, "orphan")
+    touchFile(tbl, orphanDelta, "orphan")
+    tbl.upsert(rows(3L)) // startWrite triggers the eager cleanup
+    val fs = tbl.timeline.fileSystem
+    assert(!fs.exists(staged) && !fs.exists(orphanBase) && !fs.exists(orphanDelta),
+      "crashed-write leftovers (.orc final names included) must be reaped")
+    assert(state(tbl) == Seq(1L, 2L, 3L))
+  }
+
   // a lazy-policy cleaner hammering rollbackFailedWrites WHILE a live
   // writer mints/stages/publishes commit after commit (reference
   // contract: the LAZY policy + heartbeats exist precisely so cleanup is
