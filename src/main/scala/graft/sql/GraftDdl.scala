@@ -59,19 +59,13 @@ object GraftDdl {
     * TableSchemaResolver.isSchemaCompatible): byte/short/int -> wider
     * integer, int/float -> double. long -> double is NOT readable and is
     * rejected. */
+  /** Reflexive closure of the engine's ONE promotion lattice — the same
+    * rule the write path applies to mismatched batches
+    * ([[GraftTable.promotesLossless]]), so a column widened here keeps
+    * accepting the old narrow batches afterwards. */
   private def widens(from: org.apache.spark.sql.types.DataType,
-      to: org.apache.spark.sql.types.DataType): Boolean = {
-    import org.apache.spark.sql.types._
-    (from, to) match {
-      case (a, b) if a == b                                => true
-      case (ByteType, ShortType | IntegerType | LongType)  => true
-      case (ShortType, IntegerType | LongType)             => true
-      case (IntegerType, LongType)                         => true
-      case (ByteType | ShortType | IntegerType, DoubleType) => true
-      case (FloatType, DoubleType)                         => true
-      case _                                               => false
-    }
-  }
+      to: org.apache.spark.sql.types.DataType): Boolean =
+    from == to || GraftTable.promotesLossless(from, to)
 
   /** ALTER TABLE ... ALTER COLUMN c TYPE t: widening type change as a
     * schema-evolution commit — no data moves; pre-change files up-cast

@@ -1811,21 +1811,26 @@ object GraftTable {
       }
     }
 
-  /** Lossless type-promotion lattice for [[alignBatchTypes]] — NOT
-    * Spark's coercion precedence, which ranks Float/Double above Long
+  /** Lossless type-promotion lattice shared by [[alignBatchTypes]] and
+    * ALTER COLUMN TYPE (GraftDdl.changeColumnType) — NOT Spark's
+    * coercion precedence, which ranks Float/Double above Long
     * (long→float "coerces" but loses precision above 2^24, and a
     * float-typed commit schema cannot read existing int64 files back).
-    * Only within-integral widening and float→double are (a) value-exact
-    * and (b) supported as read-time promotions by Spark's vectorized
-    * parquet/ORC readers over files written in the narrower type. */
-  private[write] def promotesLossless(
+    * Admitted promotions are (a) value-exact (integral widening,
+    * float→double, int-or-narrower→double — a double holds every int
+    * exactly) and (b) supported as read-time promotions by Spark's
+    * vectorized parquet AND ORC readers over files written in the
+    * narrower type. long→double stays OUT: longs above 2^53 are not
+    * double-exact. */
+  private[graft] def promotesLossless(
       narrow: org.apache.spark.sql.types.DataType,
       wide: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     val integral: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
     val (ni, wi) = (integral.indexOf(narrow), integral.indexOf(wide))
     (ni >= 0 && wi >= 0 && ni < wi) ||
-      (narrow == FloatType && wide == DoubleType)
+      (narrow == FloatType && wide == DoubleType) ||
+      (ni >= 0 && ni <= integral.indexOf(IntegerType) && wide == DoubleType)
   }
 
   /** Driver-side parallelism for publish renames. */

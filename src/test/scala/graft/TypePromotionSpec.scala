@@ -87,6 +87,22 @@ class TypePromotionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("incompatible type change for column 'v'"))
   }
 
+  test("int into a double column casts up (a double holds every int exactly)") {
+    import spark.implicits._
+    val tbl = GraftTable.create(spark, tmp(), cfg())
+    tbl.bulkInsert(Seq((1L, "p0", 1.5d, 1L)).toDF("id", "p", "v", "ts"))
+    tbl.upsert(Seq((2L, "p0", 7, 2L)).toDF("id", "p", "v", "ts")) // v: Int
+    val snap = GraftReader(tbl).snapshot()
+    assert(snap.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(snap.select(sum("v")).head().getDouble(0) == 8.5d)
+    // but LONG into double stays rejected: longs above 2^53 are not
+    // double-exact, matching the ALTER COLUMN lattice exactly
+    val e = intercept[IllegalArgumentException] {
+      tbl.upsert(Seq((3L, "p0", 9L, 3L)).toDF("id", "p", "v", "ts"))
+    }
+    assert(e.getMessage.contains("incompatible type change for column 'v'"))
+  }
+
   test("integral<->fractional is NOT a promotion in either direction") {
     import spark.implicits._
     // Spark's coercion precedence ranks Float above Long, but long->float
