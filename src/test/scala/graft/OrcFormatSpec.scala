@@ -181,6 +181,74 @@ class OrcFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.filterExists(absent).count() == absent.count())
   }
 
+  test("ORC x dropPartitionColumns: fields shed from storage, restored at read") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir,
+      cfg(TableType.COW).copy(dropPartitionColumns = true,
+        urlEncodePartitioning = true))
+    tbl.bulkInsert(batch1)
+    val r = GraftReader(tbl)
+    // the partition column reads back although absent from the files
+    assertSameRows(r.dataOnly(r.snapshot()), batch1, "dropPartCols roundtrip")
+    // physically absent from storage: read one .orc file raw
+    val f = dataFiles(dir).find(_.endsWith(".orc")).get
+    val raw = spark.read.format("orc")
+      .load(new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+        .find(_.getName == f).get.getAbsolutePath)
+    assert(!raw.columns.contains("o_orderpriority"),
+      s"partition column must be shed from ORC storage: ${raw.columns.mkString(",")}")
+  }
+
+  test("ORC x virtualKeys: zero meta columns stored, stamped at read") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir,
+      cfg(TableType.COW).copy(virtualKeys = true))
+    tbl.bulkInsert(batch1)
+    val r = GraftReader(tbl)
+    assertSameRows(r.dataOnly(r.snapshot()), batch1, "virtualKeys roundtrip")
+    val snap = r.snapshot()
+    assert(snap.columns.contains(Meta.Key) && snap.columns.contains(Meta.CommitTime))
+    // raw file holds ONLY data columns
+    val fName = dataFiles(dir).find(_.endsWith(".orc")).get
+    def findFile(d: java.io.File): Option[java.io.File] =
+      if (d.isFile) Some(d).filter(_.getName == fName)
+      else Option(d.listFiles()).toSeq.flatten.flatMap(findFile).headOption
+    val raw = spark.read.format("orc")
+      .load(findFile(new java.io.File(dir)).get.getAbsolutePath)
+    assert(Meta.all.forall(m => !raw.columns.contains(m)),
+      s"virtualKeys ORC file must store zero meta columns: ${raw.columns.mkString(",")}")
+  }
+
+  test("ORC x clustering: Z-order rewrite keeps .orc files and the answer") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir,
+      cfg(TableType.COW).copy(targetFileRows = 100))
+    tbl.bulkInsert(batch1)
+    val r = GraftReader(tbl)
+    val done = graft.services.TableServices(tbl).cluster(
+      Seq("o_orderkey", "o_custkey"), layout = "zorder",
+      targetFileRows = 2000)
+    assert(done.nonEmpty, "clustering must produce a replacecommit")
+    assert(dataFiles(dir).forall(_.endsWith(".orc")))
+    assertSameRows(r.dataOnly(r.snapshot()), batch1, "post-clustering state")
+  }
+
+  test("ORC x CDC: inserts, pre-image updates and deletes over ORC files") {
+    val tbl = GraftTable.create(spark, tmp(), cfg(TableType.COW))
+    val t1 = tbl.bulkInsert(batch1)
+    tbl.upsert(batch2)
+    tbl.delete(orders.filter(col("o_orderkey") % 4 === 0).limit(5)
+      .select("o_orderkey", "o_orderpriority"))
+    val r = GraftReader(tbl)
+    val cdc = r.incrementalCdc(t1, preImage = true)
+    val ops = cdc.groupBy("_g_operation").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(ops.contains("I") && ops.contains("+U") && ops.contains("-U") &&
+      ops.contains("D"), s"CDC op mix incomplete over ORC: $ops")
+    assert(ops("+U") == ops("-U"), "every update needs both images")
+  }
+
   test("stats decoders agree across formats: parquet vs ORC ColStats") {
     import spark.implicits._
     // one frame covering every decode branch both readers share:
