@@ -1992,6 +1992,30 @@ object TableFormat {
         c => c.copy(commitStore = "put", lockProvider = "inprocess")),
       Some(OccRaceSql))),
 
+    // ---- incremental pull over an ORC MOR table: the change-stream
+    //      primitive must be format-blind — deltas are .delta.orc files
+    //      and the commit-range filter reads them through the same
+    //      readStatsDf funnel (complements q184's snapshot gate)
+    "q188_orc_incremental" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(),
+          cfg("orders_oinc", TableType.MOR).copy(baseFormat = "orc"))
+        val t1 = tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 >= 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        val r = GraftReader(tbl)
+        r.dataOnly(r.incremental(t1))
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(floor((o_totalprice + 1000) * 100) AS BIGINT) AS price_c
+        FROM orders WHERE o_orderkey % 10 >= 6
+        ORDER BY o_orderkey"""))),
+
     // ---- the same OCC race with mutual exclusion served by a real
     //      OUT-OF-PROCESS lock service over TCP (the ZK stand-in:
     //      exclusion state lives outside every writer; reference analog:
