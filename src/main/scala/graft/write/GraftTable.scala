@@ -1697,9 +1697,15 @@ object GraftTable {
     * io/storage/HoodieOrcWriter.java writes the same stats its readers
     * consume). Top-level columns only, like the parquet path. Null
     * count = rows − numberOfValues (exact for top-level columns).
-    * Timestamp stats are deliberately OMITTED: ORC's timestamp
-    * statistics API is writer-timezone entangled, and an omitted stat
-    * is sound (file kept) where a misdecoded bound is not. */
+    * Timestamps: Spark stores TimestampNTZ in ORC as physical int64
+    * MICROS (the probe schema is `bigint`), so its stats ride the
+    * integer path with the same micros encoding the parquet
+    * TIMESTAMP_MICROS branch uses; TimestampType (instant) maps to ORC's
+    * tz-normalized `timestamp` whose UTC accessors
+    * (getMinimumUTC/getMaximumUTC) give the true instant — both are
+    * re-encoded as the UTC-naive LocalDateTime form StatsSkipping
+    * re-parses, value-for-value equal to the parquet decoder (pinned by
+    * the cross-format parity test). */
   private def orcStats(
       file: Path,
       conf: Configuration,
@@ -1749,6 +1755,17 @@ object GraftTable {
                 Some((
                   java.time.LocalDate.ofEpochDay(ds.getMinimumDayOfEpoch).toString,
                   java.time.LocalDate.ofEpochDay(ds.getMaximumDayOfEpoch).toString))
+              case (_: TimestampNTZType, is: IntegerColumnStatistics) =>
+                // NTZ is physically int64 micros in ORC — same encoding
+                // as the parquet TIMESTAMP_MICROS footer branch
+                Some((GraftTable.microsToWallIso(is.getMinimum),
+                  GraftTable.microsToWallIso(is.getMaximum)))
+              case (_: TimestampType, ts: TimestampColumnStatistics)
+                  if ts.getMinimumUTC != null && ts.getMaximumUTC != null =>
+                def enc(t: java.sql.Timestamp): String =
+                  GraftTable.microsToWallIso(
+                    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+                Some((enc(ts.getMinimumUTC), enc(ts.getMaximumUTC)))
               case _ => None
             }
             bounds.map { case (lo, hi) => name -> ColStat(lo, hi, nulls) }
@@ -1784,17 +1801,21 @@ object GraftTable {
         // footer stats are INT64 micros; format as a UTC-naive wall time
         // (LocalDateTime ISO form — what StatsSkipping.compare re-parses)
         v match {
-          case l: java.lang.Long =>
-            val micros = l.longValue
-            Some(java.time.LocalDateTime.ofEpochSecond(
-              Math.floorDiv(micros, 1000000L),
-              (Math.floorMod(micros, 1000000L) * 1000L).toInt,
-              java.time.ZoneOffset.UTC).toString)
+          case l: java.lang.Long => Some(microsToWallIso(l.longValue))
           case _ => None // INT96 (legacy writer): no usable stats
         }
       case _ => None
     }
   }
+
+  /** Epoch micros → the UTC-naive LocalDateTime ISO form ColStat carries
+    * for timestamps (what StatsSkipping.compare re-parses) — the ONE
+    * encoder both footer-stats decoders share. */
+  private[write] def microsToWallIso(micros: Long): String =
+    java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L),
+      (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC).toString
 
   /** Drop files whose [minKey, maxKey] cannot overlap the incoming
     * batch's key range for their partition. Files without recorded key

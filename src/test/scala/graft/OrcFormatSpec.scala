@@ -254,29 +254,35 @@ class OrcFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     // one frame covering every decode branch both readers share:
     // long, string, double, boolean, decimal, date — plus nulls so the
     // null-count paths (parquet numNulls vs ORC rows−numberOfValues) meet
+    import org.apache.spark.sql.types._
+    def ntz(s: String) = java.time.LocalDateTime.parse(s)
+    def ltz(s: String) = java.time.Instant.parse(s)
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
         org.apache.spark.sql.Row(1L, "p", "alpha", 1.5d, true,
-          new java.math.BigDecimal("12.340"), java.sql.Date.valueOf("2020-01-02"), 10L),
+          new java.math.BigDecimal("12.340"), java.sql.Date.valueOf("2020-01-02"),
+          ntz("2021-03-05T07:08:09.123456"), ltz("2021-03-05T07:08:09.123456Z"), 10L),
         org.apache.spark.sql.Row(2L, "p", null, -2.25d, false,
-          new java.math.BigDecimal("-3.100"), java.sql.Date.valueOf("2021-06-30"), 20L),
+          new java.math.BigDecimal("-3.100"), java.sql.Date.valueOf("2021-06-30"),
+          ntz("2022-11-30T23:59:58.5"), ltz("2022-11-30T23:59:58.5Z"), 20L),
         org.apache.spark.sql.Row(3L, "p", "omega", 0.0d, true,
-          null, null, 30L))),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("d", org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.BooleanType),
-        org.apache.spark.sql.types.StructField("dec",
-          org.apache.spark.sql.types.DecimalType(10, 3)),
-        org.apache.spark.sql.types.StructField("dt", org.apache.spark.sql.types.DateType),
-        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType))))
+          null, null, null, null, 30L))),
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("p", StringType),
+        StructField("s", StringType),
+        StructField("d", DoubleType),
+        StructField("b", BooleanType),
+        StructField("dec", DecimalType(10, 3)),
+        StructField("dt", DateType),
+        StructField("tn", TimestampNTZType),
+        StructField("tl", TimestampType),
+        StructField("ts", LongType))))
     def statsOf(format: String): Map[String, ColStat] = {
       val c = TableConfig(name = "parity", tableType = TableType.COW,
         keyFields = Seq("id"), partitionFields = Seq("p"), orderingField = "ts",
         baseFormat = format,
-        statsColumns = Seq("s", "d", "b", "dec", "dt"))
+        statsColumns = Seq("s", "d", "b", "dec", "dt", "tn", "tl"))
       val tbl = GraftTable.create(spark, tmp(), c)
       tbl.bulkInsert(df)
       val files = Snapshot.resolve(tbl.timeline).slices.flatMap(_.baseFile)
@@ -285,7 +291,7 @@ class OrcFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val pq = statsOf("parquet")
     val orc = statsOf("orc")
-    for (c <- Seq("s", "d", "b", "dec", "dt")) {
+    for (c <- Seq("s", "d", "b", "dec", "dt", "tn", "tl")) {
       assert(pq.contains(c), s"parquet stats missing for $c")
       assert(orc.contains(c), s"orc stats missing for $c")
       assert(pq(c) == orc(c),
