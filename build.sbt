@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Per-test failure capture: the console reporter prints durations + full
+// stacks, and a JUnit XML report lands under target/test-reports so an
+// intermittent full-suite failure always records WHICH test failed.
+Test / testOptions ++= Seq(
+  Tests.Argument(TestFrameworks.ScalaTest, "-oDF"),
+  Tests.Argument(TestFrameworks.ScalaTest, "-u", "target/test-reports"),
+)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

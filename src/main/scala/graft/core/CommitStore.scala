@@ -72,6 +72,16 @@ object CommitStore {
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
     tmp
   }
+
+  // FileContext per filesystem URI: getFileContext() builds a fresh
+  // FileContext each call, and the put profile pays it once per DATA
+  // FILE (moveFile promote) — at thousand-group commits that is publish
+  // tail, not setup cost. FileContext is thread-safe.
+  private val fcCache =
+    new java.util.concurrent.ConcurrentHashMap[java.net.URI, org.apache.hadoop.fs.FileContext]()
+  private[core] def fileContext(fs: FileSystem): org.apache.hadoop.fs.FileContext =
+    fcCache.computeIfAbsent(fs.getUri,
+      u => org.apache.hadoop.fs.FileContext.getFileContext(u, fs.getConf))
 }
 
 /** HDFS/POSIX profile: temp + atomic rename (exactly the semantics the
@@ -81,14 +91,14 @@ object RenameCommitStore extends CommitStore {
 
   override def createExclusive(fs: FileSystem, dest: Path, content: String): Unit = {
     val tmp = CommitStore.writeTemp(fs, dest, content)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+    val fc = CommitStore.fileContext(fs)
     try fc.rename(tmp, dest) // default Rename.NONE → FileAlreadyExistsException
     catch { case e: Throwable => fs.delete(tmp, false); throw e }
   }
 
   override def putAtomic(fs: FileSystem, dest: Path, content: String): Unit = {
     val tmp = CommitStore.writeTemp(fs, dest, content)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+    val fc = CommitStore.fileContext(fs)
     try fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     catch { case e: Throwable => fs.delete(tmp, false); throw e }
   }
@@ -120,27 +130,59 @@ object ConditionalPutCommitStore extends CommitStore {
     RenameCommitStore.putAtomic(fs, dest, content)
 
   override def moveFile(fs: FileSystem, src: Path, dest: Path): Unit = {
-    // idempotent re-run: the source is only deleted AFTER the copy is
-    // length-verified, so src-absent + dest-present proves a completed
-    // earlier attempt (task retry/speculation); a half-copied dest from
-    // a crash mid-copy still has its src and is re-copied with overwrite
-    if (!fs.exists(src)) {
-      if (fs.exists(dest)) return
+    // Idempotent under task retry AND safe under CONCURRENT duplicate
+    // attempts (Spark speculation): each attempt copies into its own
+    // attempt-unique temp and only then atomically PROMOTES it over dest
+    // — dest is therefore never torn, so src-absent + dest-present
+    // always proves a completed attempt. Writing dest directly would
+    // break exactly there: attempt A could verify + delete src while B
+    // is still mid-overwrite of dest; B's death then leaves a torn dest
+    // that the next retry (src gone) would accept as complete.
+    val srcLen =
+      try Some(fs.getFileStatus(src).getLen)
+      catch { case _: java.io.FileNotFoundException => None }
+    if (srcLen.isEmpty) {
+      if (fs.exists(dest)) return // a finished duplicate attempt won
       throw new IllegalStateException(
         s"publish copy source missing and dest absent: $src -> $dest")
     }
     // object-store "rename" = server-side copy + delete source; stream
-    // copy here (the simulation pays the same O(bytes) cost shape)
-    val in = fs.open(src)
+    // copy here (the simulation pays the same O(bytes) cost shape). The
+    // temp name is attempt-unique so duplicates never collide.
+    val tmp = new Path(dest.getParent,
+      s".${dest.getName}.put${System.nanoTime()}t${Thread.currentThread().getId}")
     try {
-      val out = fs.create(dest, true)
-      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 128 * 1024)
-      finally out.close()
-    } finally in.close()
-    val (sl, dl) = (fs.getFileStatus(src).getLen, fs.getFileStatus(dest).getLen)
-    if (sl != dl)
-      throw new IllegalStateException(
-        s"publish copy truncated: $src ($sl B) -> $dest ($dl B)")
+      val in = fs.open(src)
+      try {
+        val out = fs.create(tmp, true)
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 128 * 1024)
+        finally out.close()
+      } finally in.close()
+      val tl = fs.getFileStatus(tmp).getLen
+      if (tl != srcLen.get)
+        throw new IllegalStateException(
+          s"publish copy truncated: $src (${srcLen.get} B) -> $tmp ($tl B)")
+      // promote: atomic replace (the PUT-visibility emulation — readers
+      // and duplicate attempts see the old dest or the complete new one)
+      val fc = CommitStore.fileContext(fs)
+      try fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      catch {
+        // two duplicate attempts can race the promote itself; dest only
+        // ever holds COMPLETE payloads (promotes are whole-file renames),
+        // so dest-present-with-the-expected-length means the other
+        // attempt won — this one just cleans up its temp
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException
+            if fs.exists(dest) && fs.getFileStatus(dest).getLen == srcLen.get =>
+          fs.delete(tmp, false)
+      }
+    } catch {
+      case e: Exception =>
+        try fs.delete(tmp, false) catch { case _: Exception => () }
+        // a duplicate attempt may have finished the move (deleting src)
+        // while this one was mid-copy; that is success, not failure
+        if (!fs.exists(src) && fs.exists(dest)) return
+        throw e
+    }
     fs.delete(src, false)
   }
 }

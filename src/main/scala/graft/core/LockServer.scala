@@ -15,20 +15,46 @@ import java.util.concurrent.atomic.AtomicLong
   *
   * One lock table keyed by string; line protocol over TCP:
   * {{{
-  *   ACQUIRE <key>   ->  OK | HELD
-  *   RELEASE <key>   ->  OK
+  *   ACQUIRE <key>          ->  OK <fence> | HELD
+  *   RELEASE <key>          ->  OK | ERR           (ERR: caller not the owner)
+  *   VERIFY <key> <fence>   ->  OK | STALE
+  *   PING                   ->  PONG               (session keepalive)
   * }}}
   * A connection IS a session: every key it holds is released when it
   * closes (the ephemeral-node semantics — a writer that dies mid-commit
   * never wedges the table). Re-acquiring a key the same session already
-  * holds answers OK (idempotent, like an existing ephemeral node you
-  * own). The server is deliberately tiny — lock traffic is one
-  * request/response per COMMIT, not per record, so a single accept loop
+  * holds answers OK with the SAME fence (idempotent, like an existing
+  * ephemeral node you own). A RELEASE by a session that does not own the
+  * key answers ERR and frees nothing — ZK errors loudly here too
+  * (NONODE/NOAUTH analog); answering OK would let a buggy client believe
+  * it released a lock it never held.
+  *
+  * '''Fencing''': every successful ACQUIRE mints a fence token from one
+  * server-global monotonic counter (the ZK analog is the czxid / lock
+  * node's sequence number). A holder passes its token to the commit
+  * point, which calls VERIFY immediately before completing: once the
+  * session drops and ANOTHER writer acquires, the key's current token is
+  * strictly newer, so the stale writer's VERIFY answers STALE and its
+  * commit aborts instead of racing the new holder. This closes the
+  * session-loss window that neither the plain ephemeral contract nor the
+  * reference's ZK provider closes (see [[TcpLockProvider]]'s doc).
+  *
+  * '''Session liveness''': when `idleTimeoutMs > 0` a session that sends
+  * NOTHING for that long is presumed dead and reaped (socket closed, its
+  * locks ephemeral-released) — a client that leaked its provider without
+  * close() cannot pin a lock forever. Live holders stay alive the ZK way:
+  * [[TcpLockProvider]] heartbeats PING at a third of the timeout.
+  *
+  * The server is deliberately tiny — lock traffic is one request/response
+  * per COMMIT plus heartbeats, not per record, so a single accept loop
   * with per-session handler threads holds up at any realistic writer
   * count. */
-class LockServer(bindPort: Int = 0) {
-  private val owners = new ConcurrentHashMap[String, Long]()
+class LockServer(bindPort: Int = 0, idleTimeoutMs: Int = 120000) {
+  // key -> (owning session, fence token minted at acquire)
+  private val owners = new ConcurrentHashMap[String, (Long, Long)]()
+  private val sessions = ConcurrentHashMap.newKeySet[Socket]()
   private val nextSession = new AtomicLong(1L)
+  private val nextFence = new AtomicLong(1L)
   @volatile private var server: ServerSocket = null
   @volatile private var running = false
 
@@ -66,29 +92,59 @@ class LockServer(bindPort: Int = 0) {
     owners.keySet().asScala.toSet
   }
 
+  /** Test observability: the current fence token for a key, if held. */
+  private[graft] def fenceOf(key: String): Option[Long] =
+    Option(owners.get(key)).map(_._2)
+
+  /** Test seam: hard-drop every live session (socket closed server-side,
+    * locks ephemeral-released) — the "partition hits mid-commit" fault a
+    * fencing test injects. The server keeps accepting new sessions. */
+  private[graft] def killSessions(): Unit = {
+    sessions.forEach(s => try s.close() catch { case _: Exception => () })
+    sessions.clear()
+  }
+
   private def serve(sock: Socket): Unit = {
     val session = nextSession.getAndIncrement()
+    sessions.add(sock)
+    if (idleTimeoutMs > 0) sock.setSoTimeout(idleTimeoutMs)
     val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
     val out = new PrintWriter(new OutputStreamWriter(sock.getOutputStream, UTF_8), true)
     try {
       var line = in.readLine()
       while (line != null) {
-        line.split(" ", 2) match {
+        line.split(" ") match {
           case Array("ACQUIRE", key) =>
-            val owner = owners.merge(key, session,
-              (cur, _) => cur) // atomic acquire-if-free
-            out.println(if (owner == session) "OK" else "HELD")
+            // atomic acquire-if-free; the fence is minted ONLY when this
+            // session becomes (or already is) the owner
+            val owner = owners.merge(key, (session, nextFence.getAndIncrement()),
+              (cur, _) => cur)
+            out.println(if (owner._1 == session) s"OK ${owner._2}" else "HELD")
           case Array("RELEASE", key) =>
-            owners.remove(key, session) // only the owner releases
-            out.println("OK")
+            // only the owner releases; a non-owner gets ERR, not a silent
+            // OK a buggy client would read as "released"
+            var released = false
+            owners.computeIfPresent(key, (_, cur) =>
+              if (cur._1 == session) { released = true; null } else cur)
+            out.println(if (released) "OK" else "ERR")
+          case Array("VERIFY", key, fence) =>
+            val cur = owners.get(key)
+            val ok = cur != null && cur._1 == session &&
+              fence.forall(_.isDigit) && cur._2 == fence.toLong
+            out.println(if (ok) "OK" else "STALE")
+          case Array("PING") => out.println("PONG")
           case _ => out.println("ERR")
         }
         line = in.readLine()
       }
-    } catch { case _: java.io.IOException => () }
+    } catch {
+      case _: java.net.SocketTimeoutException => () // idle reap: fall through
+      case _: java.io.IOException => ()
+    }
     finally {
       // session teardown = ephemeral release of everything it held
-      owners.entrySet().removeIf(e => e.getValue == session)
+      owners.entrySet().removeIf(e => e.getValue._1 == session)
+      sessions.remove(sock)
       try sock.close() catch { case _: Exception => () }
     }
   }
@@ -100,7 +156,8 @@ class LockServer(bindPort: Int = 0) {
   * process dies — so a test can assert real inter-PROCESS exclusion and
   * the crash-release (ephemeral) contract by killing it. Pure JVM, no
   * Spark: launchable with just the compiled classes on the classpath.
-  * Usage: `LockProbe <host> <port> <key>`. */
+  * The provider's keepalive thread holds the session through any
+  * server-side idle timeout. Usage: `LockProbe <host> <port> <key>`. */
 object LockProbe {
   def main(args: Array[String]): Unit = {
     val Array(host, port, key) = args
@@ -117,26 +174,30 @@ object LockProbe {
   * silent false from tryLock would read as "held by a peer" and break
   * the mutual-exclusion guarantee the table was configured for
   * (reference analog: ZookeeperBasedLockProvider.java:55; selected via
-  * `lockProvider = "tcp:<host>:<port>"`).
+  * `lockProvider = "tcp:<host>:<port>"`). A daemon keepalive thread
+  * PINGs at `keepaliveMs` while connected, so a held lock survives the
+  * server's idle-session reaping (the ZK client's heartbeat).
   *
-  * Known window, shared with every ephemeral-session lock including the
-  * reference's ZK provider: if the SESSION drops while the lock is held
-  * (connection reset mid-critical-section), the server frees the key and
-  * a second writer may enter before the first writer's next call notices
-  * the loss — exactly the ZK session-expiry race. Publication layers a
-  * second defense — the overlapping-file-group conflict check re-reads
-  * the timeline under the (believed-held) lock before the
-  * create-exclusive instant write — which narrows the exposure to both
-  * writers passing their checks inside the same loss interval, but does
-  * not close it: check-then-complete is itself lock-dependent. Closing
-  * it fully needs fencing (a token minted with the lock and verified at
-  * the commit point), which neither this provider nor the reference's
-  * ZK provider implements. */
-class TcpLockProvider(host: String, port: Int, key: String)
-    extends LockProvider {
+  * Session-loss window, and how fencing closes it: if the SESSION drops
+  * while the lock is held (connection reset mid-critical-section), the
+  * server frees the key and a second writer may enter before the first
+  * writer's next call notices the loss — the ZK session-expiry race,
+  * which the reference's ZK provider leaves open. Here every ACQUIRE
+  * returns a monotonic '''fence token'''; the commit point calls
+  * [[verifyFence]] immediately before completing, and a stale holder
+  * (session lost, key re-acquired with a newer token — or lost and NOT
+  * re-acquired: the lost session cannot answer OK for a key it no longer
+  * owns) reads STALE and aborts. The residual exposure is the instants
+  * between a passed VERIFY and the completing write — narrowed from the
+  * whole critical section to one metadata write that is itself
+  * create-exclusive on storage. */
+class TcpLockProvider(host: String, port: Int, key: String,
+    keepaliveMs: Int = 30000) extends LockProvider {
   private var sock: Socket = null
   private var in: BufferedReader = null
   private var out: PrintWriter = null
+  private var fence: Option[Long] = None
+  @volatile private var pinger: Thread = null
 
   private def ensureConnected(): Unit =
     if (sock == null || sock.isClosed) {
@@ -144,6 +205,7 @@ class TcpLockProvider(host: String, port: Int, key: String)
         sock = new Socket(host, port)
         in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
         out = new PrintWriter(new OutputStreamWriter(sock.getOutputStream, UTF_8), true)
+        startPinger()
       } catch {
         case e: java.io.IOException =>
           sock = null
@@ -152,6 +214,25 @@ class TcpLockProvider(host: String, port: Int, key: String)
               "(mutual exclusion cannot be guaranteed; refusing to proceed)", e)
       }
     }
+
+  /** Keepalive against the server's idle-session reaping. One daemon
+    * thread per provider (providers are per-commit and close()d after);
+    * a failed PING just stops the thread — the next real call fails
+    * loudly through the normal path. */
+  private def startPinger(): Unit = {
+    if (pinger != null || keepaliveMs <= 0) return
+    val t = new Thread(() => {
+      try {
+        while (sock != null && !sock.isClosed) {
+          Thread.sleep(keepaliveMs.toLong)
+          call("PING")
+        }
+      } catch { case _: Throwable => () }
+    }, "graft-lock-keepalive")
+    t.setDaemon(true)
+    t.start()
+    pinger = t
+  }
 
   private def call(cmd: String): String = synchronized {
     ensureConnected()
@@ -169,8 +250,34 @@ class TcpLockProvider(host: String, port: Int, key: String)
     }
   }
 
-  override def tryLock(): Boolean = call(s"ACQUIRE $key") == "OK"
-  override def unlock(): Unit = { call(s"RELEASE $key"); () }
+  override def tryLock(): Boolean = call(s"ACQUIRE $key") match {
+    case ok if ok.startsWith("OK") =>
+      fence = ok.split(" ", 2).lift(1).filter(_.forall(_.isDigit)).map(_.toLong)
+      true
+    case _ => false
+  }
+
+  /** Best-effort: neither an ERR (not the owner — e.g. the session was
+    * lost and reconnected) nor a dead session throws, because unlock
+    * runs in the commit path's finally and a throw there would mask the
+    * body's outcome — including the fence-abort this very session loss
+    * caused. The server's session teardown releases the key anyway. */
+  override def unlock(): Unit = {
+    try call(s"RELEASE $key") catch { case _: IllegalStateException => () }
+    fence = None
+  }
+
+  override def fenceToken: Option[Long] = fence
+
+  /** True iff this session still owns `key` under the SAME fence minted
+    * at acquire. A lost session answers STALE (the reconnected socket is
+    * a NEW session that owns nothing), as does a key re-acquired by a
+    * newer holder. */
+  override def verifyFence(): Boolean = fence match {
+    case Some(f) =>
+      (try call(s"VERIFY $key $f") catch { case _: IllegalStateException => "STALE" }) == "OK"
+    case None => false
+  }
 
   /** End the session: closes the socket (the server then ephemeral-
     * releases anything the session still held). One provider is minted

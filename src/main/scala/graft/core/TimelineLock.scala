@@ -10,6 +10,17 @@ trait LockProvider {
   def tryLock(): Boolean
   def unlock(): Unit
   def describe: String
+  /** Fence token minted with the CURRENT hold, if the provider fences
+    * (monotonic per key — a later holder's token is strictly newer).
+    * Recorded in the commit payload for post-mortem ordering. */
+  def fenceToken: Option[Long] = None
+  /** True iff this holder still owns the lock under the SAME token
+    * minted at acquire — called at the commit point, immediately before
+    * the completing write, so a holder whose session/lease was lost (and
+    * whose lock may already be in a peer's hands) aborts instead of
+    * racing it. Providers whose hold cannot be lost while the process
+    * lives (in-process) answer true trivially. */
+  def verifyFence(): Boolean = true
   /** Release any resource the provider holds beyond the lock itself
     * (sockets, sessions). A provider is created per lock SCOPE
     * (TimelineLock instantiates one per commit), so leaking here leaks
@@ -26,10 +37,31 @@ class FileLockProvider(timeline: Timeline, staleMs: Long = 60000)
     extends LockProvider {
   private val lockPath = new Path(timeline.metaDir, TimelineLock.LockFile)
   private def fs = timeline.fileSystem
+  private var fence: Option[Long] = None
 
   override def tryLock(): Boolean =
     try {
-      fs.create(lockPath, false).close() // atomic create-if-absent
+      // atomic create-if-absent; the file CONTENT is the fence token, so
+      // a holder whose stale lock was broken and re-taken by a peer sees
+      // a different token at verify time instead of publishing blind
+      val token = FileLockProvider.nextFence.getAndIncrement() * 1000000L +
+        (System.currentTimeMillis() % 1000000L)
+      val bytes = token.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (fs.getUri.getScheme == "file") {
+        // Hadoop's LocalFileSystem create(overwrite = false) is CHECK-
+        // then-create: two same-box writers can both pass the existence
+        // check and both believe they hold the lock (exactly the silent
+        // mutual-exclusion break the fence check later catches loudly).
+        // POSIX O_CREAT|O_EXCL via NIO CREATE_NEW is atomic.
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(lockPath.toUri.getPath), bytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+      } else {
+        // HDFS-class stores: create-if-absent is atomic server-side
+        val out = fs.create(lockPath, false)
+        try out.write(bytes) finally out.close()
+      }
+      fence = Some(token)
       true
     } catch {
       case _: java.io.IOException =>
@@ -42,8 +74,36 @@ class FileLockProvider(timeline: Timeline, staleMs: Long = 60000)
         false
     }
 
-  override def unlock(): Unit = fs.delete(lockPath, false)
+  /** Deletes the lock file only while still its owner: after a peer
+    * broke this hold as stale and re-acquired, deleting would free the
+    * PEER's lock out from under it. */
+  override def unlock(): Unit = {
+    if (verifyFence()) fs.delete(lockPath, false)
+    fence = None
+  }
+  override def fenceToken: Option[Long] = fence
+
+  /** Still the holder iff the lock file exists with MY token as content —
+    * false when a peer broke this hold as stale and re-acquired. */
+  override def verifyFence(): Boolean = fence.exists { f =>
+    try {
+      val in = fs.open(lockPath)
+      val body = try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        if (n <= 0) "" else new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      body == f.toString
+    } catch { case _: java.io.IOException => false }
+  }
+
   override def describe: String = lockPath.toString
+}
+
+object FileLockProvider {
+  /** Uniqueness within a JVM; cross-process uniqueness comes from the
+    * millisecond suffix mixed into each token. */
+  private val nextFence = new java.util.concurrent.atomic.AtomicLong(1L)
 }
 
 /** JVM-wide lock keyed by table path — correct whenever every writer
@@ -52,14 +112,30 @@ class FileLockProvider(timeline: Timeline, staleMs: Long = 60000)
   * way the reference's in-process provider does (reference analog:
   * InProcessLockProvider.java:42). */
 class InProcessLockProvider(key: String) extends LockProvider {
-  override def tryLock(): Boolean = InProcessLockProvider.held.add(key)
-  override def unlock(): Unit = { InProcessLockProvider.held.remove(key); () }
+  import InProcessLockProvider._
+  private var fence: Option[Long] = None
+
+  override def tryLock(): Boolean = {
+    val mine = (nextFence.getAndIncrement(): java.lang.Long)
+    val cur = held.putIfAbsent(key, mine)
+    if (cur == null) { fence = Some(mine); true } else false
+  }
+  override def unlock(): Unit = {
+    fence.foreach(f => held.remove(key, (f: java.lang.Long)))
+    fence = None
+  }
+  override def fenceToken: Option[Long] = fence
+  /** An in-process hold cannot be lost while the JVM lives; still checked
+    * against the table for uniformity. */
+  override def verifyFence(): Boolean =
+    fence.exists(f => held.get(key) == java.lang.Long.valueOf(f))
   override def describe: String = s"in-process:$key"
 }
 
 object InProcessLockProvider {
   private val held =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val nextFence = new java.util.concurrent.atomic.AtomicLong(1L)
 }
 
 /** Mutual exclusion around commit publication (reference analog:
@@ -82,6 +158,14 @@ class TimelineLock(
       acquire()
       try f finally provider.unlock()
     } finally provider.close()
+
+  /** Fence token of the current hold (inside withLock), when the
+    * provider fences. */
+  def fenceToken: Option[Long] = provider.fenceToken
+
+  /** Commit-point fence check: still the holder under the acquire-time
+    * token? See [[LockProvider.verifyFence]]. */
+  def verifyFence(): Boolean = provider.verifyFence()
 
   private def acquire(): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
@@ -127,6 +211,18 @@ object TimelineLock {
     }
   }
 }
+
+/** The writer's lock session/lease was lost between acquiring the
+  * timeline lock and the commit point (the fence check failed): the lock
+  * may already be in a peer's hands, so completing would race it. The
+  * write was rolled back — retry. This is the ZK session-expiry race the
+  * reference's ZK provider leaves open
+  * (ZookeeperBasedLockProvider.java:55); the fence token closes it down
+  * to the one create-exclusive metadata write. */
+class LockSessionLostException(instant: String, lock: String)
+  extends RuntimeException(
+    s"lock session lost before completing $instant (fence check failed " +
+      s"on $lock); the write was rolled back — retry")
 
 /** A concurrent writer published an overlapping commit first; this
   * write was aborted and its files removed — retry it (reference

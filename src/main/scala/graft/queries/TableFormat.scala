@@ -2033,6 +2033,52 @@ object TableFormat {
       },
       Some(OccRaceSql))),
 
+    // ---- fenced commit under lock-session loss: the ZK session-expiry
+    //      race (a writer's lock session drops mid-critical-section and a
+    //      peer may take the lock before it notices) is closed by the
+    //      fence token minted at ACQUIRE and verified at the commit point
+    //      — the stale writer ABORTS with a clean rollback, a fresh
+    //      writer lands the same change, and the completed instant
+    //      records the fence it committed under. The reference's ZK
+    //      provider leaves this window open
+    //      (ZookeeperBasedLockProvider.java:55).
+    "q189_fenced_commit_session_loss" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val srv = new graft.core.LockServer()
+        val port = srv.start()
+        try {
+          val tbl = GraftTable.create(s, freshDir(),
+            cfg("orders_fence", TableType.COW).copy(
+              occ = true, commitStore = graft.core.CommitStore.Put,
+              lockProvider = s"tcp:127.0.0.1:$port"))
+          tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+          val batch = orders.filter(col("o_orderkey") % 10 === 6)
+            .withColumn("o_totalprice", col("o_totalprice") + 1000)
+          // fault injection: every lock session is hard-dropped at the
+          // commit point, AFTER this writer's conflict check passed
+          tbl.onBeforeComplete = () => srv.killSessions()
+          val staleAborted =
+            try { tbl.upsert(batch); false }
+            catch { case _: graft.core.LockSessionLostException => true }
+          tbl.onBeforeComplete = () => ()
+          require(staleAborted,
+            "a writer whose lock session dropped mid-commit must abort " +
+              "at the fence check, not complete")
+          require(tbl.timeline.instants().forall(_.isCompleted),
+            "the fenced abort must roll back its pending instant")
+          // the NEW holder (fresh session, newer fence) lands the change
+          tbl.upsert(batch)
+          val last = tbl.timeline.completed().last
+          require(tbl.timeline.metadataOf(last).extra.contains("fenceToken"),
+            "a fenced commit must record its token in the instant payload")
+          val r = GraftReader(tbl)
+          summarize(r.dataOnly(r.snapshot())
+            .withColumnRenamed("o_totalprice", "price"))
+        } finally srv.stop()
+      },
+      Some(OccRaceSql))),
+
     // ---- cross-format full-record bootstrap: a PARQUET lake rewrites
     //      into an ORC table through bulk_insert (sourceFormat decouples
     //      the lake's format from the table's; reference analog:

@@ -52,17 +52,17 @@ object GraftDdl {
     newName
   }
 
-  /** Type promotions the engine accepts for ALTER COLUMN ... TYPE —
-    * exactly the set Spark's Parquet readers up-cast at scan time
-    * (verified in DdlSpec), mirroring the reference's Avro-compatibility
-    * gate (AlterHoodieTableChangeColumnCommand.scala:36 +
-    * TableSchemaResolver.isSchemaCompatible): byte/short/int -> wider
-    * integer, int/float -> double. long -> double is NOT readable and is
-    * rejected. */
-  /** Reflexive closure of the engine's ONE promotion lattice — the same
-    * rule the write path applies to mismatched batches
+  /** Type promotions accepted for ALTER COLUMN ... TYPE: the reflexive
+    * closure of the engine's ONE promotion lattice — the same rule the
+    * write path applies to mismatched batches
     * ([[GraftTable.promotesLossless]]), so a column widened here keeps
-    * accepting the old narrow batches afterwards. */
+    * accepting the old narrow batches afterwards. The lattice is exactly
+    * the set Spark's Parquet readers up-cast at scan time (verified in
+    * DdlSpec), mirroring the reference's Avro-compatibility gate
+    * (AlterHoodieTableChangeColumnCommand.scala:36 +
+    * TableSchemaResolver.isSchemaCompatible): byte/short/int -> wider
+    * integer, int/float -> double; long -> double is NOT readable and is
+    * rejected. */
   private def widens(from: org.apache.spark.sql.types.DataType,
       to: org.apache.spark.sql.types.DataType): Boolean =
     from == to || GraftTable.promotesLossless(from, to)

@@ -1084,6 +1084,12 @@ class GraftTable private (
     }
   }
 
+  /** Test seam: runs inside publish's critical section, after the
+    * conflict check and BEFORE the fence check — where a session loss is
+    * invisible to the holder until verified. Lets a spec kill the lock
+    * session mid-commit and assert the stale writer aborts. */
+  private[graft] var onBeforeComplete: () => Unit = () => ()
+
   private def publish(
       t: String, action: String, meta: CommitMetadata,
       plannedAsOf: String): Unit = {
@@ -1091,7 +1097,12 @@ class GraftTable private (
     def groupsOf(m: CommitMetadata): Set[(String, String)] =
       m.stats.map(s => (s.partition, s.fileId)).toSet ++
         m.replaced.toSeq.flatMap { case (p, ids) => ids.map(f => (p, f)) }
-    new TimelineLock(timeline).withLock {
+    def abortWrite(): Unit = {
+      meta.stats.foreach(st => GraftTable.deleteDataFile(fs, new Path(basePath, st.path)))
+      timeline.deletePending(t, action)
+    }
+    val lk = new TimelineLock(timeline)
+    lk.withLock {
       val mine = groupsOf(meta)
       val conflicting = timeline.completed()
         .filter(i => Action.dataActions(i.action))
@@ -1099,11 +1110,20 @@ class GraftTable private (
         .find(i => groupsOf(timeline.metadataOf(i)).intersect(mine).nonEmpty)
       conflicting match {
         case Some(other) =>
-          meta.stats.foreach(st => GraftTable.deleteDataFile(fs, new Path(basePath, st.path)))
-          timeline.deletePending(t, action)
+          abortWrite()
           throw new ConcurrentWriteConflictException(t, other.time)
         case None =>
-          timeline.complete(t, action, meta)
+          onBeforeComplete()
+          // fence check at the commit point: a holder whose lock
+          // session/lease was lost since acquire (and whose conflict
+          // check above may therefore have raced a new holder's) must
+          // abort, not complete — see LockProvider.verifyFence
+          if (!lk.verifyFence()) {
+            abortWrite()
+            throw new LockSessionLostException(t, config.lockProvider)
+          }
+          timeline.complete(t, action, meta.copy(extra = meta.extra ++
+            lk.fenceToken.map(f => "fenceToken" -> f.toString)))
       }
     }
   }
@@ -1582,19 +1602,28 @@ class GraftTable private (
     val current = readSchema(snap).fields
       .filterNot(f => Meta.all.contains(f.name))
     if (current.isEmpty) return batchJson
+    // Field ORDER is stable across merging commits: the table's existing
+    // order survives (with the batch's type for common columns) and only
+    // genuinely NEW batch columns append at the end — otherwise a batch
+    // that omits or permutes a middle column would silently reorder the
+    // visible schema for every `SELECT *` / positional consumer.
     val batch = DataTypeJson.parse(batchJson)
-    val batchNames = batch.fieldNames.toSet
-    val missing = current.filterNot(f => batchNames.contains(f.name))
-    if (missing.isEmpty) batchJson
-    else {
+    val (metaFields, dataFields) =
+      batch.fields.partition(f => Meta.all.contains(f.name))
+    val byName = dataFields.map(f => f.name -> f).toMap
+    val missing = current.filterNot(f => byName.contains(f.name))
+    if (missing.nonEmpty) {
       require(!config.strictSchema,
         s"incoming batch is missing table columns " +
           s"${missing.map(_.name).mkString(", ")} — strictSchema rejects " +
           "field drops (the reference's schema-compatibility gate, " +
           "TableSchemaResolver.isSchemaCompatible); write the full schema " +
           "or unset strictSchema to reconcile by union")
-      StructType(batch.fields ++ missing).json
     }
+    val currentNames = current.map(_.name).toSet
+    val added = dataFields.filterNot(f => currentNames.contains(f.name))
+    val kept = current.map(f => byName.getOrElse(f.name, f))
+    StructType(metaFields ++ kept ++ added).json
   }
 
   private def schemaJson(prepared: DataFrame): String = {

@@ -32,6 +32,33 @@ class ArchiveOccSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   def tmp(): String = Files.createTempDirectory("graft-arch").toString
 
+  /** Event-driven wait: polls `cond` until true or the deadline (default
+    * generous — the pass path returns in milliseconds; the deadline only
+    * bounds a genuine failure on a loaded box). */
+  def eventually(timeoutMs: Long = 30000)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var ok = cond
+    while (!ok && System.currentTimeMillis() < deadline) {
+      Thread.sleep(20)
+      ok = cond
+    }
+    ok
+  }
+
+  /** Bounded line read from a child process's stdout: a wedged or
+    * slow-starting child must fail the assertion with a diagnosis, not
+    * hang the whole suite on an unbounded readLine. */
+  def readLineWithin(in: java.io.BufferedReader, child: Process,
+      timeoutMs: Long = 60000): String = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!in.ready() && System.currentTimeMillis() < deadline) {
+      if (!child.isAlive && !in.ready())
+        return s"<child exited with ${child.exitValue()} and no output>"
+      Thread.sleep(20)
+    }
+    if (in.ready()) in.readLine() else "<timed out waiting for child output>"
+  }
+
   def cfg(occ: Boolean = false): TableConfig = TableConfig(
     name = "t", tableType = TableType.COW, keyFields = Seq("id"),
     orderingField = "ts", targetFileRows = 1000, occ = occ)
@@ -297,10 +324,7 @@ class ArchiveOccSpec extends AnyFunSuite with BeforeAndAfterAll {
       val f = classOf[TcpLockProvider].getDeclaredField("sock")
       f.setAccessible(true)
       f.get(crasher).asInstanceOf[java.net.Socket].close()
-      val deadline = System.currentTimeMillis() + 10000
-      while (srv.heldKeys.contains("/t3") && System.currentTimeMillis() < deadline)
-        Thread.sleep(20)
-      assert(!srv.heldKeys.contains("/t3"),
+      assert(eventually()(!srv.heldKeys.contains("/t3")),
         "server must release a dead session's locks (ephemeral semantics)")
     } finally srv.stop()
 
@@ -328,7 +352,9 @@ class ArchiveOccSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       val out = new java.io.BufferedReader(
         new java.io.InputStreamReader(child.getInputStream))
-      val verdict = out.readLine()
+      // bounded read: a slow JVM start just waits; a wedged/dead child
+      // fails with its exit status instead of hanging the suite
+      val verdict = readLineWithin(out, child)
       assert(verdict == "ACQUIRED", s"probe JVM could not acquire: $verdict")
       // exclusion across process boundaries
       val mine = new TcpLockProvider("127.0.0.1", lockServer.port, key)
@@ -336,13 +362,8 @@ class ArchiveOccSpec extends AnyFunSuite with BeforeAndAfterAll {
       // crash the foreign writer -> its session's locks evaporate
       child.destroyForcibly()
       child.waitFor()
-      val deadline = System.currentTimeMillis() + 10000
-      var got = false
-      while (!got && System.currentTimeMillis() < deadline) {
-        got = mine.tryLock()
-        if (!got) Thread.sleep(50)
-      }
-      assert(got, "a crashed JVM's lock must release without any unlock call")
+      assert(eventually()(mine.tryLock()),
+        "a crashed JVM's lock must release without any unlock call")
       mine.unlock()
     } finally if (child.isAlive) { child.destroyForcibly(); child.waitFor() }
   }
@@ -380,11 +401,169 @@ class ArchiveOccSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lockServer.heldKeys.contains("/closeme"))
     a.close()
     a.close() // idempotent
-    val deadline = System.currentTimeMillis() + 10000
-    while (lockServer.heldKeys.contains("/closeme") &&
-      System.currentTimeMillis() < deadline) Thread.sleep(20)
-    assert(!lockServer.heldKeys.contains("/closeme"),
+    assert(eventually()(!lockServer.heldKeys.contains("/closeme")),
       "close() must end the session so held keys ephemeral-release")
+  }
+
+  test("fence tokens: monotonic per re-acquire, VERIFY catches loss, non-owner RELEASE errs") {
+    val srv = new LockServer()
+    val port = srv.start()
+    try {
+      // provider-level: a token is minted per acquire and strictly grows
+      val a = new TcpLockProvider("127.0.0.1", port, "/f1")
+      assert(a.tryLock())
+      val f1 = a.fenceToken.get
+      assert(a.verifyFence(), "the live holder must verify OK")
+      a.unlock()
+      assert(!a.verifyFence(), "after release there is nothing to verify")
+      assert(a.tryLock())
+      val f2 = a.fenceToken.get
+      assert(f2 > f1, s"fence must be monotonic: $f2 <= $f1")
+      // loss: kill the socket behind the provider's back — the (believed)
+      // holder must read STALE, never OK
+      val sockF = classOf[TcpLockProvider].getDeclaredField("sock")
+      sockF.setAccessible(true)
+      sockF.get(a).asInstanceOf[java.net.Socket].close()
+      assert(!a.verifyFence(), "a lost session must verify STALE")
+      // a NEW holder's token is newer than every token the key ever had
+      assert(eventually()(!srv.heldKeys.contains("/f1")))
+      val b = new TcpLockProvider("127.0.0.1", port, "/f1")
+      assert(b.tryLock())
+      assert(b.fenceToken.get > f2)
+      assert(b.verifyFence())
+      b.unlock(); b.close(); a.close()
+
+      // protocol-level: RELEASE by a non-owner answers ERR, not OK (the
+      // ZK NONODE/NOAUTH analog — a buggy client must hear the truth)
+      val holder = new TcpLockProvider("127.0.0.1", port, "/f2")
+      assert(holder.tryLock())
+      val raw = new java.net.Socket("127.0.0.1", port)
+      val rIn = new java.io.BufferedReader(
+        new java.io.InputStreamReader(raw.getInputStream))
+      val rOut = new java.io.PrintWriter(
+        new java.io.OutputStreamWriter(raw.getOutputStream), true)
+      rOut.println("RELEASE /f2")
+      assert(rIn.readLine() == "ERR", "non-owner RELEASE must answer ERR")
+      assert(srv.heldKeys.contains("/f2"), "and must free nothing")
+      rOut.println("RELEASE /absent")
+      assert(rIn.readLine() == "ERR", "RELEASE of an unheld key must answer ERR")
+      rOut.println("PING")
+      assert(rIn.readLine() == "PONG")
+      raw.close(); holder.unlock(); holder.close()
+    } finally srv.stop()
+  }
+
+  for (store <- Seq(CommitStore.Rename, CommitStore.Put)) {
+    test(s"[$store] mid-commit session loss: the stale writer's complete() " +
+        "fails at the fence, a new writer's succeeds") {
+      import spark.implicits._
+      val srv = new LockServer()
+      val port = srv.start()
+      try {
+        val tbl = GraftTable.create(spark, tmp(), cfg(occ = true).copy(
+          commitStore = store, lockProvider = s"tcp:127.0.0.1:$port"))
+        tbl.bulkInsert(rows(1L, 2L, 3L))
+        // the partition hits at the worst instant: conflict check passed,
+        // completing write not yet issued — exactly the window plain
+        // ephemeral locks leave open
+        tbl.onBeforeComplete = () => srv.killSessions()
+        val ex = intercept[LockSessionLostException] {
+          tbl.upsert(rows(1L).withColumn("v", lit("stale")))
+        }
+        assert(ex.getMessage.contains("rolled back"))
+        tbl.onBeforeComplete = () => ()
+        // clean abort: no pending instant, no phantom data, state intact
+        assert(tbl.timeline.instants().forall(_.isCompleted))
+        assert(state(tbl) == Seq(1L, 2L, 3L))
+        val r0 = GraftReader(tbl)
+        assert(r0.dataOnly(r0.snapshot()).filter(col("v") === "stale").count() == 0)
+        // the new holder commits, and records the fence it held
+        tbl.upsert(rows(4L))
+        assert(state(tbl) == Seq(1L, 2L, 3L, 4L))
+        val last = tbl.timeline.completed().last
+        val fence = tbl.timeline.metadataOf(last).extra.get("fenceToken")
+        assert(fence.exists(_.forall(_.isDigit)),
+          "completed instant must record the fence token it committed under")
+      } finally srv.stop()
+    }
+  }
+
+  test("file lock provider: a stale-broken hold fails its fence check, " +
+      "and its unlock no longer deletes the peer's lock") {
+    val dir = tmp()
+    val conf = spark.sessionState.newHadoopConf()
+    val tl = new Timeline(dir, conf)
+    tl.initTable(TableConfig(name = "flk", tableType = TableType.COW,
+      keyFields = Seq("id")))
+    // A acquires with a short staleness budget, then stalls past it
+    val a = new FileLockProvider(tl, staleMs = 1)
+    assert(a.tryLock())
+    assert(a.verifyFence(), "live holder verifies OK")
+    Thread.sleep(5)
+    // B breaks the stale lock (first attempt deletes, second acquires)
+    val b = new FileLockProvider(tl, staleMs = 1)
+    assert(eventually(5000)(b.tryLock()), "stale lock must be breakable")
+    assert(!a.verifyFence(),
+      "the broken holder must see a foreign token, not its own")
+    assert(b.verifyFence())
+    // A's unlock must NOT free B's lock out from under it
+    a.unlock()
+    assert(b.verifyFence(), "A's unlock deleted B's lock file")
+    b.unlock()
+  }
+
+  test("idle sessions are reaped; a keepalive'd session survives the timeout") {
+    val srv = new LockServer(idleTimeoutMs = 300)
+    val port = srv.start()
+    try {
+      // no keepalive: the session goes silent and the server reaps it —
+      // a leaked provider cannot pin a lock forever
+      val leaky = new TcpLockProvider("127.0.0.1", port, "/idle", keepaliveMs = 0)
+      assert(leaky.tryLock())
+      assert(eventually()(!srv.heldKeys.contains("/idle")),
+        "an idle session past the timeout must be reaped (locks released)")
+      // keepalive well under the timeout: the session outlives many
+      // timeout windows while holding its lock (the ZK client heartbeat)
+      val live = new TcpLockProvider("127.0.0.1", port, "/live", keepaliveMs = 100)
+      assert(live.tryLock())
+      Thread.sleep(1200) // 4 timeout windows
+      assert(srv.heldKeys.contains("/live"),
+        "a heartbeating session must survive the idle timeout")
+      assert(live.verifyFence())
+      live.unlock(); live.close(); leaky.close()
+    } finally srv.stop()
+  }
+
+  test("put-store moveFile: concurrent duplicate attempts never tear the dest") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmp()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val payload = Array.fill(256 * 1024)('x'.toByte) // big enough to race mid-copy
+    for (round <- 1 to 8) {
+      val src = new Path(dir, s"src-$round")
+      val dest = new Path(dir, s"dest-$round")
+      val out = fs.create(src, true); out.write(payload); out.close()
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val ts = (1 to 2).map { _ =>
+        new Thread(() => {
+          try { barrier.await(); ConditionalPutCommitStore.moveFile(fs, src, dest) }
+          catch { case t: Throwable => errors.add(t) }
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join(60000))
+      // both attempts are speculative duplicates of ONE task: each must
+      // either complete the move or recognize the other did — and the
+      // dest must be the full payload either way, never a torn copy
+      assert(errors.isEmpty, s"round $round: ${errors.toArray.mkString(", ")}")
+      assert(!fs.exists(src), s"round $round: src must be consumed")
+      assert(fs.getFileStatus(dest).getLen == payload.length.toLong,
+        s"round $round: torn dest")
+      val leftover = fs.globStatus(new Path(dir, s".dest-$round.put*"))
+      assert(leftover == null || leftover.isEmpty,
+        s"round $round: leaked temp files")
+    }
   }
 
   test("put-store publish: many file groups land by copy, none renamed") {

@@ -43,14 +43,18 @@ class PublishScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
   // one row per partition -> EXACTLY one file group per row (bucket
   // packing never crosses partitions), giving the probe a precise group
   // count without depending on bin-packer internals
-  private def cfg(store: String): TableConfig = TableConfig(
-    name = "pubscale", tableType = TableType.COW, keyFields = Seq("id"),
-    partitionFields = Seq("p"), orderingField = "ts",
-    targetFileRows = 1000, statsColumns = Seq("v"), commitStore = store)
+  private def cfg(store: String, format: String = "parquet"): TableConfig =
+    TableConfig(
+      name = "pubscale", tableType = TableType.COW, keyFields = Seq("id"),
+      partitionFields = Seq("p"), orderingField = "ts",
+      targetFileRows = 1000, statsColumns = Seq("v"), commitStore = store,
+      baseFormat = format)
 
   /** Wall time of one bulk_insert producing exactly `groups` file groups. */
-  private def timeCommit(groups: Int, store: String): Double = {
-    val tbl = GraftTable.create(spark, tmp(), cfg(store))
+  private def timeCommit(groups: Int, store: String,
+      format: String = "parquet", publishMode: String = "auto"): Double = {
+    val tbl = GraftTable.create(spark, tmp(),
+      cfg(store, format).copy(publishMode = publishMode))
     val t0 = System.nanoTime()
     tbl.bulkInsert(df(groups))
     val sec = (System.nanoTime() - t0) / 1e9
@@ -80,6 +84,55 @@ class PublishScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
         perBig < perSmall * 4.0
       }
       assert(ok, lastMsg)
+    }
+  }
+
+  test("ORC publish cost stays ~linear per group into the thousands") {
+    // same guardrail as the parquet probe, through the ORC footer-stats
+    // decoder (GraftTable.orcStats) — a super-linear tail here would mean
+    // the ORC stats read or the format-dispatched publish serializes
+    timeCommit(64, CommitStore.Rename, format = "orc") // warm ORC writer
+    val small = 500
+    val big = 2000
+    var lastMsg = ""
+    val ok = (1 to 2).exists { _ =>
+      val perSmall = timeCommit(small, CommitStore.Rename, "orc") / small
+      val perBig = timeCommit(big, CommitStore.Rename, "orc") / big
+      lastMsg = f"orc: per-group publish cost grew super-linearly: " +
+        f"$perSmall%.5fs/group at $small vs $perBig%.5fs/group at $big"
+      perBig < perSmall * 4.0
+    }
+    assert(ok, lastMsg)
+    // and the ORC footer stats actually made it into the metadata
+    val tbl = GraftTable.create(spark, tmp(), cfg(CommitStore.Rename, "orc"))
+    tbl.bulkInsert(df(8))
+    val stats = Snapshot.resolve(tbl.timeline).slices.flatMap(_.baseFile)
+    assert(stats.forall(st => st.rows == 1L && st.columnStats.contains("v")))
+  }
+
+  test("10k near-empty groups publish with flat per-group cost under `distributed`") {
+    // one order beyond the linearity probe: a pathological small-file
+    // commit (10,000 one-row groups). Per-group cost under the
+    // distributed job must hold ~flat vs the 2k point — the driver is
+    // out of the data path entirely, so group count scales with executor
+    // count, not driver throughput.
+    val per2k = timeCommit(2000, CommitStore.Rename,
+      publishMode = "distributed") / 2000
+    val per10k = timeCommit(10000, CommitStore.Rename,
+      publishMode = "distributed") / 10000
+    info(f"distributed per-group: $per2k%.5fs at 2k, $per10k%.5fs at 10k")
+    assert(per10k < per2k * 2.5,
+      f"per-group cost must stay ~flat under distributed publication: " +
+        f"$per2k%.5fs/group at 2k vs $per10k%.5fs/group at 10k")
+
+    // measured driver/distributed crossover, validating the auto
+    // thresholds (32 files / 16 MB): driver wins only while the commit
+    // fits its publish pool; distributed wins from the low hundreds
+    val points = Seq(32, 256)
+    points.foreach { n =>
+      val drv = timeCommit(n, CommitStore.Rename, publishMode = "driver")
+      val dst = timeCommit(n, CommitStore.Rename, publishMode = "distributed")
+      info(f"crossover probe n=$n%-4d driver=$drv%.2fs distributed=$dst%.2fs")
     }
   }
 

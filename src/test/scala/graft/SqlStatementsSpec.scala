@@ -29,15 +29,21 @@ class SqlStatementsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.toSeq.map(v => if (v == null) "null" else v.toString).mkString(","))
       .sorted.mkString("|")
 
-  test("sql-statements.sql golden corpus") {
+  // the full corpus runs against BOTH base formats: the SQL surface must
+  // be format-blind (same DML/DDL/read semantics whether data files are
+  // parquet or ORC)
+  for (format <- Seq("parquet", "orc"))
+  test(s"sql-statements.sql golden corpus [$format]") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-corpus").toString
     val tbl = GraftTable.create(spark, dir, TableConfig(
       name = "gtab", tableType = TableType.MOR, keyFields = Seq("id"),
-      partitionFields = Seq("p"), orderingField = "ts", targetFileRows = 1000))
+      partitionFields = Seq("p"), orderingField = "ts", targetFileRows = 1000,
+      baseFormat = format))
     tbl.bulkInsert(Seq(
       (1L, "a", 10.0, 1L, "p1"), (2L, "b", 20.0, 1L, "p1"), (3L, "c", 30.0, 1L, "p2")
     ).toDF("id", "v", "amount", "ts", "p"))
+    spark.sql("DROP TABLE IF EXISTS gtab")
     spark.catalog.createTable("gtab", "graft", Map("path" -> dir))
 
     val src = scala.io.Source.fromInputStream(

@@ -32,8 +32,16 @@ def main():
         if not files:
             print(f"FAIL {name}: no spark output");  n_fail += 1; continue
         try:
+            import pyarrow.parquet as pq
             got = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
-            exp = norm(con.execute(sql).fetchdf())
+            # typed-kind info comes from the ARROW schemas (null-proof:
+            # pandas floats nullable ints, which would mask an int-vs-float
+            # split exactly where the driver's typed hash rejects it)
+            got_types = {f.name: f.type
+                         for p in sorted(files) for f in pq.read_schema(p)}
+            exp_arrow = con.execute(sql).arrow()
+            exp = norm(exp_arrow.to_pandas())
+            exp_types = {f.name: f.type for f in exp_arrow.schema}
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         if list(got.columns) != list(exp.columns):
@@ -50,12 +58,19 @@ def main():
             # vs a HUGEINT/float oracle column fails its hash even when
             # the values are identical. Mirror that strictness here —
             # never let allclose() coerce across an int/float kind split.
-            gk, ek = g.dtype.kind, e.dtype.kind
-            if {gk, ek} & {'i', 'u'} and {gk, ek} & {'f', 'O'} \
-                    and not (g.isna().any() or e.isna().any()):
-                bad = (f"{c}: dtype kind mismatch got={g.dtype} exp={e.dtype}"
-                       " (driver's exact hash would reject; CAST the oracle"
-                       " side, e.g. CAST(sum(x) AS BIGINT))")
+            import pyarrow as pa
+            def akind(t):
+                if t is None: return '?'
+                if pa.types.is_integer(t): return 'i'
+                if pa.types.is_floating(t): return 'f'
+                if pa.types.is_decimal(t): return 'd'
+                return 'o'
+            gk, ek = akind(got_types.get(c)), akind(exp_types.get(c))
+            if 'i' in (gk, ek) and {gk, ek} & {'f', 'd', 'o'}:
+                bad = (f"{c}: type kind mismatch got={got_types.get(c)} "
+                       f"exp={exp_types.get(c)} (driver's exact hash would"
+                       " reject; CAST the oracle side, e.g."
+                       " CAST(sum(x) AS BIGINT))")
                 break
             try:
                 if g.dtype.kind == 'f' or e.dtype.kind == 'f':
