@@ -113,7 +113,10 @@ class LockServer(bindPort: Int = 0, idleTimeoutMs: Int = 120000) {
     try {
       var line = in.readLine()
       while (line != null) {
-        line.split(" ") match {
+        // keys are table base paths and may contain spaces: ACQUIRE and
+        // RELEASE take everything after the verb as the key; VERIFY's
+        // fence is the final space-separated token
+        line.split(" ", 2) match {
           case Array("ACQUIRE", key) =>
             // atomic acquire-if-free; the fence is minted ONLY when this
             // session becomes (or already is) the owner
@@ -127,9 +130,11 @@ class LockServer(bindPort: Int = 0, idleTimeoutMs: Int = 120000) {
             owners.computeIfPresent(key, (_, cur) =>
               if (cur._1 == session) { released = true; null } else cur)
             out.println(if (released) "OK" else "ERR")
-          case Array("VERIFY", key, fence) =>
+          case Array("VERIFY", rest) if rest.lastIndexOf(' ') > 0 =>
+            val cut = rest.lastIndexOf(' ')
+            val (key, fence) = (rest.substring(0, cut), rest.substring(cut + 1))
             val cur = owners.get(key)
-            val ok = cur != null && cur._1 == session &&
+            val ok = cur != null && cur._1 == session && fence.nonEmpty &&
               fence.forall(_.isDigit) && cur._2 == fence.toLong
             out.println(if (ok) "OK" else "STALE")
           case Array("PING") => out.println("PONG")
@@ -234,6 +239,12 @@ class TcpLockProvider(host: String, port: Int, key: String,
     pinger = t
   }
 
+  private def stopPinger(): Unit = {
+    // providers are per-commit: without the interrupt every commit would
+    // park a dying keepalive thread for up to a full sleep interval
+    if (pinger != null) { pinger.interrupt(); pinger = null }
+  }
+
   private def call(cmd: String): String = synchronized {
     ensureConnected()
     try {
@@ -288,6 +299,7 @@ class TcpLockProvider(host: String, port: Int, key: String,
       try sock.close() catch { case _: Exception => () }
       sock = null
     }
+    stopPinger()
   }
 
   override def describe: String = s"tcp://$host:$port/$key"

@@ -231,9 +231,16 @@ case class SimHash48(child: Expression) extends UnaryExpression {
 /** `bpe_apply(tokens)`: greedy ranked-merge application (see
   * [[TextKernels.bpeApply]]); the merge table rides the expression as
   * (a, b) pairs, the merged symbol is their concatenation. */
-case class BpeApply(child: Expression, merges: Seq[(String, String)])
+case class BpeApply(child: Expression, merges: Seq[(String, String)],
+    /** Explicit merged-token forms, parallel to `merges`; empty = plain
+      * concatenation a+b (classic BPE). WordPiece passes
+      * `a + b.stripPrefix("##")` so continuation marks collapse on
+      * merge while pair MATCHING stays on the marked symbols. */
+    mergedTokens: Seq[String] = Nil)
     extends UnaryExpression {
   require(merges.nonEmpty, "merges must not be empty")
+  require(mergedTokens.isEmpty || mergedTokens.length == merges.length,
+    "mergedTokens must be empty or parallel to merges")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -246,9 +253,12 @@ case class BpeApply(child: Expression, merges: Seq[(String, String)])
     merges.map(m => org.apache.spark.unsafe.types.UTF8String.fromString(m._1)).toArray
   @transient private lazy val bsArr =
     merges.map(m => org.apache.spark.unsafe.types.UTF8String.fromString(m._2)).toArray
-  @transient private lazy val csArr =
-    merges.map(m =>
-      org.apache.spark.unsafe.types.UTF8String.fromString(m._1 + m._2)).toArray
+  @transient private lazy val csArr = {
+    val joined =
+      if (mergedTokens.nonEmpty) mergedTokens
+      else merges.map(m => m._1 + m._2)
+    joined.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+  }
 
   override def nullSafeEval(v: Any): Any =
     TextKernels.bpeApply(v.asInstanceOf[ArrayData], asArr, bsArr, csArr)

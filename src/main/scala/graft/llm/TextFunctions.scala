@@ -412,6 +412,16 @@ object TextFunctions {
       graft.functions.BpeApply(
         org.apache.spark.sql.graft.ColumnBridge.toCatalyst(tokens), merges))
 
+  /** [[bpeApply]]'s WordPiece variant: pair matching on the
+    * `##`-marked symbols, merged token = `a + b` with b's continuation
+    * mark stripped (so `("ab", "##cd")` merges to `"abcd"`, still
+    * continuation-marked iff `a` was). Same codegen'd kernel. */
+  def wpApply(tokens: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.toColumn(
+      graft.functions.BpeApply(
+        org.apache.spark.sql.graft.ColumnBridge.toCatalyst(tokens), merges,
+        merges.map { case (a, b) => a + b.stripPrefix("##") }))
+
   /** Per-document vocabulary coverage against the corpus's top-`k`
     * tokens (count DESC, token ASC — deterministic): token instances
     * outside the vocab are OOV — the tokenizer-fit / domain-shift

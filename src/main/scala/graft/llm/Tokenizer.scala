@@ -302,6 +302,190 @@ object Tokenizer {
     }
   }
 
+  // ==========================================================================
+  // WordPiece tokenizer (Schuster & Nakajima 2012; the BERT tokenizer) —
+  // completes the real-world trio next to BPE and unigram-LM. Training is
+  // the BPE loop with a LIKELIHOOD selection rule: the merged pair is the
+  // one maximizing count(ab) / (count(a) · count(b)) over the current
+  // symbol state (the mutual-information greedy step), with continuation
+  // symbols carrying the `##` mark. Encoding is greedy longest-match-first
+  // per word with an [UNK] fallback — NOT the merge replay BPE uses. Same
+  // scale posture as bpeTrain: one corpus scan to the word-TYPE histogram,
+  // every training step one distributed pair+unigram census with a 1-row
+  // argmax collect, encode pure per-row array math (no UDF, no shuffle).
+  // ==========================================================================
+
+  /** The unknown-word token greedy encoding falls back to when no vocab
+    * piece matches at some position (BERT's convention). */
+  val UnkToken = "[UNK]"
+
+  /** WordPiece continuation mark (BERT's convention): every non-initial
+    * symbol of a word carries it; merging strips it from the right-hand
+    * side so merged pieces stay marked iff word-internal. */
+  val WpMark = "##"
+
+  /** A word's initial WordPiece symbols: first character plain, every
+    * following character `##`-marked. Codepoint-wise split, like
+    * [[charSymbols]] (the oracle replays it with the same regex). */
+  def wpSymbols(word: Column): Column = {
+    val chars = regexp_extract_all(word, lit("(?s)."), lit(0))
+    transform(sequence(lit(1), size(chars)), i =>
+      when(i === 1, element_at(chars, i))
+        .otherwise(concat(lit(WpMark), element_at(chars, i))))
+  }
+
+  /** One learned WordPiece merge: rank, the (marked) pair, its pair
+    * count, its likelihood score count(ab)/(count(a)·count(b)) at
+    * selection time, the merged token, and the weighted corpus symbol
+    * count after applying it (gating every intermediate state). The
+    * score is a ratio of exact longs cast to double — IEEE division is
+    * correctly rounded, so Spark and DuckDB produce identical bits. */
+  case class WpMerge(rnk: Long, a: String, b: String, cnt: Long,
+      score: Double, merged: String, corpusSymbolsAfter: Long)
+
+  /** Learn `numMerges` WordPiece merges from `textCol`. Ties on score
+    * break to the lexicographically smallest pair — fully deterministic.
+    * Stops early when no adjacent pair remains or the best pair's count
+    * falls below `minCount`. */
+  def wpTrain(
+      df: DataFrame,
+      textCol: Column,
+      numMerges: Int,
+      minCount: Long = 1L): Seq[WpMerge] = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    var types: DataFrame = wordTypes(df, textCol)
+      .select(col("w"), col("cnt"), wpSymbols(col("w")).as("sym"))
+      .persist()
+    val merges = ArrayBuffer.empty[WpMerge]
+    var step = 0
+    var done = false
+    try {
+      while (step < numMerges && !done) {
+        // pair census + unigram census over the SAME symbol state, then
+        // the likelihood argmax — one distributed job, a 1-row collect
+        val pairs = types
+          .select(col("cnt"), explode(TF.shingles(col("sym"), 2)).as("p"))
+          .groupBy(col("p")).agg(sum(col("cnt")).as("cp"))
+        val unis = types
+          .select(col("cnt"), explode(col("sym")).as("s"))
+          .groupBy(col("s")).agg(sum(col("cnt")).as("cs"))
+        val best = pairs
+          .withColumn("a", split(col("p"), " ", 2)(0))
+          .withColumn("b", split(col("p"), " ", 2)(1))
+          .join(unis.select(col("s").as("a"), col("cs").as("ca")), "a")
+          .join(unis.select(col("s").as("b"), col("cs").as("cb")), "b")
+          .withColumn("score",
+            col("cp").cast("double") /
+              (col("ca").cast("double") * col("cb").cast("double")))
+          .orderBy(col("score").desc, col("p").asc)
+          .limit(1)
+          .select("a", "b", "cp", "score")
+          .collect()
+        if (best.isEmpty || best(0).getLong(2) < minCount) {
+          done = true
+        } else {
+          val (a, b) = (best(0).getString(0), best(0).getString(1))
+          val merged = a + b.stripPrefix(WpMark)
+          val next0 = types.withColumn("sym", TF.wpApply(col("sym"), Seq((a, b))))
+          val next =
+            if ((step + 1) % 8 == 0) next0.localCheckpoint(true)
+            else next0.persist()
+          val symsAfter = next
+            .agg(sum(col("cnt") * size(col("sym"))).cast("long"))
+            .collect()(0).getLong(0)
+          types.unpersist()
+          types = next
+          merges += WpMerge(step + 1L, a, b, best(0).getLong(2),
+            best(0).getDouble(3), merged, symsAfter)
+          step += 1
+        }
+      }
+    } finally types.unpersist()
+    merges.toSeq
+  }
+
+  /** [[wpTrain]] as a (tiny, driver-local) DataFrame for gating:
+    * columns (rnk, a, b, cnt, score, merged, corpus_symbols_after). */
+  def wpTrainDF(
+      spark: SparkSession,
+      df: DataFrame,
+      textCol: Column,
+      numMerges: Int): DataFrame = {
+    val rows = wpTrain(df, textCol, numMerges).map(m =>
+      Row(m.rnk, m.a, m.b, m.cnt, m.score, m.merged, m.corpusSymbolsAfter))
+    val schema = StructType(Seq(
+      StructField("rnk", LongType, nullable = false),
+      StructField("a", StringType, nullable = false),
+      StructField("b", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("corpus_symbols_after", LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** The encode-side vocabulary a training run induces: the corpus's
+    * initial symbol alphabet (all single chars, plain and `##`-marked)
+    * plus every merge product. One distributed census over word TYPES. */
+  def wpVocab(df: DataFrame, textCol: Column,
+      merges: Seq[WpMerge]): Seq[String] = {
+    val alphabet = wordTypes(df, textCol)
+      .select(explode(wpSymbols(col("w"))).as("s"))
+      .distinct()
+      .collect().map(_.getString(0)).toSeq
+    (alphabet ++ merges.map(_.merged)).distinct.sorted(CodepointOrder)
+  }
+
+  /** Greedy longest-match-first WordPiece encoding of one word: at each
+    * position take the LONGEST vocab piece matching (word-initial pieces
+    * plain, continuations `##`-marked); if none matches, the whole word
+    * becomes [[UnkToken]] (BERT's behavior). Pure Catalyst fold — state
+    * (pos, pieces, failed) advanced at most len(word) times, each step
+    * O(maxPieceLen) map probes; no UDF, no shuffle. Pass `vocab` as a
+    * `typedlit(Map[String, Int])` so the plan carries ONE literal. */
+  def wpEncodeWord(word: Column, vocab: Column, maxPieceLen: Int): Column = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1: $maxPieceLen")
+    val init = struct(
+      lit(0).as("pos"),
+      array().cast("array<string>").as("pieces"),
+      lit(false).as("failed"))
+    val fold = aggregate(
+      sequence(lit(1), length(word)),
+      init,
+      (st, _) => {
+        val stall = st("failed") || st("pos") >= length(word)
+        val maxL = least(lit(maxPieceLen), length(word) - st("pos"))
+        val cand = array_max(filter(
+          transform(sequence(lit(1), maxL), l => {
+            val raw = word.substr(st("pos") + 1, l)
+            val piece = when(st("pos") === 0, raw)
+              .otherwise(concat(lit(WpMark), raw))
+            when(element_at(vocab, piece).isNotNull,
+              struct(l.as("l"), piece.as("piece")))
+          }),
+          c => c.isNotNull))
+        when(stall, st).otherwise(
+          when(cand.isNull,
+            struct(st("pos").as("pos"), st("pieces").as("pieces"),
+              lit(true).as("failed")))
+          .otherwise(struct(
+            (st("pos") + cand("l")).as("pos"),
+            concat(st("pieces"), array(cand("piece"))).as("pieces"),
+            lit(false).as("failed"))))
+      },
+      st => when(st("failed"), array(lit(UnkToken))).otherwise(st("pieces")))
+    when(length(word) > 0, fold)
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Tokenize documents with a trained WordPiece vocab: per word greedy
+    * longest-match, flattened per document (WordPiece never crosses a
+    * word boundary). Empty tokens from separator runs are dropped. */
+  def wpEncode(textCol: Column, vocab: Column, maxPieceLen: Int): Column =
+    flatten(transform(
+      filter(TF.wsTokens(textCol), w => w =!= ""),
+      w => wpEncodeWord(w, vocab, maxPieceLen)))
+
   /** Codepoint-lexicographic string order — identical to Spark's
     * UTF8String ordering and DuckDB's binary collation. */
   private object CodepointOrder extends Ordering[String] {

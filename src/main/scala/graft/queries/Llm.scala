@@ -116,6 +116,82 @@ object Llm {
         keptf AS (SELECT * FROM charsf UNION ALL SELECT * FROM multif)"""
   }
 
+  /** Stacked-CTE DuckDB replay of [[graft.llm.Tokenizer.wpTrain]]'s `k`
+    * WordPiece merge steps over the docs selected by `where`: per step a
+    * pair census AND a unigram census over the same `##`-marked symbol
+    * state, the likelihood argmax count(ab)/(count(a)·count(b)) (score
+    * DESC, pair ASC — IEEE double division of exact longs, bit-identical
+    * across engines), then the same gaps-and-islands greedy application
+    * as BPE with the continuation mark stripped from the merged token. */
+  private def wpTrainCtes(k: Int, where: String = ""): String = {
+    val steps = (1 to k).map { i =>
+      s"""wp$i AS (
+        SELECT sym[j] || ' ' || sym[j+1] AS p,
+               sym[j] AS a, sym[j+1] AS b, sum(cnt) AS c
+        FROM wt${i - 1}, unnest(range(1, len(sym))) AS u(j)
+        GROUP BY 1, 2, 3),
+      wq$i AS (
+        SELECT s, sum(cnt) AS c FROM (
+          SELECT sym[j] AS s, cnt
+          FROM wt${i - 1}, unnest(range(1, len(sym)+1)) AS u(j))
+        GROUP BY s),
+      wb$i AS MATERIALIZED (
+        SELECT p.a, p.b, p.c,
+               CAST(p.c AS DOUBLE) /
+                 (CAST(qa.c AS DOUBLE) * CAST(qb.c AS DOUBLE)) AS score,
+               p.a || CASE WHEN p.b LIKE '##%' THEN substr(p.b, 3)
+                           ELSE p.b END AS mc
+        FROM wp$i p
+        JOIN wq$i qa ON qa.s = p.a
+        JOIN wq$i qb ON qb.s = p.b
+        ORDER BY score DESC, p.p ASC LIMIT 1),
+      wu$i AS (
+        SELECT t.w, t.cnt, u.j, t.sym[u.j] AS s,
+               coalesce(t.sym[u.j] = mb.a AND t.sym[u.j+1] = mb.b, FALSE) AS m
+        FROM wt${i - 1} t, wb$i mb, unnest(range(1, len(t.sym)+1)) AS u(j)),
+      wg$i AS (
+        SELECT *, j - row_number() OVER (PARTITION BY w, m ORDER BY j) AS isl
+        FROM wu$i),
+      wh$i AS (
+        SELECT *, m AND (row_number() OVER (PARTITION BY w, m, isl ORDER BY j) % 2 = 1) AS take
+        FROM wg$i),
+      wr$i AS (
+        SELECT *, coalesce(lag(take) OVER (PARTITION BY w ORDER BY j), FALSE) AS consumed,
+               lead(s) OVER (PARTITION BY w ORDER BY j) AS nxt
+        FROM wh$i),
+      wt$i AS MATERIALIZED (
+        SELECT w, max(cnt) AS cnt,
+               list(CASE WHEN take THEN s ||
+                 (CASE WHEN nxt LIKE '##%' THEN substr(nxt, 3) ELSE nxt END)
+                 ELSE s END ORDER BY j) AS sym
+        FROM wr$i WHERE NOT consumed GROUP BY w),
+      ws$i AS (SELECT CAST(sum(cnt * len(sym)) AS BIGINT) AS syms FROM wt$i)"""
+    }
+    s"""wt0 AS MATERIALIZED (
+      SELECT w, cnt,
+             list_transform(range(1, len(cs)+1),
+               i -> CASE WHEN i = 1 THEN cs[i] ELSE '##' || cs[i] END) AS sym
+      FROM (
+        SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+               regexp_extract_all(w, '(?s).') AS cs
+        FROM (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE text IS NOT NULL $where)
+        WHERE w <> ''
+        GROUP BY w)),
+    ${steps.mkString(",\n")}"""
+  }
+
+  private def wpTrainOracle(k: Int): String =
+    s"""WITH ${wpTrainCtes(k)},
+    ${(1 to k).map { i =>
+      s"""wf$i AS (SELECT CAST($i AS BIGINT) AS rnk, a, b, CAST(c AS BIGINT) AS cnt,
+             score, mc AS merged,
+             (SELECT syms FROM ws$i) AS corpus_symbols_after FROM wb$i)"""
+    }.mkString(",\n")}
+    SELECT * FROM (
+    ${(1 to k).map(i => s"SELECT * FROM wf$i").mkString("\nUNION ALL\n")}
+    ) ORDER BY rnk"""
+
   /** Stacked-CTE DuckDB replay of [[graft.llm.Tokenizer.bpeTrain]]'s
     * `k` merge steps. Per step: pair census + argmax (count DESC, pair
     * ASC), then greedy left-to-right non-overlapping application. The
@@ -2761,6 +2837,102 @@ object Llm {
           .bpeTrainDF(s, t(s, d, "documents"), col("text"), numMerges = 6)
           .orderBy(col("rnk")),
       Some(bpeTrainOracle(6)))),
+
+    // ---- WordPiece training (Schuster & Nakajima 2012; the BERT
+    //      tokenizer) — completes the tokenizer trio next to BPE (q157)
+    //      and unigram-LM (q178). Same word-TYPE-histogram scale posture;
+    //      the selection rule is the LIKELIHOOD score
+    //      count(ab)/(count(a)·count(b)) over ##-marked symbols, gated
+    //      per step with its score, merged token, and post-state corpus
+    //      symbol count; the oracle replays all 6 steps as stacked CTEs
+    //      with the same pair+unigram censuses and IEEE-double argmax
+    "q190_wordpiece_train" -> ((
+      (s: SparkSession, d: String) =>
+        graft.llm.Tokenizer
+          .wpTrainDF(s, t(s, d, "documents"), col("text"), numMerges = 6)
+          .orderBy(col("rnk")),
+      Some(wpTrainOracle(6)))),
+
+    // ---- WordPiece greedy encoding: train on the ENGLISH slice, derive
+    //      the vocab (initial ##-marked alphabet + merge products), then
+    //      greedy longest-match-first encode EVERY document — non-English
+    //      characters miss the vocab and fall back to [UNK], exercising
+    //      BERT's unknown-word path. Spark side is a pure Catalyst fold
+    //      per word (no UDF, no shuffle); the oracle precomputes the best
+    //      match per (word type, position) and replays the walk as a
+    //      recursive CTE, then maps word types back through each
+    //      document's token sequence
+    "q191_wordpiece_encode" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").filter(col("text").isNotNull)
+        val en = docs.filter(col("lang") === "en")
+        val merges = graft.llm.Tokenizer.wpTrain(en, col("text"), numMerges = 6)
+        val vocab = graft.llm.Tokenizer.wpVocab(en, col("text"), merges)
+        val maxLen = vocab.map { p =>
+          val core = p.stripPrefix(graft.llm.Tokenizer.WpMark)
+          core.codePointCount(0, core.length)
+        }.max
+        val vm = vocab.zipWithIndex.toMap
+        val toks = filter(TF.wsTokens(col("text")), w => w =!= "")
+        val unk = lit(graft.llm.Tokenizer.UnkToken)
+        docs.select(col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            graft.llm.Tokenizer.wpEncode(col("text"), typedlit(vm), maxLen).as("_e"))
+          .select(col("doc_id"), col("n_tokens"),
+            size(col("_e")).cast("long").as("n_pieces"),
+            size(filter(col("_e"), x => x === unk)).cast("long").as("n_unk"),
+            array_join(col("_e"), " ").as("enc_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH ${wpTrainCtes(6, where = "AND lang = 'en'")},
+        v AS (
+          SELECT DISTINCT unnest(sym) AS piece FROM wt0
+          UNION ${(1 to 6).map(i => s"SELECT mc FROM wb$i").mkString(" UNION ")}),
+        ml AS (SELECT max(len(piece) -
+                 CASE WHEN piece LIKE '##%' THEN 2 ELSE 0 END) AS l FROM v),
+        toks AS (SELECT doc_id,
+                        list_filter(string_split(text, ' '), x -> x <> '') AS tk
+                 FROM documents WHERE text IS NOT NULL),
+        aw AS (SELECT DISTINCT unnest(tk) AS w FROM toks),
+        wpos AS (SELECT w, unnest(range(0, len(w))) AS pos FROM aw),
+        cand AS (
+          SELECT p.w, p.pos, u.l,
+                 CASE WHEN p.pos = 0 THEN substr(p.w, 1, u.l)
+                      ELSE '##' || substr(p.w, p.pos + 1, u.l) END AS pc
+          FROM wpos p, ml, unnest(range(1, ml.l + 1)) AS u(l)
+          WHERE p.pos + u.l <= len(p.w)),
+        best AS (
+          SELECT c.w, c.pos, max(struct_pack(l := c.l, pc := c.pc)) AS m
+          FROM cand c JOIN v ON v.piece = c.pc
+          GROUP BY c.w, c.pos),
+        walk AS (
+          WITH RECURSIVE r(w, pos, pieces, failed) AS (
+            SELECT w, 0, CAST([] AS VARCHAR[]), FALSE FROM aw
+            UNION ALL
+            SELECT r.w,
+                   CASE WHEN b.m IS NULL THEN len(r.w)
+                        ELSE r.pos + struct_extract(b.m, 'l') END,
+                   CASE WHEN b.m IS NULL THEN ['[UNK]']
+                        ELSE list_append(r.pieces, struct_extract(b.m, 'pc')) END,
+                   b.m IS NULL
+            FROM r LEFT JOIN best b ON b.w = r.w AND b.pos = r.pos
+            WHERE r.pos < len(r.w) AND NOT r.failed)
+          SELECT w, pieces FROM r WHERE pos >= len(w)),
+        dt AS (SELECT doc_id, u.j, tk[u.j] AS t
+               FROM toks, unnest(range(1, len(tk)+1)) AS u(j)),
+        de AS (SELECT dt.doc_id, dt.j, wk.pieces
+               FROM dt JOIN walk wk ON wk.w = dt.t),
+        agg AS (SELECT doc_id, flatten(list(pieces ORDER BY j)) AS enc
+                FROM de GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(len(t.tk) AS BIGINT) AS n_tokens,
+               CAST(coalesce(len(a.enc), 0) AS BIGINT) AS n_pieces,
+               CAST(coalesce(len(list_filter(a.enc, x -> x = '[UNK]')), 0)
+                 AS BIGINT) AS n_unk,
+               coalesce(array_to_string(a.enc, ' '), '') AS enc_text
+        FROM toks t LEFT JOIN agg a USING (doc_id)
+        ORDER BY t.doc_id"""))),
 
     // ---- DSIR importance resampling (Xie et al. 2023): hashed
     //      unigram+bigram log importance ratios (target = the English

@@ -2016,6 +2016,45 @@ object TableFormat {
         FROM orders WHERE o_orderkey % 10 >= 6
         ORDER BY o_orderkey"""))),
 
+    // ---- streaming sink exactly-once into an ORC MOR table, then
+    //      compaction: the sink's batch-id replay guard, the ORC delta
+    //      write path, and the compactor must compose — a poisoned
+    //      replay of batch 1 is a no-op, and the query reads
+    //      POST-compaction (the streaming analog of q188's pin)
+    "q192_stream_sink_orc_mor" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(),
+          cfg("orders_sso", TableType.MOR).copy(baseFormat = "orc"))
+        val qid = "q192-query"
+        GraftStreamSink.writeBatch(tbl, qid, "bulk_insert",
+          orders.filter(col("o_orderkey") % 10 < 8), 0L)
+        GraftStreamSink.writeBatch(tbl, qid, "upsert",
+          orders.filter(col("o_orderkey") % 10 >= 6)
+            .withColumn("o_totalprice", col("o_totalprice") + 1000), 1L)
+        // replay of batch 1 with poisoned prices — must be a no-op
+        GraftStreamSink.writeBatch(tbl, qid, "upsert",
+          orders.withColumn("o_totalprice", lit(0.0)), 1L)
+        GraftStreamSink.writeBatch(tbl, qid, "upsert",
+          orders.filter(col("o_orderkey") % 10 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 500), 2L)
+        TableServices(tbl).compact()
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 500
+                      WHEN o_orderkey % 10 >= 6 THEN o_totalprice + 1000
+                      ELSE o_totalprice END AS price
+          FROM orders)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
     // ---- the same OCC race with mutual exclusion served by a real
     //      OUT-OF-PROCESS lock service over TCP (the ZK stand-in:
     //      exclusion state lives outside every writer; reference analog:

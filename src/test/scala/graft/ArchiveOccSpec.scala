@@ -450,6 +450,18 @@ class ArchiveOccSpec extends AnyFunSuite with BeforeAndAfterAll {
       rOut.println("PING")
       assert(rIn.readLine() == "PONG")
       raw.close(); holder.unlock(); holder.close()
+
+      // keys are table base paths and may contain spaces — the line
+      // protocol must round-trip them through ACQUIRE/VERIFY/RELEASE
+      val spaced = new TcpLockProvider("127.0.0.1", port, "/tmp/dir with space/t")
+      assert(spaced.tryLock())
+      assert(spaced.fenceToken.isDefined)
+      assert(spaced.verifyFence(), "VERIFY must parse a spaced key")
+      val spacedB = new TcpLockProvider("127.0.0.1", port, "/tmp/dir with space/t")
+      assert(!spacedB.tryLock())
+      spaced.unlock()
+      assert(spacedB.tryLock())
+      spacedB.unlock(); spaced.close(); spacedB.close()
     } finally srv.stop()
   }
 

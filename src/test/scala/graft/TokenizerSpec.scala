@@ -231,4 +231,109 @@ class TokenizerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getSeq[String](0)
     assert(enc.mkString == "lowestwidestunseen")
   }
+
+  /** Independent in-memory WordPiece trainer (likelihood-greedy merges
+    * over the word-type histogram) to pin [[Tokenizer.wpTrain]] against. */
+  private def refWpTrain(texts: Seq[String], k: Int)
+      : Seq[(Long, String, String, Long, Double, String)] = {
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    for (t <- texts if t != null; w <- t.split(" ", -1) if w.nonEmpty)
+      wc(w) = wc.getOrElse(w, 0L) + 1L
+    var types: Map[String, Vector[String]] = wc.keys.map { w =>
+      val cs = w.map(_.toString).toVector
+      w -> (cs.head +: cs.tail.map("##" + _))
+    }.toMap
+    val out = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, String, String, Long, Double, String)]
+    var step = 1
+    var done = false
+    while (step <= k && !done) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      val uc = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, sym) <- types) {
+        for (p <- sym.zip(sym.tail)) pc(p) = pc.getOrElse(p, 0L) + wc(w)
+        for (s <- sym) uc(s) = uc.getOrElse(s, 0L) + wc(w)
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val ((a, b), c) = pc.minBy { case ((x, y), n) =>
+          (-(n.toDouble / (uc(x).toDouble * uc(y).toDouble)), x + " " + y)
+        }
+        val score = c.toDouble / (uc(a).toDouble * uc(b).toDouble)
+        val merged = a + b.stripPrefix("##")
+        types = types.map { case (w, sym) =>
+          val outSym = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < sym.length) {
+            if (j + 1 < sym.length && sym(j) == a && sym(j + 1) == b) {
+              outSym += merged; j += 2
+            } else { outSym += sym(j); j += 1 }
+          }
+          w -> outSym.toVector
+        }
+        out += ((step.toLong, a, b, c, score, merged))
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("wpTrain matches the likelihood-greedy reference on a mixed corpus") {
+    import spark.implicits._
+    val texts = Seq(
+      "hugging hugging hugs hug", "bug bugs hugging b",
+      "hug hug hug pug pugs", null, "", "  double  space ")
+    val df = texts.toDF("text")
+    val got = Tokenizer.wpTrain(df, col("text"), numMerges = 6)
+      .map(m => (m.rnk, m.a, m.b, m.cnt, m.score, m.merged))
+    assert(got == refWpTrain(texts, 6))
+  }
+
+  test("wpTrain scores by likelihood, not raw count") {
+    import spark.implicits._
+    // pair (a,##b) appears 3x but both symbols are everywhere (low
+    // score); (x,##y) appears twice with rare symbols (high score):
+    // WordPiece must pick (x,##y) first where BPE would pick (a,##b)
+    val df = Seq("ab ab ab a a a a b b b b xy xy").toDF("text")
+    val m = Tokenizer.wpTrain(df, col("text"), numMerges = 1).head
+    assert((m.a, m.b) == ("x", "##y"), s"got (${m.a}, ${m.b})")
+    // and the BPE rule on the same corpus picks by raw pair count
+    val bpe = Tokenizer.bpeTrain(df, col("text"), numMerges = 1).head
+    assert((bpe.a, bpe.b) != ("x", "##y"))
+  }
+
+  test("wpEncode is greedy longest-match with [UNK] fallback") {
+    import spark.implicits._
+    val vocab = Seq("un", "##aff", "##able", "##ffa", "a", "##a", "b",
+      "##b", "##l", "##e", "##f", "hug", "##s").zipWithIndex.toMap
+    val enc = Seq("unaffable hugs zebra unb").toDF("text")
+      .select(Tokenizer.wpEncode(col("text"), typedlit(vocab), 6).as("p"))
+      .head().getSeq[String](0)
+    // 'unaffable' -> un ##aff ##able (longest-first at every step);
+    // 'zebra' has no word-initial 'z' piece -> [UNK]; 'unb' -> un ##b
+    assert(enc == Seq("un", "##aff", "##able", "hug", "##s",
+      Tokenizer.UnkToken, "un", "##b"), s"got $enc")
+  }
+
+  test("wpTrain -> wpVocab -> wpEncode round-trips the training corpus") {
+    import spark.implicits._
+    val df = Seq("hugging hugging hugs hug", "bug bugs hugging").toDF("text")
+    val merges = Tokenizer.wpTrain(df, col("text"), numMerges = 4)
+    assert(merges.size == 4)
+    // symbol counts shrink monotonically (each merge strictly compresses)
+    assert(merges.map(_.corpusSymbolsAfter) ==
+      merges.map(_.corpusSymbolsAfter).sorted.reverse)
+    val vocab = Tokenizer.wpVocab(df, col("text"), merges)
+    val maxLen = vocab.map(p => p.stripPrefix("##").length).max
+    val vm = vocab.zipWithIndex.toMap
+    val enc = df.select(col("text"),
+        Tokenizer.wpEncode(col("text"), typedlit(vm), maxLen).as("p"))
+      .collect()
+    // training-corpus words always encode without UNK (alphabet covers
+    // them), and concatenated pieces rebuild the text modulo marks
+    enc.foreach { r =>
+      val rebuilt = r.getSeq[String](1).map(_.stripPrefix("##")).mkString
+      assert(rebuilt == r.getString(0).replace(" ", ""))
+    }
+  }
 }
