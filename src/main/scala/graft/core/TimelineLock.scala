@@ -10,9 +10,12 @@ trait LockProvider {
   def tryLock(): Boolean
   def unlock(): Unit
   def describe: String
-  /** Fence token minted with the CURRENT hold, if the provider fences
-    * (monotonic per key — a later holder's token is strictly newer).
-    * Recorded in the commit payload for post-mortem ordering. */
+  /** Fence token minted with the CURRENT hold, if the provider fences.
+    * Tokens are unique per hold; the tcp and in-process providers mint
+    * them from one monotonic counter (a later holder's token is strictly
+    * newer), while the file provider's are unique-but-unordered across
+    * processes — [[verifyFence]] compares by EQUALITY, so correctness
+    * never depends on the ordering. Recorded in the commit payload. */
   def fenceToken: Option[Long] = None
   /** True iff this holder still owns the lock under the SAME token
     * minted at acquire — called at the commit point, immediately before

@@ -74,8 +74,14 @@ class CrossJvmWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     if (in.ready()) in.readLine() else "<timed out waiting for probe>"
   }
 
-  for (store <- Seq(CommitStore.Rename, CommitStore.Put)) {
-    test(s"[$store] a second writer JVM races this one on a single key: " +
+  // tcp = the ZK-analog service posture; file = the pure-FS (HDFS-class)
+  // posture, whose cross-process exclusion rests on the atomic
+  // create-if-absent the NIO CREATE_NEW fix guarantees on local disks
+  for ((store, lock) <- Seq(
+      (CommitStore.Rename, "tcp"),
+      (CommitStore.Put, "tcp"),
+      (CommitStore.Rename, TimelineLock.File))) {
+    test(s"[$store/$lock] a second writer JVM races this one on a single key: " +
         "exactly-once state, clean timeline") {
       import spark.implicits._
       val dir = tmp()
@@ -83,7 +89,8 @@ class CrossJvmWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
         name = "xjvm", tableType = TableType.COW, keyFields = Seq("id"),
         orderingField = "", targetFileRows = 1000, occ = true,
         commitStore = store,
-        lockProvider = s"tcp:127.0.0.1:${lockServer.port}"))
+        lockProvider =
+          if (lock == "tcp") s"tcp:127.0.0.1:${lockServer.port}" else lock))
       tbl.bulkInsert(rows(1L, 2L, 3L))
 
       val child = launchProbe(dir, id = 7)
