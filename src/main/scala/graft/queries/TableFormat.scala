@@ -2118,6 +2118,50 @@ object TableFormat {
       },
       Some(OccRaceSql))),
 
+    // ---- the FILE-lock (HDFS-posture) complement of q189: a peer
+    //      breaks this writer's lock as stale mid-commit and re-acquires
+    //      it; the broken holder's fence check reads a foreign token and
+    //      aborts cleanly instead of completing into the peer's critical
+    //      section — the exact failure mode of every mtime-based stale
+    //      policy (reference analog: FileSystemBasedLockProvider.java:53,
+    //      which has no fence and publishes blind)
+    "q193_fenced_commit_file_lock" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(),
+          cfg("orders_ffence", TableType.COW).copy(occ = true)) // file lock
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        val batch = orders.filter(col("o_orderkey") % 10 === 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        // fault injection at the commit point: a peer judges this
+        // writer's lock stale, deletes it, and takes it over — exactly
+        // what FileLockProvider's staleMs policy does to a stalled writer
+        var peer: graft.core.FileLockProvider = null
+        tbl.onBeforeComplete = () => {
+          val lockPath = new org.apache.hadoop.fs.Path(
+            tbl.timeline.metaDir, graft.core.TimelineLock.LockFile)
+          tbl.timeline.fileSystem.delete(lockPath, false)
+          peer = new graft.core.FileLockProvider(tbl.timeline)
+          require(peer.tryLock(), "peer must take the broken lock")
+        }
+        val staleAborted =
+          try { tbl.upsert(batch); false }
+          catch { case _: graft.core.LockSessionLostException => true }
+        tbl.onBeforeComplete = () => ()
+        require(staleAborted,
+          "a writer whose file lock was stale-broken mid-commit must " +
+            "abort at the fence check, not complete")
+        require(tbl.timeline.instants().forall(_.isCompleted),
+          "the fenced abort must roll back its pending instant")
+        peer.unlock()
+        // with the lock free again the retry lands the same change
+        tbl.upsert(batch)
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some(OccRaceSql))),
+
     // ---- cross-format full-record bootstrap: a PARQUET lake rewrites
     //      into an ORC table through bulk_insert (sourceFormat decouples
     //      the lake's format from the table's; reference analog:
