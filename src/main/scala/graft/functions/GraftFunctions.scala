@@ -35,6 +35,24 @@ object GraftFunctions {
   private def expect(args: Seq[Expression], n: Int, fn: String): Unit =
     require(args.length == n, s"$fn takes $n arguments, got ${args.length}")
 
+  /** A foldable ARRAY<STRING> argument (array literal / foldable expr),
+    * evaluated at registration-build time — merge tables and vocabularies
+    * parameterize the generated code itself, like the shape ints. */
+  private def strArray(e: Expression, fn: String, arg: String): Seq[String] = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val ok = e.foldable && (e.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (!ok) throw new IllegalArgumentException(
+      s"$fn: argument <$arg> must be a literal array of strings, got $e")
+    val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (ad == null) throw new IllegalArgumentException(
+      s"$fn: argument <$arg> must not be null")
+    ad.toArray[org.apache.spark.unsafe.types.UTF8String](StringType)
+      .map(s => if (s == null) null else s.toString).toSeq
+  }
+
   private def reg(name: String, usage: String)(b: Builder): Registration =
     (FunctionIdentifier(name),
       new ExpressionInfo(getClass.getName, null, name, usage, ""),
@@ -153,6 +171,35 @@ object GraftFunctions {
         "host, strips www./default ports/trailing slashes") { args =>
       expect(args, 1, "canonical_url")
       bridge(graft.llm.TextFunctions.canonicalUrl(asCol(args(0))))
+    },
+    // ---- tokenizer kernels: the merge table / vocabulary is a literal
+    //      array (trained driver-side, e.g. by Tokenizer.bpeTrain /
+    //      wpTrain), so pure SQL gets the same codegen'd apply paths
+    reg("bpe_apply",
+      "bpe_apply(tokens, merges) - apply a ranked BPE merge table (array " +
+        "of 'a b' literals, rank order) to a symbol array: one greedy " +
+        "left-to-right non-overlapping pass per merge") { args =>
+      expect(args, 2, "bpe_apply")
+      val merges = strArray(args(1), "bpe_apply", "merges").map { m =>
+        val parts = m.split(" ", 2)
+        require(parts.length == 2,
+          s"bpe_apply: each merge must be 'a b', got '$m'")
+        (parts(0), parts(1))
+      }
+      BpeApply(args(0), merges)
+    },
+    reg("wp_encode",
+      "wp_encode(text, vocab, max_len) - WordPiece greedy longest-match " +
+        "encoding of whitespace-tokenized text against a literal piece " +
+        "vocabulary (word-initial pieces plain, continuations ##-marked); " +
+        "words with no matching piece become [UNK]") { args =>
+      expect(args, 3, "wp_encode")
+      val vocab = strArray(args(1), "wp_encode", "vocab")
+      val maxLen = intLit(args(2), "wp_encode", "max_len")
+      bridge(graft.llm.Tokenizer.wpEncode(
+        asCol(args(0)),
+        org.apache.spark.sql.functions.typedlit(vocab.zipWithIndex.toMap),
+        maxLen))
     }
   )
 

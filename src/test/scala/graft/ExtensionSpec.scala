@@ -282,5 +282,31 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(err.getMessage.contains("literal integer"),
       s"expected a literal-arg error, got: ${err.getMessage}")
+
+    // tokenizer kernels via SQL == the Tokenizer API forms: the merge
+    // table / vocabulary is a literal array (trained driver-side)
+    val bpeSql = spark.sql(
+      "SELECT bpe_apply(array('h', 'u', 'g', '</w>'), array('h u', 'hu g'))")
+      .head().getSeq[String](0)
+    assert(bpeSql == Seq("hug", "</w>"), s"got $bpeSql")
+    val wpSql = spark.sql(
+      "SELECT wp_encode('unaffable zzz', " +
+        "array('un', '##aff', '##able', 'a', '##a', '##f'), 5)")
+      .head().getSeq[String](0)
+    assert(wpSql == Seq("un", "##aff", "##able", graft.llm.Tokenizer.UnkToken),
+      s"got $wpSql")
+    val wpApi = Seq("unaffable zzz").toDF("text")
+      .select(graft.llm.Tokenizer.wpEncode(col("text"),
+        typedlit(Seq("un", "##aff", "##able", "a", "##a", "##f")
+          .zipWithIndex.toMap), 5))
+      .head().getSeq[String](0)
+    assert(wpSql == wpApi)
+    // a non-literal vocab is a loud error, like the shape ints
+    val verr = intercept[Exception] {
+      spark.sql("SELECT wp_encode(text, split(text, ' '), 5) FROM ext_fn_docs")
+        .collect()
+    }
+    assert(verr.getMessage.contains("literal array"),
+      s"expected a literal-array error, got: ${verr.getMessage}")
   }
 }
