@@ -40,7 +40,7 @@ object SparkEntry {
     "q28_embed_topk", "q29b_embed_neardup_bucketed", "q30_ann_lsh",
     "q123_sq8_ann", "q131_ivfpq_ann", "q139_semdedup",
     "q95_span_dedup", "q97_unigram_xent", "q104_asof_purchase_click",
-    "q138_seq_packing", "q178_unigram_train",
+    "q138_seq_packing", "q178_unigram_train", "q194_doremi_weights",
     "q33_mor_compaction_roundtrip", "q57_publish_many_groups",
     "q180_publish_put_profile")
 

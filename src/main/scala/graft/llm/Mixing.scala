@@ -331,4 +331,100 @@ object Mixing {
     df.withColumn("rate_ppm", rate)
       .filter(ppmBucket(col(idCol), salt) < col("rate_ppm"))
   }
+
+  /** Group-DRO exponentiated-gradient rounds on the domain simplex —
+    * the weight-update rule of DoReMi (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * arXiv:2305.10429, Algorithm 1). From uniform weights, each round
+    *
+    *   α'_k  =  α_k · exp(η · ℓ_k)                   (EG ascent step)
+    *   α_k   ←  (1−c) · α'_k / Σ_j α'_j  +  c / K    (renormalize +
+    *                                                  uniform smoothing)
+    *
+    * and the returned reference weights are the AVERAGE of α over the
+    * rounds (the paper's output is the per-step average, not the final
+    * iterate). ℓ_k ≥ 0 is domain k's excess loss.
+    *
+    * Honest scope: the full recipe re-trains a proxy model between
+    * steps, so ℓ moves; as a data-pipeline operator the losses are a
+    * fixed census and only the paper's weight arithmetic runs here —
+    * the inner proxy-training loop belongs to the caller's trainer.
+    * With fixed losses the iteration is a deterministic driver-side
+    * fold over K domains (K is tiny), replayable term-for-term by the
+    * SQL oracle. */
+  private[graft] def doremiRounds(
+      excess: Seq[(String, Double)], rounds: Int, eta: Double,
+      smoothing: Double): Map[String, Double] = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    require(eta > 0, s"eta must be > 0: $eta")
+    require(smoothing >= 0 && smoothing < 1, s"smoothing in [0,1): $smoothing")
+    require(excess.forall(_._2 >= 0), "excess losses must be >= 0")
+    val doms = excess.sortBy(_._1)
+    val k = doms.size
+    if (k == 0) return Map.empty
+    var w = Vector.fill(k)(1.0 / k)
+    val acc = Array.fill(k)(0.0)
+    for (_ <- 1 to rounds) {
+      val up = doms.indices.map(i => w(i) * math.exp(eta * doms(i)._2))
+      val s = up.sum
+      w = doms.indices
+        .map(i => (1.0 - smoothing) * up(i) / s + smoothing / k).toVector
+      doms.indices.foreach(i => acc(i) += w(i))
+    }
+    doms.indices.map(i => doms(i)._1 -> acc(i) / rounds).toMap
+  }
+
+  /** DoReMi-style domain reweighting over per-document losses: one
+    * census aggregation computes each domain's mean loss, its excess
+    * over a baseline, and [[doremiRounds]] turns the excesses into
+    * simplex weights. `baseline` per domain is the corpus-wide mean
+    * loss by default (upweight domains that score worse than the
+    * average document — the zero-extra-model reading of the paper's
+    * proxy-minus-reference gap), or a caller-supplied per-domain map
+    * (e.g. a reference model's measured per-domain loss) for the
+    * faithful two-model form. Excess clamps at 0: domains at or below
+    * baseline exert no upward pull but still receive the smoothing
+    * floor c/K.
+    *
+    * Returns one row per domain: (domain, n_docs, mean_loss,
+    * excess_loss, weight); weights sum to 1. Feed `weight` (scaled to
+    * integral parts) into [[tokenBudgetMix]] to realize the mixture.
+    *
+    * Scale shape: the census is one hash aggregate (domains-sized
+    * result to the driver); the EG rounds are O(rounds × K) driver
+    * arithmetic; nothing else moves. At 100 TB the cost is the single
+    * scan that computes the per-doc losses upstream. */
+  def doremiWeights(
+      perDoc: DataFrame, domainCol: String, lossCol: String,
+      rounds: Int = 3, eta: Double = 1.0, smoothing: Double = 0.2,
+      baselinePerDomain: Option[Map[String, Double]] = None): DataFrame = {
+    val census = perDoc
+      .filter(col(domainCol).isNotNull && col(lossCol).isNotNull)
+      .groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(col(lossCol)).as("mean_loss"))
+    val globalMean = baselinePerDomain match {
+      case Some(_) => 0.0 // unused
+      case None =>
+        perDoc.filter(col(domainCol).isNotNull && col(lossCol).isNotNull)
+          .agg(avg(col(lossCol))).collect()(0).getDouble(0)
+    }
+    val rows = census.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val excess = rows.toSeq.map { case (dom, _, m) =>
+      val base = baselinePerDomain.map(_.getOrElse(dom, m)).getOrElse(globalMean)
+      dom -> math.max(0.0, m - base)
+    }
+    val weights = doremiRounds(excess, rounds, eta, smoothing)
+    val exMap = excess.toMap
+    val exCol = exMap.foldLeft(lit(Double.NaN): Column) {
+      case (alt, (dom, e)) => when(col("domain") === dom, lit(e)).otherwise(alt)
+    }
+    val wCol = weights.foldLeft(lit(Double.NaN): Column) {
+      case (alt, (dom, w)) => when(col("domain") === dom, lit(w)).otherwise(alt)
+    }
+    census
+      .withColumn("excess_loss", exCol)
+      .withColumn("weight", wCol)
+  }
 }

@@ -285,6 +285,42 @@ object TextFunctions {
     regexp_replace(noIp, PhonePattern, "[PHONE]")
   }
 
+  /** Payment-card candidates: 13–19 digits, single space/dash separators
+    * allowed between digits (the forms cards are actually typed in).
+    * Syntax valid in Java regex AND RE2 (no backreferences). */
+  val CardCandidatePattern = "\\b(?:[0-9][ -]?){12,18}[0-9]\\b"
+
+  /** Luhn checksum (ISO/IEC 7812 mod-10) over a candidate that may still
+    * carry separators — the validator that separates real card numbers
+    * from arbitrary digit runs (order IDs, timestamps), the same
+    * candidate→checksum split every PII scrubber (e.g. presidio's credit
+    * card recognizer) uses. Pure Catalyst fold: strip separators,
+    * reverse, double every second digit from the right (−9 overflow
+    * fold), sum % 10 == 0. Codegen'd per row — no UDF, no shuffle. */
+  def luhnValid(candidate: Column): Column = {
+    val ds = regexp_replace(candidate, "[ -]", "")
+    val digs = transform(split(reverse(ds), ""), (c, i) => {
+      val d = c.cast("int")
+      when(i % 2 === 1,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    aggregate(digs, lit(0), (a, x) => a + x) % 10 === 0
+  }
+
+  /** (candidate count, Luhn-valid count) per document. */
+  def cardCounts(text: Column): (Column, Column) = {
+    val cands = regexp_extract_all(text, lit(CardCandidatePattern), lit(0))
+    (size(cands).cast("long"),
+      size(filter(cands, luhnValid(_))).cast("long"))
+  }
+
+  /** Redact ALL card-shaped digit runs, Luhn-valid or not — redaction is
+    * deliberately more conservative than detection (a mistyped card
+    * number is still PII; an order ID eaten by the scrub costs nothing).
+    * The Luhn counts above are the metric; this is the scrub. */
+  def redactCards(text: Column): Column =
+    regexp_replace(text, CardCandidatePattern, "[CARD]")
+
   // ---- HTML stripping ------------------------------------------------------
   // Crawl-derived corpora arrive as markup; the standard extraction pass
   // drops script/style payloads and comments wholesale, turns remaining

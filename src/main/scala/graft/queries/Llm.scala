@@ -4049,6 +4049,123 @@ object Llm {
                CAST(sum(CASE WHEN ap.n_id IS NOT NULL THEN 1 ELSE 0 END)
                     AS DOUBLE) / count(*) AS recall
         FROM bf LEFT JOIN ap ON ap.q_id = bf.q_id AND ap.n_id = bf.n_id
-        GROUP BY bf.q_id ORDER BY bf.q_id""")))
+        GROUP BY bf.q_id ORDER BY bf.q_id"""))),
+
+    // ---- DoReMi-style domain reweighting (Xie et al. 2023, Algorithm
+    //      1's EG update over fixed excess losses): census each source's
+    //      mean unigram xent, excess over the corpus mean, then 3
+    //      multiplicative-weights rounds from uniform with smoothing
+    //      c=0.2; output weights are the per-round AVERAGE. eta=25 scales
+    //      the step to this corpus' tight xent spread (~1e-2 nats) so the
+    //      probe exercises genuinely non-uniform weights. The oracle
+    //      unrolls the same three rounds as stacked CTEs — identical
+    //      census, clamp, exp and averaging arithmetic
+    "q194_doremi_weights" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val scored = graft.llm.QualityModel
+          .unigramXent(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        graft.llm.Mixing
+          .doremiWeights(scored, "source", "xent",
+            rounds = 3, eta = 25.0, smoothing = 0.2)
+          .orderBy(col("domain"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+                      FROM documents),
+        freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+        sc AS (SELECT t2.doc_id, d.source,
+                      sum(-ln(CAST(cnt AS DOUBLE) / total)) / count(*) AS xent
+               FROM toks t2 JOIN freq USING (tok) JOIN documents d
+                 ON d.doc_id = t2.doc_id, tot
+               GROUP BY t2.doc_id, d.source),
+        cen AS (SELECT source AS domain, count(*) AS n_docs,
+                       avg(xent) AS mean_loss
+                FROM sc GROUP BY 1),
+        ex AS (SELECT domain, n_docs, mean_loss,
+                      greatest(0, mean_loss - (SELECT avg(xent) FROM sc))
+                        AS excess_loss
+               FROM cen),
+        kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM ex),
+        w0 AS (SELECT domain, 1.0 / (SELECT k FROM kk) AS w FROM ex),
+        w1 AS (SELECT e.domain,
+                 0.8 * (p.w * exp(25.0 * e.excess_loss))
+                     / (SELECT sum(a.w * exp(25.0 * b.excess_loss))
+                        FROM w0 a JOIN ex b ON a.domain = b.domain)
+                 + 0.2 / (SELECT k FROM kk) AS w
+               FROM ex e JOIN w0 p ON p.domain = e.domain),
+        w2 AS (SELECT e.domain,
+                 0.8 * (p.w * exp(25.0 * e.excess_loss))
+                     / (SELECT sum(a.w * exp(25.0 * b.excess_loss))
+                        FROM w1 a JOIN ex b ON a.domain = b.domain)
+                 + 0.2 / (SELECT k FROM kk) AS w
+               FROM ex e JOIN w1 p ON p.domain = e.domain),
+        w3 AS (SELECT e.domain,
+                 0.8 * (p.w * exp(25.0 * e.excess_loss))
+                     / (SELECT sum(a.w * exp(25.0 * b.excess_loss))
+                        FROM w2 a JOIN ex b ON a.domain = b.domain)
+                 + 0.2 / (SELECT k FROM kk) AS w
+               FROM ex e JOIN w2 p ON p.domain = e.domain)
+        SELECT e.domain, e.n_docs, e.mean_loss, e.excess_loss,
+               (w1.w + w2.w + w3.w) / 3.0 AS weight
+        FROM ex e JOIN w1 ON w1.domain = e.domain
+                  JOIN w2 ON w2.domain = e.domain
+                  JOIN w3 ON w3.domain = e.domain
+        ORDER BY e.domain"""))),
+
+    // ---- Luhn-validated payment-card scrubbing: card-shaped digit runs
+    //      (13–19 digits, space/dash separators) found by regex, then the
+    //      mod-10 checksum — a pure Catalyst fold, no UDF — separates
+    //      real card numbers from arbitrary digit runs. Docs are planted
+    //      with one valid (4111-1111-1111-1111) or one invalid
+    //      (…1112) number; redaction conservatively eats BOTH. The
+    //      oracle replays candidate regex + checksum with range-indexed
+    //      list arithmetic
+    "q196_pii_cards" -> ((
+      (s: SparkSession, d: String) => {
+        val planted = t(s, d, "documents").filter(col("text").isNotNull)
+          .withColumn("ptext", concat(col("text"),
+            when(col("doc_id") % 3 === 0, lit(" pay 4111-1111-1111-1111 now"))
+              .when(col("doc_id") % 3 === 1, lit(" ref 4111111111111112 order"))
+              .otherwise(lit(""))))
+        val (nCand, nValid) = TF.cardCounts(col("ptext"))
+        planted.select(col("doc_id"),
+            nCand.as("n_card_cand"), nValid.as("n_card_valid"),
+            length(TF.redactCards(col("ptext"))).cast("long").as("redacted_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, text ||
+            CASE WHEN doc_id % 3 = 0 THEN ' pay 4111-1111-1111-1111 now'
+                 WHEN doc_id % 3 = 1 THEN ' ref 4111111111111112 order'
+                 ELSE '' END AS ptext
+          FROM documents WHERE text IS NOT NULL),
+        flat AS (
+          SELECT doc_id, unnest(regexp_extract_all(ptext,
+            '\b(?:[0-9][ -]?){12,18}[0-9]\b')) AS c
+          FROM p),
+        norm AS (SELECT doc_id, replace(replace(c, ' ', ''), '-', '') AS ds
+                 FROM flat),
+        lv AS (SELECT doc_id,
+                 CASE WHEN list_sum(list_transform(range(1, len(ds) + 1), i ->
+                        CASE WHEN i % 2 = 0 THEN
+                          CASE WHEN 2 * CAST(ds[len(ds)-i+1] AS INT) > 9
+                               THEN 2 * CAST(ds[len(ds)-i+1] AS INT) - 9
+                               ELSE 2 * CAST(ds[len(ds)-i+1] AS INT) END
+                        ELSE CAST(ds[len(ds)-i+1] AS INT) END)) % 10 = 0
+                      THEN 1 ELSE 0 END AS ok
+               FROM norm),
+        agg AS (SELECT doc_id, count(*) AS n_cand, sum(ok) AS n_valid
+                FROM lv GROUP BY doc_id)
+        SELECT p.doc_id,
+               CAST(coalesce(a.n_cand, 0) AS BIGINT) AS n_card_cand,
+               CAST(coalesce(a.n_valid, 0) AS BIGINT) AS n_card_valid,
+               CAST(len(regexp_replace(ptext,
+                 '\b(?:[0-9][ -]?){12,18}[0-9]\b', '[CARD]', 'g')) AS BIGINT)
+                 AS redacted_len
+        FROM p LEFT JOIN agg a USING (doc_id) ORDER BY p.doc_id""")))
   )
 }

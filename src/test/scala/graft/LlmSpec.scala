@@ -1650,4 +1650,31 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(chain(e2).contains("benchmark ids must be >= 0"), s"got: ${chain(e2)}")
   }
+
+  test("luhn card validation: checksum truth table, separators, redaction") {
+    import spark.implicits._
+    val rows = Seq(
+      // classic test numbers: valid Visa / MasterCard / Amex (15-digit)
+      (1L, "pay 4111111111111111 now", 1L, 1L),
+      (2L, "pay 5500-0055-5555-5559 now", 1L, 1L),
+      (3L, "amex 3400 0000 0000 009 ok", 1L, 1L),
+      // off-by-one checksum fails; short digit runs aren't candidates
+      (4L, "ref 4111111111111112 order", 1L, 0L),
+      (5L, "call 555-123-4567 maybe 123456789012", 0L, 0L),
+      (6L, "two cards 4111111111111111 and 4111111111111112", 2L, 1L)
+    ).toDF("id", "text", "exp_cand", "exp_valid")
+    val (nCand, nValid) = TextFunctions.cardCounts(col("text"))
+    val got = rows.select(col("id"), nCand.as("c"), nValid.as("v"),
+        col("exp_cand"), col("exp_valid"),
+        TextFunctions.redactCards(col("text")).as("red"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(1) == r.getLong(3), s"candidates for id ${r.getLong(0)}: $r")
+      assert(r.getLong(2) == r.getLong(4), s"valid count for id ${r.getLong(0)}: $r")
+      if (r.getLong(3) > 0)
+        assert(r.getString(5).contains("[CARD]") &&
+          !"\\d{13}".r.findFirstIn(r.getString(5)).isDefined,
+          s"redaction must eat every card-shaped run: ${r.getString(5)}")
+    }
+  }
 }

@@ -285,4 +285,49 @@ class MixingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
     assert(a == b, "epoch tiebreak must make duplicate-id shuffles stable")
   }
+
+  test("doremi EG rounds: simplex, monotonicity, smoothing floor, uniform fixpoint") {
+    val losses = Seq("web" -> 0.5, "books" -> 0.0, "code" -> 0.2)
+    val w = Mixing.doremiRounds(losses, rounds = 5, eta = 1.0, smoothing = 0.1)
+    assert(math.abs(w.values.sum - 1.0) < 1e-12, "weights must sum to 1")
+    assert(w("web") > w("code") && w("code") > w("books"),
+      "higher excess loss must receive higher weight")
+    // every averaged round mixes in c/K uniform, so no domain can fall
+    // below the smoothing floor
+    assert(w.values.forall(_ >= 0.1 / 3 - 1e-12), s"smoothing floor violated: $w")
+    // zero excess everywhere -> EG step is the identity -> exactly uniform
+    val u = Mixing.doremiRounds(
+      Seq("a" -> 0.0, "b" -> 0.0), rounds = 3, eta = 2.0, smoothing = 0.2)
+    assert(u.values.forall(v => math.abs(v - 0.5) < 1e-12))
+    assert(Mixing.doremiRounds(Nil, 3, 1.0, 0.1).isEmpty)
+  }
+
+  test("doremiWeights censuses per-domain losses and joins weights back") {
+    import spark.implicits._
+    // books docs carry clearly higher loss than web/code
+    val scored = (0L until 300L).map { i =>
+      val dom = (i % 3) match {
+        case 0 => "web"; case 1 => "books"; case _ => "code"
+      }
+      val loss = if (dom == "books") 4.0 + (i % 7) * 0.01 else 2.0 + (i % 5) * 0.01
+      (i, dom, loss)
+    }.toDF("doc_id", "domain", "loss")
+    val out = Mixing.doremiWeights(scored, "domain", "loss",
+      rounds = 3, eta = 1.0, smoothing = 0.2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out.keySet == Set("web", "books", "code"))
+    assert(out.values.map(_._1).sum == 300L)
+    assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-12)
+    assert(out("books")._2 > 0.0, "books must show positive excess loss")
+    assert(out("web")._2 == 0.0 && out("code")._2 == 0.0,
+      "below-baseline domains clamp to zero excess")
+    assert(out("books")._3 > out("web")._3 && out("books")._3 > out("code")._3)
+    // explicit per-domain baselines: the two-model (proxy - reference) form
+    val ref = Map("web" -> 2.0, "books" -> 4.05, "code" -> 2.0)
+    val out2 = Mixing.doremiWeights(scored, "domain", "loss",
+      rounds = 3, eta = 1.0, smoothing = 0.2, baselinePerDomain = Some(ref))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(math.abs(out2.values.sum - 1.0) < 1e-12)
+  }
 }
