@@ -2162,6 +2162,44 @@ object TableFormat {
       },
       Some(OccRaceSql))),
 
+    // ---- partition TTL: the retention policy wired to delete_partition
+    //      — `RUN TTL ... EXPIRE BELOW '3'` drops the lexicographically
+    //      older priority partitions (1-URGENT, 2-HIGH) in one
+    //      replacecommit; files stay until clean, snapshot reads flip
+    //      immediately. A second run is a no-op (nothing left below the
+    //      cutoff); a later insert into a dropped partition resurrects it
+    "q195_partition_ttl" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_ttl", TableType.COW))
+        tbl.bulkInsert(orders)
+        val dropped = graft.sql.GraftSql
+          .sql(s, s"RUN TTL ON '${tbl.basePath}' EXPIRE BELOW '3'")
+          .collect().map(_.getString(0)).toSeq
+        require(dropped == Seq("1-URGENT", "2-HIGH"),
+          s"TTL must drop exactly the partitions below the cutoff: $dropped")
+        require(graft.sql.GraftSql
+          .sql(s, s"RUN TTL ON '${tbl.basePath}' EXPIRE BELOW '3'")
+          .isEmpty, "a repeated TTL run must be a no-op")
+        // late data for an expired partition re-creates it (the drop is
+        // logical, not a schema constraint)
+        tbl.upsert(orders.filter(
+          col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 10 === 0))
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority, o_totalprice AS price
+          FROM orders
+          WHERE o_orderpriority >= '3'
+             OR (o_orderpriority = '1-URGENT' AND o_orderkey % 10 = 0))
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
     // ---- cross-format full-record bootstrap: a PARQUET lake rewrites
     //      into an ORC table through bulk_insert (sourceFormat decouples
     //      the lake's format from the table's; reference analog:

@@ -515,6 +515,30 @@ class TableServices(table: GraftTable) {
         "policy" -> "KEEP_LATEST_COMMITS")))
   }
 
+  /** Partition TTL: logically drop every live partition whose path
+    * value sorts strictly below `expireBelow` (lexicographic — the
+    * natural order for date-formatted partition paths like
+    * `2026-08-01` and for hive-style `dt=2026-08-01` under a fixed
+    * field name). One replacecommit through
+    * [[graft.write.GraftTable.deletePartitions]]; physical files leave
+    * later through [[clean]], so readers pinned at older instants (and
+    * savepoints) stay consistent. Returns (replacecommit instant,
+    * dropped partitions), or None when nothing has expired.
+    *
+    * The reference ships no TTL service in 0.10 — operators run this
+    * exact policy by hand over `delete_partition`
+    * (SparkDeletePartitionCommitActionExecutor.java:42); wiring the
+    * retention rule to the existing verb is the production shape
+    * (compare Hudi's later RFC-65 partition-TTL management). Scale:
+    * the decision reads only the snapshot's partition list (metadata,
+    * driver-sized); the drop itself writes no data files. */
+  def partitionTtl(expireBelow: String): Option[(String, Seq[String])] = {
+    val live = Snapshot.resolve(timeline).slices.map(_.partition).distinct
+    val doomed = live.filter(_ < expireBelow).sorted
+    if (doomed.isEmpty) None
+    else Some(table.deletePartitions(doomed) -> doomed)
+  }
+
   /** KEEP_LATEST_FILE_VERSIONS policy (reference analog:
     * CleanPlanner.java:207): per live file group, keep only the newest
     * `retainVersions` base-file versions (each version = its base file

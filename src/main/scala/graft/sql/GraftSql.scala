@@ -35,6 +35,7 @@ import graft.write.GraftTable
   *   RESTORE TABLE '<path>' TO '<instant>'            (drop every later data instant)
   *   RUN CLEAN ON '<path>' [RETAIN <n>]
   *   RUN ARCHIVE ON '<path>' [KEEP <min> <max>]
+  *   RUN TTL ON '<path>' EXPIRE BELOW '<value>'   (drop partitions < value)
   *   REPAIR DEDUPLICATE '<path>' [PARTITION 'p'] [DRY RUN]
   *   EXPORT TABLE '<path>' TO '<dir>' [FORMAT fmt] [AS OF '<instant>']
   *   COPY TABLE '<path>' TO '<dir>' [AS OF '<instant>']  (backup AS a graft table)
@@ -91,6 +92,8 @@ object GraftSql {
     """(?is)\s*RUN\s+CLEAN\s+ON\s+'([^']+)'(?:\s+RETAIN\s+(\d+))?\s*""".r
   private val RunArchive =
     """(?is)\s*RUN\s+ARCHIVE\s+ON\s+'([^']+)'(?:\s+KEEP\s+(\d+)\s+(\d+))?\s*""".r
+  private val RunTtl =
+    """(?is)\s*RUN\s+TTL\s+ON\s+'([^']+)'\s+EXPIRE\s+BELOW\s+'([^']+)'\s*""".r
 
   /** True when `statement` is in the graft grammar (used by the injected
     * session-extension parser to decide interception). */
@@ -106,7 +109,7 @@ object GraftSql {
          ShowWa(_) | ShowColStats(_) | RepairDedup(_, _, _) |
          CreateSavepoint(_, _) | DropSavepoint(_, _) |
          RollbackCommit(_, _) | RestoreTable(_, _) |
-         RunClean(_, _) | RunArchive(_, _, _) |
+         RunClean(_, _) | RunArchive(_, _, _) | RunTtl(_, _) |
          ExportTable(_, _, _, _) | CopyTable(_, _, _) => true
     case _ => false
   }
@@ -254,6 +257,10 @@ object GraftSql {
         case _                    => svc.archive()
       }
       result(spark, "instant", t.toSeq)
+    case RunTtl(path, expireBelow) =>
+      val svc = TableServices(GraftTable.load(spark, path))
+      result(spark, "partition",
+        svc.partitionTtl(expireBelow).map(_._2).getOrElse(Nil))
     case ExportTable(path, outDir, fmt, asOf) =>
       val n = GraftExporter.export(GraftTable.load(spark, path), outDir,
         format = Option(fmt).map(_.toLowerCase).getOrElse("parquet"),

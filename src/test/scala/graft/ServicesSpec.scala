@@ -640,5 +640,46 @@ class ServicesSpec extends AnyFunSuite with BeforeAndAfterAll {
       6L -> "a", 7L -> "c", 8L -> "b", 9L -> "b"))
   }
 
+  test("partition TTL drops below-cutoff partitions; files leave via clean") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.COW))
+    tbl.bulkInsert(orders)
+    val svc = TableServices(tbl)
+    // nothing expired -> None, no commit minted
+    val before = tbl.timeline.completed().size
+    assert(svc.partitionTtl("1").isEmpty)
+    assert(tbl.timeline.completed().size == before)
+    // cutoff between 2-HIGH and 3-MEDIUM
+    val res = svc.partitionTtl("3")
+    assert(res.nonEmpty, "partitions below the cutoff must be dropped")
+    val (t, dropped) = res.get
+    assert(dropped == Seq("1-URGENT", "2-HIGH"))
+    assert(tbl.timeline.completed().exists(i =>
+      i.time == t && i.action == Action.ReplaceCommit))
+    val r = GraftReader(tbl)
+    val left = r.dataOnly(r.snapshot()).select("o_orderpriority")
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    assert(left == Seq("3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+    // repeated run: nothing left below the cutoff
+    assert(svc.partitionTtl("3").isEmpty)
+    // physical files survive until clean (older snapshots stay readable);
+    // after enough commits + clean, the dropped partitions' files go
+    val fs = tbl.timeline.fileSystem
+    val droppedFiles = tbl.timeline.completed()
+      .flatMap(i => tbl.timeline.metadataOf(i).stats)
+      .filter(st => st.partition < "3").map(_.path).distinct
+    assert(droppedFiles.nonEmpty &&
+      droppedFiles.forall(p => fs.exists(new org.apache.hadoop.fs.Path(dir, p))),
+      "TTL must be logical: data files stay until clean")
+    (1 to 10).foreach { i =>
+      tbl.upsert(orders.filter(col("o_orderpriority") === "5-LOW" &&
+        col("o_orderkey") % 10 === i % 10))
+    }
+    assert(svc.clean(retainCommits = 2).nonEmpty)
+    assert(droppedFiles.forall(p =>
+      !fs.exists(new org.apache.hadoop.fs.Path(dir, p))),
+      "clean must reap the TTL-dropped partitions' files")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
