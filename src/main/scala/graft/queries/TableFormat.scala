@@ -651,6 +651,65 @@ object TableFormat {
                CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS price_c
         FROM stream GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
 
+    // ---- streaming admission control: three commits are already
+    //      pending when the stream starts; maxInstantsPerTrigger=1 must
+    //      serve them as THREE one-instant micro-batches (not one giant
+    //      catch-up batch), then a live commit lands as a fourth —
+    //      reference analog: HoodieIncrSource.num_instants; the content
+    //      gate proves the throttled batches still cover every change row
+    "q197_stream_throttle" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_thr", TableType.COW))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 === 6)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 === 9)
+          .withColumn("o_totalprice", col("o_totalprice") + 500))
+        val sinkName = s"q197_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = s.readStream
+          .format(classOf[org.apache.spark.sql.graft.streaming.GraftStreamProvider].getName)
+          .option("path", tbl.basePath)
+          .option("maxInstantsPerTrigger", "1")
+          .load()
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("append")
+          .option("checkpointLocation", freshDir() + "/ckpt")
+          .start()
+        q.processAllAvailable() // drains the 3-commit backlog, throttled
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 === 7)
+          .withColumn("o_totalprice", col("o_totalprice") + 9))
+        q.processAllAvailable() // the live commit
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        q.stop()
+        require(batches == 4,
+          s"1-instant throttle over 3 backlog commits + 1 live commit " +
+            s"must yield exactly 4 data batches, got $batches")
+        s.table(sinkName)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(floor(col("o_totalprice") * 100)).cast("long").as("price_c"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        WITH stream AS (
+          SELECT o_orderkey, o_orderpriority, o_totalprice
+          FROM orders WHERE o_orderkey % 10 < 8
+          UNION ALL
+          SELECT o_orderkey, o_orderpriority, o_totalprice + 1000
+          FROM orders WHERE o_orderkey % 10 = 6
+          UNION ALL
+          SELECT o_orderkey, o_orderpriority, o_totalprice + 500
+          FROM orders WHERE o_orderkey % 10 = 9
+          UNION ALL
+          SELECT o_orderkey, o_orderpriority, o_totalprice + 9
+          FROM orders WHERE o_orderkey % 10 = 7)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS price_c
+        FROM stream GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
     // ---- GLOBAL index: an upsert that changes the partition value must
     //      MOVE the record (delete from the old partition, write to the
     //      new) instead of duplicating it

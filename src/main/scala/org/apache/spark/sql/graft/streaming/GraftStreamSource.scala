@@ -39,12 +39,58 @@ class GraftStreamSource(
     tablePath: String,
     /** cdc = each micro-batch is the I/U/D change stream (an
       * `_g_operation` column rides along) instead of latest-state rows */
-    cdc: Boolean = false)
+    cdc: Boolean = false,
+    /** admission control: cap each micro-batch at this many commit
+      * instants (None = drain to latest, the V1 default). The throttle
+      * that keeps a backfill from materializing months of commits as ONE
+      * giant batch — reference analog: HoodieIncrSource's
+      * `hoodie.deltastreamer.source.hoodieincr.num_instants`
+      * (HoodieIncrSource.java:61, default 1 instant per round); Spark
+      * users know the shape as FileStreamSource's maxFilesPerTrigger. */
+    maxInstantsPerTrigger: Option[Int] = None,
+    /** the per-source checkpoint dir Spark hands createSource — the
+      * throttle's watermark lives here so a restart resumes instead of
+      * re-serving the backlog */
+    metadataPath: String = "")
   extends Source {
 
   private val spark = sqlContext.sparkSession
   private lazy val table = GraftTable.load(spark, tablePath)
   private lazy val reader = GraftReader(table)
+
+  /** The throttle's watermark file. Spark's V1 restart flow never tells
+    * a source the committed offset after a CLEAN stop (getBatch replays
+    * only uncommitted batches), so a paced source must persist its own
+    * high-water mark — the same reason FileStreamSource keeps a seen-
+    * files log under this very directory. Unthrottled sources stay
+    * stateless (no file, no behavior change). */
+  private val watermarkFile: Option[org.apache.hadoop.fs.Path] =
+    maxInstantsPerTrigger.flatMap { _ =>
+      if (metadataPath.isEmpty) None
+      else Some(new org.apache.hadoop.fs.Path(metadataPath, "graft-throttle-watermark"))
+    }
+
+  /** Highest offset this source has advertised or served — the throttle
+    * advances at most `maxInstantsPerTrigger` instants past it per
+    * getOffset. Restored from the watermark file on (re)start; getBatch
+    * additionally folds replayed checkpoint offsets in as defense. */
+  private var advertised: String = watermarkFile match {
+    case Some(p) =>
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) ""
+      else {
+        val in = fs.open(p)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      }
+    case None => ""
+  }
+
+  private def persistWatermark(): Unit = watermarkFile.foreach { p =>
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.core.RenameCommitStore.putAtomic(fs, p, advertised)
+  }
 
   /** Resolved ONCE at stream start (lazy val) and pinned for the stream's
     * lifetime — the V1 Source contract the reference's stream source also
@@ -53,17 +99,34 @@ class GraftStreamSource(
   override lazy val schema: StructType =
     GraftStreamSource.streamSchema(table, cdc)
 
-  /** Latest completed data instant, if any. */
+  /** Latest completed data instant — or, under the throttle, the
+    * instant `maxInstantsPerTrigger` steps past the last advertised
+    * offset. Driver-side timeline listing either way; no data IO. */
   override def getOffset: Option[Offset] = {
-    val latest = table.timeline.completed()
+    val data = table.timeline.completed()
       .filter(i => Action.dataActions.contains(i.action))
-      .lastOption
-    latest.map(i => GraftSourceOffset(i.time))
+      .map(_.time)
+    if (data.isEmpty) return None
+    val next = maxInstantsPerTrigger match {
+      case None => data.last
+      case Some(n) =>
+        val pending = data.filter(_ > advertised)
+        if (pending.isEmpty) advertised else pending.take(n).last
+    }
+    if (next.isEmpty) None
+    else {
+      if (next != advertised) {
+        advertised = next
+        persistWatermark()
+      }
+      Some(GraftSourceOffset(next))
+    }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val begin = start.map(GraftSourceOffset.of(_).commitTime).getOrElse("")
     val endT = GraftSourceOffset.of(end).commitTime
+    if (endT > advertised) advertised = endT // checkpoint-recovery replay
     val batch =
       if (cdc) reader.incrementalCdc(begin, Some(endT))
       else reader.incremental(begin, Some(endT))
@@ -93,7 +156,9 @@ object GraftStreamSource {
 /** `spark.readStream.format(classOf[GraftStreamProvider].getName)
   * .option("path", tablePath).load()` (reference analog:
   * DefaultSource.createSource, DefaultSource.scala:265). Pass
-  * `option("query.type", "cdc")` for the change-stream mode. */
+  * `option("query.type", "cdc")` for the change-stream mode and
+  * `option("maxInstantsPerTrigger", n)` to cap each micro-batch at n
+  * commit instants. */
 class GraftStreamProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-stream"
@@ -125,6 +190,13 @@ class GraftStreamProvider extends StreamSourceProvider with DataSourceRegister {
       metadataPath: String,
       schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): Source =
-    new GraftStreamSource(sqlContext, path(parameters), isCdc(parameters))
+      parameters: Map[String, String]): Source = {
+    val throttle = parameters.get("maxInstantsPerTrigger").map { v =>
+      val n = v.toInt
+      require(n >= 1, s"maxInstantsPerTrigger must be >= 1: $n")
+      n
+    }
+    new GraftStreamSource(sqlContext, path(parameters), isCdc(parameters),
+      throttle, metadataPath)
+  }
 }
