@@ -4166,6 +4166,121 @@ object Llm {
                CAST(len(regexp_replace(ptext,
                  '\b(?:[0-9][ -]?){12,18}[0-9]\b', '[CARD]', 'g')) AS BIGINT)
                  AS redacted_len
-        FROM p LEFT JOIN agg a USING (doc_id) ORDER BY p.doc_id""")))
+        FROM p LEFT JOIN agg a USING (doc_id) ORDER BY p.doc_id"""))),
+
+    // ---- DoReMi weights REALIZED as a corpus mixture: the q194 weights
+    //      become integral proportion parts (floor(w·1e6)) feeding the
+    //      q175 token-budget waterfill, whose ppm membership keeps whole
+    //      docs — the full plan→materialize loop of a mixture recipe.
+    //      Budget 30k tokens is far under every source's availability,
+    //      so no waterfill saturation wave fires (the oracle still
+    //      unrolls 3 idempotent rounds, same as q175)
+    "q198_doremi_budget_mix" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val scored = graft.llm.QualityModel
+          .unigramXent(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        val parts = graft.llm.Mixing
+          .doremiWeights(scored, "source", "xent",
+            rounds = 3, eta = 25.0, smoothing = 0.2)
+          .collect()
+          .map(r => r.getString(0) -> math.floor(r.getDouble(4) * 1e6).toLong)
+          .toMap
+        val sized = docs.filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            size(TF.wsTokens(col("text"))).cast("long").as("n_toks"))
+        graft.llm.Mixing
+          .tokenBudgetMix(sized, "source", "doc_id", col("n_toks"),
+            parts, budgetTokens = 9000L, salt = "doremi")
+          .groupBy(col("source"))
+          .agg(max(col("rate_ppm")).as("rate_ppm"),
+            count(lit(1)).as("kept_docs"),
+            sum(col("n_toks")).as("kept_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+                      FROM documents),
+        freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+        sc AS MATERIALIZED (SELECT t2.doc_id, d.source,
+                      sum(-ln(CAST(cnt AS DOUBLE) / total)) / count(*) AS xent
+               FROM toks t2 JOIN freq USING (tok) JOIN documents d
+                 ON d.doc_id = t2.doc_id, tot
+               GROUP BY t2.doc_id, d.source),
+        cen AS MATERIALIZED (SELECT source AS domain, avg(xent) AS mean_loss
+                FROM sc GROUP BY 1),
+        ex AS MATERIALIZED (SELECT domain,
+                      greatest(0, mean_loss - (SELECT avg(xent) FROM sc))
+                        AS excess_loss
+               FROM cen),
+        kk AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS k FROM ex),
+        w0 AS (SELECT domain, 1.0 / (SELECT k FROM kk) AS w FROM ex),
+        w1 AS MATERIALIZED (SELECT e.domain,
+                 0.8 * (p.w * exp(25.0 * e.excess_loss))
+                     / (SELECT sum(a.w * exp(25.0 * b.excess_loss))
+                        FROM w0 a JOIN ex b ON a.domain = b.domain)
+                 + 0.2 / (SELECT k FROM kk) AS w
+               FROM ex e JOIN w0 p ON p.domain = e.domain),
+        w2 AS MATERIALIZED (SELECT e.domain,
+                 0.8 * (p.w * exp(25.0 * e.excess_loss))
+                     / (SELECT sum(a.w * exp(25.0 * b.excess_loss))
+                        FROM w1 a JOIN ex b ON a.domain = b.domain)
+                 + 0.2 / (SELECT k FROM kk) AS w
+               FROM ex e JOIN w1 p ON p.domain = e.domain),
+        w3 AS MATERIALIZED (SELECT e.domain,
+                 0.8 * (p.w * exp(25.0 * e.excess_loss))
+                     / (SELECT sum(a.w * exp(25.0 * b.excess_loss))
+                        FROM w2 a JOIN ex b ON a.domain = b.domain)
+                 + 0.2 / (SELECT k FROM kk) AS w
+               FROM ex e JOIN w2 p ON p.domain = e.domain),
+        parts AS MATERIALIZED (
+          SELECT e.domain AS source,
+                 CAST(floor((w1.w + w2.w + w3.w) / 3.0 * 1000000) AS BIGINT)
+                   AS part
+          FROM ex e JOIN w1 ON w1.domain = e.domain
+                    JOIN w2 ON w2.domain = e.domain
+                    JOIN w3 ON w3.domain = e.domain),
+        dd AS MATERIALIZED (SELECT doc_id, source,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+               FROM documents WHERE text IS NOT NULL),
+        av AS MATERIALIZED (SELECT p.source, p.part, sum(dd.n_toks) AS avail
+               FROM parts p JOIN dd USING (source)
+               WHERE p.part > 0
+               GROUP BY 1, 2 HAVING sum(dd.n_toks) > 0),
+        r1 AS (SELECT source, part, avail,
+                 CAST(9000 AS DOUBLE) * part / (SELECT sum(part) FROM av) AS share
+               FROM av),
+        s1 AS (SELECT * FROM r1 WHERE avail <= share),
+        u1 AS (SELECT * FROM r1 WHERE avail > share),
+        r2 AS (SELECT source, part, avail,
+                 CAST(9000 - coalesce((SELECT sum(avail) FROM s1), 0) AS DOUBLE)
+                   * part / (SELECT sum(part) FROM u1) AS share
+               FROM u1),
+        s2 AS (SELECT * FROM r2 WHERE avail <= share),
+        u2 AS (SELECT * FROM r2 WHERE avail > share),
+        r3 AS (SELECT source, part, avail,
+                 CAST(9000 - coalesce((SELECT sum(avail) FROM s1), 0)
+                            - coalesce((SELECT sum(avail) FROM s2), 0) AS DOUBLE)
+                   * part / (SELECT sum(part) FROM u2) AS share
+               FROM u2),
+        s3 AS (SELECT * FROM r3 WHERE avail <= share),
+        u3 AS (SELECT * FROM r3 WHERE avail > share),
+        rates AS (
+          SELECT source, CAST(1000000 AS BIGINT) AS rate_ppm FROM s1
+          UNION ALL SELECT source, CAST(1000000 AS BIGINT) FROM s2
+          UNION ALL SELECT source, CAST(1000000 AS BIGINT) FROM s3
+          UNION ALL SELECT source,
+            CAST(least(1000000, floor(share / avail * 1000000)) AS BIGINT)
+          FROM u3),
+        kept AS (
+          SELECT dd.source, dd.n_toks, r.rate_ppm
+          FROM dd JOIN rates r USING (source)
+          WHERE CAST('0x' || substr(md5('doremi:' || CAST(dd.doc_id AS VARCHAR)),
+                  1, 15) AS BIGINT) % 1000000 < r.rate_ppm)
+        SELECT source, max(rate_ppm) AS rate_ppm, count(*) AS kept_docs,
+               CAST(sum(n_toks) AS BIGINT) AS kept_tokens
+        FROM kept GROUP BY source ORDER BY source""")))
   )
 }

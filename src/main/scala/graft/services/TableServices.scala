@@ -533,11 +533,16 @@ class TableServices(table: GraftTable) {
     * the decision reads only the snapshot's partition list (metadata,
     * driver-sized); the drop itself writes no data files. */
   def partitionTtl(expireBelow: String): Option[(String, Seq[String])] = {
-    val live = Snapshot.resolve(timeline).slices.map(_.partition).distinct
-    val doomed = live.filter(_ < expireBelow).sorted
+    val doomed = partitionTtlCandidates(expireBelow)
     if (doomed.isEmpty) None
     else Some(table.deletePartitions(doomed) -> doomed)
   }
+
+  /** What [[partitionTtl]] WOULD drop, committing nothing (the verb's
+    * DRY RUN arm — retention policies get audited before they fire). */
+  def partitionTtlCandidates(expireBelow: String): Seq[String] =
+    Snapshot.resolve(timeline).slices.map(_.partition).distinct
+      .filter(_ < expireBelow).sorted
 
   /** KEEP_LATEST_FILE_VERSIONS policy (reference analog:
     * CleanPlanner.java:207): per live file group, keep only the newest

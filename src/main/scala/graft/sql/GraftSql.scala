@@ -35,7 +35,7 @@ import graft.write.GraftTable
   *   RESTORE TABLE '<path>' TO '<instant>'            (drop every later data instant)
   *   RUN CLEAN ON '<path>' [RETAIN <n>]
   *   RUN ARCHIVE ON '<path>' [KEEP <min> <max>]
-  *   RUN TTL ON '<path>' EXPIRE BELOW '<value>'   (drop partitions < value)
+  *   RUN TTL ON '<path>' EXPIRE BELOW '<value>' [DRY RUN]  (drop partitions < value)
   *   REPAIR DEDUPLICATE '<path>' [PARTITION 'p'] [DRY RUN]
   *   EXPORT TABLE '<path>' TO '<dir>' [FORMAT fmt] [AS OF '<instant>']
   *   COPY TABLE '<path>' TO '<dir>' [AS OF '<instant>']  (backup AS a graft table)
@@ -93,7 +93,7 @@ object GraftSql {
   private val RunArchive =
     """(?is)\s*RUN\s+ARCHIVE\s+ON\s+'([^']+)'(?:\s+KEEP\s+(\d+)\s+(\d+))?\s*""".r
   private val RunTtl =
-    """(?is)\s*RUN\s+TTL\s+ON\s+'([^']+)'\s+EXPIRE\s+BELOW\s+'([^']+)'\s*""".r
+    """(?is)\s*RUN\s+TTL\s+ON\s+'([^']+)'\s+EXPIRE\s+BELOW\s+'([^']+)'(\s+DRY\s+RUN)?\s*""".r
 
   /** True when `statement` is in the graft grammar (used by the injected
     * session-extension parser to decide interception). */
@@ -109,7 +109,7 @@ object GraftSql {
          ShowWa(_) | ShowColStats(_) | RepairDedup(_, _, _) |
          CreateSavepoint(_, _) | DropSavepoint(_, _) |
          RollbackCommit(_, _) | RestoreTable(_, _) |
-         RunClean(_, _) | RunArchive(_, _, _) | RunTtl(_, _) |
+         RunClean(_, _) | RunArchive(_, _, _) | RunTtl(_, _, _) |
          ExportTable(_, _, _, _) | CopyTable(_, _, _) => true
     case _ => false
   }
@@ -257,10 +257,12 @@ object GraftSql {
         case _                    => svc.archive()
       }
       result(spark, "instant", t.toSeq)
-    case RunTtl(path, expireBelow) =>
+    case RunTtl(path, expireBelow, dry) =>
       val svc = TableServices(GraftTable.load(spark, path))
-      result(spark, "partition",
-        svc.partitionTtl(expireBelow).map(_._2).getOrElse(Nil))
+      val dropped =
+        if (dry != null) svc.partitionTtlCandidates(expireBelow)
+        else svc.partitionTtl(expireBelow).map(_._2).getOrElse(Nil)
+      result(spark, "partition", dropped)
     case ExportTable(path, outDir, fmt, asOf) =>
       val n = GraftExporter.export(GraftTable.load(spark, path), outDir,
         format = Option(fmt).map(_.toLowerCase).getOrElse("parquet"),

@@ -156,19 +156,32 @@ class MultiTableIngest(ingests: Seq[ContinuousIngest]) {
 
 /** Graft-table-as-source: checkpoint = commit instant; fetch = the
   * incremental change stream since it (reference analog:
-  * sources/HoodieIncrSource.java:41). Chains tables into pipelines. */
-class GraftIncrSource(spark: SparkSession, tablePath: String) extends IngestSource {
+  * sources/HoodieIncrSource.java:41). Chains tables into pipelines.
+  *
+  * `maxInstantsPerFetch` caps each round at that many commit instants —
+  * the reference's `hoodie.deltastreamer.source.hoodieincr.num_instants`
+  * (HoodieIncrSource.java:61): a lagging pipeline catches up in paced
+  * rounds instead of one giant pull. No extra state: the checkpoint
+  * already rides IN the target's commit, so pacing is just a smaller
+  * `end` per round. None = drain to latest (previous behavior). */
+class GraftIncrSource(spark: SparkSession, tablePath: String,
+    maxInstantsPerFetch: Option[Int] = None) extends IngestSource {
+  require(maxInstantsPerFetch.forall(_ >= 1),
+    s"maxInstantsPerFetch must be >= 1: $maxInstantsPerFetch")
   override def fetch(checkpoint: Option[String]): Option[(DataFrame, String)] = {
     val src = GraftTable.load(spark, tablePath)
-    val latest = src.timeline.completed()
+    val data = src.timeline.completed()
       .filter(i => Action.dataActions.contains(i.action))
-      .lastOption.map(_.time)
-    latest match {
-      case None => None
-      case Some(end) if checkpoint.contains(end) => None // caught up
-      case Some(end) =>
-        val df = GraftReader(src).incremental(checkpoint.getOrElse(""), Some(end))
-        Some((df, end))
+      .map(_.time)
+    val from = checkpoint.getOrElse("")
+    val pending = data.filter(_ > from)
+    if (pending.isEmpty) None // caught up
+    else {
+      val end = maxInstantsPerFetch match {
+        case Some(n) => pending.take(n).last
+        case None    => pending.last
+      }
+      Some((GraftReader(src).incremental(from, Some(end)), end))
     }
   }
 }

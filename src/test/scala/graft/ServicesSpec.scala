@@ -649,6 +649,9 @@ class ServicesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val before = tbl.timeline.completed().size
     assert(svc.partitionTtl("1").isEmpty)
     assert(tbl.timeline.completed().size == before)
+    // dry run: lists the candidates, commits nothing
+    assert(svc.partitionTtlCandidates("3") == Seq("1-URGENT", "2-HIGH"))
+    assert(tbl.timeline.completed().size == before)
     // cutoff between 2-HIGH and 3-MEDIUM
     val res = svc.partitionTtl("3")
     assert(res.nonEmpty, "partitions below the cutoff must be dropped")

@@ -341,6 +341,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((1L, "a2", 2L), (2L, "b", 2L)))
   }
 
+  test("incr-source pacing: maxInstantsPerFetch catches up one commit per round") {
+    import spark.implicits._
+    val upstream = tmp(); val downstream = tmp()
+    val up = GraftTable.create(spark, upstream, cfg("upp"))
+    val down = GraftTable.create(spark, downstream, cfg("downp"))
+    // a 4-commit backlog on the source before the first sync
+    up.bulkInsert(Seq((1L, "a", 1L)).toDF("id", "v", "ts"))
+    (2 to 4).foreach { i =>
+      up.upsert(Seq((i.toLong, s"v$i", i.toLong)).toDF("id", "v", "ts"))
+    }
+    val ingest = new ContinuousIngest(down,
+      new GraftIncrSource(spark, upstream, maxInstantsPerFetch = Some(1)),
+      transform = df => df.drop(graft.write.Meta.all: _*))
+    // one source commit per round: exactly 4 syncs land data, the 5th
+    // reports caught-up; every row arrives exactly once
+    val landed = (1 to 5).map(_ => ingest.syncOnce().isDefined)
+    assert(landed == Seq(true, true, true, true, false),
+      s"1-instant pacing over a 4-commit backlog must take 4 rounds: $landed")
+    val r = GraftReader(down)
+    val got = r.dataOnly(r.snapshot()).select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L, 4L))
+    intercept[IllegalArgumentException] {
+      new GraftIncrSource(spark, upstream, maxInstantsPerFetch = Some(0))
+    }
+  }
+
   test("streaming sink refuses to start without an explicit idempotency scope") {
     // session-conf checkpoint defaults never reach sink options, so two
     // queries on one table would share a per-path fallback scope and the
