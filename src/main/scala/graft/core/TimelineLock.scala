@@ -190,6 +190,10 @@ object TimelineLock {
     * (the ZK-analog: exclusion state lives in an external service,
     * session loss releases the lock). */
   val TcpPrefix = "tcp:"
+  /** `zk:<connectString>` — the REAL ZooKeeper binding via Curator
+    * ([[ZkLockProvider]]); connectString as ZooKeeper takes it
+    * (host:port[,host:port...][/chroot]). */
+  val ZkPrefix = "zk:"
 
   def providerFor(timeline: Timeline, staleMs: Long = 60000): LockProvider = {
     // only the not-yet-initialized bootstrap may default; a config READ
@@ -208,9 +212,15 @@ object TimelineLock {
           case _ => throw new IllegalArgumentException(
             s"malformed lockProvider '$tcp' (expected 'tcp:<host>:<port>')")
         }
+      case zk if zk.startsWith(ZkPrefix) =>
+        val connect = zk.stripPrefix(ZkPrefix).trim
+        if (connect.isEmpty) throw new IllegalArgumentException(
+          s"malformed lockProvider '$zk' (expected 'zk:<connectString>')")
+        new ZkLockProvider(connect, timeline.basePath)
       case other => throw new IllegalArgumentException(
         s"unknown lockProvider '$other' " +
-          s"(expected '$File', '$InProcess' or '$TcpPrefix<host>:<port>')")
+          s"(expected '$File', '$InProcess', '$TcpPrefix<host>:<port>' " +
+          s"or '$ZkPrefix<connectString>')")
     }
   }
 }

@@ -1,0 +1,151 @@
+package graft.core
+
+import java.util.concurrent.TimeUnit
+
+import org.apache.curator.framework.{CuratorFramework, CuratorFrameworkFactory}
+import org.apache.curator.framework.recipes.locks.InterProcessMutex
+import org.apache.curator.retry.RetryNTimes
+import org.apache.zookeeper.CreateMode
+
+/** ZooKeeper-backed timeline lock via Curator's InterProcessMutex — the
+  * REAL binding behind the reference's production multi-writer posture
+  * (reference analog: transaction/lock/ZookeeperBasedLockProvider.java:55,
+  * which wraps the same recipe). Selected with
+  * `lockProvider = "zk:<connectString>"`; the lock node is derived from
+  * the table base path, so writers from ANY process/host that reach the
+  * ensemble exclude each other, and a crashed writer's ephemeral nodes
+  * (lock + fence marker) evaporate with its session.
+  *
+  * Fencing — the piece the reference's ZK provider leaves open: each
+  * acquire creates an EPHEMERAL_SEQUENTIAL marker and mints the fence
+  * token from the marker's czxid (ZooKeeper's zxids are globally
+  * monotonic, so a later holder's token is strictly newer).
+  * [[verifyFence]] at the commit point re-reads the marker: a holder
+  * whose session expired mid-critical-section (its ephemerals gone, the
+  * mutex possibly in a peer's hands) sees the marker missing and aborts
+  * instead of publishing blind — the same contract the tcp provider's
+  * VERIFY gives, here carried by ZK's own session machinery.
+  *
+  * One provider instance per lock scope (TimelineLock news one per
+  * commit); [[close]] shuts the Curator client down, so nothing leaks
+  * across commits. An unreachable ensemble fails LOUDLY at first
+  * acquire — a silent false would read as "held by a peer" and break
+  * the mutual exclusion the table was configured for. */
+class ZkLockProvider(connect: String, key: String,
+    sessionTimeoutMs: Int = 6000) extends LockProvider {
+
+  private val lockPath = ZkLockProvider.lockPath(key)
+  private val fenceDir = lockPath + "-fence"
+
+  private lazy val client: CuratorFramework = {
+    val c = CuratorFrameworkFactory.builder()
+      .connectString(connect)
+      .sessionTimeoutMs(sessionTimeoutMs)
+      .connectionTimeoutMs(5000)
+      .retryPolicy(new RetryNTimes(2, 50))
+      .build()
+    c.start()
+    if (!c.blockUntilConnected(5, TimeUnit.SECONDS))
+      throw new IllegalStateException(
+        s"cannot reach ZooKeeper ensemble at $connect for timeline lock")
+    c
+  }
+  private lazy val mutex = new InterProcessMutex(client, lockPath)
+
+  private var fence: Option[Long] = None
+  private var markerPath: Option[String] = None
+
+  override def tryLock(): Boolean = {
+    if (!mutex.acquire(0, TimeUnit.MILLISECONDS)) return false
+    val path = client.create().creatingParentsIfNeeded()
+      .withMode(CreateMode.EPHEMERAL_SEQUENTIAL)
+      .forPath(s"$fenceDir/holder-")
+    val stat = client.checkExists().forPath(path)
+    fence = Some(stat.getCzxid)
+    markerPath = Some(path)
+    true
+  }
+
+  override def unlock(): Unit = {
+    markerPath.foreach { p =>
+      try client.delete().forPath(p) catch { case _: Exception => () }
+    }
+    // release() after a session loss throws (the node is already gone —
+    // exactly the state fencing catches); swallowing keeps unlock
+    // idempotent on the abort path
+    try mutex.release() catch { case _: Exception => () }
+    fence = None
+    markerPath = None
+  }
+
+  override def fenceToken: Option[Long] = fence
+
+  /** Still the holder iff the session is live and the acquire-time
+    * marker (same czxid) still exists — false after session expiry even
+    * before the client notices the disconnect. */
+  override def verifyFence(): Boolean = (fence, markerPath) match {
+    case (Some(f), Some(p)) =>
+      try {
+        val stat = client.checkExists().forPath(p)
+        stat != null && stat.getCzxid == f
+      } catch { case _: Exception => false }
+    case _ => false
+  }
+
+  override def close(): Unit =
+    try client.close() catch { case _: Exception => () }
+
+  override def describe: String = s"zk:$connect$lockPath"
+
+  /** Test seam: the underlying Curator client, for session-expiry fault
+    * injection ([[EmbeddedZk.killSession]]). */
+  private[graft] def curator: CuratorFramework = client
+}
+
+object ZkLockProvider {
+  /** ZK node path for a table's lock: a readable sanitized segment plus
+    * an md5 suffix so distinct base paths can never collide after
+    * sanitization. */
+  private[core] def lockPath(key: String): String = {
+    val safe = key.replaceAll("[^a-zA-Z0-9._-]", "_")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(8)
+    s"/graft/locks/${safe.takeRight(80)}-$h"
+  }
+}
+
+/** In-process ZooKeeper server for tests and correctness gates — the
+  * stand-in for a real ensemble inside this sandbox, exercising the
+  * EXACT client stack (Curator recipe + ZK sessions + ephemeral nodes)
+  * a production deployment uses. Server classes ship in the zookeeper
+  * jar itself, so this is the real server, not a fake. */
+object EmbeddedZk {
+  /** Starts a standalone server on a 127.0.0.1 port (0 = ephemeral).
+    * Returns (connectString, shutdown). tickTime 500ms keeps the
+    * minimum negotiable session timeout at 1 s so expiry tests run
+    * fast. A fixed `port` lets a fault test RESTART the server in
+    * place — every session (and its ephemeral lock state) dies, the
+    * ensemble-loss flavor of the session-expiry fault. */
+  def start(port: Int = 0): (String, () => Unit) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zk").toFile
+    dir.deleteOnExit()
+    val zks = new org.apache.zookeeper.server.ZooKeeperServer(dir, dir, 500)
+    val factory = org.apache.zookeeper.server.ServerCnxnFactory.createFactory(
+      new java.net.InetSocketAddress("127.0.0.1", port), 60)
+    factory.startup(zks)
+    (s"127.0.0.1:${factory.getLocalPort}", () => factory.shutdown())
+  }
+
+  /** Expires `client`'s ZK session server-side (the classic second-
+    * handle trick: open a raw ZooKeeper with the victim's session id +
+    * password, then close it) — the fault a fencing test injects. */
+  def killSession(client: CuratorFramework, connect: String): Unit = {
+    val zkc = client.getZookeeperClient.getZooKeeper
+    val killer = new org.apache.zookeeper.ZooKeeper(
+      connect, 5000, new org.apache.zookeeper.Watcher {
+        override def process(e: org.apache.zookeeper.WatchedEvent): Unit = ()
+      }, zkc.getSessionId, zkc.getSessionPasswd)
+    killer.close()
+  }
+}

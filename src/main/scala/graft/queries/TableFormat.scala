@@ -2131,6 +2131,21 @@ object TableFormat {
       },
       Some(OccRaceSql))),
 
+    // ---- OCC under the REAL ZooKeeper lock provider (Curator
+    //      InterProcessMutex + fence markers against an in-process ZK
+    //      server — the server classes ship in the zookeeper jar): the
+    //      same three-writer race as q64/q186 through the production
+    //      lock stack, object-store commit profile
+    "q199_occ_conflict_zk_lock" -> ((
+      (s: SparkSession, d: String) => {
+        val (connect, stop) = graft.core.EmbeddedZk.start()
+        try occRace(s, d, c => c.copy(
+          commitStore = graft.core.CommitStore.Put,
+          lockProvider = s"zk:$connect"))
+        finally stop()
+      },
+      Some(OccRaceSql))),
+
     // ---- fenced commit under lock-session loss: the ZK session-expiry
     //      race (a writer's lock session drops mid-critical-section and a
     //      peer may take the lock before it notices) is closed by the

@@ -30,10 +30,12 @@ class CrossJvmWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     .getOrCreate()
 
   lazy val lockServer: LockServer = { val s = new LockServer(); s.start(); s }
+  lazy val zk: (String, () => Unit) = EmbeddedZk.start()
 
   override def afterAll(): Unit = {
     spark.stop()
     lockServer.stop()
+    zk._2()
   }
 
   private def tmp(): String = Files.createTempDirectory("graft-xjvm").toString
@@ -59,7 +61,13 @@ class CrossJvmWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
       "-Xmx2g", "-cp", System.getProperty("java.class.path"),
       "graft.write.WriterProbe", tableDir, id.toString))
-    new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+    val pb = new ProcessBuilder(cmd: _*)
+    // stderr goes to a file, NEVER a pipe this test doesn't drain: a
+    // full 64 KB pipe buffer blocks the child mid-boot (Spark + ZK
+    // client INFO logging overflows it) and reads as a silent hang
+    pb.redirectError(
+      Files.createTempFile("graft-xjvm-probe", ".stderr").toFile)
+    pb.start()
   }
 
   private def readVerdict(child: Process, timeoutMs: Long = 180000): String = {
@@ -80,7 +88,8 @@ class CrossJvmWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
   for ((store, lock) <- Seq(
       (CommitStore.Rename, "tcp"),
       (CommitStore.Put, "tcp"),
-      (CommitStore.Rename, TimelineLock.File))) {
+      (CommitStore.Rename, TimelineLock.File),
+      (CommitStore.Put, "zk"))) { // real ZooKeeper across both JVMs
     test(s"[$store/$lock] a second writer JVM races this one on a single key: " +
         "exactly-once state, clean timeline") {
       import spark.implicits._
@@ -89,8 +98,11 @@ class CrossJvmWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
         name = "xjvm", tableType = TableType.COW, keyFields = Seq("id"),
         orderingField = "", targetFileRows = 1000, occ = true,
         commitStore = store,
-        lockProvider =
-          if (lock == "tcp") s"tcp:127.0.0.1:${lockServer.port}" else lock))
+        lockProvider = lock match {
+          case "tcp" => s"tcp:127.0.0.1:${lockServer.port}"
+          case "zk"  => s"zk:${zk._1}"
+          case other => other
+        }))
       tbl.bulkInsert(rows(1L, 2L, 3L))
 
       val child = launchProbe(dir, id = 7)
