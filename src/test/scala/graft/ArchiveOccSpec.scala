@@ -24,10 +24,13 @@ class ArchiveOccSpec extends AnyFunSuite with BeforeAndAfterAll {
   // shared out-of-process lock service for the tcp-provider profiles
   // (the ZK-analog: exclusion state lives outside every writer JVM)
   lazy val lockServer: LockServer = { val s = new LockServer(); s.start(); s }
+  lazy val zk: (String, () => Unit) = EmbeddedZk.start()
+  def zkConnect: String = zk._1
 
   override def afterAll(): Unit = {
     spark.stop()
     lockServer.stop()
+    zk._2()
   }
 
   def tmp(): String = Files.createTempDirectory("graft-arch").toString
@@ -248,12 +251,17 @@ class ArchiveOccSpec extends AnyFunSuite with BeforeAndAfterAll {
       // "tcp" resolves to the live server's port inside pcfg (the port
       // is only known once the shared LockServer binds)
       (CommitStore.Rename, "tcp"),
-      (CommitStore.Put, "tcp"))) {
+      (CommitStore.Put, "tcp"),
+      // the REAL ZooKeeper provider against the in-process ZK server
+      (CommitStore.Put, "zk"))) {
 
     def pcfg(occ: Boolean = false): TableConfig =
       cfg(occ).copy(commitStore = store,
-        lockProvider =
-          if (lock == "tcp") s"tcp:127.0.0.1:${lockServer.port}" else lock)
+        lockProvider = lock match {
+          case "tcp" => s"tcp:127.0.0.1:${lockServer.port}"
+          case "zk"  => s"zk:${zkConnect}"
+          case other => other
+        })
 
     test(s"[$store/$lock] MOR lifecycle + archive round-trips") {
       val tbl = GraftTable.create(spark, tmp(),

@@ -275,4 +275,40 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(exchanges == 1, s"EM recount has $exchanges hash exchanges:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("card scrubbing is a joinless, shuffle-free per-row pipeline") {
+    // the Luhn fold + regex family must never move a row: no join, no
+    // exchange beyond the gate's own final ORDER BY range partitioning
+    import org.apache.spark.sql.functions._
+    val docs = Tables.t(spark, sf, "documents")
+    val (nCand, nValid) = graft.llm.TextFunctions.cardCounts(col("text"))
+    val p = docs.select(col("doc_id"), nCand, nValid,
+        graft.llm.TextFunctions.redactCards(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"card scrub plans a join:\n$p")
+    assert(!p.contains("Exchange"), s"card scrub plans an exchange:\n$p")
+  }
+
+  test("doremi weights cost ONE census aggregation; the mix apply stays joinless") {
+    import org.apache.spark.sql.functions._
+    // census plan: one hash-aggregate pair over one scan, no join
+    val scored = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("double").as("loss"))
+    val census = scored.filter(col("source").isNotNull && col("loss").isNotNull)
+      .groupBy(col("source")).agg(count(lit(1)), avg(col("loss")))
+    val pc = census.queryExecution.executedPlan.toString
+    assert(!pc.contains("Join"), s"doremi census plans a join:\n$pc")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(pc).size
+    assert(exchanges == 1, s"doremi census has $exchanges exchanges:\n$pc")
+    // the realized mix (q198's apply phase): rates ride a CASE — the only
+    // joins in the WHOLE gated plan are the xent scoring's broadcast of
+    // the vocab-sized frequency table; nothing shuffles twice for rates
+    val p = planOf("q198_doremi_budget_mix")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q198 plans a cartesian:\n$p")
+    val sorts = "SortMergeJoin".r.findAllIn(p).size
+    assert(sorts <= 1, s"q198 plans $sorts sort-merge joins — rate apply " +
+      s"must be a CASE filter, not a join:\n$p")
+  }
 }
