@@ -133,3 +133,18 @@ EXPECT: 2
 
 RUN: COPY TABLE '$T' TO '$T-backup'
 EXPECT: -
+
+RUN: RUN TTL ON '$T' EXPIRE BELOW 'p2' DRY RUN
+EXPECT: p1
+
+RUN: SELECT id, v FROM gtab ORDER BY id
+EXPECT: 12,z|20,o
+
+RUN: RUN TTL ON '$T' EXPIRE BELOW 'p2'
+EXPECT: p1
+
+RUN: SELECT id, v FROM gtab ORDER BY id
+EXPECT: 12,z
+
+RUN: RUN TTL ON '$T' EXPIRE BELOW 'p2'
+EXPECT_ROWS: 0
