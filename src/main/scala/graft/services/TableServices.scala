@@ -850,6 +850,15 @@ class TableServices(table: GraftTable) {
     val suffixes =
       Seq(s"_$time.parquet", s"_$time.delta.parquet",
         s"_$time.orc", s"_$time.delta.orc")
+    // a publish promote that crashed mid-copy leaves its attempt-unique
+    // temp (`.<dest>.put<nanos>t<tid>`, ConditionalPutCommitStore
+    // .moveFile) in the PARTITION dir — hidden from readers (dot-file,
+    // and never in commit metadata) but garbage until this instant's
+    // failed-write cleanup reaps it with the instant
+    def matches(name: String): Boolean =
+      suffixes.exists(sfx =>
+        name.endsWith(sfx) ||
+          (name.startsWith(".") && name.contains(sfx + ".put")))
     def walk(dir: Path): Seq[Path] = {
       val entries =
         try fs.listStatus(dir).toSeq
@@ -858,7 +867,7 @@ class TableServices(table: GraftTable) {
         val name = st.getPath.getName
         if (st.isDirectory) {
           if (name == Timeline.MetaDir) Nil else walk(st.getPath)
-        } else if (suffixes.exists(name.endsWith)) Seq(st.getPath)
+        } else if (matches(name)) Seq(st.getPath)
         else Nil
       }
     }

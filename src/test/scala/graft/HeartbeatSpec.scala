@@ -55,8 +55,11 @@ class HeartbeatSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   /** Plant a crashed write: pending inflight marker (dated `time`),
-    * staged tmp leftovers, and one orphan data file at a final name.
-    * Returns (staged, orphan) paths. */
+    * staged tmp leftovers, one orphan data file at a final name, and a
+    * promote temp from a crashed put-profile move
+    * (ConditionalPutCommitStore.moveFile's attempt-unique copy target).
+    * Returns (staged, orphan) paths; the promote temp sits next to the
+    * orphan as `.dead-0_<time>.parquet.put1t1`. */
   private def plantCrash(tbl: GraftTable, time: String): (Path, Path) = {
     val metaDir = tbl.timeline.metaDir
     touchFile(tbl, new Path(metaDir, s"$time.commit.inflight"), "{}")
@@ -64,8 +67,12 @@ class HeartbeatSpec extends AnyFunSuite with BeforeAndAfterAll {
     touchFile(tbl, staged, "staged")
     val orphan = new Path(tbl.basePath, s"dead-0_$time.parquet")
     touchFile(tbl, orphan, "orphan")
+    touchFile(tbl, promoteTemp(tbl, time), "half-copied")
     (staged, orphan)
   }
+
+  private def promoteTemp(tbl: GraftTable, time: String): Path =
+    new Path(tbl.basePath, s".dead-0_$time.parquet.put1t1")
 
   test("eager policy rolls back a crashed write at the next write start") {
     val tbl = GraftTable.create(spark, tmp(), cfg()) // auto -> eager (no OCC)
@@ -75,6 +82,8 @@ class HeartbeatSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fs = tbl.timeline.fileSystem
     assert(tbl.timeline.instants().forall(_.isCompleted))
     assert(!fs.exists(staged) && !fs.exists(orphan))
+    assert(!fs.exists(promoteTemp(tbl, "19990101000000000")),
+      "a crashed promote's attempt temp must be reaped with its instant")
     assert(tbl.timeline.completed().exists(i =>
       i.action == Action.Rollback &&
         tbl.timeline.metadataOf(i).extra.get("target").contains("19990101000000000")))
