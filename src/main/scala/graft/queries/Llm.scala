@@ -4281,6 +4281,101 @@ object Llm {
                   1, 15) AS BIGINT) % 1000000 < r.rate_ppm)
         SELECT source, max(rate_ppm) AS rate_ppm, count(*) AS kept_docs,
                CAST(sum(n_toks) AS BIGINT) AS kept_tokens
-        FROM kept GROUP BY source ORDER BY source""")))
+        FROM kept GROUP BY source ORDER BY source"""))),
+
+    // ---- DoReMi's faithful TWO-MODEL form: excess loss = proxy minus
+    //      reference per domain (here: corpus-fit unigram LM as the
+    //      proxy, JM-smoothed bigram LM as the stronger reference — the
+    //      gap measures how much a better model helps each domain), fed
+    //      through the same EG rounds via the baselinePerDomain arm.
+    //      Domains where the reference closes more of the gap get less
+    //      upweight. The oracle fuses q97's and q137's censuses with the
+    //      q194 round unroll
+    "q200_doremi_two_model" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val src = docs.select(col("doc_id"), col("source"))
+        val refLoss = graft.llm.QualityModel
+          .bigramXent(docs, "doc_id", "text")
+          .join(src, "doc_id")
+          .groupBy(col("source")).agg(avg(col("xent")).as("ref"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val scored = graft.llm.QualityModel
+          .unigramXent(docs, "doc_id", "text")
+          .join(src, "doc_id")
+        graft.llm.Mixing
+          .doremiWeights(scored, "source", "xent",
+            rounds = 3, eta = 10.0, smoothing = 0.2,
+            baselinePerDomain = Some(refLoss))
+          .orderBy(col("domain"))
+      },
+      Some("""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        uni AS MATERIALIZED (
+          SELECT t AS tok, CAST(count(*) AS DOUBLE) AS c
+          FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM uni),
+        usc AS MATERIALIZED (
+          SELECT u.doc_id, d.source,
+                 sum(-ln(c / (SELECT total FROM tot))) / count(*) AS xent
+          FROM (SELECT doc_id, unnest(tk) AS tok FROM toks) u
+          JOIN uni USING (tok) JOIN documents d ON d.doc_id = u.doc_id
+          GROUP BY u.doc_id, d.source),
+        pp AS MATERIALIZED (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+                 unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
+          FROM toks),
+        bi AS MATERIALIZED (
+          SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cb
+          FROM pp GROUP BY 1, 2),
+        bsc AS MATERIALIZED (
+          SELECT pp.doc_id, d.source,
+                 sum(-ln(0.75 * (bi.cb / u1.c)
+                         + 0.25 * (u2.c / (SELECT total FROM tot))))
+                   / count(*) AS xent
+          FROM pp
+          JOIN bi ON bi.w1 = pp.w1 AND bi.w2 = pp.w2
+          JOIN uni u1 ON u1.tok = pp.w1
+          JOIN uni u2 ON u2.tok = pp.w2
+          JOIN documents d ON d.doc_id = pp.doc_id
+          GROUP BY pp.doc_id, d.source),
+        cen AS MATERIALIZED (
+          SELECT source AS domain, count(*) AS n_docs, avg(xent) AS mean_loss
+          FROM usc GROUP BY 1),
+        ref AS MATERIALIZED (
+          SELECT source AS domain, avg(xent) AS ref_loss FROM bsc GROUP BY 1),
+        ex AS MATERIALIZED (
+          SELECT c.domain, c.n_docs, c.mean_loss,
+                 greatest(0, c.mean_loss
+                             - coalesce(r.ref_loss, c.mean_loss)) AS excess_loss
+          FROM cen c LEFT JOIN ref r ON r.domain = c.domain),
+        kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM ex),
+        w0 AS (SELECT domain, 1.0 / (SELECT k FROM kk) AS w FROM ex),
+        w1 AS MATERIALIZED (SELECT e.domain,
+                 0.8 * (p.w * exp(10.0 * e.excess_loss))
+                     / (SELECT sum(a.w * exp(10.0 * b.excess_loss))
+                        FROM w0 a JOIN ex b ON a.domain = b.domain)
+                 + 0.2 / (SELECT k FROM kk) AS w
+               FROM ex e JOIN w0 p ON p.domain = e.domain),
+        w2 AS MATERIALIZED (SELECT e.domain,
+                 0.8 * (p.w * exp(10.0 * e.excess_loss))
+                     / (SELECT sum(a.w * exp(10.0 * b.excess_loss))
+                        FROM w1 a JOIN ex b ON a.domain = b.domain)
+                 + 0.2 / (SELECT k FROM kk) AS w
+               FROM ex e JOIN w1 p ON p.domain = e.domain),
+        w3 AS MATERIALIZED (SELECT e.domain,
+                 0.8 * (p.w * exp(10.0 * e.excess_loss))
+                     / (SELECT sum(a.w * exp(10.0 * b.excess_loss))
+                        FROM w2 a JOIN ex b ON a.domain = b.domain)
+                 + 0.2 / (SELECT k FROM kk) AS w
+               FROM ex e JOIN w2 p ON p.domain = e.domain)
+        SELECT e.domain, e.n_docs, e.mean_loss, e.excess_loss,
+               (w1.w + w2.w + w3.w) / 3.0 AS weight
+        FROM ex e JOIN w1 ON w1.domain = e.domain
+                  JOIN w2 ON w2.domain = e.domain
+                  JOIN w3 ON w3.domain = e.domain
+        ORDER BY e.domain""")))
   )
 }
