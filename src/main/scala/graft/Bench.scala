@@ -1,6 +1,46 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Fixed synthetic probe (~1-2 s) measuring what the CONTAINER is
+    * worth right now: a deterministic integer-mix kernel saturating the
+    * requested cores, and a tmpfs write/rename/delete loop. Emitted as
+    * `"calibration"` in the bench JSON so cross-round comparisons can be
+    * drift-normalized (container throughput has measured 2× overnight
+    * swings; see README "Reading the bench numbers"): divide per-query
+    * times by (cpu_sec ratio) before calling anything a regression. */
+  private def calibration(nThreads: Int): (Double, Double) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    val cpuT0 = System.nanoTime()
+    val tasks = (0 until nThreads).map { t =>
+      pool.submit(new java.util.concurrent.Callable[java.lang.Long] {
+        override def call(): java.lang.Long = {
+          var x = 0x9E3779B97F4A7C15L + t
+          var i = 0
+          while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+          x
+        }
+      })
+    }
+    val sink = tasks.map(_.get().longValue()).sum
+    pool.shutdown()
+    val cpuSec = (System.nanoTime() - cpuT0) / 1e9
+    require(sink != 42L) // keep the kernel un-eliminable
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-cal")
+    val buf = new Array[Byte](256 * 1024)
+    java.util.Arrays.fill(buf, 7.toByte)
+    val ioT0 = System.nanoTime()
+    (0 until 256).foreach { i =>
+      val p = dir.resolve(s"f$i")
+      java.nio.file.Files.write(p, buf)
+      java.nio.file.Files.move(p, dir.resolve(s"g$i"))
+    }
+    (0 until 256).foreach(i => java.nio.file.Files.delete(dir.resolve(s"g$i")))
+    val ioSec = (System.nanoTime() - ioT0) / 1e9
+    java.nio.file.Files.delete(dir)
+    (cpuSec, ioSec)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -78,8 +118,12 @@ object Bench {
     val (writeQs, readQs) = results.partition(r => SparkEntry.writePathQueries(r._1))
     val writeTotal = writeQs.map(_._2).sum
     val readTotal = readQs.map(_._2).sum
+    // machine-state anchor, measured AFTER the queries so their JIT/page
+    // cache state can't skew it (and vice versa at the front)
+    val (calCpu, calIo) = calibration(cpus.toInt)
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""read_total":$readTotal,"write_total":$writeTotal,""" +
+      s""""calibration":{"cpu_sec":$calCpu,"io_sec":$calIo,"threads":$cpus},""" +
       s""""failed":${failures.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) {

@@ -13,4 +13,8 @@ object Json {
   }
   def write(v: Any): String = mapper.writeValueAsString(v)
   def read[T](s: String, clazz: Class[T]): T = mapper.readValue(s, clazz)
+  /** For parameterized targets (e.g. a bare `Map[String, ColStat]`)
+    * where a Class token erases the value type. */
+  def read[T](s: String, tref: com.fasterxml.jackson.core.`type`.TypeReference[T]): T =
+    mapper.readValue(s, tref)
 }

@@ -46,9 +46,12 @@ class FileLockProvider(timeline: Timeline, staleMs: Long = 60000)
     try {
       // atomic create-if-absent; the file CONTENT is the fence token, so
       // a holder whose stale lock was broken and re-taken by a peer sees
-      // a different token at verify time instead of publishing blind
-      val token = FileLockProvider.nextFence.getAndIncrement() * 1000000L +
-        (System.currentTimeMillis() % 1000000L)
+      // a different token at verify time instead of publishing blind.
+      // Tokens are 64-bit SecureRandom draws: uniqueness needs no
+      // cross-process coordination (a counter×millis scheme collides
+      // when two writers' FIRST acquires share a millisecond — exactly
+      // the tiny window fencing exists to close)
+      val token = FileLockProvider.mintFence()
       val bytes = token.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (fs.getUri.getScheme == "file") {
         // Hadoop's LocalFileSystem create(overwrite = false) is CHECK-
@@ -104,9 +107,13 @@ class FileLockProvider(timeline: Timeline, staleMs: Long = 60000)
 }
 
 object FileLockProvider {
-  /** Uniqueness within a JVM; cross-process uniqueness comes from the
-    * millisecond suffix mixed into each token. */
-  private val nextFence = new java.util.concurrent.atomic.AtomicLong(1L)
+  private val rng = new java.security.SecureRandom()
+  /** 63-bit random fence token (non-negative: the token is recorded as
+    * a digit string in the commit payload) — collision probability
+    * across any plausible number of holds is birthday-bounded
+    * (~n²/2⁶⁴), with no dependence on clocks or process-local
+    * counters. */
+  private[graft] def mintFence(): Long = rng.nextLong() & Long.MaxValue
 }
 
 /** JVM-wide lock keyed by table path — correct whenever every writer
@@ -194,6 +201,9 @@ object TimelineLock {
     * ([[ZkLockProvider]]); connectString as ZooKeeper takes it
     * (host:port[,host:port...][/chroot]). */
   val ZkPrefix = "zk:"
+  /** `hms:<thrift://...|jdbc:...>` — the Hive-metastore ACID lock
+    * manager binding ([[HmsLockProvider]]). */
+  val HmsPrefix = "hms:"
 
   def providerFor(timeline: Timeline, staleMs: Long = 60000): LockProvider = {
     // only the not-yet-initialized bootstrap may default; a config READ
@@ -216,11 +226,18 @@ object TimelineLock {
         val connect = zk.stripPrefix(ZkPrefix).trim
         if (connect.isEmpty) throw new IllegalArgumentException(
           s"malformed lockProvider '$zk' (expected 'zk:<connectString>')")
-        new ZkLockProvider(connect, timeline.basePath)
+        // shared long-lived ZK session per connect string; only the
+        // mutex + fence marker are per-commit (see ZkLockProvider.cached)
+        ZkLockProvider.cached(connect, timeline.basePath)
+      case hms if hms.startsWith(HmsPrefix) =>
+        val connect = hms.stripPrefix(HmsPrefix).trim
+        if (connect.isEmpty) throw new IllegalArgumentException(
+          s"malformed lockProvider '$hms' (expected 'hms:<thrift://...|jdbc:...>')")
+        new HmsLockProvider(connect, timeline.basePath)
       case other => throw new IllegalArgumentException(
         s"unknown lockProvider '$other' " +
-          s"(expected '$File', '$InProcess', '$TcpPrefix<host>:<port>' " +
-          s"or '$ZkPrefix<connectString>')")
+          s"(expected '$File', '$InProcess', '$TcpPrefix<host>:<port>', " +
+          s"'$ZkPrefix<connectString>' or '$HmsPrefix<connect>')")
     }
   }
 }

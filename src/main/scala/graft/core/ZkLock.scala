@@ -27,43 +27,64 @@ import org.apache.zookeeper.CreateMode
   * VERIFY gives, here carried by ZK's own session machinery.
   *
   * One provider instance per lock scope (TimelineLock news one per
-  * commit); [[close]] shuts the Curator client down, so nothing leaks
-  * across commits. An unreachable ensemble fails LOUDLY at first
-  * acquire — a silent false would read as "held by a peer" and break
-  * the mutual exclusion the table was configured for. */
+  * commit), but the Curator CLIENT is long-lived: the production path
+  * ([[ZkLockProvider.cached]]) shares one session per connect string
+  * across every commit in the process — at continuous-ingest commit
+  * rates a session handshake per commit is needless ensemble churn and
+  * adds connect latency to every publish (the reference holds one
+  * client per writer lifetime, LockManager.java). Only the mutex and
+  * the fence marker are per-commit; the czxid fencing tolerates a
+  * long-lived session by construction. A directly-constructed provider
+  * (tests simulating a crashing writer) owns a dedicated client that
+  * [[close]] really closes. An unreachable ensemble fails LOUDLY at
+  * first acquire — a silent false would read as "held by a peer" and
+  * break the mutual exclusion the table was configured for. */
 class ZkLockProvider(connect: String, key: String,
-    sessionTimeoutMs: Int = 6000) extends LockProvider {
+    sessionTimeoutMs: Int = 6000,
+    shared: Option[CuratorFramework] = None) extends LockProvider {
 
   private val lockPath = ZkLockProvider.lockPath(key)
   private val fenceDir = lockPath + "-fence"
 
-  private lazy val client: CuratorFramework = {
-    val c = CuratorFrameworkFactory.builder()
-      .connectString(connect)
-      .sessionTimeoutMs(sessionTimeoutMs)
-      .connectionTimeoutMs(5000)
-      .retryPolicy(new RetryNTimes(2, 50))
-      .build()
-    c.start()
-    if (!c.blockUntilConnected(5, TimeUnit.SECONDS))
-      throw new IllegalStateException(
-        s"cannot reach ZooKeeper ensemble at $connect for timeline lock")
-    c
-  }
+  private val ownsClient = shared.isEmpty
+  private lazy val client: CuratorFramework = shared.getOrElse(
+    ZkLockProvider.newClient(connect, sessionTimeoutMs))
   private lazy val mutex = new InterProcessMutex(client, lockPath)
 
   private var fence: Option[Long] = None
   private var markerPath: Option[String] = None
 
   override def tryLock(): Boolean = {
+    // a shared client may be mid-reconnect (ensemble restart between
+    // commits); wait for the session rather than throwing ConnectionLoss
+    // out of the acquire — on a connected client this returns immediately
+    if (!client.blockUntilConnected(5, TimeUnit.SECONDS))
+      throw new IllegalStateException(
+        s"cannot reach ZooKeeper ensemble at $connect for timeline lock")
     if (!mutex.acquire(0, TimeUnit.MILLISECONDS)) return false
-    val path = client.create().creatingParentsIfNeeded()
-      .withMode(CreateMode.EPHEMERAL_SEQUENTIAL)
-      .forPath(s"$fenceDir/holder-")
-    val stat = client.checkExists().forPath(path)
-    fence = Some(stat.getCzxid)
-    markerPath = Some(path)
-    true
+    // nothing may escape between a successful acquire and returning true:
+    // an exception here would leave the mutex held with no owner to
+    // release it (freed only by eventual session death)
+    try {
+      val path = client.create().creatingParentsIfNeeded()
+        .withMode(CreateMode.EPHEMERAL_SEQUENTIAL)
+        .forPath(s"$fenceDir/holder-")
+      val stat = client.checkExists().forPath(path)
+      if (stat == null) {
+        // session expired between marker create and stat: the marker —
+        // and the mutex's own ephemeral — are already gone
+        try mutex.release() catch { case _: Exception => () }
+        false
+      } else {
+        fence = Some(stat.getCzxid)
+        markerPath = Some(path)
+        true
+      }
+    } catch {
+      case e: Exception =>
+        try mutex.release() catch { case _: Exception => () }
+        throw e
+    }
   }
 
   override def unlock(): Unit = {
@@ -92,8 +113,10 @@ class ZkLockProvider(connect: String, key: String,
     case _ => false
   }
 
+  /** Closes the client only when this provider owns it; a shared
+    * (cached) client outlives every per-commit provider by design. */
   override def close(): Unit =
-    try client.close() catch { case _: Exception => () }
+    if (ownsClient) try client.close() catch { case _: Exception => () }
 
   override def describe: String = s"zk:$connect$lockPath"
 
@@ -103,6 +126,39 @@ class ZkLockProvider(connect: String, key: String,
 }
 
 object ZkLockProvider {
+  private val clientCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CuratorFramework]()
+
+  private def newClient(connect: String, sessionTimeoutMs: Int): CuratorFramework = {
+    val c = CuratorFrameworkFactory.builder()
+      .connectString(connect)
+      .sessionTimeoutMs(sessionTimeoutMs)
+      .connectionTimeoutMs(5000)
+      .retryPolicy(new RetryNTimes(2, 50))
+      .build()
+    c.start()
+    if (!c.blockUntilConnected(5, TimeUnit.SECONDS)) {
+      try c.close() catch { case _: Exception => () }
+      throw new IllegalStateException(
+        s"cannot reach ZooKeeper ensemble at $connect for timeline lock")
+    }
+    c
+  }
+
+  /** The process-wide Curator client for `connect` — one ZK session per
+    * ensemble per JVM, shared across commits and tables (the
+    * CommitStore.fcCache shape). Built on first use; an unreachable
+    * ensemble throws WITHOUT caching, so a later attempt retries the
+    * connect instead of reusing a dead handle. */
+  private[graft] def cachedClient(connect: String,
+      sessionTimeoutMs: Int = 6000): CuratorFramework =
+    clientCache.computeIfAbsent(connect, c => newClient(c, sessionTimeoutMs))
+
+  /** Production construction: a per-commit provider over the shared
+    * long-lived client. */
+  def cached(connect: String, key: String): ZkLockProvider =
+    new ZkLockProvider(connect, key, shared = Some(cachedClient(connect)))
+
   /** ZK node path for a table's lock: a readable sanitized segment plus
     * an md5 suffix so distinct base paths can never collide after
     * sanitization. */

@@ -417,14 +417,17 @@ object Mixing {
     }
     val weights = doremiRounds(excess, rounds, eta, smoothing)
     val exMap = excess.toMap
-    val exCol = exMap.foldLeft(lit(Double.NaN): Column) {
-      case (alt, (dom, e)) => when(col("domain") === dom, lit(e)).otherwise(alt)
-    }
-    val wCol = weights.foldLeft(lit(Double.NaN): Column) {
-      case (alt, (dom, w)) => when(col("domain") === dom, lit(w)).otherwise(alt)
-    }
-    census
-      .withColumn("excess_loss", exCol)
-      .withColumn("weight", wCol)
+    // materialize from the ONE collected census: returning
+    // census.withColumn(literal CASE ...) would re-execute the
+    // aggregation, and with a nondeterministic input (sampled or
+    // rand-derived losses) the re-aggregated rows could disagree with
+    // the weights computed from the first execution — and the
+    // when/otherwise chain grows linearly with domain count
+    val spark = perDoc.sparkSession
+    import spark.implicits._
+    rows.toSeq
+      .map { case (dom, n, m) => (dom, n, m, exMap(dom), weights(dom)) }
+      .sortBy(_._1)
+      .toDF("domain", "n_docs", "mean_loss", "excess_loss", "weight")
   }
 }

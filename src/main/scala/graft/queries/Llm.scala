@@ -4172,7 +4172,7 @@ object Llm {
     //      become integral proportion parts (floor(w·1e6)) feeding the
     //      q175 token-budget waterfill, whose ppm membership keeps whole
     //      docs — the full plan→materialize loop of a mixture recipe.
-    //      Budget 30k tokens is far under every source's availability,
+    //      Budget 9k tokens is far under every source's availability,
     //      so no waterfill saturation wave fires (the oracle still
     //      unrolls 3 idempotent rounds, same as q175)
     "q198_doremi_budget_mix" -> ((

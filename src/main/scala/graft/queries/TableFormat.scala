@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{TableConfig, TableType}
+import graft.core.{Action, TableConfig, TableType}
 import graft.read.GraftReader
 import graft.services.TableServices
 import graft.sql.GraftDml
@@ -2146,6 +2146,32 @@ object TableFormat {
       },
       Some(OccRaceSql))),
 
+    // ---- multi-writer OCC arbitrated by the HIVE METASTORE's ACID lock
+    //      manager (reference analog:
+    //      HiveMetastoreBasedLockProvider.java:71): an EXCLUSIVE
+    //      table-level lock in a real embedded Derby-backed HMS — the
+    //      lock family a Hive-centric deployment already operates.
+    //      Parameterized over BOTH commit stores (rename and
+    //      conditional-put), same race, same final state; the lock id
+    //      doubles as a monotonic fence (see HmsLockSpec for the
+    //      reaped-hold abort)
+    "q201_occ_conflict_hms_lock" -> ((
+      (s: SparkSession, d: String) => {
+        val dbDir = freshDir()
+        val connect = s"jdbc:derby:;databaseName=$dbDir/hms_db;create=true"
+        val byRename = occRace(s, d, c => c.copy(
+          commitStore = graft.core.CommitStore.Rename,
+          lockProvider = s"hms:$connect"))
+        val byPut = occRace(s, d, c => c.copy(
+          commitStore = graft.core.CommitStore.Put,
+          lockProvider = s"hms:$connect"))
+        require(byRename.collect().toSeq == byPut.collect().toSeq,
+          "both commit stores must converge to the same final state " +
+            "under the hms lock")
+        byPut
+      },
+      Some(OccRaceSql))),
+
     // ---- fenced commit under lock-session loss: the ZK session-expiry
     //      race (a writer's lock session drops mid-critical-section and a
     //      peer may take the lock before it notices) is closed by the
@@ -2272,6 +2298,122 @@ object TableFormat {
         SELECT o_orderpriority, count(*) AS n,
                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
                CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- duration-based TTL (the typed form a retention schedule
+    //      actually runs): `RUN TTL ... EXPIRE OLDER THAN <n> DAYS` on a
+    //      date-partitioned table computes the cutoff from today's date
+    //      and drops only partitions carrying an ISO date older than it —
+    //      no hand-rolled cutoff string, and non-date layouts refuse
+    //      loudly (see ServicesSpec) instead of guessing. Fixture dates
+    //      sit decades on either side of today±10y, so the wall-clock
+    //      arithmetic is deterministic for this gate
+    "q202_partition_ttl_typed" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val dated = orders.withColumn("dt",
+          when(col("o_orderpriority") === "1-URGENT", lit("1998-01-05"))
+            .when(col("o_orderpriority") === "2-HIGH", lit("2001-06-30"))
+            .when(col("o_orderpriority") === "3-MEDIUM", lit("2098-01-01"))
+            .when(col("o_orderpriority") === "4-NOT SPECIFIED", lit("2098-06-01"))
+            .otherwise(lit("2099-01-01")))
+        val tbl = GraftTable.create(s, freshDir(),
+          cfg("orders_ttl_typed", TableType.COW).copy(
+            partitionFields = Seq("dt")))
+        tbl.bulkInsert(dated)
+        val dry = graft.sql.GraftSql
+          .sql(s, s"RUN TTL ON '${tbl.basePath}' EXPIRE OLDER THAN 3650 DAYS DRY RUN")
+          .collect().map(_.getString(0)).toSeq
+        require(dry == Seq("1998-01-05", "2001-06-30"),
+          s"DRY RUN must list exactly the decades-old partitions: $dry")
+        require(tbl.timeline.completed().count(_.action == Action.ReplaceCommit) == 0,
+          "DRY RUN must commit nothing")
+        val dropped = graft.sql.GraftSql
+          .sql(s, s"RUN TTL ON '${tbl.basePath}' EXPIRE OLDER THAN 3650 DAYS")
+          .collect().map(_.getString(0)).toSeq
+        require(dropped == dry, s"the drop must realize the audited plan: $dropped")
+        require(graft.sql.GraftSql
+          .sql(s, s"RUN TTL ON '${tbl.basePath}' EXPIRE OLDER THAN 3650 DAYS")
+          .isEmpty, "a repeated duration TTL run must be a no-op")
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority, o_totalprice AS price
+          FROM orders
+          WHERE o_orderpriority IN ('3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'))
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // ---- schema-evolving MERGE INTO: a star action whose source
+    //      carries a genuinely NEW column reconciles-by-union exactly
+    //      like the raw write path — post-MERGE `SELECT *` sees the
+    //      stable existing field order with the new column APPENDED,
+    //      old rows read it as null; under strictSchema the same merge
+    //      refuses loudly (reference analog: TestMergeIntoTable2's
+    //      evolved-schema cases + TableSchemaResolver.isSchemaCompatible)
+    "q203_merge_schema_evolution" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(),
+          cfg("orders_mgevo", TableType.COW))
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        val origCols = {
+          val r0 = GraftReader(tbl)
+          r0.dataOnly(r0.snapshot()).columns.toSeq
+        }
+        val src = orders.filter(col("o_orderkey") % 10 >= 4)
+          .withColumn("discount", (col("o_orderkey") % 7).cast("double"))
+        val committed = graft.sql.GraftDml(tbl)
+          .merge(src, col("t.o_orderkey") === col("s.o_orderkey") &&
+            col("t.o_orderpriority") === col("s.o_orderpriority"))
+          .whenMatchedUpdateAll()
+          .whenNotMatchedInsertAll()
+          .execute()
+        require(committed.nonEmpty, "the evolving merge must commit")
+        val r = GraftReader(tbl)
+        val after = r.dataOnly(r.snapshot())
+        require(after.columns.toSeq == origCols :+ "discount",
+          s"post-MERGE SELECT * must keep the stable field order with " +
+            s"the new column appended, got ${after.columns.mkString(",")}")
+        // the same star merge under strictSchema refuses loudly
+        val strict = GraftTable.create(s, freshDir(),
+          cfg("orders_mgstrict", TableType.COW).copy(strictSchema = true))
+        strict.bulkInsert(orders.filter(col("o_orderkey") % 10 < 2))
+        val refused =
+          try {
+            graft.sql.GraftDml(strict)
+              .merge(src, col("t.o_orderkey") === col("s.o_orderkey") &&
+                col("t.o_orderpriority") === col("s.o_orderpriority"))
+              .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+            false
+          } catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("strictSchema") }
+        require(refused, "strictSchema must reject a schema-evolving merge")
+        after
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(floor(col("o_totalprice") * 100)).cast("long").as("price_c"),
+            sum(when(col("discount").isNull, lit(-1L))
+              .otherwise(col("discount").cast("long"))).cast("long").as("disc_sum"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority, o_totalprice AS price,
+                 CASE WHEN o_orderkey % 10 >= 4
+                      THEN CAST(o_orderkey % 7 AS DOUBLE) END AS discount
+          FROM orders)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c,
+               CAST(sum(CASE WHEN discount IS NULL THEN -1
+                             ELSE CAST(discount AS BIGINT) END) AS BIGINT) AS disc_sum
         FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
 
     // ---- cross-format full-record bootstrap: a PARQUET lake rewrites

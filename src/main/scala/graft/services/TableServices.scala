@@ -540,9 +540,80 @@ class TableServices(table: GraftTable) {
 
   /** What [[partitionTtl]] WOULD drop, committing nothing (the verb's
     * DRY RUN arm — retention policies get audited before they fire). */
-  def partitionTtlCandidates(expireBelow: String): Seq[String] =
+  def partitionTtlCandidates(expireBelow: String): Seq[String] = {
+    val live = ttlPartitions()
+    guardLexOrder(live :+ expireBelow)
+    live.filter(_ < expireBelow).sorted
+  }
+
+  /** Duration-based TTL for date-formatted partitions: drop every live
+    * partition whose value carries an ISO date strictly older than
+    * `days` days before `today` (UTC by default). The typed form a
+    * retention schedule actually wants — no cutoff string to hand-roll,
+    * and it REFUSES layouts the rule can't read (a non-date partition
+    * value) instead of guessing. Same one-replacecommit drop as
+    * [[partitionTtl]]. */
+  def partitionTtlOlderThanDays(days: Int,
+      today: java.time.LocalDate = java.time.LocalDate.now(java.time.ZoneOffset.UTC))
+      : Option[(String, Seq[String])] = {
+    val doomed = partitionTtlOlderThanDaysCandidates(days, today)
+    if (doomed.isEmpty) None
+    else Some(table.deletePartitions(doomed) -> doomed)
+  }
+
+  /** DRY RUN arm of [[partitionTtlOlderThanDays]]. */
+  def partitionTtlOlderThanDaysCandidates(days: Int,
+      today: java.time.LocalDate = java.time.LocalDate.now(java.time.ZoneOffset.UTC))
+      : Seq[String] = {
+    require(days >= 0, s"retention days must be >= 0: $days")
+    val cutoff = today.minusDays(days.toLong)
+    val datePat = """(\d{4}-\d{2}-\d{2})""".r
+    ttlPartitions().flatMap { p =>
+      val v = ttlValueOf(p)
+      val d = datePat.findFirstIn(v).map(java.time.LocalDate.parse).getOrElse(
+        throw new IllegalArgumentException(
+          s"RUN TTL ... OLDER THAN needs date-formatted partitions " +
+            s"(yyyy-MM-dd); live partition '$p' carries none — " +
+            "use EXPIRE BELOW with an explicit cutoff instead"))
+      if (d.isBefore(cutoff)) Some(p) else None
+    }.sorted
+  }
+
+  /** Live partitions eligible for TTL. Refuses a non-partitioned table:
+    * its single sentinel partition is the empty string, which sorts
+    * below ANY cutoff — `RUN TTL` there would silently drop the whole
+    * table in one replacecommit. */
+  private def ttlPartitions(): Seq[String] = {
+    require(timeline.config.partitionFields.nonEmpty,
+      "RUN TTL needs a partitioned table: a non-partitioned table's " +
+        "single partition sorts below every cutoff and the verb would " +
+        "drop the entire table")
     Snapshot.resolve(timeline).slices.map(_.partition).distinct
-      .filter(_ < expireBelow).sorted
+  }
+
+  /** The comparable VALUE inside a partition path (strips a hive-style
+    * `field=` prefix, which is constant per table and order-neutral). */
+  private def ttlValueOf(p: String): String =
+    p.lastIndexOf('=') match { case -1 => p; case i => p.substring(i + 1) }
+
+  /** The lexicographic cutoff is only safe when string order IS the
+    * domain order. Unpadded numeric partitions break that ("10" < "9"),
+    * and a retention command that mis-sorts drops the WRONG partitions —
+    * refuse loudly and point at the fix. */
+  private def guardLexOrder(vals: Seq[String]): Unit = {
+    val nums = vals.map(ttlValueOf)
+    if (nums.nonEmpty && nums.forall(v => v.nonEmpty && v.forall(_.isDigit))) {
+      val byString = nums.sorted
+      val byNumber = nums.sortBy(BigInt(_))
+      val diverge = byString.zip(byNumber).find { case (a, b) => a != b }
+      require(byString == byNumber,
+        s"numeric partition values sort differently as strings than as " +
+          s"numbers (first divergence: '${diverge.fold("")(_._1)}' vs " +
+          s"'${diverge.fold("")(_._2)}'); a lexicographic cutoff would " +
+          "drop the wrong partitions — zero-pad the partition values " +
+          "or use EXPIRE OLDER THAN")
+    }
+  }
 
   /** KEEP_LATEST_FILE_VERSIONS policy (reference analog:
     * CleanPlanner.java:207): per live file group, keep only the newest
@@ -680,9 +751,7 @@ class TableServices(table: GraftTable) {
       "cannot downgrade: archived instants exist and format v0 cannot " +
         "resolve them — their state would become unreadable")
     val t = timeline.start(Action.Upgrade)
-    Checkpoint.times(timeline).foreach { c =>
-      fs.delete(new Path(timeline.metaDir, s"${Checkpoint.Dir}/$c.json"), false)
-    }
+    Checkpoint.times(timeline).foreach(Checkpoint.delete(timeline, _))
     timeline.updateConfig(timeline.config.copy(version = to))
     timeline.complete(t, Action.Upgrade, CommitMetadata("downgrade",
       extra = Map("from" -> from.toString, "to" -> to.toString)))
@@ -696,9 +765,8 @@ class TableServices(table: GraftTable) {
   /** Checkpoints taken at/after `time` contain state an undo removes —
     * drop them so resolution can't resurrect it. */
   private def dropCheckpointsFrom(time: String): Unit =
-    Checkpoint.times(timeline).filter(_ >= time).foreach { t =>
-      fs.delete(new Path(timeline.metaDir, s"${Checkpoint.Dir}/$t.json"), false)
-    }
+    Checkpoint.times(timeline).filter(_ >= time)
+      .foreach(Checkpoint.delete(timeline, _))
 
   /** Undo the LATEST data instant (or a pending one): delete the files it
     * wrote, drop its timeline entry, record a `rollback` instant

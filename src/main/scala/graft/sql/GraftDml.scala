@@ -184,6 +184,36 @@ class GraftMergeBuilder(
       case _ => ()
     }
 
+    // Schema-evolving MERGE: when a STAR action (`UPDATE SET *` /
+    // `INSERT *`) pulls whole source rows and the source carries
+    // genuinely new columns, reconcile-by-union exactly like the raw
+    // write path (GraftTable.reconciledSchemaJson appends them after
+    // the stable existing order) — or reject loudly under strictSchema,
+    // the reference's schema-compatibility gate. Extra source columns
+    // under purely EXPLICIT assignments stay unused context, standard
+    // SQL semantics (reference analog: TestMergeIntoTable2's
+    // evolved-schema cases).
+    val sourceNew = source.schema.fields.toSeq
+      .filterNot(f => Meta.all.contains(f.name))
+      .filterNot(f => targetCols.contains(f.name))
+    val hasStar =
+      matchedActions.exists {
+        case MatchedUpdate(_, as) => as.isEmpty
+        case _ => false
+      } || notMatchedActions.exists(_.assignments.isEmpty)
+    val addedFields: Seq[StructField] =
+      if (sourceNew.isEmpty || !hasStar) Nil
+      else {
+        require(!table.config.strictSchema,
+          s"MERGE source carries new columns " +
+            s"${sourceNew.map(_.name).mkString(", ")} under a star " +
+            "action — strictSchema rejects schema evolution; drop the " +
+            "columns or unset strictSchema to reconcile by union")
+        sourceNew
+      }
+    val outFields = targetFields ++ addedFields
+    val addedNames = addedFields.map(_.name).toSet
+
     // source LEFT JOIN target: matched rows see both sides; target rows
     // never touched by the source stay out of the plan entirely (their
     // file groups are not rewritten).
@@ -207,21 +237,25 @@ class GraftMergeBuilder(
         .otherwise(lit(-1))
     }
 
+    // an ADDED column has no target side to fall back on: a non-star
+    // clause leaves it null on its rows
+    def targetOrNull(name: String): Column =
+      if (addedNames.contains(name)) lit(null) else col(s"$targetAlias.$name")
     def updateValue(a: MatchedUpdate, c: StructField): Column =
       a.assignments.getOrElse(c.name, // UPDATE SET *: same-named source col, else keep target
         if (a.assignments.isEmpty && source.columns.contains(c.name))
           col(s"$sourceAlias.${c.name}")
-        else col(s"$targetAlias.${c.name}"))
+        else targetOrNull(c.name))
     def insertValue(a: NotMatchedInsert, c: StructField): Column =
       a.assignments.getOrElse(c.name,
         if (a.assignments.isEmpty && source.columns.contains(c.name))
           col(s"$sourceAlias.${c.name}")
         else lit(null))
 
-    val outCols = targetFields.map { f =>
+    val outCols = outFields.map { f =>
       val matchedCases = matchedActions.zipWithIndex.map {
         case (a: MatchedUpdate, i)  => (lit(mStart + i), updateValue(a, f))
-        case (_: MatchedDelete, i)  => (lit(mStart + i), col(s"$targetAlias.${f.name}"))
+        case (_: MatchedDelete, i)  => (lit(mStart + i), targetOrNull(f.name))
         case (a, _) => throw new IllegalStateException(s"unexpected matched action $a")
       }
       val notMatchedCases = notMatchedActions.zipWithIndex.map { case (a, i) =>
@@ -263,12 +297,12 @@ class GraftMergeBuilder(
             case (acc, (c, id)) => acc.when(c, id)
           }
           .otherwise(lit(-1))
-        val outColsN = targetFields.map { f =>
+        val outColsN = outFields.map { f =>
           notMatchedBySourceActions.zipWithIndex.map {
             case (a: NotMatchedBySourceUpdate, i) => (lit(nbStart + i),
-              a.assignments.getOrElse(f.name, col(s"$targetAlias.${f.name}")))
+              a.assignments.getOrElse(f.name, targetOrNull(f.name)))
             case (_: NotMatchedBySourceDelete, i) =>
-              (lit(nbStart + i), col(s"$targetAlias.${f.name}"))
+              (lit(nbStart + i), targetOrNull(f.name))
             case (a, _) => throw new IllegalStateException(
               s"unexpected not-matched-by-source action $a")
           }.foldLeft(when(lit(false), lit(null))) { case (acc, (id, v)) =>

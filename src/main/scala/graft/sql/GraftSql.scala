@@ -36,6 +36,7 @@ import graft.write.GraftTable
   *   RUN CLEAN ON '<path>' [RETAIN <n>]
   *   RUN ARCHIVE ON '<path>' [KEEP <min> <max>]
   *   RUN TTL ON '<path>' EXPIRE BELOW '<value>' [DRY RUN]  (drop partitions < value)
+  *   RUN TTL ON '<path>' EXPIRE OLDER THAN <n> DAYS [DRY RUN]  (date-formatted partitions)
   *   REPAIR DEDUPLICATE '<path>' [PARTITION 'p'] [DRY RUN]
   *   EXPORT TABLE '<path>' TO '<dir>' [FORMAT fmt] [AS OF '<instant>']
   *   COPY TABLE '<path>' TO '<dir>' [AS OF '<instant>']  (backup AS a graft table)
@@ -94,6 +95,8 @@ object GraftSql {
     """(?is)\s*RUN\s+ARCHIVE\s+ON\s+'([^']+)'(?:\s+KEEP\s+(\d+)\s+(\d+))?\s*""".r
   private val RunTtl =
     """(?is)\s*RUN\s+TTL\s+ON\s+'([^']+)'\s+EXPIRE\s+BELOW\s+'([^']+)'(\s+DRY\s+RUN)?\s*""".r
+  private val RunTtlDays =
+    """(?is)\s*RUN\s+TTL\s+ON\s+'([^']+)'\s+EXPIRE\s+OLDER\s+THAN\s+(\d+)\s+DAYS?(\s+DRY\s+RUN)?\s*""".r
 
   /** True when `statement` is in the graft grammar (used by the injected
     * session-extension parser to decide interception). */
@@ -110,6 +113,7 @@ object GraftSql {
          CreateSavepoint(_, _) | DropSavepoint(_, _) |
          RollbackCommit(_, _) | RestoreTable(_, _) |
          RunClean(_, _) | RunArchive(_, _, _) | RunTtl(_, _, _) |
+         RunTtlDays(_, _, _) |
          ExportTable(_, _, _, _) | CopyTable(_, _, _) => true
     case _ => false
   }
@@ -262,6 +266,12 @@ object GraftSql {
       val dropped =
         if (dry != null) svc.partitionTtlCandidates(expireBelow)
         else svc.partitionTtl(expireBelow).map(_._2).getOrElse(Nil)
+      result(spark, "partition", dropped)
+    case RunTtlDays(path, days, dry) =>
+      val svc = TableServices(GraftTable.load(spark, path))
+      val dropped =
+        if (dry != null) svc.partitionTtlOlderThanDaysCandidates(days.toInt)
+        else svc.partitionTtlOlderThanDays(days.toInt).map(_._2).getOrElse(Nil)
       result(spark, "partition", dropped)
     case ExportTable(path, outDir, fmt, asOf) =>
       val n = GraftExporter.export(GraftTable.load(spark, path), outDir,

@@ -101,7 +101,17 @@ class GraftStreamSource(
 
   /** Latest completed data instant — or, under the throttle, the
     * instant `maxInstantsPerTrigger` steps past the last advertised
-    * offset. Driver-side timeline listing either way; no data IO. */
+    * offset. Driver-side timeline listing either way; no data IO.
+    *
+    * Crash-recovery fine print: the throttle watermark is persisted
+    * HERE (at advertise time), before Spark durably logs the offset to
+    * its own WAL. A crash in that window leaves the watermark ahead of
+    * the last committed offset, so the first post-restart batch spans
+    * (lastCommitted, advertised+n] — up to 2n instants. Exactly-once is
+    * untouched (getBatch's `start` always comes from Spark's committed
+    * offset); the admission cap alone is best-effort across crash
+    * recovery, the same contract as maxOffsetsPerTrigger on a restarted
+    * Kafka source. */
   override def getOffset: Option[Offset] = {
     val data = table.timeline.completed()
       .filter(i => Action.dataActions.contains(i.action))

@@ -532,6 +532,28 @@ class ArchiveOccSpec extends AnyFunSuite with BeforeAndAfterAll {
     b.unlock()
   }
 
+  test("file-lock fence tokens are collision-proof by construction") {
+    // seeded independence, not same-millisecond luck: 63-bit SecureRandom
+    // draws — many mints in one burst (same ms, same process) stay
+    // distinct, and the high bits actually vary (a clock- or counter-
+    // derived scheme would leave them constant within the burst)
+    val n = 20000
+    val mints = Array.fill(n)(FileLockProvider.mintFence())
+    assert(mints.forall(_ >= 0), "tokens are digit-string safe")
+    assert(mints.distinct.length == n, "same-burst mints must not collide")
+    assert(mints.map(_ >>> 48).distinct.length > 100,
+      "high bits must vary across a burst (not clock/counter-derived)")
+    // and the token a real acquire writes IS the minted content
+    val dir = tmp()
+    val tl = new Timeline(dir, spark.sessionState.newHadoopConf())
+    tl.initTable(TableConfig(name = "fmint", tableType = TableType.COW,
+      keyFields = Seq("id")))
+    val p = new FileLockProvider(tl)
+    assert(p.tryLock())
+    assert(p.fenceToken.exists(_ >= 0) && p.verifyFence())
+    p.unlock()
+  }
+
   test("idle sessions are reaped; a keepalive'd session survives the timeout") {
     val srv = new LockServer(idleTimeoutMs = 300)
     val port = srv.start()

@@ -186,6 +186,53 @@ class DmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state(tbl) == Seq((1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L), (3L, "c", 30.0, 1L)))
   }
 
+  test("MERGE schema evolution: star actions append new source columns; " +
+      "strictSchema refuses; explicit assignments ignore extras") {
+    import spark.implicits._
+    val tbl = seed(tmp())
+    val src = Seq(
+      (2L, "B", 22.0, 2L, "eu"),   // matched: update *
+      (4L, "d", 40.0, 2L, "us"))   // not matched: insert *
+      .toDF("id", "v", "amount", "ts", "region")
+    assert(GraftDml(tbl).merge(src, col("t.id") === col("s.id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute().nonEmpty)
+    val r = GraftReader(tbl)
+    val after = r.dataOnly(r.snapshot())
+    assert(after.columns.toSeq == Seq("id", "v", "amount", "ts", "region"),
+      "new column must APPEND after the stable field order")
+    val got = after.as[(Long, String, Double, Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "a", 10.0, 1L, None),            // untouched: null-padded
+      (2L, "B", 22.0, 2L, Some("eu")),      // updated incl. new column
+      (3L, "c", 30.0, 1L, None),
+      (4L, "d", 40.0, 2L, Some("us"))))     // inserted with new column
+
+    // strictSchema: the same star merge refuses loudly
+    val strictDir = tmp()
+    val strict = GraftTable.create(spark, strictDir,
+      cfg().copy(strictSchema = true))
+    strict.bulkInsert(Seq((1L, "a", 10.0, 1L)).toDF("id", "v", "amount", "ts"))
+    val e = intercept[IllegalArgumentException] {
+      GraftDml(strict).merge(src, col("t.id") === col("s.id"))
+        .whenMatchedUpdateAll().execute()
+    }
+    assert(e.getMessage.contains("strictSchema"))
+
+    // purely EXPLICIT assignments: extra source columns stay unused
+    // context (standard SQL), no evolution happens
+    val plainDir = tmp()
+    val plain = seed(plainDir)
+    GraftDml(plain).merge(src, col("t.id") === col("s.id"))
+      .whenMatchedUpdate(Map("amount" -> (col("s.amount") + 1)))
+      .execute()
+    val rp = GraftReader(plain)
+    assert(rp.dataOnly(rp.snapshot()).columns.toSeq ==
+      Seq("id", "v", "amount", "ts"),
+      "explicit assignments must not evolve the schema")
+    assert(state(plain).find(_._1 == 2L).get._3 == 23.0)
+  }
+
   test("SQL surface: UPDATE / DELETE / compaction statements") {
     import spark.implicits._
     val dir = tmp()

@@ -684,5 +684,76 @@ class ServicesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "clean must reap the TTL-dropped partitions' files")
   }
 
+  test("partition TTL guards: non-partitioned and unpadded-numeric layouts refuse") {
+    import spark.implicits._
+    // non-partitioned table: its single sentinel partition ("") sorts
+    // below any cutoff — the verb must refuse, not drop the whole table
+    val flat = GraftTable.create(spark, tmp(), TableConfig(
+      name = "flat", tableType = TableType.COW, keyFields = Seq("id")))
+    flat.bulkInsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val e1 = intercept[IllegalArgumentException] {
+      TableServices(flat).partitionTtlCandidates("zzz")
+    }
+    assert(e1.getMessage.contains("non-partitioned"))
+    val r = GraftReader(flat)
+    assert(r.dataOnly(r.snapshot()).count() == 2, "nothing was dropped")
+
+    // unpadded numeric partitions: "10" < "9" as strings — a
+    // lexicographic cutoff would drop the wrong partitions; refuse
+    val hours = GraftTable.create(spark, tmp(), TableConfig(
+      name = "hrs", tableType = TableType.COW, keyFields = Seq("id"),
+      partitionFields = Seq("hour")))
+    hours.bulkInsert(Seq((1L, "9"), (2L, "10"), (3L, "11"))
+      .toDF("id", "hour"))
+    val e2 = intercept[IllegalArgumentException] {
+      TableServices(hours).partitionTtlCandidates("10")
+    }
+    assert(e2.getMessage.contains("zero-pad"))
+    // zero-padded values sort consistently and pass the guard
+    val padded = GraftTable.create(spark, tmp(), TableConfig(
+      name = "pad", tableType = TableType.COW, keyFields = Seq("id"),
+      partitionFields = Seq("hour")))
+    padded.bulkInsert(Seq((1L, "09"), (2L, "10"), (3L, "11"))
+      .toDF("id", "hour"))
+    assert(TableServices(padded).partitionTtlCandidates("10") == Seq("09"))
+  }
+
+  test("duration TTL (EXPIRE OLDER THAN n DAYS) reads date partitions; " +
+      "non-date layouts refuse") {
+    import spark.implicits._
+    val tbl = GraftTable.create(spark, tmp(), TableConfig(
+      name = "dated", tableType = TableType.COW, keyFields = Seq("id"),
+      partitionFields = Seq("dt")))
+    tbl.bulkInsert(Seq(
+      (1L, "2020-01-05"), (2L, "2020-02-01"), (3L, "2026-01-01"),
+      (4L, "2099-01-01")).toDF("id", "dt"))
+    val svc = TableServices(tbl)
+    // pinned `today` makes the arithmetic itself deterministic
+    val today = java.time.LocalDate.parse("2026-08-16")
+    assert(svc.partitionTtlOlderThanDaysCandidates(365, today) ==
+      Seq("2020-01-05", "2020-02-01"))
+    assert(svc.partitionTtlOlderThanDaysCandidates(0, today) ==
+      Seq("2020-01-05", "2020-02-01", "2026-01-01"))
+    val res = svc.partitionTtlOlderThanDays(365, today)
+    assert(res.map(_._2) == Some(Seq("2020-01-05", "2020-02-01")))
+    val r = GraftReader(tbl)
+    assert(r.dataOnly(r.snapshot()).select("dt").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("2026-01-01", "2099-01-01"))
+    // the SQL verb (wall-clock today; fixture dates are decades away
+    // from the boundary so the assertion is stable)
+    val viaSql = graft.sql.GraftSql.sql(spark,
+      s"RUN TTL ON '${tbl.basePath}' EXPIRE OLDER THAN 365 DAYS DRY RUN")
+      .collect().map(_.getString(0)).toSeq
+    assert(viaSql.isEmpty, "already dropped — dry run sees nothing old")
+    // a layout without ISO dates refuses the duration form
+    val prio = GraftTable.create(spark, tmp(), cfg(TableType.COW))
+    prio.bulkInsert(orders)
+    val e = intercept[IllegalArgumentException] {
+      TableServices(prio).partitionTtlOlderThanDaysCandidates(30, today)
+    }
+    assert(e.getMessage.contains("date-formatted"))
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

@@ -119,6 +119,30 @@ class ZkLockSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("zk:<connectString>"))
   }
 
+  test("sequential commits share ONE long-lived zk session (no per-commit connect)") {
+    import spark.implicits._
+    val tbl = GraftTable.create(spark, tmp(), TableConfig(
+      name = "zsess", tableType = TableType.COW, keyFields = Seq("id"),
+      orderingField = "ts", occ = true, lockProvider = s"zk:$connect"))
+    def sessionId: Long =
+      ZkLockProvider.cachedClient(connect).getZookeeperClient.getZooKeeper.getSessionId
+    tbl.bulkInsert(Seq((1L, "a", 1L)).toDF("id", "v", "ts"))
+    val sid = sessionId
+    assert(sid != 0L, "the cached client must hold a live session")
+    (2 to 5).foreach { i =>
+      tbl.upsert(Seq((i.toLong, "a", 1L)).toDF("id", "v", "ts"))
+      assert(sessionId == sid,
+        s"commit $i reconnected: the Curator client must be cached per " +
+          "connect string, not rebuilt per commit")
+    }
+    assert(tbl.timeline.completed().size >= 5)
+    // per-commit state (mutex + fence marker) still cleans up: nothing
+    // holds the lock between commits
+    val probe = ZkLockProvider.cached(connect, tbl.basePath)
+    assert(probe.tryLock(), "lock must be free between commits")
+    probe.unlock()
+  }
+
   test("commit path under zk lock: OCC race, then ensemble loss aborts at the fence") {
     import spark.implicits._
     // a dedicated fixed-port server so the fault can RESTART it in place
