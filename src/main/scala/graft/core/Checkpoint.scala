@@ -101,6 +101,14 @@ object Checkpoint {
     val fs = timeline.fileSystem
     val d = dir(timeline)
     fs.mkdirs(d)
+    // reap orphan temps a CRASHED archiver left behind (invisible to
+    // readers, but they'd accumulate forever); the hour staleness bound
+    // keeps a concurrent live writer's in-flight temp safe
+    fs.listStatus(d).foreach { st =>
+      if (st.getPath.getName.contains(".cp.parquet.tmp-") &&
+          st.getModificationTime < System.currentTimeMillis() - 3600000L)
+        fs.delete(st.getPath, false)
+    }
     // data first (temp + rename), manifest last (atomic): readers key
     // off the manifest, so a crashed half-write is invisible
     val dest = dataPath(timeline, cp.asOf)
@@ -221,6 +229,18 @@ object Checkpoint {
         else Json.read(csj,
           new com.fasterxml.jackson.core.`type`.TypeReference[Map[String, ColStat]] {}),
       external = g.getBoolean("external", 0))
+  }
+
+  /** (storage format, file-entry count) of the checkpoint at `time` —
+    * the admin-surface view (SHOW CHECKPOINTS) that must stay cheap no
+    * matter the slice count: v2 answers from the manifest alone. */
+  def describe(timeline: Timeline, time: String): (String, Long) = {
+    val mp = manifestPath(timeline, time)
+    if (timeline.fileSystem.exists(mp)) {
+      val m = Json.read(readFully(timeline, mp), classOf[CheckpointManifest])
+      (m.format, m.sliceCount)
+    } else ("json-v1",
+      readLegacy(timeline, time).slices.map(_.allFiles.size.max(1)).sum.toLong)
   }
 
   private def readLegacy(timeline: Timeline, time: String): SnapshotCheckpoint =

@@ -159,6 +159,15 @@ object ZkLockProvider {
   def cached(connect: String, key: String): ZkLockProvider =
     new ZkLockProvider(connect, key, shared = Some(cachedClient(connect)))
 
+  /** Drop (and close) the cached client for `connect` — for tests and
+    * gates that stop their embedded ensemble mid-JVM; a dangling cached
+    * client would otherwise retry the dead address until process exit.
+    * A later `cached()` call reconnects fresh. */
+  def closeCached(connect: String): Unit = {
+    val c = clientCache.remove(connect)
+    if (c != null) try c.close() catch { case _: Exception => () }
+  }
+
   /** ZK node path for a table's lock: a readable sanitized segment plus
     * an md5 suffix so distinct base paths can never collide after
     * sanitization. */
@@ -195,13 +204,27 @@ object EmbeddedZk {
 
   /** Expires `client`'s ZK session server-side (the classic second-
     * handle trick: open a raw ZooKeeper with the victim's session id +
-    * password, then close it) — the fault a fencing test injects. */
+    * password, then close it) — the fault a fencing test injects.
+    *
+    * The handshake is ASYNC: closing before the killer handle actually
+    * attaches to the session is a silent no-op (the victim lives on and
+    * the test times out "fence still OK" — a loaded-machine flake), so
+    * wait for SyncConnected before closing. */
   def killSession(client: CuratorFramework, connect: String): Unit = {
     val zkc = client.getZookeeperClient.getZooKeeper
+    val connected = new java.util.concurrent.CountDownLatch(1)
     val killer = new org.apache.zookeeper.ZooKeeper(
       connect, 5000, new org.apache.zookeeper.Watcher {
-        override def process(e: org.apache.zookeeper.WatchedEvent): Unit = ()
+        override def process(e: org.apache.zookeeper.WatchedEvent): Unit =
+          if (e.getState ==
+              org.apache.zookeeper.Watcher.Event.KeeperState.SyncConnected)
+            connected.countDown()
       }, zkc.getSessionId, zkc.getSessionPasswd)
+    if (!connected.await(15, java.util.concurrent.TimeUnit.SECONDS)) {
+      killer.close()
+      throw new IllegalStateException(
+        "killSession: killer handle never attached to the victim session")
+    }
     killer.close()
   }
 }

@@ -473,6 +473,46 @@ object TableFormat {
                CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
         FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
 
+    // ---- the checkpoint spine made visible (and exact): archiving
+    //      writes a PARQUET v2 checkpoint whose manifest-declared entry
+    //      count must equal the resolved snapshot's file-entry count;
+    //      SHOW CHECKPOINTS answers from the manifest alone, and reads
+    //      through the checkpoint stay bit-identical to the pre-archive
+    //      state
+    "q204_show_checkpoints" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = mutated(s, d, TableType.COW) // 3 data commits
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 333))
+        TableServices(tbl).archive(keepMin = 1, keepMax = 2)
+        val cps = graft.sql.GraftSql
+          .sql(s, s"SHOW CHECKPOINTS '${tbl.basePath}'").collect()
+        require(cps.length == 1, s"archive must leave one checkpoint, got ${cps.length}")
+        require(cps(0).getString(1) == graft.core.Checkpoint.FormatV2,
+          s"new checkpoints must be columnar: ${cps(0).getString(1)}")
+        val snap = graft.core.Snapshot.resolve(tbl.timeline)
+        val expected = snap.slices
+          .map(sl => sl.allFiles.size.max(1)).sum.toLong
+        require(cps(0).getLong(2) == expected,
+          s"manifest entries ${cps(0).getLong(2)} != resolved file entries $expected")
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 333
+                      WHEN o_orderkey % 10 >= 6 THEN o_totalprice + 1000
+                      ELSE o_totalprice END AS price
+          FROM orders
+          WHERE o_orderkey % 10 < 7 OR o_orderkey % 10 IN (8, 9))
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
     // ---- zero-copy bootstrap over pre-existing parquet, then normal
     //      upsert/delete on top: externally-owned base files serve reads
     //      until their group is first rewritten
@@ -2142,7 +2182,12 @@ object TableFormat {
         try occRace(s, d, c => c.copy(
           commitStore = graft.core.CommitStore.Put,
           lockProvider = s"zk:$connect"))
-        finally stop()
+        finally {
+          stop()
+          // drop the shared client too, or it retries the dead
+          // ensemble (log spam) until the verify JVM exits
+          graft.core.ZkLockProvider.closeCached(connect)
+        }
       },
       Some(OccRaceSql))),
 

@@ -146,6 +146,17 @@ object GraftAdmin {
       }
       .toDF("instant", "action", "operation", "files", "rows")
   }
+
+  /** Snapshot checkpoints (the spine archiving folds state into):
+    * instant + storage format + file-entry count. v2 answers from the
+    * manifest alone — O(1) per checkpoint regardless of slice count. */
+  def showCheckpoints(spark: SparkSession, table: GraftTable): DataFrame = {
+    import spark.implicits._
+    graft.core.Checkpoint.times(table.timeline).map { t =>
+      val (fmt, entries) = graft.core.Checkpoint.describe(table.timeline, t)
+      (t, fmt, entries)
+    }.toDF("instant", "format", "entries")
+  }
 }
 
 /** Copy a table snapshot OUT of the table format into plain files —

@@ -27,6 +27,7 @@ import graft.write.GraftTable
   *   SHOW PARTITIONS '<path>'
   *   SHOW COMMITS / FSVIEW / CLEANS / SAVEPOINTS / ROLLBACKS '<path>'
   *   SHOW ARCHIVED COMMITS '<path>'
+  *   SHOW CHECKPOINTS '<path>'        (snapshot-checkpoint spine: format + entries)
   *   SHOW WRITE AMPLIFICATION '<path>'
   *   SHOW COLUMN STATS '<path>'   (the data-skipping index, per file x column)
   *   CREATE SAVEPOINT ON '<path>' [AT '<instant>']   (default: latest data instant)
@@ -63,6 +64,7 @@ object GraftSql {
   private val ShowSavepoints = """(?is)\s*SHOW\s+SAVEPOINTS\s+'([^']+)'\s*""".r
   private val ShowRollbacks = """(?is)\s*SHOW\s+ROLLBACKS\s+'([^']+)'\s*""".r
   private val ShowArchived = """(?is)\s*SHOW\s+ARCHIVED\s+COMMITS\s+'([^']+)'\s*""".r
+  private val ShowCheckpoints = """(?is)\s*SHOW\s+CHECKPOINTS\s+'([^']+)'\s*""".r
   private val ShowWa = """(?is)\s*SHOW\s+WRITE\s+AMPLIFICATION\s+'([^']+)'\s*""".r
   private val ShowColStats =
     """(?is)\s*SHOW\s+COLUMN\s+STATS\s+'([^']+)'\s*""".r
@@ -109,6 +111,7 @@ object GraftSql {
          AlterColType(_, _, _) | AlterDropPartition(_, _) |
          ShowCommits(_) | ShowFsView(_) | ShowCleans(_) |
          ShowSavepoints(_) | ShowRollbacks(_) | ShowArchived(_) |
+         ShowCheckpoints(_) |
          ShowWa(_) | ShowColStats(_) | RepairDedup(_, _, _) |
          CreateSavepoint(_, _) | DropSavepoint(_, _) |
          RollbackCommit(_, _) | RestoreTable(_, _) |
@@ -219,6 +222,8 @@ object GraftSql {
       GraftAdmin.showRollbacks(spark, GraftTable.load(spark, path))
     case ShowArchived(path) =>
       GraftAdmin.showArchivedCommits(spark, GraftTable.load(spark, path))
+    case ShowCheckpoints(path) =>
+      GraftAdmin.showCheckpoints(spark, GraftTable.load(spark, path))
     case ShowWa(path) =>
       GraftAdmin.showWriteAmplification(spark, GraftTable.load(spark, path))
     case ShowColStats(path) =>

@@ -37,6 +37,7 @@ class ZkLockSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = {
     spark.stop()
     stopZk()
+    ZkLockProvider.closeCached(connect)
   }
 
   def tmp(): String = Files.createTempDirectory("graft-zk-spec").toString
@@ -208,6 +209,9 @@ class ZkLockSpec extends AnyFunSuite with BeforeAndAfterAll {
       val fence = tbl.timeline.metadataOf(last).extra.get("fenceToken")
       assert(fence.exists(_.forall(_.isDigit)),
         "completed instant must record the zk fence token")
-    } finally stop()
+    } finally {
+      stop()
+      ZkLockProvider.closeCached(c2)
+    }
   }
 }
