@@ -45,7 +45,11 @@ object Snapshot {
     * exact inputs (checkpoint generation + the visible instant window);
     * any new commit, rollback, or checkpoint rotation changes it and
     * misses — correctness never depends on invalidation. Config is NOT
-    * cached (re-read each call: it can change independently). */
+    * cached (re-read each call: it can change independently). Memory:
+    * 4 entries × the slice list (~350 MB at 1M file groups) is
+    * driver-budget, deliberately — the alternative is re-folding a
+    * million groups on every read, and a driver planning over 1M file
+    * groups is provisioned in tens of GB. */
   private type MemoKey = (String, Option[String], String, Int)
   private val MemoMax = 4
   private val memo =
