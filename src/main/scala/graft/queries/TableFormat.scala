@@ -513,6 +513,52 @@ object TableFormat {
                CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
         FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
 
+    // ---- on-demand checkpoint (RUN CHECKPOINT): fold state now without
+    //      archiving — the cold-start accelerator between archive
+    //      windows. Idempotent at the same instant; later commits replay
+    //      as a Δ tail on top; instants stay active so time travel to
+    //      BEFORE the checkpoint still resolves
+    "q205_run_checkpoint" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = mutated(s, d, TableType.COW) // 3 data commits
+        val ck = graft.sql.GraftSql
+          .sql(s, s"RUN CHECKPOINT ON '${tbl.basePath}'").collect()
+        require(ck.length == 1, "checkpoint must mint one instant")
+        require(graft.sql.GraftSql
+          .sql(s, s"RUN CHECKPOINT ON '${tbl.basePath}'").isEmpty,
+          "re-checkpointing the same instant must be a no-op")
+        val cps = graft.sql.GraftSql
+          .sql(s, s"SHOW CHECKPOINTS '${tbl.basePath}'").collect()
+        require(cps.length == 1 &&
+          cps(0).getString(1) == graft.core.Checkpoint.FormatV2,
+          "one columnar checkpoint expected")
+        // Δ commit on top of the checkpoint
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 333))
+        // time travel BEFORE the checkpoint still resolves (nothing
+        // was archived)
+        val first = tbl.timeline.completed()
+          .filter(i => graft.core.Action.dataActions(i.action)).head.time
+        val r = GraftReader(tbl)
+        require(r.dataOnly(r.snapshot(asOf = Some(first))).count() > 0,
+          "pre-checkpoint time travel must stay resolvable")
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 333
+                      WHEN o_orderkey % 10 >= 6 THEN o_totalprice + 1000
+                      ELSE o_totalprice END AS price
+          FROM orders
+          WHERE o_orderkey % 10 < 7 OR o_orderkey % 10 IN (8, 9))
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
     // ---- zero-copy bootstrap over pre-existing parquet, then normal
     //      upsert/delete on top: externally-owned base files serve reads
     //      until their group is first rewritten

@@ -701,6 +701,30 @@ class TableServices(table: GraftTable) {
     * target stay active (they pin time-travel). Incremental reads only
     * span the active timeline — consumers further behind than keepMin
     * commits must re-bootstrap (same contract as the reference). */
+  /** Take a snapshot checkpoint at the latest data instant WITHOUT
+    * archiving anything — the cold-start accelerator for a large table
+    * between archive windows: the next process's first resolution
+    * parquet-loads the folded state and replays only the Δ tail, never
+    * the whole timeline (reference analog: the metadata-table bootstrap,
+    * HoodieBackedTableMetadataWriter — materialize file-listing state on
+    * demand). Instants stay active, so time travel is unaffected.
+    * Returns the checkpointed instant; None when there is no data
+    * instant or the newest checkpoint already covers it. */
+  def checkpoint(): Option[String] = {
+    require(timeline.config.version >= 1,
+      "checkpoints need format v1; run upgradeTable() first")
+    val at = timeline.completed()
+      .filter(i => Action.dataActions(i.action)).lastOption.map(_.time)
+      .getOrElse(return None)
+    if (Checkpoint.times(timeline).contains(at)) return None
+    val snap = Snapshot.resolve(timeline)
+    Checkpoint.write(timeline, SnapshotCheckpoint(
+      asOf = at,
+      schemaJson = table.readSchema(snap).json,
+      slices = snap.slices))
+    Some(at)
+  }
+
   def archive(keepMin: Int = 20, keepMax: Int = 30): Option[String] = {
     require(keepMin <= keepMax, "keepMin must be <= keepMax")
     require(timeline.config.version >= 1,

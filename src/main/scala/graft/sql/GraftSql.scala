@@ -36,6 +36,7 @@ import graft.write.GraftTable
   *   RESTORE TABLE '<path>' TO '<instant>'            (drop every later data instant)
   *   RUN CLEAN ON '<path>' [RETAIN <n>]
   *   RUN ARCHIVE ON '<path>' [KEEP <min> <max>]
+  *   RUN CHECKPOINT ON '<path>'       (snapshot checkpoint now; nothing archived)
   *   RUN TTL ON '<path>' EXPIRE BELOW '<value>' [DRY RUN]  (drop partitions < value)
   *   RUN TTL ON '<path>' EXPIRE OLDER THAN <n> DAYS [DRY RUN]  (date-formatted partitions)
   *   REPAIR DEDUPLICATE '<path>' [PARTITION 'p'] [DRY RUN]
@@ -97,6 +98,8 @@ object GraftSql {
     """(?is)\s*RUN\s+ARCHIVE\s+ON\s+'([^']+)'(?:\s+KEEP\s+(\d+)\s+(\d+))?\s*""".r
   private val RunTtl =
     """(?is)\s*RUN\s+TTL\s+ON\s+'([^']+)'\s+EXPIRE\s+BELOW\s+'([^']+)'(\s+DRY\s+RUN)?\s*""".r
+  private val RunCheckpoint =
+    """(?is)\s*RUN\s+CHECKPOINT\s+ON\s+'([^']+)'\s*""".r
   private val RunTtlDays =
     """(?is)\s*RUN\s+TTL\s+ON\s+'([^']+)'\s+EXPIRE\s+OLDER\s+THAN\s+(\d+)\s+DAYS?(\s+DRY\s+RUN)?\s*""".r
 
@@ -116,7 +119,7 @@ object GraftSql {
          CreateSavepoint(_, _) | DropSavepoint(_, _) |
          RollbackCommit(_, _) | RestoreTable(_, _) |
          RunClean(_, _) | RunArchive(_, _, _) | RunTtl(_, _, _) |
-         RunTtlDays(_, _, _) |
+         RunTtlDays(_, _, _) | RunCheckpoint(_) |
          ExportTable(_, _, _, _) | CopyTable(_, _, _) => true
     case _ => false
   }
@@ -272,6 +275,9 @@ object GraftSql {
         if (dry != null) svc.partitionTtlCandidates(expireBelow)
         else svc.partitionTtl(expireBelow).map(_._2).getOrElse(Nil)
       result(spark, "partition", dropped)
+    case RunCheckpoint(path) =>
+      val svc = TableServices(GraftTable.load(spark, path))
+      result(spark, "instant", svc.checkpoint().toSeq)
     case RunTtlDays(path, days, dry) =>
       val svc = TableServices(GraftTable.load(spark, path))
       val dropped =

@@ -684,6 +684,29 @@ class ServicesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "clean must reap the TTL-dropped partitions' files")
   }
 
+  test("on-demand checkpoint: folds now, idempotent, delta replays on top") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.COW))
+    val svc = TableServices(tbl)
+    assert(svc.checkpoint().isEmpty, "no data instant -> nothing to fold")
+    tbl.bulkInsert(orders.filter(col("o_orderkey") % 3 === 0))
+    tbl.upsert(orders.filter(col("o_orderkey") % 3 === 1))
+    val at = svc.checkpoint()
+    assert(at.nonEmpty, "checkpoint must mint at the latest data instant")
+    assert(at == tbl.timeline.completed()
+      .filter(i => Action.dataActions(i.action)).lastOption.map(_.time))
+    assert(svc.checkpoint().isEmpty, "same instant -> no-op")
+    assert(Checkpoint.times(tbl.timeline) == at.toSeq)
+    // a later commit replays as the delta tail on top of the fold
+    tbl.upsert(orders.filter(col("o_orderkey") % 3 === 2))
+    val r = GraftReader(tbl)
+    assertSameRows(r.dataOnly(r.snapshot()), orders,
+      "full state must read back through checkpoint + delta")
+    // and a NEW checkpoint at the new head is mintable
+    assert(svc.checkpoint().nonEmpty)
+    assert(Checkpoint.times(tbl.timeline).size == 2)
+  }
+
   test("partition TTL guards: non-partitioned and unpadded-numeric layouts refuse") {
     import spark.implicits._
     // non-partitioned table: its single sentinel partition ("") sorts
