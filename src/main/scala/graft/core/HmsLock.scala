@@ -146,3 +146,60 @@ object HmsLockProvider {
     c.synchronized(f(c))
   }
 }
+
+/** In-process THRIFT metastore for tests and correctness gates — the
+  * real server (HiveMetaStore.startMetaStore from the hive-metastore
+  * jar) over a Derby store, so cross-PROCESS writers exercise the exact
+  * production wire path (`hms:thrift://...`) that embedded Derby alone
+  * cannot (an embedded Derby database is single-JVM by design). The
+  * server loop never returns and ships no shutdown API; it runs on a
+  * daemon thread and dies with the JVM. */
+object EmbeddedHms {
+  /** Starts a thrift metastore on a free port; returns its
+    * `thrift://127.0.0.1:<port>` URI once it is actually serving. */
+  def start(): String = {
+    val port = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-hms-srv").toString
+    val conf = new HiveConf()
+    conf.set("javax.jdo.option.ConnectionURL",
+      s"jdbc:derby:;databaseName=$dbDir/hms_db;create=true")
+    conf.set("datanucleus.schema.autoCreateAll", "true")
+    conf.set("hive.metastore.schema.verification", "false")
+    conf.set("hive.in.test", "true") // preps Derby ACID tables on first lock
+    conf.set("datanucleus.connectionPoolingType", "NONE")
+    conf.set("hive.metastore.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-hms-srv-wh").toString)
+    val startLock = new java.util.concurrent.locks.ReentrantLock()
+    val serving = startLock.newCondition()
+    val started = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val boot = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() => {
+      try org.apache.hadoop.hive.metastore.HiveMetaStore.startMetaStore(
+        port,
+        org.apache.hadoop.hive.shims.ShimLoader.getHadoopThriftAuthBridge,
+        conf, startLock, serving, started)
+      catch { case e: Throwable =>
+        boot.set(e)
+        startLock.lock()
+        try serving.signalAll() finally startLock.unlock()
+      }
+    }, s"graft-embedded-hms-$port")
+    t.setDaemon(true)
+    t.start()
+    startLock.lock()
+    try {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (!started.get() && boot.get() == null && System.nanoTime() < deadline)
+        serving.awaitNanos(deadline - System.nanoTime())
+    } finally startLock.unlock()
+    if (boot.get() != null)
+      throw new IllegalStateException("embedded thrift metastore failed to boot",
+        boot.get())
+    if (!started.get())
+      throw new IllegalStateException("embedded thrift metastore boot timed out")
+    s"thrift://127.0.0.1:$port"
+  }
+}

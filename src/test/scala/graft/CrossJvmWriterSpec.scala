@@ -31,6 +31,8 @@ class CrossJvmWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val lockServer: LockServer = { val s = new LockServer(); s.start(); s }
   lazy val zk: (String, () => Unit) = EmbeddedZk.start()
+  // real thrift metastore (daemon thread; dies with the JVM)
+  lazy val hmsUri: String = EmbeddedHms.start()
 
   override def afterAll(): Unit = {
     spark.stop()
@@ -89,7 +91,8 @@ class CrossJvmWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
       (CommitStore.Rename, "tcp"),
       (CommitStore.Put, "tcp"),
       (CommitStore.Rename, TimelineLock.File),
-      (CommitStore.Put, "zk"))) { // real ZooKeeper across both JVMs
+      (CommitStore.Put, "zk"),       // real ZooKeeper across both JVMs
+      (CommitStore.Rename, "hms"))) { // real thrift metastore across both JVMs
     test(s"[$store/$lock] a second writer JVM races this one on a single key: " +
         "exactly-once state, clean timeline") {
       import spark.implicits._
@@ -101,6 +104,7 @@ class CrossJvmWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
         lockProvider = lock match {
           case "tcp" => s"tcp:127.0.0.1:${lockServer.port}"
           case "zk"  => s"zk:${zk._1}"
+          case "hms" => s"hms:$hmsUri"
           case other => other
         }))
       tbl.bulkInsert(rows(1L, 2L, 3L))

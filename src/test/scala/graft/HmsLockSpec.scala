@@ -72,6 +72,19 @@ class HmsLockSpec extends AnyFunSuite with BeforeAndAfterAll {
     b.unlock()
   }
 
+  test("thrift wire path: exclusion + fencing against a real in-process thrift metastore") {
+    val uri = EmbeddedHms.start()
+    val a = new HmsLockProvider(uri, "/data/thrift1")
+    val b = new HmsLockProvider(uri, "/data/thrift1")
+    assert(a.tryLock(), "first holder must acquire over thrift")
+    assert(a.fenceToken.isDefined && a.verifyFence())
+    assert(!b.tryLock(), "second holder must be excluded over thrift")
+    a.unlock()
+    assert(b.tryLock())
+    assert(b.fenceToken.get > 0 && b.verifyFence())
+    b.unlock()
+  }
+
   test("malformed hms config is rejected") {
     val dir = tmp()
     val tl = new Timeline(dir, spark.sessionState.newHadoopConf())
