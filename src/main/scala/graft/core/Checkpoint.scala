@@ -102,11 +102,14 @@ object Checkpoint {
     val d = dir(timeline)
     fs.mkdirs(d)
     // reap orphan temps a CRASHED archiver left behind (invisible to
-    // readers, but they'd accumulate forever); the hour staleness bound
-    // keeps a concurrent live writer's in-flight temp safe
+    // readers, but they'd accumulate forever). Safe without a staleness
+    // heuristic because every service-path writer holds the TIMELINE
+    // LOCK across write() (TableServices.checkpoint/archive): while we
+    // hold it no concurrent checkpoint writer can exist, so any temp
+    // present now is orphaned by definition — no clock comparison, so
+    // cross-host clock skew and hour-long slow writes cannot misfire.
     fs.listStatus(d).foreach { st =>
-      if (st.getPath.getName.contains(".cp.parquet.tmp-") &&
-          st.getModificationTime < System.currentTimeMillis() - 3600000L)
+      if (st.getPath.getName.contains(".cp.parquet.tmp-"))
         fs.delete(st.getPath, false)
     }
     // data first (temp + rename), manifest last (atomic): readers key
@@ -136,7 +139,11 @@ object Checkpoint {
     } finally writer.close()
     if (!fs.rename(tmp, dest)) {
       fs.delete(tmp, false)
-      throw new java.io.IOException(s"cannot promote checkpoint data $dest")
+      // a twin that checkpointed the SAME asOf first is success, not
+      // failure: checkpoint content is a deterministic function of the
+      // timeline at asOf, so dest-already-present means our work is done
+      if (!fs.exists(dest))
+        throw new java.io.IOException(s"cannot promote checkpoint data $dest")
     }
     timeline.commitStore.putAtomic(fs, manifestPath(timeline, cp.asOf),
       Json.write(CheckpointManifest(cp.asOf, cp.schemaJson, n)))

@@ -39,36 +39,91 @@ import org.apache.hadoop.hive.metastore.api.{
   * thread-safe, so every call synchronizes on the client — lock
   * traffic is a handful of tiny RPCs per commit, never data-plane. */
 class HmsLockProvider(connect: String, key: String) extends LockProvider {
+  import HmsLockProvider.log
 
   private val tableName = HmsLockProvider.lockTableName(key)
   private var lockId: Option[Long] = None
+  private var keepalive: Option[Thread] = None
 
-  override def tryLock(): Boolean = HmsLockProvider.withClient(connect) { c =>
-    val comp = new LockComponent(LockType.EXCLUSIVE, LockLevel.TABLE,
-      HmsLockProvider.LockDb)
-    comp.setTablename(tableName)
-    comp.setOperationType(DataOperationType.NO_TXN)
-    val req = new LockRequest(
-      java.util.Collections.singletonList(comp),
-      System.getProperty("user.name", "graft"),
-      java.net.InetAddress.getLocalHost.getHostName)
-    val resp = c.lock(req)
-    if (resp.getState == LockState.ACQUIRED) {
-      lockId = Some(resp.getLockid)
-      true
-    } else {
-      // single-attempt contract (retry policy lives in TimelineLock):
-      // drop the enqueued WAITING entry or it blocks the real holder's
-      // successor forever
-      try c.unlock(resp.getLockid) catch { case _: Exception => () }
-      false
+  override def tryLock(): Boolean = {
+    val got = HmsLockProvider.withClient(connect) { c =>
+      val comp = new LockComponent(LockType.EXCLUSIVE, LockLevel.TABLE,
+        HmsLockProvider.LockDb)
+      comp.setTablename(tableName)
+      comp.setOperationType(DataOperationType.NO_TXN)
+      val req = new LockRequest(
+        java.util.Collections.singletonList(comp),
+        System.getProperty("user.name", "graft"),
+        java.net.InetAddress.getLocalHost.getHostName)
+      val resp = c.lock(req)
+      if (resp.getState == LockState.ACQUIRED) {
+        lockId = Some(resp.getLockid)
+        true
+      } else {
+        // single-attempt contract (retry policy lives in TimelineLock):
+        // drop the enqueued WAITING entry or it blocks the real holder's
+        // successor forever
+        try c.unlock(resp.getLockid) catch { case _: Exception => () }
+        false
+      }
     }
+    if (got) startKeepalive()
+    got
+  }
+
+  /** Heartbeat the hold every txn-timeout/3 while held: the metastore's
+    * ACID lock manager reaps holds whose last heartbeat is older than
+    * `hive.txn.timeout` (default 300 s), and a distributed publish of a
+    * 100k-file commit can easily outlive that — without a keepalive the
+    * hold is reaped mid-write and the commit systematically aborts at
+    * the fence check. Same shape as the tcp provider's per-hold
+    * keepalive (LockServer.scala). A failed beat is left to the COMMIT
+    * POINT fence check — the keepalive must never unlock or abort on
+    * its own (a transient blip would kill a healthy commit). */
+  private def startKeepalive(): Unit = {
+    val id = lockId.getOrElse(return)
+    val interval = HmsLockProvider.keepaliveIntervalMs(connect)
+    val t = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(interval)
+          try HmsLockProvider.withClient(connect)(_.heartbeat(0L, id))
+          catch {
+            case _: InterruptedException => throw new InterruptedException
+            case e: Exception =>
+              log.warn(s"hms lock keepalive beat failed for lock $id " +
+                s"(hold may be reaped; the commit-point fence check " +
+                s"decides): ${e.getClass.getName}: ${e.getMessage}")
+          }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-hms-keepalive-$id")
+    t.setDaemon(true)
+    t.start()
+    keepalive = Some(t)
+  }
+
+  private def stopKeepalive(): Unit = {
+    keepalive.foreach { t => t.interrupt(); t.join(2000) }
+    keepalive = None
   }
 
   override def unlock(): Unit = {
+    stopKeepalive()
     lockId.foreach { id =>
       try HmsLockProvider.withClient(connect)(_.unlock(id))
-      catch { case _: Exception => () } // already reaped = already free
+      catch {
+        // already reaped = already free (the expected abort path); any
+        // OTHER failure (connectivity loss) leaves the hold to die by
+        // ACID timeout — not a correctness break, but it stalls peers
+        // for up to hive.txn.timeout, so it must leave a trace
+        case _: org.apache.hadoop.hive.metastore.api.NoSuchLockException => ()
+        case _: org.apache.hadoop.hive.metastore.api.NoSuchTxnException  => ()
+        case e: Exception =>
+          log.warn(s"hms unlock of lock $id failed (hold will expire by " +
+            s"ACID timeout; peers may wait up to hive.txn.timeout): " +
+            s"${e.getClass.getName}: ${e.getMessage}")
+      }
     }
     lockId = None
   }
@@ -76,22 +131,43 @@ class HmsLockProvider(connect: String, key: String) extends LockProvider {
   override def fenceToken: Option[Long] = lockId
 
   /** Still the holder iff the metastore still carries the lock id — a
-    * heartbeat doubles as the existence check (NoSuchLockException =
-    * the hold was reaped or released) and refreshes the lock's ACID
-    * timeout while the commit completes. */
+    * heartbeat doubles as the existence check and refreshes the lock's
+    * ACID timeout while the commit completes. Only the metastore saying
+    * "no such hold" (NoSuchLockException/NoSuchTxnException) is STALE;
+    * a transport-level failure (metastore GC pause, connection reset)
+    * is retried, then rethrown — a blip at the commit point must not
+    * abort an otherwise-valid commit as if the hold were lost. */
   override def verifyFence(): Boolean = lockId.exists { id =>
-    try { HmsLockProvider.withClient(connect)(_.heartbeat(0L, id)); true }
-    catch { case _: Exception => false }
+    var attempt = 0
+    while (true) {
+      try { HmsLockProvider.withClient(connect)(_.heartbeat(0L, id)); return true }
+      catch {
+        case _: org.apache.hadoop.hive.metastore.api.NoSuchLockException => return false
+        case _: org.apache.hadoop.hive.metastore.api.NoSuchTxnException  => return false
+        case _: org.apache.hadoop.hive.metastore.api.TxnAbortedException => return false
+        case e: Exception =>
+          attempt += 1
+          if (attempt >= 3) throw new IllegalStateException(
+            s"cannot reach the metastore to verify lock $id at the " +
+              s"commit point (transient transport failure, not a lost " +
+              s"hold — retry the commit)", e)
+          Thread.sleep(200L * attempt)
+      }
+    }
+    false // unreachable
   }
 
-  /** The client is shared per connect string; nothing per-commit to
-    * release beyond the lock itself. */
-  override def close(): Unit = ()
+  /** The client is shared per connect string; the keepalive (if any
+    * survived an exceptional path) is the one per-commit resource. */
+  override def close(): Unit = stopKeepalive()
 
   override def describe: String = s"hms:$connect/$tableName"
 }
 
 object HmsLockProvider {
+  private[graft] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[HmsLockProvider])
+
   /** All graft lock rows live under one metastore db name; the lock
     * manager keys rows by (db, table) strings — no catalog object has
     * to exist. */
@@ -99,6 +175,18 @@ object HmsLockProvider {
 
   private val clients =
     new java.util.concurrent.ConcurrentHashMap[String, IMetaStoreClient]()
+
+  /** Keepalive beat interval: a third of the metastore's ACID lock
+    * timeout (`hive.txn.timeout`, 300 s default — read per acquire from
+    * a fresh HiveConf so deployments that tune the timeout, and tests
+    * that shrink it via the `hive.txn.timeout` system property, get a
+    * matching beat), floored so a pathological conf can't busy-spin. */
+  private[graft] def keepaliveIntervalMs(connect: String): Long = {
+    val timeout = new HiveConf().getTimeVar(
+      HiveConf.ConfVars.HIVE_TXN_TIMEOUT,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    math.max(timeout / 3, 200L)
+  }
 
   /** Metastore table name for a table's lock: readable sanitized tail
     * plus an md5 suffix so distinct base paths never collide after
@@ -140,10 +228,42 @@ object HmsLockProvider {
   /** One long-lived client per connect string per JVM, every call
     * serialized on it (HiveMetaStoreClient is not thread-safe). An
     * unreachable metastore throws WITHOUT caching so a later attempt
-    * retries the connect. */
+    * retries the connect. A call failing with a BROKEN TRANSPORT (the
+    * remote metastore restarted; the cached client's thrift socket is
+    * dead) evicts the client, rebuilds, and retries ONCE — without this
+    * every lock call in the process fails until JVM restart (the ZK
+    * path's closeCached equivalent, done automatically). */
   private[graft] def withClient[T](connect: String)(f: IMetaStoreClient => T): T = {
     val c = clients.computeIfAbsent(connect, newClient(_))
-    c.synchronized(f(c))
+    try c.synchronized(f(c))
+    catch {
+      case e: Exception if isBrokenTransport(e) =>
+        log.warn(s"hms client for $connect has a dead transport " +
+          s"(${e.getClass.getName}: ${e.getMessage}); reconnecting once")
+        clients.remove(connect, c)
+        try c.close() catch { case _: Exception => () }
+        val fresh = clients.computeIfAbsent(connect, newClient(_))
+        fresh.synchronized(f(fresh))
+    }
+  }
+
+  /** A dead socket surfaces as TTransportException (possibly wrapped by
+    * the client shim); an APPLICATION fault like NoSuchLockException
+    * never matches. The retry is at-most-once-safe in the worst case: if
+    * the lost failure was a RESPONSE (the server did execute), a retried
+    * heartbeat/unlock is idempotent, and a retried lock() can at worst
+    * orphan the first attempt's hold — the orphan blocks this same
+    * requester into tryLock-false (exclusion preserved, never broken)
+    * and dies by the ACID timeout since nothing heartbeats it. */
+  private def isBrokenTransport(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      if (t.isInstanceOf[org.apache.thrift.transport.TTransportException] ||
+          t.isInstanceOf[java.net.SocketException] ||
+          t.isInstanceOf[java.net.ConnectException]) return true
+      t = t.getCause
+    }
+    false
   }
 }
 

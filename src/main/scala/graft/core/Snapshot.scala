@@ -42,15 +42,17 @@ object Snapshot {
   /** Memo of the last few resolutions: between commits every read and
     * every write resolves the SAME state, so a repeated resolve must be
     * O(1), not a re-fold of a million file groups. The key pins the
-    * exact inputs (checkpoint generation + the visible instant window);
-    * any new commit, rollback, or checkpoint rotation changes it and
-    * misses — correctness never depends on invalidation. Config is NOT
-    * cached (re-read each call: it can change independently). Memory:
-    * 4 entries × the slice list (~350 MB at 1M file groups) is
-    * driver-budget, deliberately — the alternative is re-folding a
-    * million groups on every read, and a driver planning over 1M file
-    * groups is provisioned in tens of GB. */
-  private type MemoKey = (String, Option[String], String, Int)
+    * exact inputs (checkpoint generation + a digest of EVERY visible
+    * instant time — not a (last, count) pair, which a cross-process
+    * rollback + same-millisecond re-commit could alias while the slice
+    * state differs); any new commit, rollback, or checkpoint rotation
+    * changes it and misses — correctness never depends on invalidation.
+    * Config is NOT cached (re-read each call: it can change
+    * independently). Memory: 4 entries × the slice list (~350 MB at 1M
+    * file groups) is driver-budget, deliberately — the alternative is
+    * re-folding a million groups on every read, and a driver planning
+    * over 1M file groups is provisioned in tens of GB. */
+  private type MemoKey = (String, Option[String], String)
   private val MemoMax = 4
   private val memo =
     new java.util.LinkedHashMap[String, (MemoKey, Snapshot)](8, 0.75f, true) {
@@ -58,6 +60,25 @@ object Snapshot {
           e: java.util.Map.Entry[String, (MemoKey, Snapshot)]): Boolean =
         size() > MemoMax
     }
+
+  /** Digest over the ENTIRE completed timeline (time + action per
+    * instant, every action — not just data instants). O(active timeline)
+    * per resolve — bounded by the archive window, never by file count.
+    * Digesting all actions is what closes the cross-process alias hole:
+    * a rollback + re-commit minting the SAME millisecond timestamp
+    * reproduces the data-instant window exactly (same times, same
+    * count), but the rollback itself records a `rollback` instant, so
+    * the full-timeline digest always changes when state may have. */
+  private def digestTimes(visible: Seq[Instant]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    visible.foreach { i =>
+      md.update(i.time.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update('|'.toByte)
+      md.update(i.action.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update('\n'.toByte)
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
 
   /** Replay completed data instants in time order up to (and including)
     * `asOf`; a new base file for a group folds all earlier deltas; a
@@ -76,13 +97,13 @@ object Snapshot {
     val config = timeline.config
     val cp = Checkpoint.latestAtOrBefore(timeline, asOf)
     val cpTime = cp.map(_.asOf).getOrElse("")
-    val all = timeline.completed().filter(i => Action.dataActions(i.action))
+    val completed = timeline.completed()
+    val all = completed.filter(i => Action.dataActions(i.action))
     val visible = asOf match {
       case Some(t) => all.filter(i => i.time > cpTime && i.time <= t)
       case None    => all.filter(_.time > cpTime)
     }
-    val memoKey: MemoKey =
-      (cpTime, asOf, visible.lastOption.map(_.time).getOrElse(""), visible.size)
+    val memoKey: MemoKey = (cpTime, asOf, digestTimes(completed))
     memo.synchronized(Option(memo.get(timeline.basePath))).collect {
       case (k, snap) if k == memoKey => return snap.copy(config = config)
     }

@@ -713,43 +713,67 @@ class TableServices(table: GraftTable) {
   def checkpoint(): Option[String] = {
     require(timeline.config.version >= 1,
       "checkpoints need format v1; run upgradeTable() first")
-    val at = timeline.completed()
-      .filter(i => Action.dataActions(i.action)).lastOption.map(_.time)
-      .getOrElse(return None)
-    if (Checkpoint.times(timeline).contains(at)) return None
-    val snap = Snapshot.resolve(timeline)
-    Checkpoint.write(timeline, SnapshotCheckpoint(
-      asOf = at,
-      schemaJson = table.readSchema(snap).json,
-      slices = snap.slices))
-    Some(at)
+    // under the TIMELINE LOCK, and resolved AT the stamped instant: a
+    // concurrent writer committing between the capture of `at` and an
+    // unpinned resolve would stamp the older instant onto the NEWER
+    // state — as-of reads at `at` would see future data, and a later
+    // rollback of that newer commit (which only drops checkpoints >= its
+    // own time) would leave the mis-stamped checkpoint resurrecting
+    // rolled-back files. The lock also serializes racing twins (the
+    // loser folds the same asOf; Checkpoint.write treats an existing
+    // dest at the same asOf as success).
+    new TimelineLock(timeline).withLock {
+      timeline.completed()
+        .filter(i => Action.dataActions(i.action)).lastOption.map(_.time)
+        .filterNot(Checkpoint.times(timeline).contains)
+        .map { at =>
+          val snap = Snapshot.resolve(timeline, Some(at))
+          Checkpoint.write(timeline, SnapshotCheckpoint(
+            asOf = at,
+            schemaJson = table.readSchema(snap).json,
+            slices = snap.slices))
+          at
+        }
+    }
   }
 
   def archive(keepMin: Int = 20, keepMax: Int = 30): Option[String] = {
     require(keepMin <= keepMax, "keepMin must be <= keepMax")
     require(timeline.config.version >= 1,
       "archiving needs format v1 (snapshot checkpoints); run upgradeTable() first")
-    val completed = timeline.completed()
-    if (completed.size <= keepMax) return None
-    val savepointBound = savepointTargets.sorted.headOption
-    val candidates = completed.dropRight(keepMin)
-      .filterNot(_.action == Action.Savepoint)
-      .filter(i => savepointBound.forall(i.time < _))
-    if (candidates.isEmpty) return None
-    // checkpoint the CURRENT state first: it covers everything we archive.
-    // Stamped at the last DATA instant, not completed.last — the state
-    // IS that instant's state (clean/savepoint don't change it), and an
-    // as-of read at that data commit must find a covering checkpoint
-    // (with auto-clean a trailing clean instant would otherwise push the
-    // stamp past the last data commit and strand it)
-    val snap = Snapshot.resolve(timeline)
-    Checkpoint.write(timeline, SnapshotCheckpoint(
-      asOf = completed.filter(i => Action.dataActions(i.action))
-        .lastOption.getOrElse(completed.last).time,
-      schemaJson = table.readSchema(snap).json,
-      slices = snap.slices))
-    candidates.foreach(timeline.archiveCompleted)
-    Some(candidates.last.time)
+    // under the TIMELINE LOCK with the fold pinned to the stamped
+    // instant, for the same mis-stamp race as checkpoint(): a commit
+    // landing between the stamp capture and an unpinned resolve would
+    // bake FUTURE state into a checkpoint stamped in the past.
+    new TimelineLock(timeline).withLock {
+      val completed = timeline.completed()
+      if (completed.size <= keepMax) None
+      else {
+        val savepointBound = savepointTargets.sorted.headOption
+        val candidates = completed.dropRight(keepMin)
+          .filterNot(_.action == Action.Savepoint)
+          .filter(i => savepointBound.forall(i.time < _))
+        if (candidates.isEmpty) None
+        else {
+          // checkpoint the CURRENT state first: it covers everything we
+          // archive. Stamped at the last DATA instant, not
+          // completed.last — the state IS that instant's state
+          // (clean/savepoint don't change it), and an as-of read at that
+          // data commit must find a covering checkpoint (with auto-clean
+          // a trailing clean instant would otherwise push the stamp past
+          // the last data commit and strand it)
+          val at = completed.filter(i => Action.dataActions(i.action))
+            .lastOption.getOrElse(completed.last).time
+          val snap = Snapshot.resolve(timeline, Some(at))
+          Checkpoint.write(timeline, SnapshotCheckpoint(
+            asOf = at,
+            schemaJson = table.readSchema(snap).json,
+            slices = snap.slices))
+          candidates.foreach(timeline.archiveCompleted)
+          Some(candidates.last.time)
+        }
+      }
+    }
   }
 
   // =========================================================================

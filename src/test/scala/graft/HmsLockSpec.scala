@@ -85,6 +85,53 @@ class HmsLockSpec extends AnyFunSuite with BeforeAndAfterAll {
     b.unlock()
   }
 
+  test("keepalive outlives the ACID lock timeout; an un-beaten hold is reaped") {
+    // fresh Derby store with a 2 s ACID lock timeout: the system
+    // property flows into the provider's HiveConf (keepalive beat =
+    // timeout/3 ≈ 666 ms) and into the reaper TxnStore below
+    val dbDir = Files.createTempDirectory("graft-hms-keepalive").toString
+    val conn = s"jdbc:derby:;databaseName=$dbDir/hms_db;create=true"
+    System.setProperty("hive.txn.timeout", "2s")
+    try {
+      val conf = new org.apache.hadoop.hive.conf.HiveConf()
+      conf.set("javax.jdo.option.ConnectionURL", conn)
+      conf.set("hive.metastore.uris", "")
+      conf.set("datanucleus.schema.autoCreateAll", "true")
+      conf.set("hive.metastore.schema.verification", "false")
+      conf.set("hive.in.test", "true")
+      conf.set("datanucleus.connectionPoolingType", "NONE")
+      conf.set("hive.txn.timeout", "2s")
+      val reaper = org.apache.hadoop.hive.metastore.txn.TxnUtils.getTxnStore(conf)
+
+      val a = new HmsLockProvider(conn, "/data/keepalive")
+      assert(a.tryLock())
+      // 2.5× the lock timeout with reap cycles every 500 ms: without the
+      // keepalive the hold dies at ~2 s (proven below); with it the
+      // beats keep HL_LAST_HEARTBEAT fresh and the hold survives
+      val deadline = System.currentTimeMillis() + 5000
+      while (System.currentTimeMillis() < deadline) {
+        reaper.performTimeOuts(); Thread.sleep(500)
+      }
+      assert(a.verifyFence(),
+        "a held lock under keepalive must outlive 2× the ACID lock timeout")
+      val b = new HmsLockProvider(conn, "/data/keepalive")
+      assert(!b.tryLock(), "exclusion must still hold after the reap cycles")
+      a.unlock()
+
+      // control: the same cycle DOES reap a hold whose keepalive stopped
+      // (a stalled writer) — proving the reaper above was real
+      assert(b.tryLock())
+      b.close() // stops the keepalive; the hold itself stays
+      Thread.sleep(2500)
+      reaper.performTimeOuts()
+      assert(!b.verifyFence(),
+        "an un-beaten hold must be reaped by the ACID timeout")
+      val c = new HmsLockProvider(conn, "/data/keepalive")
+      assert(c.tryLock(), "the reaped lock must be acquirable by a peer")
+      c.unlock(); b.unlock()
+    } finally System.clearProperty("hive.txn.timeout")
+  }
+
   test("malformed hms config is rejected") {
     val dir = tmp()
     val tl = new Timeline(dir, spark.sessionState.newHadoopConf())

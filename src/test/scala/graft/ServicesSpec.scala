@@ -707,6 +707,73 @@ class ServicesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Checkpoint.times(tbl.timeline).size == 2)
   }
 
+  test("concurrent RUN CHECKPOINT twins both return cleanly") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.COW))
+    tbl.bulkInsert(orders.filter(col("o_orderkey") % 2 === 0))
+    tbl.upsert(orders.filter(col("o_orderkey") % 2 === 1))
+    // two racing checkpoint() calls at the same head: the timeline lock
+    // serializes them; the loser sees the winner's fold and no-ops (or,
+    // losing the data rename, treats dest-exists-at-same-asOf as
+    // success) — neither may throw
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Option[String]]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to 2).foreach { _ =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          barrier.await()
+          try results.add(TableServices(tbl).checkpoint())
+          catch { case e: Throwable => errs.add(e) }
+        }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"no twin may throw: ${Option(errs.peek()).map(_.toString)}")
+    val rs = results.toArray(Array.empty[Option[String]]).toSeq
+    assert(rs.count(_.nonEmpty) >= 1, "at least one twin folded")
+    assert(Checkpoint.times(tbl.timeline).size == 1,
+      "exactly one checkpoint generation at the shared head")
+    val r = GraftReader(tbl)
+    assertSameRows(r.dataOnly(r.snapshot()), orders,
+      "state must read back exactly through the raced checkpoint")
+  }
+
+  test("resolve memo misses across a cross-process rollback + same-instant re-commit") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.COW))
+    tbl.bulkInsert(orders.filter(col("o_orderkey") % 3 === 0))
+    val t2 = tbl.upsert(orders.filter(col("o_orderkey") % 3 === 1))
+    val before = Snapshot.resolve(tbl.timeline) // memoized
+    // Emulate ANOTHER PROCESS rolling back t2 and re-committing a
+    // DIFFERENT payload that mints the SAME millisecond instant (in-JVM
+    // newInstantTime can never reuse a time; a peer process can) by
+    // direct timeline-file surgery: drop t2, record the rollback
+    // instant a real rollback writes, re-commit t2 with altered stats.
+    // The data-instant window (times AND count) is then IDENTICAL to
+    // the memoized one — only the full-timeline digest catches it.
+    val fs = tbl.timeline.fileSystem
+    val metaDir = tbl.timeline.metaDir
+    val meta = tbl.timeline.metadataOf(Instant(t2, Action.Commit, State.Completed))
+    assert(meta.stats.size > 1, "need >1 written file to alter the payload")
+    def put(name: String, content: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(metaDir, name), true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(metaDir, s"$t2.${Action.Commit}"), false)
+    put(s"${(BigInt(t2) + 1).toString}.${Action.Rollback}",
+      Json.write(CommitMetadata("rollback")))
+    put(s"$t2.${Action.Commit}", Json.write(meta.copy(stats = meta.stats.drop(1))))
+    val after = Snapshot.resolve(tbl.timeline)
+    assert(
+      after.slices.flatMap(_.allFiles).map(_.path).toSet !=
+        before.slices.flatMap(_.allFiles).map(_.path).toSet,
+      "resolve must reflect the re-committed state, never the memoized slices")
+  }
+
   test("partition TTL guards: non-partitioned and unpadded-numeric layouts refuse") {
     import spark.implicits._
     // non-partitioned table: its single sentinel partition ("") sorts
