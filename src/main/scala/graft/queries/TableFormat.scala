@@ -559,6 +559,76 @@ object TableFormat {
                CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
         FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
 
+    // ---- q206: long-horizon chaos sequence — a deterministic 13-step
+    //      mixed-operation run (the gate-sized cousin of ChaosSpec's
+    //      seeded randomized suite, reference analog: the hudi-integ-test
+    //      DAG suites): bulk load → upsert → delete → partition
+    //      overwrite → savepoint → detour commit → rollback → drop
+    //      partition → compact → clean → RUN CHECKPOINT → archive →
+    //      final upsert across dropped partitions. The DuckDB oracle
+    //      replays the same logical sequence as pure CASE/filter algebra
+    //      and hash-matches the final state.
+    "q206_chaos_sequence" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_chaos", TableType.MOR))
+        val svc = TableServices(tbl)
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 8))
+        // update keys %10 in {6,7}, insert {8}, all at price+1000
+        tbl.upsert(orders
+          .filter(col("o_orderkey") % 10 >= 6 && col("o_orderkey") % 10 <= 8)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        tbl.delete(orders.filter(col("o_orderkey") % 10 === 7)
+          .select("o_orderkey", "o_orderpriority"))
+        // replace the 1-URGENT partition wholesale with its %10<5 slice
+        tbl.insertOverwrite(orders
+          .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 10 < 5)
+          .withColumn("o_totalprice", col("o_totalprice") + 55))
+        // a savepointed detour that is fully undone: net-zero by contract
+        val sp = tbl.timeline.completed()
+          .filter(i => Action.dataActions(i.action)).last.time
+        svc.savepoint(sp)
+        val detour = tbl.upsert(orders.filter(col("o_orderkey") % 10 === 2)
+          .withColumn("o_totalprice", col("o_totalprice") + 777777))
+        svc.rollback(detour)
+        tbl.deletePartitions(Seq("5-LOW"))
+        // services are state-identity: fold deltas, reap dead files,
+        // fold the snapshot on demand, bound the timeline
+        svc.compact()
+        svc.clean(3)
+        // through the INJECTED spark.sql parser (the extension path users
+        // hit), not GraftSql directly — Verify's session carries it
+        require(s.sql(s"RUN CHECKPOINT ON '${tbl.basePath}'").count() == 1,
+          "the chaos sequence must mint an on-demand checkpoint")
+        svc.deleteSavepoint(sp)
+        svc.archive(4, 6)
+        require(tbl.timeline.archivedTimes().nonEmpty,
+          "the chaos sequence must archive its early instants")
+        // final upsert lands ON TOP of checkpoint + archive and reaches
+        // across dropped partitions (reinserting %10==0 everywhere)
+        tbl.upsert(orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 9))
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot())
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH final_state AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 9
+                      WHEN o_orderpriority = '1-URGENT' THEN o_totalprice + 55
+                      WHEN o_orderkey % 10 IN (6, 8) THEN o_totalprice + 1000
+                      ELSE o_totalprice END AS price
+          FROM orders
+          WHERE o_orderkey % 10 = 0
+             OR (o_orderpriority = '1-URGENT' AND o_orderkey % 10 BETWEEN 1 AND 4)
+             OR (o_orderpriority NOT IN ('5-LOW', '1-URGENT')
+                 AND o_orderkey % 10 IN (1, 2, 3, 4, 5, 6, 8)))
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
     // ---- zero-copy bootstrap over pre-existing parquet, then normal
     //      upsert/delete on top: externally-owned base files serve reads
     //      until their group is first rewritten

@@ -35,12 +35,43 @@ class GraftFileIndex(
     override val partitionSchema: StructType = new StructType(),
     /** partition path → typed partition values (one row per distinct
       * path); required when partitionSchema is non-empty */
-    partValues: Map[String, InternalRow] = Map.empty) extends FileIndex {
+    partValues: Map[String, InternalRow] = Map.empty,
+    /** names of the table's partition fields when partitionSchema is
+      * EMPTY (the default layout: partition values also live in the
+      * files, partition predicates arrive as data filters). Lets
+      * [[listFiles]] evaluate a partition-only predicate ONCE PER
+      * PARTITION instead of once per file — the planning-cost lever at
+      * 1M file slices, where a selective query must not walk a million
+      * stats entries (probed in FileIndexScaleSpec). */
+    partitionFields: Seq[String] = Nil) extends FileIndex {
 
   private val entries: Seq[(FileStatus, WriteStat)] = files.map { st =>
     // FileStatus built from metadata: no driver FS round-trip per file
     (new FileStatus(st.bytes, false, 1, 128L * 1024 * 1024, 0L,
       new Path(basePath, st.path)), st)
+  }
+
+  /** Entries bucketed by partition path, built once per index (list
+    * order preserved inside a bucket). Within a bucket every file
+    * carries the SAME partition-field values, so a partition-only
+    * predicate is decided by any one file's stats — the bucket head's. */
+  private lazy val byPartition: Seq[(String, Seq[(FileStatus, WriteStat)])] = {
+    val m = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[(FileStatus, WriteStat)]]
+    entries.foreach(e =>
+      m.getOrElseUpdate(e._2.partition, scala.collection.mutable.ArrayBuffer.empty) += e)
+    m.iterator.map { case (p, b) => (p, b.toSeq) }.toSeq
+  }
+
+  private val partitionFieldSet = partitionFields.toSet
+
+  /** A filter decidable per PARTITION: deterministic and touching only
+    * partition fields (their per-file min==max==the partition value, so
+    * stats evaluation on one file of the bucket decides the bucket). */
+  private def partitionOnly(f: Expression): Boolean = {
+    val refs = f.references.map(_.name).toSet
+    refs.nonEmpty && refs.subsetOf(partitionFieldSet) && f.deterministic &&
+      !f.exists(e => e.isInstanceOf[PlanExpression[_]])
   }
 
   override def rootPaths: Seq[Path] = Seq(new Path(basePath))
@@ -78,12 +109,26 @@ class GraftFileIndex(
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     if (partitionSchema.isEmpty) {
       val filters = partitionFilters ++ dataFilters
-      val kept = entries.filter { case (_, st) =>
-        filters.forall(f => StatsSkipping.mayMatch(f, st, schema))
+      // two-tier prune: partition-only predicates decide whole BUCKETS
+      // (one stats evaluation per partition — O(#partitions)); only the
+      // surviving buckets' files see the remaining per-file predicates.
+      // A selective query over a million-slice table therefore touches
+      // O(#partitions + matching files) entries, never all of them.
+      val (partPreds, filePreds) = filters.partition(partitionOnly)
+      val candidates =
+        if (partPreds.isEmpty) entries
+        else byPartition.withFilter { case (_, es) =>
+          // representative file: the first carrying column stats (a
+          // stats-less representative keeps the bucket — conservative)
+          val rep = es.find(_._2.columnStats.nonEmpty).getOrElse(es.head)._2
+          partPreds.forall(f => StatsSkipping.mayMatch(f, rep, schema))
+        }.flatMap(_._2)
+      val kept = candidates.filter { case (_, st) =>
+        filePreds.forall(f => StatsSkipping.mayMatch(f, st, schema))
       }
       Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
     } else {
-      entries.groupBy(_._2.partition).toSeq.flatMap { case (p, es) =>
+      byPartition.flatMap { case (p, es) =>
         val row = partValues.getOrElse(p, InternalRow.empty)
         if (!partMatch(partitionFilters, row)) None
         else {
@@ -116,9 +161,12 @@ object GraftFileIndex {
       partValues: Map[String, InternalRow] = Map.empty,
       /** data-file format of `files` (TableConfig.dataFormat) — picks
         * the matching vectorized FileFormat for the scan */
-      fileFormat: String = "parquet"): DataFrame = {
+      fileFormat: String = "parquet",
+      /** see [[GraftFileIndex.partitionFields]] */
+      partitionFields: Seq[String] = Nil): DataFrame = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val idx = new GraftFileIndex(basePath, files, schema, partitionSchema, partValues)
+    val idx = new GraftFileIndex(basePath, files, schema, partitionSchema,
+      partValues, partitionFields)
     val fmt: org.apache.spark.sql.execution.datasources.FileFormat =
       if (fileFormat == "orc")
         new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat

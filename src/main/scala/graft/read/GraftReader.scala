@@ -56,7 +56,7 @@ class GraftReader(table: GraftTable) {
             GraftFileIndex.relation(spark, table.basePath, native,
               dataSchema, partSchema, rows, fileFormat = cfg.dataFormat)
           } else GraftFileIndex.relation(spark, table.basePath, native, stored,
-            fileFormat = cfg.dataFormat)
+            fileFormat = cfg.dataFormat, partitionFields = cfg.partitionFields)
         Some(table.stampVirtual(rel, schema, native))
       } else if (cfg.dropPartitionColumns && cfg.partitionFields.nonEmpty) {
         // partition fields live only in the path: declare them as a real
@@ -68,7 +68,7 @@ class GraftReader(table: GraftTable) {
             dataSchema, partSchema, rows, fileFormat = cfg.dataFormat)
           .select(schema.fieldNames.toSeq.map(col): _*))
       } else Some(GraftFileIndex.relation(spark, table.basePath, native, schema,
-        fileFormat = cfg.dataFormat))
+        fileFormat = cfg.dataFormat, partitionFields = cfg.partitionFields))
     val parts = Seq(
       nativeDf,
       if (ext.isEmpty) None else Some(table.readStatsDf(schema, ext))

@@ -1336,7 +1336,7 @@ class GraftTable private (
     * for a non-global index). COW: anti-join rewrite of affected groups;
     * MOR: tombstone delta rows (reference analog:
     * SparkRDDWriteClient.delete :252 + EmptyHoodieRecordPayload). */
-  def delete(keys: DataFrame): String = {
+  def delete(keys: DataFrame, extra: Map[String, String] = Map.empty): String = {
     require(!config.virtualKeys,
       "delete is not supported on a virtualKeys table (append-only contract); " +
         "use deletePartitions or insert_overwrite for bulk removal")
@@ -1388,7 +1388,7 @@ class GraftTable private (
           }
         }
       finishCommit(t, action, CommitMetadata("delete", "", stats, replaced,
-          extra = Map("incoming_rows" -> incomingRows.toString)),
+          extra = extra + ("incoming_rows" -> incomingRows.toString)),
         snap.asOf, guarded = true)
       t
     } finally tagged.unpersist()

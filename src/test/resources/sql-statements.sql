@@ -148,3 +148,29 @@ EXPECT: 12,z
 
 RUN: RUN TTL ON '$T' EXPIRE BELOW 'p2'
 EXPECT_ROWS: 0
+
+-- ==== lifecycle verbs through the injected spark.sql parser (the
+-- ==== extension path users actually hit): on-demand checkpoint,
+-- ==== checkpoint listing, typed-TTL guard rail, archive on top of an
+-- ==== existing same-instant checkpoint (idempotent promote)
+
+RUN: RUN CHECKPOINT ON '$T'
+EXPECT_ROWS: 1
+
+RUN: SHOW CHECKPOINTS '$T'
+EXPECT_ROWS: 1
+
+RUN: RUN CHECKPOINT ON '$T'
+EXPECT_ROWS: 0
+
+RUN: RUN TTL ON '$T' EXPIRE OLDER THAN 30 DAYS DRY RUN
+EXPECT_ERROR: date-formatted
+
+RUN: SELECT id, v FROM gtab ORDER BY id
+EXPECT: 12,z
+
+RUN: RUN ARCHIVE ON '$T' KEEP 2 3
+EXPECT_ROWS: 1
+
+RUN: SELECT id, v FROM gtab ORDER BY id
+EXPECT: 12,z

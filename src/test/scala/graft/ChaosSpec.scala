@@ -1,0 +1,318 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.read.GraftReader
+import graft.services.TableServices
+import graft.write.GraftTable
+
+object ChaosSpec {
+  /** Chaos-table row (top-level so Spark derives an Encoder without an
+    * outer-class reference). */
+  case class Doc(id: Long, v: String, ts: Long, p: String)
+
+  /** Logical effect of one write batch on the shadow model. */
+  sealed trait Effect
+  case class UpsertRows(rows: Seq[Doc]) extends Effect
+  case class DeleteIds(ids: Seq[Long]) extends Effect
+  case class OverwriteParts(parts: Set[String], rows: Seq[Doc]) extends Effect
+  case class DropParts(parts: Seq[String]) extends Effect
+}
+
+/** Long-horizon seeded chaos suite (reference analog: the
+  * hudi-integ-test YAML-DAG framework —
+  * hudi-integ-test/src/main/java/org/apache/hudi/integ/testsuite/ with
+  * unit-test-cow-dag.yaml / unit-test-mor-dag.yaml — which composes long
+  * randomized operation sequences with validation nodes). One seeded run
+  * per (tableType, commitStore) composes ~150 mixed operations:
+  *
+  *  - writes: upsert / delete / insert_overwrite / delete_partition
+  *  - services: compaction (MOR) / clustering (COW) / clean / archive /
+  *    checkpoint / partition TTL
+  *  - time travel the write path: savepoint → rollback → restore
+  *  - a CONCURRENT second writer under OCC (tagged batches; the shadow
+  *    is folded from the timeline's own serialization order afterwards)
+  *  - fault injection: publishes killed mid-flight (after the conflict
+  *    check, before the completing write — the worst instant), recovered
+  *    by the heartbeat-driven failed-write reaper
+  *
+  * against a driver-side SHADOW MODEL (a plain Map folded with plain
+  * Scala — no engine code), asserted equal to a full snapshot read after
+  * every service and every few writes. The serialization-order fold is
+  * sound because OCC guarantees conflicting commits serialize: the
+  * timeline order is the order the engine CLAIMS, and the assert checks
+  * the DATA matches that claim.
+  */
+class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import ChaosSpec._
+
+  lazy val spark: SparkSession = Tables.configure(SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def partOf(id: Long): String = s"p${id % 5}"
+
+  private def df(rows: Seq[Doc]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF()
+  }
+
+  private type Shadow = Map[Long, Doc]
+
+  private def fold(shadow: Shadow, e: Effect): Shadow = e match {
+    case UpsertRows(rows) => shadow ++ rows.map(r => r.id -> r)
+    case DeleteIds(ids)   => shadow -- ids
+    case OverwriteParts(parts, rows) =>
+      shadow.filterNot { case (_, d) => parts(d.p) } ++ rows.map(r => r.id -> r)
+    case DropParts(parts) =>
+      shadow.filterNot { case (_, d) => parts.contains(d.p) }
+  }
+
+  private def assertState(tbl: GraftTable, shadow: Shadow, hint: String): Unit = {
+    val r = GraftReader(tbl)
+    val got = r.dataOnly(r.snapshot()).select("id", "v", "ts", "p").collect()
+      .map(x => Doc(x.getLong(0), x.getString(1), x.getLong(2), x.getString(3)))
+      .toSet
+    val want = shadow.values.toSet
+    assert(got == want,
+      s"$hint: extra=${(got -- want).take(5)} missing=${(want -- got).take(5)} " +
+        s"(got=${got.size}, want=${want.size})")
+  }
+
+  /** Draw n distinct ids from [0, 400). */
+  private def drawIds(rng: scala.util.Random, n: Int): Seq[Long] =
+    Seq.fill(n + 8)(rng.nextInt(400).toLong).distinct.take(n)
+
+  for ((tt, store) <- Seq((TableType.MOR, CommitStore.Rename),
+                          (TableType.COW, CommitStore.Put)))
+  test(s"seeded chaos sequence [$tt/$store]: ~150 mixed ops + concurrent " +
+      "OCC writer + killed publishes match the shadow model throughout") {
+    val seed = 20260816L + (if (tt == TableType.MOR) 0 else 1)
+    val rng = new scala.util.Random(seed)
+    val dir = Files.createTempDirectory(s"graft-chaos").toString
+    val tbl = GraftTable.create(spark, dir, TableConfig(
+      name = "chaos", tableType = tt, keyFields = Seq("id"),
+      partitionFields = Seq("p"), orderingField = "", occ = true,
+      commitStore = store, lockProvider = "inprocess",
+      failedWritesPolicy = "lazy", heartbeatTtlMs = 60000,
+      targetFileRows = 200))
+    val svc = TableServices(tbl)
+    val fs = tbl.timeline.fileSystem
+    var shadow: Shadow = Map.empty
+    var batchId = 0L
+    val opsRun = new java.util.concurrent.atomic.AtomicLong(0L)
+    def nextBatch(): Long = { batchId += 1; batchId }
+
+    def doUpsert(): Unit = {
+      opsRun.incrementAndGet()
+      val bid = nextBatch()
+      val rows = drawIds(rng, 5 + rng.nextInt(25))
+        .map(i => Doc(i, s"b$bid", bid, partOf(i)))
+      tbl.upsert(df(rows))
+      shadow = fold(shadow, UpsertRows(rows))
+    }
+    def doDelete(): Unit = {
+      opsRun.incrementAndGet()
+      val ids = drawIds(rng, 3 + rng.nextInt(12))
+      tbl.delete(df(ids.map(i => Doc(i, "", 0L, partOf(i)))).select("id", "p"))
+      shadow = fold(shadow, DeleteIds(ids))
+    }
+    def doOverwrite(): Unit = {
+      opsRun.incrementAndGet()
+      val bid = nextBatch()
+      val pi = rng.nextInt(5)
+      val rows = Seq.fill(20)(rng.nextInt(80).toLong * 5 + pi).distinct
+        .map(i => Doc(i, s"o$bid", bid, partOf(i)))
+      tbl.insertOverwrite(df(rows))
+      shadow = fold(shadow, OverwriteParts(Set(s"p$pi"), rows))
+    }
+    def doDropPartition(): Unit = {
+      val live = shadow.values.map(_.p).toSeq.distinct.sorted
+      if (live.nonEmpty) {
+        opsRun.incrementAndGet()
+        val part = live(rng.nextInt(live.size))
+        tbl.deletePartitions(Seq(part))
+        shadow = fold(shadow, DropParts(Seq(part)))
+      }
+    }
+    def rewriteService(): Unit =
+      if (tt == TableType.MOR) svc.compact() else svc.cluster(Seq("id"))
+
+    // ---- seed load --------------------------------------------------------
+    val seedRows = (0L until 300L).map(i => Doc(i, "seed", 0L, partOf(i)))
+    tbl.bulkInsert(df(seedRows))
+    shadow = fold(shadow, UpsertRows(seedRows))
+    assertState(tbl, shadow, "after seed load")
+
+    // ---- phase A: 60 single-writer steps over the full op mix -------------
+    for (step <- 1 to 60) {
+      val roll = rng.nextInt(100)
+      if (roll < 40) doUpsert()
+      else if (roll < 55) doDelete()
+      else if (roll < 63) doOverwrite()
+      else if (roll < 68) doDropPartition()
+      else if (roll < 76) { rewriteService(); assertState(tbl, shadow, s"A$step rewrite") }
+      else if (roll < 83) { svc.clean(8); assertState(tbl, shadow, s"A$step clean") }
+      else if (roll < 90) { svc.checkpoint(); assertState(tbl, shadow, s"A$step checkpoint") }
+      else if (roll < 95) { svc.archive(15, 25); assertState(tbl, shadow, s"A$step archive") }
+      else doUpsert()
+      if (step % 10 == 0) assertState(tbl, shadow, s"A$step")
+    }
+    assertState(tbl, shadow, "end of phase A")
+
+    // ---- phase B: concurrent OCC writer; shadow folded from the -----------
+    //      timeline's serialization order afterwards. Both writers update
+    //      only EXISTING keys: concurrent inserts of the SAME brand-new key
+    //      land in distinct file groups and are invisible to file-level OCC
+    //      (the same contract as the reference) — not the race under test.
+    val existing = shadow.keys.toVector.sorted
+    val ledger = new java.util.concurrent.ConcurrentHashMap[Long, Effect]()
+    val bidGen = new java.util.concurrent.atomic.AtomicLong(1000L)
+    def taggedWrite(t: GraftTable, r: scala.util.Random, deletes: Boolean): Unit = {
+      opsRun.incrementAndGet()
+      val bid = bidGen.getAndIncrement()
+      val ids = Seq.fill(12)(existing(r.nextInt(existing.size))).distinct
+      try {
+        if (deletes) {
+          ledger.put(bid, DeleteIds(ids))
+          t.delete(df(ids.map(i => Doc(i, "", 0L, partOf(i)))).select("id", "p"),
+            extra = Map("chaosBatch" -> bid.toString))
+        } else {
+          val rows = ids.map(i => Doc(i, s"c$bid", bid, partOf(i)))
+          ledger.put(bid, UpsertRows(rows))
+          t.upsert(df(rows), extra = Map("chaosBatch" -> bid.toString))
+        }
+      } catch {
+        // an aborted batch never reaches the timeline — the fold skips it
+        case _: ConcurrentWriteConflictException => ()
+        case _: ClusteringConflictException      => ()
+        case _: LockSessionLostException         => ()
+      }
+    }
+    val wErrs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writer = new Thread(() => {
+      try {
+        val wrng = new scala.util.Random(seed + 7777)
+        val peer = GraftTable.load(spark, dir)
+        for (_ <- 1 to 18) {
+          taggedWrite(peer, wrng, deletes = false)
+          Thread.sleep(wrng.nextInt(40).toLong)
+        }
+      } catch { case e: Throwable => wErrs.add(e) }
+    }, "chaos-writer")
+    writer.start()
+    for (step <- 1 to 24) {
+      if (step % 8 == 0) {
+        // services racing live writers: a schedule that keeps losing the
+        // race gives up loudly by contract — acceptable here, retry next
+        try rewriteService()
+        catch { case _: IllegalStateException => () }
+      } else if (step % 5 == 0) svc.checkpoint()
+      else taggedWrite(tbl, rng, deletes = rng.nextInt(10) < 3)
+    }
+    writer.join(300000)
+    assert(!writer.isAlive, "concurrent writer must finish")
+    assert(wErrs.isEmpty, s"concurrent writer died: ${Option(wErrs.peek())}")
+    // fold the tagged batches in the timeline's serialization order
+    val taggedEffects = tbl.timeline.completed()
+      .filter(i => Action.dataActions(i.action))
+      .sortBy(i => (i.time, i.action))
+      .flatMap(i => Option(tbl.timeline.metadataOf(i).extra.getOrElse("chaosBatch", null))
+        .map(_.toLong).flatMap(b => Option(ledger.get(b))))
+    assert(taggedEffects.nonEmpty, "phase B must land tagged batches")
+    shadow = taggedEffects.foldLeft(shadow)(fold)
+    assertState(tbl, shadow, "end of phase B (timeline-order fold)")
+
+    // ---- phase C: crash injection + heartbeat recovery --------------------
+    for (k <- 1 to 2) {
+      tbl.onBeforeComplete = () => throw new RuntimeException("chaos-kill")
+      val rows = drawIds(rng, 10).map(i => Doc(i, s"k$k", 9000L + k, partOf(i)))
+      val killed = try { tbl.upsert(df(rows)); false }
+        catch { case e: RuntimeException if e.getMessage == "chaos-kill" => true }
+      tbl.onBeforeComplete = () => ()
+      assert(killed, "the injected kill must fire")
+      // the crashed writer's heartbeat stops refreshing; age the file so
+      // the reaper's heartbeat gate opens (the instant-age gate still
+      // holds recovery until the instant itself is ttl old)
+      val pend = tbl.timeline.instants().filterNot(_.isCompleted).map(_.time).max
+      val hb = Heartbeat.path(tbl.timeline, pend)
+      if (fs.exists(hb)) {
+        val old = System.currentTimeMillis() - 600000L
+        fs.setTimes(hb, old, old)
+      }
+    }
+    val killWall = System.currentTimeMillis()
+    assert(tbl.timeline.instants().exists(i => !i.isCompleted),
+      "killed publishes must leave pending instants")
+    // killed effects were never applied to the shadow; the table must
+    // agree even while the pending wreckage is still on the timeline
+    assertState(tbl, shadow, "after kills (wreckage pending)")
+
+    // more single-writer traffic with the wreckage in place (no
+    // compaction/clustering: their schedule guard by design waits out
+    // pending writers, which is exactly what a crashed writer never does)
+    for (step <- 1 to 8) {
+      if (rng.nextInt(10) < 7) doUpsert() else doDelete()
+      if (step % 4 == 0) assertState(tbl, shadow, s"C$step")
+    }
+
+    // wait out the failed-write ttl (heartbeatTtlMs floor: the reaper
+    // refuses to presume a YOUNG instant crashed), then any write reaps
+    val ttlMs = 62000L
+    val waitMs = killWall + ttlMs - System.currentTimeMillis()
+    if (waitMs > 0) Thread.sleep(waitMs)
+    doUpsert()
+    assert(tbl.timeline.instants().forall(_.isCompleted),
+      "the heartbeat reaper must recover both killed publishes")
+    assert(tbl.timeline.completed().count(i => i.action == Action.Rollback &&
+        tbl.timeline.metadataOf(i).extra.get("reason").contains("failed_write")) >= 2,
+      "recovery must be audited as failed-write rollbacks")
+    assertState(tbl, shadow, "after crash recovery")
+
+    // ---- phase D: savepoint → rollback → restore → TTL --------------------
+    val spTarget = tbl.timeline.completed()
+      .filter(i => Action.dataActions(i.action)).last.time
+    svc.savepoint(spTarget)
+    val shadowAtSp = shadow
+    for (_ <- 1 to 3) doUpsert()
+    val beforeLast = shadow
+    doUpsert()
+    val lastT = tbl.timeline.completed()
+      .filter(i => Action.dataActions(i.action)).last.time
+    svc.rollback(lastT)
+    shadow = beforeLast
+    assertState(tbl, shadow, "after rollback of the latest commit")
+    svc.restoreTo(spTarget)
+    shadow = shadowAtSp
+    assertState(tbl, shadow, "after restore to the savepoint")
+    svc.deleteSavepoint(spTarget)
+
+    val dropped = svc.partitionTtl("p2").map(_._2).getOrElse(Nil)
+    assert(dropped == shadow.values.map(_.p).toSeq.distinct.filter(_ < "p2").sorted,
+      "TTL must drop exactly the shadow's live partitions below the cutoff")
+    shadow = fold(shadow, DropParts(dropped))
+    assertState(tbl, shadow, "after partition TTL")
+
+    // repopulate and close out with every service green over the final state
+    for (_ <- 1 to 4) doUpsert()
+    rewriteService()
+    assertState(tbl, shadow, "final rewrite service")
+    svc.clean(8)
+    svc.archive(15, 25)
+    svc.checkpoint()
+    assertState(tbl, shadow, "final state after clean + archive + checkpoint")
+    assert(opsRun.get() >= 80,
+      s"the run must compose a long horizon (ran ${opsRun.get()} write ops)")
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{ColStat, WriteStat}
+import graft.read.GraftFileIndex
+
+/** Planning-cost probe for [[GraftFileIndex.listFiles]] at large slice
+  * counts (the per-QUERY driver cost once the snapshot spine itself is
+  * checkpoint-fast): a selective partition predicate over 100k and 1M
+  * file entries must prune at BUCKET granularity — O(#partitions +
+  * matching files) — never walk a million per-file stats entries. No
+  * SparkSession needed: listFiles takes Catalyst expressions directly. */
+class FileIndexScaleSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("part", StringType),
+    StructField("x", LongType)))
+
+  /** nParts × filesPer synthetic entries with partition + data stats. */
+  private def mk(nParts: Int, filesPer: Int): Seq[WriteStat] =
+    (0 until nParts).flatMap { p =>
+      val pv = f"p$p%06d"
+      (0 until filesPer).map { f =>
+        WriteStat(partition = pv, fileId = s"$pv-$f",
+          path = s"$pv/f$f.parquet", rows = 100, bytes = 1000,
+          minKey = f"k$f%04d", maxKey = f"k$f%04d~",
+          columnStats = Map(
+            "part" -> ColStat(pv, pv, 0),
+            "x" -> ColStat((f * 10).toString, (f * 10 + 9).toString, 0)))
+      }
+    }
+
+  private def partEq(v: String): Expression =
+    EqualTo(AttributeReference("part", StringType)(), Literal.create(v, StringType))
+  private def xEq(v: Long): Expression =
+    EqualTo(AttributeReference("x", LongType)(), Literal.create(v, LongType))
+
+  private def bestOf(n: Int)(body: => Unit): Double =
+    (1 to n).map { _ =>
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e6
+    }.min
+
+  for ((nParts, filesPer, label) <- Seq((1000, 100, "100k"), (1000, 1000, "1M")))
+  test(s"selective partition planning at $label entries prunes at bucket " +
+      "granularity") {
+    val files = mk(nParts, filesPer)
+    val t0 = System.nanoTime()
+    val idx = new GraftFileIndex("/chaos/base", files, schema,
+      partitionFields = Seq("part"))
+    info(f"[$label] index construction ${(System.nanoTime() - t0) / 1e6}%.1f ms " +
+      "(per relation; linear in entries, paid once per query)")
+    val target = f"p${123}%06d"
+
+    // exactness first (also warms the one-time bucket build)
+    val sel = idx.listFiles(Nil, Seq(partEq(target), xEq(45L)))
+    val got = sel.flatMap(_.files.map(_.getPath.toString)).toSet
+    val want = files.filter(st => st.partition == target &&
+        st.columnStats("x").min.toLong <= 45L &&
+        st.columnStats("x").max.toLong >= 45L)
+      .map(st => s"/chaos/base/${st.path}").toSet
+    assert(got == want && got.nonEmpty,
+      s"selective planning must return exactly the matching files (${got.size} vs ${want.size})")
+
+    // a data-only predicate (no partition term) necessarily walks every
+    // file's stats — that is the O(N) floor the bucket prune must beat
+    val tFull = bestOf(3)(idx.listFiles(Nil, Seq(xEq(45L))))
+    val tSel = bestOf(3)(idx.listFiles(Nil, Seq(partEq(target), xEq(45L))))
+    info(f"[$label] selective=$tSel%.2f ms, full-walk=$tFull%.2f ms, " +
+      f"ratio=${tFull / math.max(tSel, 0.001)}%.0fx")
+    assert(tSel * 5 < tFull,
+      f"bucket-pruned planning ($tSel%.2f ms) must be far below the " +
+        f"full stats walk ($tFull%.2f ms) at $label entries")
+    assert(tSel < 50.0,
+      f"selective planning at $label entries must stay in single-digit " +
+        f"milliseconds territory, got $tSel%.2f ms")
+  }
+
+  test("bucket pruning is exactly as selective as the per-file walk (fuzz)") {
+    val files = mk(50, 20)
+    val withPf = new GraftFileIndex("/b", files, schema, partitionFields = Seq("part"))
+    val noPf = new GraftFileIndex("/b", files, schema) // legacy per-file path
+    val rng = new scala.util.Random(7L)
+    for (_ <- 1 to 40) {
+      val preds = Seq(
+        Option.when(rng.nextBoolean())(partEq(f"p${rng.nextInt(60)}%06d")),
+        Option.when(rng.nextBoolean())(
+          GreaterThan(AttributeReference("part", StringType)(),
+            Literal.create(f"p${rng.nextInt(60)}%06d", StringType))),
+        Option.when(rng.nextBoolean())(xEq(rng.nextInt(220).toLong))
+      ).flatten
+      val a = withPf.listFiles(Nil, preds).flatMap(_.files.map(_.getPath.toString)).toSet
+      val b = noPf.listFiles(Nil, preds).flatMap(_.files.map(_.getPath.toString)).toSet
+      assert(a == b, s"bucketed vs per-file divergence under $preds")
+    }
+  }
+}

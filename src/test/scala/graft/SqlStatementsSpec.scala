@@ -57,23 +57,36 @@ class SqlStatementsSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (line.startsWith("RUN:")) {
         val stmt = line.stripPrefix("RUN:").trim.replace("$T", dir)
         val expectLine = lines.drop(i + 1).map(_.trim)
-          .find(l => l.startsWith("EXPECT:") || l.startsWith("EXPECT_ROWS:"))
+          .find(l => l.startsWith("EXPECT:") || l.startsWith("EXPECT_ROWS:") ||
+            l.startsWith("EXPECT_ERROR:"))
           .getOrElse(fail(s"no EXPECT after: $stmt"))
         // mutations invalidate the cached catalog relation
         spark.catalog.refreshTable("gtab")
-        val result = spark.sql(stmt)
         nRun += 1
-        if (expectLine.startsWith("EXPECT_ROWS:")) {
-          val want = expectLine.stripPrefix("EXPECT_ROWS:").trim.toLong
-          val got = result.count()
-          assert(got == want, s"[$stmt] rows: got $got want $want")
+        if (expectLine.startsWith("EXPECT_ERROR:")) {
+          // the statement must REFUSE, with the reason named anywhere in
+          // its cause chain (guard rails are part of the SQL surface)
+          val want = expectLine.stripPrefix("EXPECT_ERROR:").trim
+          val e = intercept[Throwable] { spark.sql(stmt).collect() }
+          val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null)
+            .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+          assert(msgs.contains(want),
+            s"[$stmt] refused for the wrong reason: '$msgs' (want '$want')")
         } else {
-          val want = expectLine.stripPrefix("EXPECT:").trim
-          if (want != "-") {
-            val got = render(result)
-            assert(got == want, s"[$stmt] got '$got' want '$want'")
+          val result = spark.sql(stmt)
+          if (expectLine.startsWith("EXPECT_ROWS:")) {
+            val want = expectLine.stripPrefix("EXPECT_ROWS:").trim.toLong
+            val got = result.count()
+            assert(got == want, s"[$stmt] rows: got $got want $want")
           } else {
-            result.collect() // must succeed
+            val want = expectLine.stripPrefix("EXPECT:").trim
+            if (want != "-") {
+              val got = render(result)
+              assert(got == want, s"[$stmt] got '$got' want '$want'")
+            } else {
+              result.collect() // must succeed
+            }
           }
         }
       }
