@@ -45,21 +45,26 @@ class GraftFileIndex(
       * stats entries (probed in FileIndexScaleSpec). */
     partitionFields: Seq[String] = Nil) extends FileIndex {
 
-  private val entries: Seq[(FileStatus, WriteStat)] = files.map { st =>
-    // FileStatus built from metadata: no driver FS round-trip per file
-    (new FileStatus(st.bytes, false, 1, 128L * 1024 * 1024, 0L,
-      new Path(basePath, st.path)), st)
-  }
+  private val rootPath = new Path(basePath)
+
+  /** FileStatus built from commit metadata — no driver FS round-trip —
+    * and built LAZILY, only for files a query actually keeps: Path/URI
+    * parsing per entry is the dominant relation-construction cost at 1M
+    * slices (~1.3 µs each), and a selective query must not pay it for
+    * the million files it prunes away. */
+  private def status(st: WriteStat): FileStatus =
+    new FileStatus(st.bytes, false, 1, 128L * 1024 * 1024, 0L,
+      new Path(rootPath, st.path))
 
   /** Entries bucketed by partition path, built once per index (list
     * order preserved inside a bucket). Within a bucket every file
     * carries the SAME partition-field values, so a partition-only
     * predicate is decided by any one file's stats — the bucket head's. */
-  private lazy val byPartition: Seq[(String, Seq[(FileStatus, WriteStat)])] = {
+  private lazy val byPartition: Seq[(String, Seq[WriteStat])] = {
     val m = scala.collection.mutable.LinkedHashMap
-      .empty[String, scala.collection.mutable.ArrayBuffer[(FileStatus, WriteStat)]]
-    entries.foreach(e =>
-      m.getOrElseUpdate(e._2.partition, scala.collection.mutable.ArrayBuffer.empty) += e)
+      .empty[String, scala.collection.mutable.ArrayBuffer[WriteStat]]
+    files.foreach(st =>
+      m.getOrElseUpdate(st.partition, scala.collection.mutable.ArrayBuffer.empty) += st)
     m.iterator.map { case (p, b) => (p, b.toSeq) }.toSeq
   }
 
@@ -116,34 +121,34 @@ class GraftFileIndex(
       // O(#partitions + matching files) entries, never all of them.
       val (partPreds, filePreds) = filters.partition(partitionOnly)
       val candidates =
-        if (partPreds.isEmpty) entries
+        if (partPreds.isEmpty) files
         else byPartition.withFilter { case (_, es) =>
           // representative file: the first carrying column stats (a
           // stats-less representative keeps the bucket — conservative)
-          val rep = es.find(_._2.columnStats.nonEmpty).getOrElse(es.head)._2
+          val rep = es.find(_.columnStats.nonEmpty).getOrElse(es.head)
           partPreds.forall(f => StatsSkipping.mayMatch(f, rep, schema))
         }.flatMap(_._2)
-      val kept = candidates.filter { case (_, st) =>
+      val kept = candidates.filter { st =>
         filePreds.forall(f => StatsSkipping.mayMatch(f, st, schema))
       }
-      Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
+      Seq(PartitionDirectory(InternalRow.empty, kept.map(status).toArray))
     } else {
       byPartition.flatMap { case (p, es) =>
         val row = partValues.getOrElse(p, InternalRow.empty)
         if (!partMatch(partitionFilters, row)) None
         else {
-          val kept = es.filter { case (_, st) =>
+          val kept = es.filter { st =>
             dataFilters.forall(f => StatsSkipping.mayMatch(f, st, schema))
           }
           if (kept.isEmpty) None
-          else Some(PartitionDirectory(row, kept.map(_._1).toArray))
+          else Some(PartitionDirectory(row, kept.map(status).toArray))
         }
       }
     }
   }
 
   override def inputFiles: Array[String] =
-    entries.map(_._1.getPath.toString).toArray
+    files.map(st => new Path(rootPath, st.path).toString).toArray
   override def refresh(): Unit = ()
   override def sizeInBytes: Long = files.map(_.bytes).sum
 }

@@ -52,7 +52,7 @@ class FileIndexScaleSpec extends AnyFunSuite {
     val idx = new GraftFileIndex("/chaos/base", files, schema,
       partitionFields = Seq("part"))
     info(f"[$label] index construction ${(System.nanoTime() - t0) / 1e6}%.1f ms " +
-      "(per relation; linear in entries, paid once per query)")
+      "(per relation; FileStatus/Path materialize lazily for KEPT files only)")
     val target = f"p${123}%06d"
 
     // exactness first (also warms the one-time bucket build)
