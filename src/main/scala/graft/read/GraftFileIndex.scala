@@ -61,11 +61,35 @@ class GraftFileIndex(
     * carries the SAME partition-field values, so a partition-only
     * predicate is decided by any one file's stats — the bucket head's. */
   private lazy val byPartition: Seq[(String, Seq[WriteStat])] = {
-    val m = scala.collection.mutable.LinkedHashMap
-      .empty[String, scala.collection.mutable.ArrayBuffer[WriteStat]]
-    files.foreach(st =>
-      m.getOrElseUpdate(st.partition, scala.collection.mutable.ArrayBuffer.empty) += st)
-    m.iterator.map { case (p, b) => (p, b.toSeq) }.toSeq
+    // snapshot slices arrive partition-SORTED (Snapshot.resolve sorts by
+    // (partition, fileId) and the read path's filters preserve order),
+    // so buckets are contiguous runs: a linear scan groups a million
+    // entries without hashing a million partition strings. A revisited
+    // partition (caller passed an unsorted list) falls back to hash
+    // grouping — correctness never depends on the order.
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[WriteStat])]
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    var sorted = true
+    var buf = scala.collection.mutable.ArrayBuffer.empty[WriteStat]
+    var cur: String = null
+    files.foreach { st =>
+      if (cur == null || st.partition != cur) {
+        if (cur != null) runs += ((cur, buf.toSeq))
+        if (!seen.add(st.partition)) sorted = false
+        cur = st.partition
+        buf = scala.collection.mutable.ArrayBuffer.empty[WriteStat]
+      }
+      buf += st
+    }
+    if (cur != null) runs += ((cur, buf.toSeq))
+    if (sorted) runs.toSeq
+    else {
+      val m = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[WriteStat]]
+      files.foreach(st =>
+        m.getOrElseUpdate(st.partition, scala.collection.mutable.ArrayBuffer.empty) += st)
+      m.iterator.map { case (p, b) => (p, b.toSeq) }.toSeq
+    }
   }
 
   private val partitionFieldSet = partitionFields.toSet

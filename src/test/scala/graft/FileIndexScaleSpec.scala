@@ -55,8 +55,12 @@ class FileIndexScaleSpec extends AnyFunSuite {
       "(per relation; FileStatus/Path materialize lazily for KEPT files only)")
     val target = f"p${123}%06d"
 
-    // exactness first (also warms the one-time bucket build)
+    // exactness first; this FIRST call pays the one-time-per-relation
+    // bucket build, i.e. the real cold planning cost of a fresh query
+    val tCold = System.nanoTime()
     val sel = idx.listFiles(Nil, Seq(partEq(target), xEq(45L)))
+    info(f"[$label] cold listFiles (incl. bucket build) " +
+      f"${(System.nanoTime() - tCold) / 1e6}%.1f ms")
     val got = sel.flatMap(_.files.map(_.getPath.toString)).toSet
     val want = files.filter(st => st.partition == target &&
         st.columnStats("x").min.toLong <= 45L &&
@@ -83,6 +87,11 @@ class FileIndexScaleSpec extends AnyFunSuite {
     val files = mk(50, 20)
     val withPf = new GraftFileIndex("/b", files, schema, partitionFields = Seq("part"))
     val noPf = new GraftFileIndex("/b", files, schema) // legacy per-file path
+    // UNSORTED input exercises the bucket build's hash-grouping fallback
+    // (the run-scan fast path assumes partition-sorted snapshot slices)
+    val shuffledPf = new GraftFileIndex("/b",
+      new scala.util.Random(3L).shuffle(files), schema,
+      partitionFields = Seq("part"))
     val rng = new scala.util.Random(7L)
     for (_ <- 1 to 40) {
       val preds = Seq(
@@ -94,7 +103,9 @@ class FileIndexScaleSpec extends AnyFunSuite {
       ).flatten
       val a = withPf.listFiles(Nil, preds).flatMap(_.files.map(_.getPath.toString)).toSet
       val b = noPf.listFiles(Nil, preds).flatMap(_.files.map(_.getPath.toString)).toSet
+      val c = shuffledPf.listFiles(Nil, preds).flatMap(_.files.map(_.getPath.toString)).toSet
       assert(a == b, s"bucketed vs per-file divergence under $preds")
+      assert(c == b, s"hash-fallback bucket path diverged under $preds")
     }
   }
 }
