@@ -117,12 +117,11 @@ class HmsLockProvider(connect: String, key: String) extends LockProvider {
         // OTHER failure (connectivity loss) leaves the hold to die by
         // ACID timeout — not a correctness break, but it stalls peers
         // for up to hive.txn.timeout, so it must leave a trace
-        case _: org.apache.hadoop.hive.metastore.api.NoSuchLockException => ()
-        case _: org.apache.hadoop.hive.metastore.api.NoSuchTxnException  => ()
-        case e: Exception =>
+        case e: Exception if !HmsLockProvider.isAlreadyReleased(e) =>
           log.warn(s"hms unlock of lock $id failed (hold will expire by " +
             s"ACID timeout; peers may wait up to hive.txn.timeout): " +
             s"${e.getClass.getName}: ${e.getMessage}")
+        case _: Exception => ()
       }
     }
     lockId = None
@@ -245,6 +244,17 @@ object HmsLockProvider {
         val fresh = clients.computeIfAbsent(connect, newClient(_))
         fresh.synchronized(f(fresh))
     }
+  }
+
+  /** An unlock failure meaning the hold is ALREADY GONE (reaped by the
+    * ACID timeout or released by an operator) — the silent, expected
+    * abort path. Everything else is connectivity loss and must be
+    * logged: the hold lives on until `hive.txn.timeout` and stalls
+    * peers, which an operator can only trace through that warn. */
+  private[graft] def isAlreadyReleased(e: Exception): Boolean = e match {
+    case _: org.apache.hadoop.hive.metastore.api.NoSuchLockException => true
+    case _: org.apache.hadoop.hive.metastore.api.NoSuchTxnException  => true
+    case _ => false
   }
 
   /** A dead socket surfaces as TTransportException (possibly wrapped by

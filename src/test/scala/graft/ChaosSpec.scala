@@ -94,9 +94,12 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def drawIds(rng: scala.util.Random, n: Int): Seq[Long] =
     Seq.fill(n + 8)(rng.nextInt(400).toLong).distinct.take(n)
 
-  for ((tt, store) <- Seq((TableType.MOR, CommitStore.Rename),
-                          (TableType.COW, CommitStore.Put)))
-  test(s"seeded chaos sequence [$tt/$store]: ~150 mixed ops + concurrent " +
+  // the matrix spans both table types, both commit stores, AND both base
+  // formats (the MOR leg runs its delta/compaction chaos entirely on ORC)
+  for ((tt, store, format) <- Seq(
+         (TableType.MOR, CommitStore.Rename, "orc"),
+         (TableType.COW, CommitStore.Put, "parquet")))
+  test(s"seeded chaos sequence [$tt/$store/$format]: ~150 mixed ops + concurrent " +
       "OCC writer + killed publishes match the shadow model throughout") {
     val seed = 20260816L + (if (tt == TableType.MOR) 0 else 1)
     val rng = new scala.util.Random(seed)
@@ -106,7 +109,7 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
       partitionFields = Seq("p"), orderingField = "", occ = true,
       commitStore = store, lockProvider = "inprocess",
       failedWritesPolicy = "lazy", heartbeatTtlMs = 60000,
-      targetFileRows = 200))
+      targetFileRows = 200, baseFormat = format))
     val svc = TableServices(tbl)
     val fs = tbl.timeline.fileSystem
     var shadow: Shadow = Map.empty

@@ -132,6 +132,21 @@ class HmsLockSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally System.clearProperty("hive.txn.timeout")
   }
 
+  test("unlock failure classification: reaped holds are silent, " +
+      "connectivity loss is not") {
+    // NoSuchLock/NoSuchTxn = the hold is already gone (expected abort
+    // path, no trace); anything else = the hold is still alive behind a
+    // dead wire and peers stall on it until the ACID timeout — logged
+    assert(HmsLockProvider.isAlreadyReleased(
+      new org.apache.hadoop.hive.metastore.api.NoSuchLockException()))
+    assert(HmsLockProvider.isAlreadyReleased(
+      new org.apache.hadoop.hive.metastore.api.NoSuchTxnException()))
+    assert(!HmsLockProvider.isAlreadyReleased(
+      new org.apache.thrift.transport.TTransportException("reset")))
+    assert(!HmsLockProvider.isAlreadyReleased(
+      new org.apache.hadoop.hive.metastore.api.MetaException("boom")))
+  }
+
   test("malformed hms config is rejected") {
     val dir = tmp()
     val tl = new Timeline(dir, spark.sessionState.newHadoopConf())
