@@ -237,6 +237,51 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     shadow = taggedEffects.foldLeft(shadow)(fold)
     assertState(tbl, shadow, "end of phase B (timeline-order fold)")
 
+    // ---- phase B2: the CDC consistency TRIANGLE over a purge-free -------
+    //      concurrent window. Constraints learned from the engine's own
+    //      contracts: (1) compaction/clustering PURGE tombstone markers,
+    //      so a CDC window crossing a purge loses D rows by design —
+    //      this window runs writes only; (2) checkpoint rotation keeps
+    //      the newest 3 generations, so the begin instant must not be
+    //      older than the newest checkpoint — true here because B2
+    //      mints no checkpoints after its start.
+    val shadowAtB2 = shadow
+    val b2Start = tbl.timeline.completed()
+      .filter(i => Action.dataActions(i.action)).last.time
+    val w2Errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writer2 = new Thread(() => {
+      try {
+        val wrng = new scala.util.Random(seed + 8888)
+        val peer = GraftTable.load(spark, dir)
+        for (_ <- 1 to 8) taggedWrite(peer, wrng, deletes = false)
+      } catch { case e: Throwable => w2Errs.add(e) }
+    }, "chaos-writer2")
+    writer2.start()
+    for (_ <- 1 to 8) taggedWrite(tbl, rng, deletes = rng.nextInt(10) < 4)
+    writer2.join(300000)
+    assert(!writer2.isAlive && w2Errs.isEmpty, s"writer2 died: ${Option(w2Errs.peek())}")
+    val b2Effects = tbl.timeline.completed()
+      .filter(i => Action.dataActions(i.action) && i.time > b2Start)
+      .sortBy(i => (i.time, i.action))
+      .flatMap(i => Option(tbl.timeline.metadataOf(i).extra.getOrElse("chaosBatch", null))
+        .map(_.toLong).flatMap(b => Option(ledger.get(b))))
+    shadow = b2Effects.foldLeft(shadow)(fold)
+    assertState(tbl, shadow, "end of phase B2 (timeline-order fold)")
+    // third side of the triangle: a CDC consumer replaying the window's
+    // one-row-per-changed-key I/U/D view over the window-start state
+    // must land on the same shadow the fold (and the snapshot) claim
+    val cdcShadow = GraftReader(tbl).incrementalCdc(b2Start)
+      .select("id", "v", "ts", "p", "_g_operation").collect()
+      .foldLeft(shadowAtB2) { (acc, r) =>
+        if (r.getString(4) == "D") acc - r.getLong(0)
+        else acc + (r.getLong(0) ->
+          Doc(r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      }
+    assert(cdcShadow == shadow,
+      s"CDC replay of phase B2 must reconstruct the folded shadow: " +
+        s"extra=${(cdcShadow.keySet -- shadow.keySet).take(5)} " +
+        s"missing=${(shadow.keySet -- cdcShadow.keySet).take(5)}")
+
     // ---- phase C: crash injection + heartbeat recovery --------------------
     for (k <- 1 to 2) {
       tbl.onBeforeComplete = () => throw new RuntimeException("chaos-kill")
