@@ -115,6 +115,24 @@ object Snapshot {
         throw new IllegalStateException(
           s"instants at or before ${asOf.getOrElse("latest")} are archived " +
             "and no checkpoint covers them; time travel this far back is unavailable")
+    } else if (asOf.isDefined) {
+      // a checkpoint EXISTS but archived instants fall INSIDE the replay
+      // window (cpTime, asOf] — they are on neither the checkpoint nor
+      // the active timeline, so replaying from this checkpoint would
+      // silently MISS them (reachable when checkpoint rotation retains
+      // an old RUN CHECKPOINT generation stamped before a later archive
+      // boundary). Refuse loudly, like the no-checkpoint case. Scoped to
+      // time-travel reads: latest reads always resolve from the NEWEST
+      // checkpoint, which every archive stamps at/after everything it
+      // archives (and restoreTo refuses to break that invariant), so
+      // their window is provably empty — and this check lists the
+      // archive directory, an unbounded-growth cost the per-commit read
+      // path must not pay.
+      if (timeline.archivedTimes().exists(t => t > cpTime && t <= asOf.get))
+        throw new IllegalStateException(
+          s"instants in ($cpTime, ${asOf.get}] are archived and the newest " +
+            "checkpoint at or before this read predates them; time travel " +
+            "to this window is unavailable")
     }
     var groups = Map.empty[(String, String), GroupState]
     cp.toSeq.flatMap(_.slices).foreach { s =>

@@ -1023,6 +1023,21 @@ class TableServices(table: GraftTable) {
     require(pinnedAbove.isEmpty,
       s"cannot restore below savepointed instant(s) ${pinnedAbove.mkString(", ")}" +
         s" — delete those savepoints first")
+    // the restore drops every checkpoint above `time` (they contain the
+    // undone state); when archived instants exist, some SURVIVING
+    // checkpoint must still cover them (stamp in [newest archived,
+    // time]) or the post-restore snapshot becomes unresolvable — the
+    // active timeline alone cannot replay archived history, and an
+    // older surviving checkpoint would silently SKIP it. Refuse before
+    // any deletion: this restore depth left the retention window.
+    timeline.archivedTimes().lastOption.foreach { am =>
+      val surviving = Checkpoint.times(timeline).filter(_ <= time)
+      require(surviving.exists(_ >= am),
+        s"cannot restore to $time: the archived history (through $am) is " +
+          "covered only by checkpoints this restore would drop, so the " +
+          "restored snapshot would be unresolvable — this restore depth " +
+          "is no longer available")
+    }
     val doomed = timeline.completed()
       .filter(i => Action.dataActions(i.action) && i.time > time)
       .reverse

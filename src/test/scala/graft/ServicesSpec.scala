@@ -774,6 +774,71 @@ class ServicesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "resolve must reflect the re-committed state, never the memoized slices")
   }
 
+  test("time travel refuses the archived gap below a retained old checkpoint") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.COW))
+    val svc = TableServices(tbl)
+    (1 to 3).foreach(i => tbl.upsert(orders.filter(col("o_orderkey") % 8 === i)))
+    assert(svc.checkpoint().nonEmpty) // cpOld stamped at commit 3
+    (4 to 8).foreach(i => tbl.upsert(orders.filter(col("o_orderkey") % 8 === i % 8)))
+    assert(svc.archive(keepMin = 2, keepMax = 3).nonEmpty)
+    val cps = Checkpoint.times(tbl.timeline)
+    assert(cps.size == 2, s"retained checkpoints: $cps")
+    val cpOld = cps.head
+    val archived = tbl.timeline.archivedTimes()
+    val gap = archived.find(_ > cpOld)
+      .getOrElse(fail("need an archived instant above the old checkpoint"))
+    // the replay window (cpOld, gap] contains ARCHIVED instants: they are
+    // on neither the checkpoint nor the active timeline — before the
+    // round-11 guard this resolve silently returned cpOld's state
+    val e = intercept[IllegalStateException] {
+      Snapshot.resolve(tbl.timeline, Some(gap))
+    }
+    assert(e.getMessage.contains("archived"))
+    // the old checkpoint's own stamp still resolves exactly (window empty)
+    assert(Snapshot.resolve(tbl.timeline, Some(cpOld)).slices.nonEmpty)
+    // and everything at/after the covering checkpoint stays available
+    assert(Snapshot.resolve(tbl.timeline, Some(cps.last)).slices.nonEmpty)
+    val r = GraftReader(tbl)
+    assert(r.dataOnly(r.snapshot()).count() > 0, "latest reads unaffected")
+  }
+
+  test("restore refuses a depth whose archived history no surviving checkpoint covers") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.COW))
+    val svc = TableServices(tbl)
+    (1 to 8).foreach(i => tbl.upsert(orders.filter(col("o_orderkey") % 8 === i % 8)))
+    assert(svc.archive(keepMin = 2, keepMax = 3).nonEmpty)
+    // rotate the archive-boundary checkpoint out with three newer ones
+    (1 to 3).foreach { i =>
+      tbl.upsert(orders.filter(col("o_orderkey") % 16 === i))
+      assert(svc.checkpoint().nonEmpty)
+    }
+    val cps = Checkpoint.times(tbl.timeline)
+    assert(cps.size == 3, s"rotation must keep the newest three: $cps")
+    val am = tbl.timeline.archivedTimes().last
+    assert(cps.forall(_ > am), "precondition: every retained checkpoint is " +
+      "newer than the archive boundary")
+    // a restore below the OLDEST retained checkpoint would drop every
+    // checkpoint covering the archived history: the restored snapshot
+    // could never resolve again (and an older checkpoint, if one
+    // survived, would silently SKIP the archived commits) — refuse
+    val active = tbl.timeline.completed()
+      .filter(i => Action.dataActions(i.action)).map(_.time)
+    val deep = active.find(_ < cps.head)
+      .getOrElse(fail("need an active data instant below the oldest checkpoint"))
+    val e = intercept[IllegalArgumentException] { svc.restoreTo(deep) }
+    assert(e.getMessage.contains("unresolvable"))
+    val r = GraftReader(tbl)
+    assert(r.dataOnly(r.snapshot()).count() > 0,
+      "the refused restore must leave the table fully readable")
+    // a restore that keeps a covering checkpoint goes through
+    assert(active.exists(t => t >= cps.head && t < active.last))
+    val ok = active.filter(t => t >= cps.head && t < active.last).last
+    svc.restoreTo(ok)
+    assert(r.dataOnly(r.snapshot()).count() > 0, "restored table reads back")
+  }
+
   test("partition TTL guards: non-partitioned and unpadded-numeric layouts refuse") {
     import spark.implicits._
     // non-partitioned table: its single sentinel partition ("") sorts
