@@ -54,7 +54,6 @@ case class CheckpointManifest(
 object Checkpoint {
   val Dir = "checkpoint"
   val FormatV2 = "parquet-v2"
-  private val Keep = 3 // retained checkpoint generations
 
   private def dir(timeline: Timeline): Path = new Path(timeline.metaDir, Dir)
   private def manifestPath(timeline: Timeline, t: String): Path =
@@ -147,8 +146,11 @@ object Checkpoint {
     }
     timeline.commitStore.putAtomic(fs, manifestPath(timeline, cp.asOf),
       Json.write(CheckpointManifest(cp.asOf, cp.schemaJson, n)))
-    // bounded retention: drop all but the newest Keep generations
-    times(timeline).dropRight(Keep).foreach(delete(timeline, _))
+    // bounded retention: drop all but the newest generations. The oldest
+    // retained generation is the table's time-travel floor once anything
+    // is archived (TableConfig.checkpointKeep documents the trade-off).
+    times(timeline).dropRight(timeline.config.effectiveCheckpointKeep)
+      .foreach(delete(timeline, _))
   }
 
   private def entry(fac: SimpleGroupFactory, s: FileSlice, st: WriteStat,

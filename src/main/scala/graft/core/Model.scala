@@ -237,6 +237,15 @@ case class TableConfig(
       * HoodieWriteConfig.java:368,373 — 60 s × 2 there; live writers
       * refresh every [[Heartbeat.RefreshMs]]). 0 = default. */
     heartbeatTtlMs: Long = 0L,
+    /** snapshot-checkpoint generations retained by rotation (default 3).
+      * The oldest retained generation is the time-travel FLOOR once
+      * anything is archived (resolve refuses an asOf whose replay window
+      * contains archived instants — see Snapshot.resolve), so a schedule
+      * that runs RUN CHECKPOINT frequently narrows the as-of window to
+      * this many checkpoint intervals; raise it to keep history deeper.
+      * Each generation costs one columnar slice list (~25 MB per 1M file
+      * groups). 0/old table.json = default. */
+    checkpointKeep: Int = 0,
     version: Int = 1) {
 
   /** [[baseFormat]] with the old-table.json null/empty default applied —
@@ -244,6 +253,10 @@ case class TableConfig(
   def dataFormat: String =
     Option(baseFormat).map(_.trim.toLowerCase).filter(_.nonEmpty)
       .getOrElse("parquet")
+
+  /** [[checkpointKeep]] with the old-table.json 0 default applied —
+    * retention reads THIS, never the raw field. */
+  def effectiveCheckpointKeep: Int = if (checkpointKeep <= 0) 3 else checkpointKeep
 }
 
 object TableType { val COW = "COW"; val MOR = "MOR" }

@@ -207,7 +207,9 @@ class GraftDataSource
         failedWritesPolicy =
           parameters.getOrElse("failed.writes.policy", "auto"),
         heartbeatTtlMs =
-          parameters.getOrElse("heartbeat.ttl.ms", "0").toLong))
+          parameters.getOrElse("heartbeat.ttl.ms", "0").toLong,
+        checkpointKeep =
+          parameters.getOrElse("checkpoint.keep", "0").toInt))
     }
   }
 }

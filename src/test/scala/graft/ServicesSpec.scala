@@ -803,6 +803,24 @@ class ServicesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.dataOnly(r.snapshot()).count() > 0, "latest reads unaffected")
   }
 
+  test("checkpointKeep widens retention (and with it the time-travel floor)") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.COW).copy(checkpointKeep = 5))
+    val svc = TableServices(tbl)
+    (1 to 5).foreach { i =>
+      tbl.upsert(orders.filter(col("o_orderkey") % 8 === i))
+      assert(svc.checkpoint().nonEmpty)
+    }
+    assert(Checkpoint.times(tbl.timeline).size == 5,
+      "a table configured for 5 generations must retain all 5")
+    tbl.upsert(orders.filter(col("o_orderkey") % 8 === 6))
+    assert(svc.checkpoint().nonEmpty)
+    val cps = Checkpoint.times(tbl.timeline)
+    assert(cps.size == 5, "the 6th generation rotates the oldest out")
+    // every retained stamp stays time-travelable (nothing archived here)
+    cps.foreach(t => assert(Snapshot.resolve(tbl.timeline, Some(t)).slices.nonEmpty))
+  }
+
   test("restore refuses a depth whose archived history no surviving checkpoint covers") {
     val dir = tmp()
     val tbl = GraftTable.create(spark, dir, cfg(TableType.COW))
