@@ -96,24 +96,39 @@ object Checkpoint {
       |  required binary colStatsJson (UTF8);
       |}""".stripMargin)
 
-  def write(timeline: Timeline, cp: SnapshotCheckpoint): Unit = {
+  /** How old an orphan temp must be before [[stage]] reaps it. Staging
+    * legitimately happens OUTSIDE the timeline lock (the fold +
+    * serialization half must not starve concurrent writers' lock
+    * acquires), so a temp found on disk may belong to a LIVE twin — and
+    * even a lock-held reap could not assume otherwise when the
+    * `inprocess` provider is misconfigured across JVMs. The floor keeps
+    * the worst cross-writer outcome "garbage leaks until it ages out"
+    * instead of "a live twin's in-flight temp is deleted". */
+  private[graft] val ReapTempAfterMs: Long = 30L * 60 * 1000
+
+  def write(timeline: Timeline, cp: SnapshotCheckpoint, trim: Boolean = true): Unit = {
+    val (tmp, n) = stage(timeline, cp)
+    promote(timeline, cp, tmp, n, trim)
+  }
+
+  /** Serialize the checkpoint's slice list to an attempt-unique TEMP
+    * file — the expensive O(#slices) half, safe WITHOUT the timeline
+    * lock (the temp is invisible to readers; [[promote]] publishes it).
+    * Returns (temp path, file-entry count for the manifest). */
+  def stage(timeline: Timeline, cp: SnapshotCheckpoint): (Path, Long) = {
     val fs = timeline.fileSystem
     val d = dir(timeline)
     fs.mkdirs(d)
     // reap orphan temps a CRASHED archiver left behind (invisible to
-    // readers, but they'd accumulate forever). Safe without a staleness
-    // heuristic because every service-path writer holds the TIMELINE
-    // LOCK across write() (TableServices.checkpoint/archive): while we
-    // hold it no concurrent checkpoint writer can exist, so any temp
-    // present now is orphaned by definition — no clock comparison, so
-    // cross-host clock skew and hour-long slow writes cannot misfire.
+    // readers, but they'd accumulate forever) — only once STALE, see
+    // ReapTempAfterMs: a younger temp may be a live twin's in-flight
+    // stage (staging runs outside the timeline lock by design).
+    val now = System.currentTimeMillis()
     fs.listStatus(d).foreach { st =>
-      if (st.getPath.getName.contains(".cp.parquet.tmp-"))
+      if (st.getPath.getName.contains(".cp.parquet.tmp-") &&
+          now - st.getModificationTime > ReapTempAfterMs)
         fs.delete(st.getPath, false)
     }
-    // data first (temp + rename), manifest last (atomic): readers key
-    // off the manifest, so a crashed half-write is invisible
-    val dest = dataPath(timeline, cp.asOf)
     val tmp = new Path(d, s"${cp.asOf}.cp.parquet.tmp-${java.util.UUID.randomUUID()}")
     val writer = ExampleParquetWriter.builder(
         HadoopOutputFile.fromPath(tmp, fs.getConf))
@@ -136,6 +151,25 @@ object Checkpoint {
         }
       }
     } finally writer.close()
+    (tmp, n)
+  }
+
+  /** Publish a staged temp: rename to the final data name, then the
+    * atomic manifest (readers key off the manifest, so a crashed
+    * half-promote is invisible), then retention. Cheap — one rename +
+    * one small put, no fold and no serialization — so service-path
+    * callers hold the TIMELINE LOCK across THIS call only and a
+    * large-table checkpoint never starves concurrent writers' 30 s lock
+    * acquires (TableServices.checkpoint/archive stage OUTSIDE the lock
+    * and re-validate the stamped instant under it).
+    *
+    * `trim=false` skips retention: rollback's covering re-mint writes a
+    * checkpoint OLDER than generations it is about to drop — ranking by
+    * stamp would evict the re-mint itself and keep the doomed ones. */
+  def promote(timeline: Timeline, cp: SnapshotCheckpoint, tmp: Path,
+      n: Long, trim: Boolean = true): Unit = {
+    val fs = timeline.fileSystem
+    val dest = dataPath(timeline, cp.asOf)
     if (!fs.rename(tmp, dest)) {
       fs.delete(tmp, false)
       // a twin that checkpointed the SAME asOf first is success, not
@@ -149,8 +183,9 @@ object Checkpoint {
     // bounded retention: drop all but the newest generations. The oldest
     // retained generation is the table's time-travel floor once anything
     // is archived (TableConfig.checkpointKeep documents the trade-off).
-    times(timeline).dropRight(timeline.config.effectiveCheckpointKeep)
-      .foreach(delete(timeline, _))
+    if (trim)
+      times(timeline).dropRight(timeline.config.effectiveCheckpointKeep)
+        .foreach(delete(timeline, _))
   }
 
   private def entry(fac: SimpleGroupFactory, s: FileSlice, st: WriteStat,

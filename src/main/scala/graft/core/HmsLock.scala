@@ -175,16 +175,41 @@ object HmsLockProvider {
   private val clients =
     new java.util.concurrent.ConcurrentHashMap[String, IMetaStoreClient]()
 
-  /** Keepalive beat interval: a third of the metastore's ACID lock
-    * timeout (`hive.txn.timeout`, 300 s default — read per acquire from
-    * a fresh HiveConf so deployments that tune the timeout, and tests
-    * that shrink it via the `hive.txn.timeout` system property, get a
-    * matching beat), floored so a pathological conf can't busy-spin. */
+  /** Resolved `hive.txn.timeout` per (connect string, explicit system
+    * -property override) — HiveConf construction is classloader-heavy
+    * (~100 ms cold, tens of ms warm) and sat on the per-commit lock
+    * path. The system property rides in the key so a test (or operator)
+    * changing it mid-process still takes effect on the next acquire;
+    * without an override the value is immutable for the process, so one
+    * construction per connect string suffices. */
+  private val timeoutCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+  /** Test probe: HiveConf constructions performed by the interval path. */
+  private[graft] val hiveConfBuilds = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Keepalive beat interval: a QUARTER of the metastore's ACID lock
+    * timeout (`hive.txn.timeout`, 300 s default), floored so a
+    * pathological conf can't busy-spin. /4 rather than /3 leaves one
+    * whole beat of slack: the reaper fires on ITS schedule, so a beat
+    * delayed by one GC pause or transport retry at /3 cadence could
+    * land just past the server's deadline.
+    *
+    * The timeout is read from the CLIENT-side HiveConf: it must match
+    * the metastore server's configured `hive.txn.timeout` (the value
+    * the ACID reaper actually enforces). A server timeout SHORTER than
+    * the client's would make beats fire too sparsely and the hold still
+    * gets reaped mid-commit — deployments that tune the server must
+    * ship the same value in the client conf (or the
+    * `hive.txn.timeout` system property). */
   private[graft] def keepaliveIntervalMs(connect: String): Long = {
-    val timeout = new HiveConf().getTimeVar(
-      HiveConf.ConfVars.HIVE_TXN_TIMEOUT,
-      java.util.concurrent.TimeUnit.MILLISECONDS)
-    math.max(timeout / 3, 200L)
+    val key = (connect, System.getProperty("hive.txn.timeout", ""))
+    val timeout = timeoutCache.computeIfAbsent(key, _ => {
+      hiveConfBuilds.incrementAndGet()
+      new HiveConf().getTimeVar(
+        HiveConf.ConfVars.HIVE_TXN_TIMEOUT,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+    })
+    math.max(timeout / 4, 200L)
   }
 
   /** Metastore table name for a table's lock: readable sanitized tail

@@ -140,8 +140,25 @@ object Snapshot {
         s.partition, s.fileId, s.baseFile.map((cpTime, _)),
         s.deltas.map((cpTime, _)).toVector)
     }
-    visible.foreach { inst =>
-      val meta = timeline.metadataOf(inst)
+    groups = foldInstants(groups, visible.map(i => (i, timeline.metadataOf(i))))
+    val snap = Snapshot(
+      config,
+      asOf.orElse(visible.lastOption.map(_.time)).orElse(cp.map(_.asOf)).getOrElse(""),
+      groups.values.map(_.toSlice).toSeq.sortBy(s => (s.partition, s.fileId)),
+      visible,
+      baseSchemaJson = cp.map(_.schemaJson).getOrElse(""))
+    memo.synchronized(memo.put(timeline.basePath, (memoKey, snap)))
+    snap
+  }
+
+  /** The single-instant fold shared by [[resolve]] and [[resolveFull]]:
+    * a new base file for a group folds all earlier deltas; a
+    * replacecommit kills the listed groups. */
+  private def foldInstants(
+      groups0: Map[(String, String), GroupState],
+      insts: Seq[(Instant, CommitMetadata)]): Map[(String, String), GroupState] = {
+    var groups = groups0
+    insts.foreach { case (inst, meta) =>
       meta.stats.foreach { st =>
         val k = (st.partition, st.fileId)
         val g = groups.getOrElse(k, GroupState(st.partition, st.fileId, None, Vector.empty))
@@ -154,14 +171,41 @@ object Snapshot {
         fileIds.foreach(fid => groups -= ((partition, fid)))
       }
     }
-    val snap = Snapshot(
-      config,
-      asOf.orElse(visible.lastOption.map(_.time)).orElse(cp.map(_.asOf)).getOrElse(""),
+    groups
+  }
+
+  /** Resolve at `asOf` by replaying the FULL history from EMPTY state —
+    * archived commit metadata loaded back (archiving moves the metadata
+    * files intact, [[Timeline.archivedInstants]]) plus the active
+    * timeline — using NO checkpoint. O(#archived) metadata reads, so
+    * this is for RECOVERY paths only (rollback re-minting a covering
+    * checkpoint after dropping the one that covered the archive), never
+    * the per-commit read path, which [[resolve]] serves checkpoint-fast.
+    *
+    * Only sound when every archived instant at or before `asOf` is
+    * still consistent with the data files on disk — true for rollback
+    * (its target is the LATEST instant, above the archive boundary);
+    * NOT true below a restore that deleted data files of instants whose
+    * archived metadata remains. */
+  def resolveFull(timeline: Timeline, asOf: String): Snapshot = {
+    val active = timeline.completed()
+      .filter(i => Action.dataActions(i.action) && i.time <= asOf)
+      .map(i => (i, timeline.metadataOf(i)))
+    val activeStart = active.headOption.map(_._1.time).getOrElse("~")
+    val archived = timeline.archivedInstants(until = asOf)
+      .filter { case (i, _) =>
+        Action.dataActions(i.action) && i.time <= asOf && i.time < activeStart
+      }
+    val groups = foldInstants(Map.empty, archived ++ active)
+    Snapshot(
+      timeline.config,
+      asOf,
       groups.values.map(_.toSlice).toSeq.sortBy(s => (s.partition, s.fileId)),
-      visible,
-      baseSchemaJson = cp.map(_.schemaJson).getOrElse(""))
-    memo.synchronized(memo.put(timeline.basePath, (memoKey, snap)))
-    snap
+      active.map(_._1),
+      // schema fallback for the archived window: readSchema walks the
+      // active instants first (they are newer), then lands here
+      baseSchemaJson = archived.reverseIterator.map(_._2.schemaJson)
+        .find(_.nonEmpty).getOrElse(""))
   }
 
   /** The (instantTime -> files written) view needed by incremental reads:

@@ -175,14 +175,39 @@ class Timeline(val basePath: String, conf: Configuration) {
     val d = new Path(metaDir, Timeline.ArchiveDir)
     fs.mkdirs(d)
     commitStore.moveFile(fs, new Path(metaDir, i.fileName), new Path(d, i.fileName))
+    archivedCache = null // same-JVM archivers invalidate exactly
   }
 
-  /** Times of archived instants (sorted asc); O(#archived) listing. */
+  /** (archive dir modtime, parsed times) — the archive only ever GROWS
+    * (archiveCompleted is its sole writer), so a directory listing is
+    * reusable until the dir changes. Without this, every time-travel
+    * resolve pays an O(#archived) listing (Snapshot.resolve's gap
+    * guards), and the archive grows without bound — an incremental
+    * backfill pinned at historical instants would re-list it per query.
+    * Cross-process archives invalidate via the modtime in the key (the
+    * Checkpoint parse-cache shape); same-process ones exactly, in
+    * [[archiveCompleted]] — which also covers filesystems with coarse
+    * (1 s) modtime granularity for the only writer that can race a read
+    * in the same tick. */
+  @volatile private var archivedCache: (Long, Seq[String]) = null
+  /** Test probe: physical archive-dir listings performed. */
+  private[graft] val archivedListings = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Times of archived instants (sorted asc); cached per dir modtime. */
   def archivedTimes(): Seq[String] = {
     val d = new Path(metaDir, Timeline.ArchiveDir)
-    if (!fs.exists(d)) Nil
-    else fs.listStatus(d).toSeq.map(_.getPath.getName)
-      .flatMap(parseFileName).map(_.time).sorted
+    val mod =
+      try fs.getFileStatus(d).getModificationTime
+      catch { case _: java.io.FileNotFoundException => return Nil }
+    val cached = archivedCache
+    if (cached != null && cached._1 == mod) cached._2
+    else {
+      archivedListings.incrementAndGet()
+      val times = fs.listStatus(d).toSeq.map(_.getPath.getName)
+        .flatMap(parseFileName).map(_.time).sorted
+      archivedCache = (mod, times)
+      times
+    }
   }
 
   /** Load archived instants WITH their commit metadata back for audit /

@@ -213,9 +213,22 @@ object GraftFileIndex {
   * matching row. */
 object StatsSkipping {
 
-  def mayMatch(e: Expression, st: WriteStat, schema: StructType): Boolean = e match {
-    case And(l, r) => mayMatch(l, st, schema) && mayMatch(r, st, schema)
-    case Or(l, r)  => mayMatch(l, st, schema) || mayMatch(r, st, schema)
+  /** Test probe (null in production — the null check is free): counts
+    * (expression, file-stats) evaluations so scale specs can assert the
+    * STRUCTURAL planning claim — a selective query touches
+    * O(#partitions + matching files) stats entries — instead of flaking
+    * on wall-clock (FileIndexScaleSpec). */
+  @volatile private[graft] var evalProbe: java.util.concurrent.atomic.AtomicLong = null
+
+  def mayMatch(e: Expression, st: WriteStat, schema: StructType): Boolean = {
+    val p = evalProbe
+    if (p ne null) p.incrementAndGet()
+    mayMatchImpl(e, st, schema)
+  }
+
+  private def mayMatchImpl(e: Expression, st: WriteStat, schema: StructType): Boolean = e match {
+    case And(l, r) => mayMatchImpl(l, st, schema) && mayMatchImpl(r, st, schema)
+    case Or(l, r)  => mayMatchImpl(l, st, schema) || mayMatchImpl(r, st, schema)
 
     case EqualTo(a, Literal(v, _)) => rangeContains(a, v, st, schema)
     case EqualTo(Literal(v, _), a) => rangeContains(a, v, st, schema)
@@ -266,7 +279,7 @@ object StatsSkipping {
     case Not(In(a, vs)) if vs.forall(_.isInstanceOf[Literal]) =>
       vs.forall { case Literal(v, _) => mayContainOther(a, v, st, schema) }
     case Not(child) =>
-      negate(child).map(mayMatch(_, st, schema)).getOrElse(true)
+      negate(child).map(mayMatchImpl(_, st, schema)).getOrElse(true)
 
     case _ => true // unrecognized shape: keep the file
   }

@@ -713,62 +713,108 @@ class TableServices(table: GraftTable) {
   def checkpoint(): Option[String] = {
     require(timeline.config.version >= 1,
       "checkpoints need format v1; run upgradeTable() first")
-    // under the TIMELINE LOCK, and resolved AT the stamped instant: a
-    // concurrent writer committing between the capture of `at` and an
-    // unpinned resolve would stamp the older instant onto the NEWER
-    // state — as-of reads at `at` would see future data, and a later
-    // rollback of that newer commit (which only drops checkpoints >= its
-    // own time) would leave the mis-stamped checkpoint resurrecting
-    // rolled-back files. The lock also serializes racing twins (the
-    // loser folds the same asOf; Checkpoint.write treats an existing
-    // dest at the same asOf as success).
-    new TimelineLock(timeline).withLock {
-      timeline.completed()
-        .filter(i => Action.dataActions(i.action)).lastOption.map(_.time)
-        .filterNot(Checkpoint.times(timeline).contains)
-        .map { at =>
-          val snap = Snapshot.resolve(timeline, Some(at))
-          Checkpoint.write(timeline, SnapshotCheckpoint(
-            asOf = at,
-            schemaJson = table.readSchema(snap).json,
-            slices = snap.slices))
-          at
+    // Resolved PINNED at the stamped instant, folded and serialized
+    // OUTSIDE the timeline lock: a concurrent writer committing during
+    // the fold cannot leak into state-at-`at` (the pin), and a
+    // large-table fold (~seconds at 1M groups) must not hold the lock —
+    // concurrent writers' publish() acquires have a bounded timeout and
+    // would otherwise abort under an inline-archive storm. The lock is
+    // held only across promote + a re-validation that `at` survived:
+    // a rollback/restore racing the fold would otherwise let the promote
+    // resurrect rolled-back state through this checkpoint.
+    val completed0 = timeline.completed()
+    completed0
+      .filter(i => Action.dataActions(i.action)).lastOption.map(_.time)
+      .filterNot(Checkpoint.times(timeline).contains)
+      .flatMap { at =>
+        val undos0 = undoCensus(completed0)
+        val snap = Snapshot.resolve(timeline, Some(at))
+        val cp = SnapshotCheckpoint(
+          asOf = at,
+          schemaJson = table.readSchema(snap).json,
+          slices = snap.slices)
+        val (tmp, n) = Checkpoint.stage(timeline, cp)
+        new TimelineLock(timeline).withLock {
+          if (stampStillValid(at, undos0)) {
+            Checkpoint.promote(timeline, cp, tmp, n)
+            Some(at)
+          } else {
+            fs.delete(tmp, false)
+            None
+          }
         }
-    }
+      }
+  }
+
+  /** The rollback/restore instants visible in a timeline listing — the
+    * audit trail every undo records about itself. */
+  private def undoCensus(completed: Seq[Instant]): Seq[String] =
+    completed.filter(i =>
+      i.action == Action.Rollback || i.action == Action.Restore).map(_.time)
+
+  /** Is a checkpoint stamped at `at`, folded from the listing whose undo
+    * census was `undos0`, still safe to promote now that the lock is
+    * held? True iff the history at or below `at` is untouched: `at`
+    * itself is still a completed data instant AND no NEW rollback /
+    * restore completed since the fold's listing (an undo racing the
+    * fold may have removed instants <= `at` — and a rollback +
+    * same-millisecond re-commit reproduces `at` with DIFFERENT files,
+    * which the census still catches because every undo records its own
+    * instant). New COMMITS are fine: they cannot change state at or
+    * before `at`. */
+  private def stampStillValid(at: String, undos0: Seq[String]): Boolean = {
+    val completed = timeline.completed()
+    completed.exists(i => Action.dataActions(i.action) && i.time == at) &&
+      undoCensus(completed) == undos0
   }
 
   def archive(keepMin: Int = 20, keepMax: Int = 30): Option[String] = {
     require(keepMin <= keepMax, "keepMin must be <= keepMax")
     require(timeline.config.version >= 1,
       "archiving needs format v1 (snapshot checkpoints); run upgradeTable() first")
-    // under the TIMELINE LOCK with the fold pinned to the stamped
-    // instant, for the same mis-stamp race as checkpoint(): a commit
-    // landing between the stamp capture and an unpinned resolve would
-    // bake FUTURE state into a checkpoint stamped in the past.
+    // Fold pinned to the stamped instant (the mis-stamp race: a commit
+    // landing between stamp capture and an unpinned resolve would bake
+    // FUTURE state into a past-stamped checkpoint) and staged OUTSIDE
+    // the timeline lock: archive runs INLINE after commits when
+    // autoArchive is on, and a large-table fold under the lock would
+    // time out concurrent writers' bounded publish() acquires. Under
+    // the lock: re-validate the stamp (a racing undo invalidates the
+    // fold; a racing COMMIT just means the checkpoint is one instant
+    // behind latest — still at/after everything archived below),
+    // promote, and re-derive the archive candidates from the CURRENT
+    // listing, capped at the stamp so nothing newer than the checkpoint
+    // can be archived.
+    val completed0 = timeline.completed()
+    if (completed0.size <= keepMax) return None
+    val undos0 = undoCensus(completed0)
+    val at = completed0.filter(i => Action.dataActions(i.action))
+      .lastOption.getOrElse(completed0.last).time
+    // checkpoint the CURRENT state first: it covers everything we
+    // archive. Stamped at the last DATA instant, not completed0.last —
+    // the state IS that instant's state (clean/savepoint don't change
+    // it), and an as-of read at that data commit must find a covering
+    // checkpoint (with auto-clean a trailing clean instant would
+    // otherwise push the stamp past the last data commit and strand it)
+    val snap = Snapshot.resolve(timeline, Some(at))
+    val cp = SnapshotCheckpoint(
+      asOf = at,
+      schemaJson = table.readSchema(snap).json,
+      slices = snap.slices)
+    val (tmp, n) = Checkpoint.stage(timeline, cp)
     new TimelineLock(timeline).withLock {
-      val completed = timeline.completed()
-      if (completed.size <= keepMax) None
-      else {
+      if (!stampStillValid(at, undos0)) {
+        fs.delete(tmp, false)
+        None // raced an undo; the next archive re-folds fresh state
+      } else {
+        val completed = timeline.completed()
         val savepointBound = savepointTargets.sorted.headOption
         val candidates = completed.dropRight(keepMin)
           .filterNot(_.action == Action.Savepoint)
           .filter(i => savepointBound.forall(i.time < _))
-        if (candidates.isEmpty) None
+          .filter(_.time <= at) // never archive past the checkpoint stamp
+        if (candidates.isEmpty) { fs.delete(tmp, false); None }
         else {
-          // checkpoint the CURRENT state first: it covers everything we
-          // archive. Stamped at the last DATA instant, not
-          // completed.last — the state IS that instant's state
-          // (clean/savepoint don't change it), and an as-of read at that
-          // data commit must find a covering checkpoint (with auto-clean
-          // a trailing clean instant would otherwise push the stamp past
-          // the last data commit and strand it)
-          val at = completed.filter(i => Action.dataActions(i.action))
-            .lastOption.getOrElse(completed.last).time
-          val snap = Snapshot.resolve(timeline, Some(at))
-          Checkpoint.write(timeline, SnapshotCheckpoint(
-            asOf = at,
-            schemaJson = table.readSchema(snap).json,
-            slices = snap.slices))
+          Checkpoint.promote(timeline, cp, tmp, n)
           candidates.foreach(timeline.archiveCompleted)
           Some(candidates.last.time)
         }
@@ -846,6 +892,41 @@ class TableServices(table: GraftTable) {
       timeline.instants()
         .filter(i => !i.isCompleted && Action.dataActions(i.action) && i.time > time)
         .foreach(i => timeline.deletePending(i.time, i.action))
+      // Dropping checkpoints >= time may strand archived history:
+      // resolution replays only the ACTIVE timeline on top of a
+      // checkpoint, so if no SURVIVING checkpoint covers the newest
+      // archived instant, latest reads would silently miss the archived
+      // window — and with no survivor at all, resolution throws (a
+      // bricked table). Reachable with plain public calls: checkpoint(),
+      // commits, archive() (stamps a checkpoint AT the latest commit),
+      // then rollback of that latest commit. The archive keeps full
+      // commit metadata, so the recovery is local: re-mint a covering
+      // checkpoint at the post-rollback state by replaying the full
+      // history, BEFORE dropping the doomed generations (crash-safe
+      // order — the table is never left uncovered). restoreTo refuses
+      // instead of re-minting: its target may lie BELOW the archive
+      // boundary, where archived metadata above the target would poison
+      // a full replay; a rollback target is the LATEST instant, always
+      // above it.
+      timeline.archivedTimes().lastOption.foreach { am =>
+        val covered = Checkpoint.times(timeline).exists(t => t < time && t >= am)
+        if (!covered) {
+          val at = timeline.completed()
+            .filter(i => Action.dataActions(i.action) && i.time < time)
+            .lastOption.map(_.time)
+            .orElse(timeline.archivedInstants()
+              .filter(x => Action.dataActions(x._1.action)).lastOption.map(_._1.time))
+          at.foreach { a =>
+            val snap = Snapshot.resolveFull(timeline, a)
+            // trim=false: retention ranks by stamp and would evict this
+            // OLDER re-mint in favor of the doomed newer generations
+            Checkpoint.write(timeline, SnapshotCheckpoint(
+              asOf = a,
+              schemaJson = table.readSchema(snap).json,
+              slices = snap.slices), trim = false)
+          }
+        }
+      }
       dropCheckpointsFrom(time)
     } else {
       timeline.deletePending(target.time, target.action)

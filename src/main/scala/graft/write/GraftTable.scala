@@ -417,6 +417,7 @@ class GraftTable private (
             override def call(): (String, (Long, Long, Map[String, ColStat])) = {
               fs.mkdirs(m.dest.getParent)
               timeline.commitStore.moveFile(fs, m.src, m.dest)
+              GraftTable.onPublishedMove(m.dest.toString)
               val bytes = fs.getFileStatus(m.dest).getLen
               val (rows, colStats) = GraftTable.footerStats(m.dest, hconf, statTypes)
               m.dest.toString -> ((rows, bytes, colStats))
@@ -1900,6 +1901,14 @@ object GraftTable {
     * instead of serializing on the driver publish pool (reference
     * analog: HoodieWriteStat is populated executor-side by the write
     * handles, io/HoodieCreateHandle.java:52-210). */
+  /** Test seam: invoked after EACH file lands at its published name
+    * (both publish paths). Lets a chaos spec crash a publish after K of
+    * N moves — the messiest real-world wreckage: files already at final
+    * names with no commit — and assert the failed-write reaper reclaims
+    * them. No-op in production; in `local` mode executor threads share
+    * the JVM, so the distributed path sees the injected hook too. */
+  @volatile private[graft] var onPublishedMove: String => Unit = _ => ()
+
   private[write] def publishDistributed(
       spark: SparkSession,
       moves: Seq[(String, String)],
@@ -1914,6 +1923,7 @@ object GraftTable {
       val dfs = dest.getFileSystem(conf.value)
       dfs.mkdirs(dest.getParent)
       CommitStore.forName(storeName).moveFile(dfs, src, dest)
+      onPublishedMove(destS)
       val bytes = dfs.getFileStatus(dest).getLen
       val (rows, colStats) = footerStats(dest, conf.value, statTypes)
       destS -> ((rows, bytes, colStats))

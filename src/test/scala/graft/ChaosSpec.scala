@@ -58,7 +58,21 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false"))
     .getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  // one embedded ZooKeeper shared by the zk-locked leg (started lazily:
+  // the other legs never pay for it)
+  private var zkServer: Option[(String, () => Unit)] = None
+  private def zkConnect(): String = synchronized {
+    zkServer.getOrElse {
+      val s = EmbeddedZk.start(); zkServer = Some(s); s
+    }._1
+  }
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    zkServer.foreach { case (c, stop) =>
+      ZkLockProvider.closeCached(c); stop()
+    }
+  }
 
   private def partOf(id: Long): String = s"p${id % 5}"
 

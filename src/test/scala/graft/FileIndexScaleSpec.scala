@@ -39,10 +39,12 @@ class FileIndexScaleSpec extends AnyFunSuite {
   private def xEq(v: Long): Expression =
     EqualTo(AttributeReference("x", LongType)(), Literal.create(v, LongType))
 
-  private def bestOf(n: Int)(body: => Unit): Double =
-    (1 to n).map { _ =>
-      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e6
-    }.min
+  /** Stats evaluations performed by `body` (installs the probe). */
+  private def countingEvals(body: => Unit): Long = {
+    val c = new java.util.concurrent.atomic.AtomicLong(0L)
+    graft.read.StatsSkipping.evalProbe = c
+    try { body; c.get } finally graft.read.StatsSkipping.evalProbe = null
+  }
 
   for ((nParts, filesPer, label) <- Seq((1000, 100, "100k"), (1000, 1000, "1M")))
   test(s"selective partition planning at $label entries prunes at bucket " +
@@ -69,18 +71,30 @@ class FileIndexScaleSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty,
       s"selective planning must return exactly the matching files (${got.size} vs ${want.size})")
 
-    // a data-only predicate (no partition term) necessarily walks every
-    // file's stats — that is the O(N) floor the bucket prune must beat
-    val tFull = bestOf(3)(idx.listFiles(Nil, Seq(xEq(45L))))
-    val tSel = bestOf(3)(idx.listFiles(Nil, Seq(partEq(target), xEq(45L))))
-    info(f"[$label] selective=$tSel%.2f ms, full-walk=$tFull%.2f ms, " +
-      f"ratio=${tFull / math.max(tSel, 0.001)}%.0fx")
-    assert(tSel * 5 < tFull,
-      f"bucket-pruned planning ($tSel%.2f ms) must be far below the " +
-        f"full stats walk ($tFull%.2f ms) at $label entries")
-    assert(tSel < 50.0,
-      f"selective planning at $label entries must stay in single-digit " +
-        f"milliseconds territory, got $tSel%.2f ms")
+    // The structural claim, asserted by COUNTING stats evaluations (a
+    // wall-clock gate would flake on a loaded CI box and would pass a
+    // regression that re-walks every entry on faster hardware):
+    //  - selective = one bucket-representative evaluation per partition
+    //    for the partition term, plus the surviving bucket's files for
+    //    the data term — O(#partitions + matching files)
+    //  - a data-only predicate has no partition term to bucket on: the
+    //    O(N) per-file floor it must NOT share
+    val full = countingEvals(idx.listFiles(Nil, Seq(xEq(45L))))
+    val selEvals = countingEvals(idx.listFiles(Nil, Seq(partEq(target), xEq(45L))))
+    info(s"[$label] stats evaluations: selective=$selEvals, full-walk=$full")
+    assert(selEvals <= nParts + filesPer,
+      s"selective planning must evaluate at most #partitions ($nParts) + " +
+        s"one bucket ($filesPer) stats entries, saw $selEvals")
+    assert(full >= nParts.toLong * filesPer,
+      s"the data-only control must walk every entry (${nParts * filesPer}), saw $full")
+
+    // timing stays informational (the record, not the gate)
+    val tFull = { val t = System.nanoTime(); idx.listFiles(Nil, Seq(xEq(45L)))
+      (System.nanoTime() - t) / 1e6 }
+    val tSel = { val t = System.nanoTime()
+      idx.listFiles(Nil, Seq(partEq(target), xEq(45L)))
+      (System.nanoTime() - t) / 1e6 }
+    info(f"[$label] selective=$tSel%.2f ms, full-walk=$tFull%.2f ms (info-only)")
   }
 
   test("bucket pruning is exactly as selective as the per-file walk (fuzz)") {

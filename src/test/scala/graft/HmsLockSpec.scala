@@ -88,7 +88,7 @@ class HmsLockSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("keepalive outlives the ACID lock timeout; an un-beaten hold is reaped") {
     // fresh Derby store with a 2 s ACID lock timeout: the system
     // property flows into the provider's HiveConf (keepalive beat =
-    // timeout/3 ≈ 666 ms) and into the reaper TxnStore below
+    // timeout/4 = 500 ms) and into the reaper TxnStore below
     val dbDir = Files.createTempDirectory("graft-hms-keepalive").toString
     val conn = s"jdbc:derby:;databaseName=$dbDir/hms_db;create=true"
     System.setProperty("hive.txn.timeout", "2s")
@@ -130,6 +130,23 @@ class HmsLockSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(c.tryLock(), "the reaped lock must be acquirable by a peer")
       c.unlock(); b.unlock()
     } finally System.clearProperty("hive.txn.timeout")
+  }
+
+  test("keepalive interval caches the HiveConf-resolved timeout per " +
+      "connect string; a system-property override still takes effect") {
+    val probe = "jdbc:derby:memory:interval_cache_probe"
+    val i1 = HmsLockProvider.keepaliveIntervalMs(probe)
+    val builds = HmsLockProvider.hiveConfBuilds.get
+    (1 to 20).foreach(_ =>
+      assert(HmsLockProvider.keepaliveIntervalMs(probe) == i1))
+    assert(HmsLockProvider.hiveConfBuilds.get == builds,
+      "repeated acquires must not rebuild HiveConf (classloader-heavy, " +
+        "per-commit lock path)")
+    // an override is a NEW cache key, so it applies on the next acquire
+    System.setProperty("hive.txn.timeout", "8s")
+    try assert(HmsLockProvider.keepaliveIntervalMs(probe) == 2000L,
+      "8 s timeout must beat at timeout/4 = 2 s")
+    finally System.clearProperty("hive.txn.timeout")
   }
 
   test("unlock failure classification: reaped holds are silent, " +

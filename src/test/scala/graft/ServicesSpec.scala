@@ -857,6 +857,41 @@ class ServicesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.dataOnly(r.snapshot()).count() > 0, "restored table reads back")
   }
 
+  test("rollback re-mints a covering checkpoint when it drops the only one " +
+      "covering the archive") {
+    val dir = tmp()
+    val tbl = GraftTable.create(spark, dir, cfg(TableType.COW))
+    val svc = TableServices(tbl)
+    (1 to 8).foreach(i => tbl.upsert(orders.filter(col("o_orderkey") % 8 === i % 8)))
+    assert(svc.archive(keepMin = 2, keepMax = 3).nonEmpty)
+    val am = tbl.timeline.archivedTimes().last
+    val active = tbl.timeline.completed()
+      .filter(i => Action.dataActions(i.action)).map(_.time)
+    assert(Checkpoint.times(tbl.timeline) == Seq(active.last),
+      "precondition: the archive-boundary checkpoint is the ONLY one")
+    // rolling back the latest commit drops that checkpoint; the archived
+    // window (through am) would be covered by NOTHING — before the fix,
+    // latest resolution either silently missed the archived commits (an
+    // older checkpoint surviving) or threw forever (none surviving: a
+    // bricked table). The rollback must re-mint a covering checkpoint at
+    // the post-rollback state from the archived metadata itself.
+    svc.rollback(active.last)
+    val cps = Checkpoint.times(tbl.timeline)
+    assert(cps.exists(t => t >= am && t < active.last),
+      s"a surviving checkpoint must cover the archive boundary $am: $cps")
+    val r = GraftReader(tbl)
+    // exactness: batch 8 (keys % 8 == 0) rolled back, batches 1..7 intact
+    // INCLUDING the archived ones — a silent archived miss would drop them
+    assertSameRows(
+      r.dataOnly(r.snapshot()).select(orders.columns.map(col): _*),
+      orders.filter(col("o_orderkey") % 8 =!= 0),
+      "post-rollback state must replay the archived window")
+    // time travel at the re-minted stamp and the service spine stay green
+    assert(Snapshot.resolve(tbl.timeline, Some(cps.last)).slices.nonEmpty)
+    tbl.upsert(orders.filter(col("o_orderkey") % 8 === 0))
+    assert(svc.checkpoint().nonEmpty, "checkpointing resumes after recovery")
+  }
+
   test("partition TTL guards: non-partitioned and unpadded-numeric layouts refuse") {
     import spark.implicits._
     // non-partitioned table: its single sentinel partition ("") sorts

@@ -116,4 +116,38 @@ class TimelineScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == (2L to 10L),
       s"archived-span incremental must be exact: ${got.toSeq}")
   }
+
+  test("time-travel resolves reuse ONE archive-dir listing until a new archive") {
+    // the as-of gap guard consults archivedTimes() per resolve; a
+    // time-travel-heavy consumer (incremental backfills pinned at
+    // historical instants) must not pay an O(#archived) directory
+    // listing per query as the archive grows without bound
+    val tbl = GraftTable.create(spark, tmp(), cfg)
+    tbl.bulkInsert(rows(1L to 20L: _*))
+    val tl = tbl.timeline
+    syntheticCommits(tl, 9)
+    val svc = TableServices(tbl)
+    assert(svc.archive(keepMin = 2, keepMax = 3).nonEmpty)
+    // two commits ABOVE the archive checkpoint: as-of targets must sit
+    // at/after the covering stamp or the gap guard refuses by contract
+    val Seq(t1, t2) = syntheticCommits(tl, 2)
+    tl.archivedListings.set(0L)
+    // alternating targets defeat the snapshot memo, so every resolve
+    // runs the gap guard — the listing must still happen at most once
+    (1 to 6).foreach { _ =>
+      Snapshot.resolve(tl, Some(t1))
+      Snapshot.resolve(tl, Some(t2))
+    }
+    assert(tl.archivedListings.get <= 1,
+      s"12 guarded resolves must share one listing, saw ${tl.archivedListings.get}")
+    // a new archive generation invalidates the cache exactly once
+    syntheticCommits(tl, 6)
+    assert(svc.archive(keepMin = 2, keepMax = 3).nonEmpty)
+    val Seq(t3, t4) = syntheticCommits(tl, 2)
+    tl.archivedListings.set(0L)
+    Snapshot.resolve(tl, Some(t3))
+    Snapshot.resolve(tl, Some(t4))
+    assert(tl.archivedListings.get == 1,
+      s"the post-archive resolves must relist exactly once, saw ${tl.archivedListings.get}")
+  }
 }
