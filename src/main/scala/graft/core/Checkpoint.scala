@@ -181,8 +181,9 @@ object Checkpoint {
     timeline.commitStore.putAtomic(fs, manifestPath(timeline, cp.asOf),
       Json.write(CheckpointManifest(cp.asOf, cp.schemaJson, n)))
     // bounded retention: drop all but the newest generations. The oldest
-    // retained generation is the table's time-travel floor once anything
-    // is archived (TableConfig.checkpointKeep documents the trade-off).
+    // retained generation is the time-travel FAST-PATH floor once
+    // anything is archived — deeper as-ofs replay the archived gap from
+    // the archive's metadata (TableConfig.checkpointKeep trade-off).
     if (trim)
       times(timeline).dropRight(timeline.config.effectiveCheckpointKeep)
         .foreach(delete(timeline, _))

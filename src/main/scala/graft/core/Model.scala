@@ -238,14 +238,24 @@ case class TableConfig(
       * refresh every [[Heartbeat.RefreshMs]]). 0 = default. */
     heartbeatTtlMs: Long = 0L,
     /** snapshot-checkpoint generations retained by rotation (default 3).
-      * The oldest retained generation is the time-travel FLOOR once
-      * anything is archived (resolve refuses an asOf whose replay window
-      * contains archived instants — see Snapshot.resolve), so a schedule
-      * that runs RUN CHECKPOINT frequently narrows the as-of window to
-      * this many checkpoint intervals; raise it to keep history deeper.
-      * Each generation costs one columnar slice list (~25 MB per 1M file
-      * groups). 0/old table.json = default. */
+      * An as-of resolve whose replay window crosses archived instants
+      * loads the gap's metadata back from the archive (exact, but
+      * O(gap) extra reads — see Snapshot.resolve), so the oldest
+      * retained generation is the time-travel FAST-PATH floor; raise it
+      * to keep more historical reads checkpoint-fast. Each generation
+      * costs one columnar slice list (~25 MB per 1M file groups).
+      * 0/old table.json = default. */
     checkpointKeep: Int = 0,
+    /** how long a writer's publish (or a service) waits for the timeline
+      * lock before aborting, ms (reference analog:
+      * hoodie.write.lock.wait_time_ms + num_retries,
+      * LockConfiguration.java). The 30 s default suits the common case —
+      * commit-point critical sections are small (checkpoint/archive
+      * folds stage OUTSIDE the lock) — but a deployment fanning many
+      * concurrent writers into one table, or one with very slow
+      * metadata storage, can widen it instead of surfacing spurious
+      * lock-timeout aborts. 0/old table.json = default. */
+    lockAcquireTimeoutMs: Long = 0L,
     version: Int = 1) {
 
   /** [[baseFormat]] with the old-table.json null/empty default applied —

@@ -13,8 +13,8 @@ case class Snapshot(
     asOf: String,
     slices: Seq[FileSlice],
     /** completed data instants (time asc) visible at `asOf` — ACTIVE
-      * timeline only; instants folded into a checkpoint appear via
-      * `slices`/`baseSchemaJson` instead */
+      * timeline only; instants folded into a checkpoint or replayed
+      * from the archive appear via `slices`/`baseSchemaJson` instead */
     instants: Seq[Instant],
     /** schema carried by the checkpoint this resolution started from
       * (fallback when no active instant has one) */
@@ -90,9 +90,11 @@ object Snapshot {
     * from [[Checkpoint]]'s cache and identical re-resolutions from the
     * memo above, so the steady-state driver cost per commit is the Δ
     * fold, never a re-parse of the world (probed at 100k/1M groups in
-    * SnapshotScaleSpec). Time travel BEFORE the oldest checkpoint is
-    * only possible while the needed instants are still on the active
-    * timeline; once archived, such reads fail loudly. */
+    * SnapshotScaleSpec). Time travel whose replay window crosses the
+    * archive boundary loads the gap's archived metadata back and stays
+    * EXACT (archiving moves metadata intact) at O(gap) extra reads; the
+    * time-travel floor is cleaning — resolving below clean's retention
+    * returns files the scan then loudly fails to find. */
   def resolve(timeline: Timeline, asOf: Option[String] = None): Snapshot = {
     val config = timeline.config
     val cp = Checkpoint.latestAtOrBefore(timeline, asOf)
@@ -107,53 +109,52 @@ object Snapshot {
     memo.synchronized(Option(memo.get(timeline.basePath))).collect {
       case (k, snap) if k == memoKey => return snap.copy(config = config)
     }
-    if (cp.isEmpty) {
-      // no checkpoint covers this read; archived instants (if any) at or
-      // before asOf would make the replay silently incomplete — refuse.
-      val bound = asOf.getOrElse("~") // '~' > any digit: latest
-      if (timeline.archivedTimes().exists(_ <= bound))
-        throw new IllegalStateException(
-          s"instants at or before ${asOf.getOrElse("latest")} are archived " +
-            "and no checkpoint covers them; time travel this far back is unavailable")
-    } else if (asOf.isDefined) {
-      // a checkpoint EXISTS but archived instants fall INSIDE the replay
-      // window (cpTime, asOf] — they are on neither the checkpoint nor
-      // the active timeline, so replaying from this checkpoint would
-      // silently MISS them (reachable when checkpoint rotation retains
-      // an old RUN CHECKPOINT generation stamped before a later archive
-      // boundary). Refuse loudly, like the no-checkpoint case. Scoped to
-      // time-travel reads: latest reads always resolve from the NEWEST
-      // checkpoint, which every archive stamps at/after everything it
-      // archives (and restoreTo refuses to break that invariant), so
-      // their window is provably empty — and this check lists the
-      // archive directory, an unbounded-growth cost the per-commit read
-      // path must not pay.
-      if (timeline.archivedTimes().exists(t => t > cpTime && t <= asOf.get))
-        throw new IllegalStateException(
-          s"instants in ($cpTime, ${asOf.get}] are archived and the newest " +
-            "checkpoint at or before this read predates them; time travel " +
-            "to this window is unavailable")
-    }
+    // Archived instants inside the replay window (cpTime, asOf-or-latest]
+    // sit on neither the checkpoint nor the active timeline. Archiving
+    // moves their COMMIT METADATA intact (Timeline.archivedInstants), so
+    // load it back and replay the gap exactly — the same boundary-spanning
+    // contract incremental reads already honor (commitsInRange). Cost
+    // posture: a LATEST read on a maintained table never enters (every
+    // archive stamps its checkpoint at/after everything it archives, and
+    // rollback re-mints a covering checkpoint when it drops that one), so
+    // the per-commit path pays one cached archivedTimes() probe; a
+    // time-travel window crossing the boundary pays O(gap) archived
+    // metadata reads, memoized like every other resolution. The real
+    // time-travel floor is CLEANING, not archiving: a gap replay whose
+    // files clean() has since deleted resolves to the historically-true
+    // file list and the scan fails loudly on the missing files.
+    val bound = asOf.getOrElse("~") // '~' > any digit: latest
+    val gap: Seq[(Instant, CommitMetadata)] =
+      if (timeline.archivedTimes().exists(t => t > cpTime && t <= bound))
+        timeline.archivedInstants(from = cpTime, until = bound)
+          .filter { case (i, _) =>
+            Action.dataActions(i.action) && i.time > cpTime && i.time <= bound
+          }
+      else Nil
     var groups = Map.empty[(String, String), GroupState]
     cp.toSeq.flatMap(_.slices).foreach { s =>
       groups += (s.partition, s.fileId) -> GroupState(
         s.partition, s.fileId, s.baseFile.map((cpTime, _)),
         s.deltas.map((cpTime, _)).toVector)
     }
-    groups = foldInstants(groups, visible.map(i => (i, timeline.metadataOf(i))))
+    groups = foldInstants(groups,
+      gap ++ visible.map(i => (i, timeline.metadataOf(i))))
     val snap = Snapshot(
       config,
       asOf.orElse(visible.lastOption.map(_.time)).orElse(cp.map(_.asOf)).getOrElse(""),
       groups.values.map(_.toSlice).toSeq.sortBy(s => (s.partition, s.fileId)),
       visible,
-      baseSchemaJson = cp.map(_.schemaJson).getOrElse(""))
+      // schema precedence mirrors the fold: active instants (readSchema
+      // walks them first) > gap-archived instants > the checkpoint
+      baseSchemaJson = gap.reverseIterator.map(_._2.schemaJson)
+        .find(_.nonEmpty).orElse(cp.map(_.schemaJson)).getOrElse(""))
     memo.synchronized(memo.put(timeline.basePath, (memoKey, snap)))
     snap
   }
 
-  /** The single-instant fold shared by [[resolve]] and [[resolveFull]]:
-    * a new base file for a group folds all earlier deltas; a
-    * replacecommit kills the listed groups. */
+  /** [[resolve]]'s per-instant fold (checkpoint base, archived gap, and
+    * active replay all flow through it): a new base file for a group
+    * folds all earlier deltas; a replacecommit kills the listed groups. */
   private def foldInstants(
       groups0: Map[(String, String), GroupState],
       insts: Seq[(Instant, CommitMetadata)]): Map[(String, String), GroupState] = {
@@ -172,40 +173,6 @@ object Snapshot {
       }
     }
     groups
-  }
-
-  /** Resolve at `asOf` by replaying the FULL history from EMPTY state —
-    * archived commit metadata loaded back (archiving moves the metadata
-    * files intact, [[Timeline.archivedInstants]]) plus the active
-    * timeline — using NO checkpoint. O(#archived) metadata reads, so
-    * this is for RECOVERY paths only (rollback re-minting a covering
-    * checkpoint after dropping the one that covered the archive), never
-    * the per-commit read path, which [[resolve]] serves checkpoint-fast.
-    *
-    * Only sound when every archived instant at or before `asOf` is
-    * still consistent with the data files on disk — true for rollback
-    * (its target is the LATEST instant, above the archive boundary);
-    * NOT true below a restore that deleted data files of instants whose
-    * archived metadata remains. */
-  def resolveFull(timeline: Timeline, asOf: String): Snapshot = {
-    val active = timeline.completed()
-      .filter(i => Action.dataActions(i.action) && i.time <= asOf)
-      .map(i => (i, timeline.metadataOf(i)))
-    val activeStart = active.headOption.map(_._1.time).getOrElse("~")
-    val archived = timeline.archivedInstants(until = asOf)
-      .filter { case (i, _) =>
-        Action.dataActions(i.action) && i.time <= asOf && i.time < activeStart
-      }
-    val groups = foldInstants(Map.empty, archived ++ active)
-    Snapshot(
-      timeline.config,
-      asOf,
-      groups.values.map(_.toSlice).toSeq.sortBy(s => (s.partition, s.fileId)),
-      active.map(_._1),
-      // schema fallback for the archived window: readSchema walks the
-      // active instants first (they are newer), then lands here
-      baseSchemaJson = archived.reverseIterator.map(_._2.schemaJson)
-        .find(_.nonEmpty).getOrElse(""))
   }
 
   /** The (instantTime -> files written) view needed by incremental reads:

@@ -210,6 +210,20 @@ class Timeline(val basePath: String, conf: Configuration) {
     }
   }
 
+  /** Remove archived instants with time > `t` — restore pruning: history
+    * above the restore target ceases to exist, archived or not (keeping
+    * it would poison later archive-gap replays with metadata whose data
+    * files the restore deleted). */
+  def pruneArchivedAfter(t: String): Unit = {
+    val d = new Path(metaDir, Timeline.ArchiveDir)
+    if (fs.exists(d)) {
+      fs.listStatus(d).toSeq.map(_.getPath)
+        .filter(p => parseFileName(p.getName).exists(_.time > t))
+        .foreach(p => fs.delete(p, false))
+      archivedCache = null
+    }
+  }
+
   /** Load archived instants WITH their commit metadata back for audit /
     * lineage inspection (reference analog:
     * table/timeline/HoodieArchivedTimeline.java:61 — loadInstantDetails

@@ -154,8 +154,15 @@ object InProcessLockProvider {
   * `lockProvider` config. */
 class TimelineLock(
     timeline: Timeline,
-    timeoutMs: Long = 30000,
+    /** <= 0: the table's `lockAcquireTimeoutMs` (default 30 s). */
+    timeoutMs: Long = 0,
     staleMs: Long = 60000) {
+
+  private val effectiveTimeoutMs: Long =
+    if (timeoutMs > 0) timeoutMs
+    else if (timeline.exists && timeline.config.lockAcquireTimeoutMs > 0)
+      timeline.config.lockAcquireTimeoutMs
+    else 30000L
 
   private val provider: LockProvider =
     TimelineLock.providerFor(timeline, staleMs)
@@ -178,11 +185,11 @@ class TimelineLock(
   def verifyFence(): Boolean = provider.verifyFence()
 
   private def acquire(): Unit = {
-    val deadline = System.currentTimeMillis() + timeoutMs
+    val deadline = System.currentTimeMillis() + effectiveTimeoutMs
     while (!provider.tryLock()) {
       if (System.currentTimeMillis() > deadline)
         throw new IllegalStateException(
-          s"timed out after ${timeoutMs}ms waiting for timeline lock " +
+          s"timed out after ${effectiveTimeoutMs}ms waiting for timeline lock " +
             provider.describe)
       Thread.sleep(50)
     }

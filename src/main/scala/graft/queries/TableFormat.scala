@@ -559,6 +559,51 @@ object TableFormat {
                CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
         FROM final_state GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
 
+    // ---- q207: time travel ACROSS the archive boundary — the as-of
+    //      replay window crosses instants whose commit metadata lives
+    //      only in the archive; the resolve loads it back and replays
+    //      the gap exactly (round 11 refused this read; a naive
+    //      resolver would silently return the checkpoint's state). The
+    //      target sits BETWEEN archived batches, so an off-by-one in
+    //      the gap fold — missing the target batch or leaking the next
+    //      one — hash-mismatches the oracle.
+    "q207_timetravel_archived_gap" -> ((
+      (s: SparkSession, d: String) => {
+        val orders = graft.Tables.t(s, d, "orders")
+        val tbl = GraftTable.create(s, freshDir(), cfg("orders_ttgap", TableType.COW))
+        // batch 1: keys %10 in 0..4 at base price
+        tbl.bulkInsert(orders.filter(col("o_orderkey") % 10 < 5))
+        // batch 2: +111 on %10 in {1,2} — the time-travel target state
+        tbl.upsert(orders
+          .filter(col("o_orderkey") % 10 === 1 || col("o_orderkey") % 10 === 2)
+          .withColumn("o_totalprice", col("o_totalprice") + 111))
+        val at = tbl.timeline.completed()
+          .filter(i => graft.core.Action.dataActions(i.action)).last.time
+        // churn ABOVE the target, then archive it away with the target
+        (6 to 9).foreach(i =>
+          tbl.upsert(orders.filter(col("o_orderkey") % 10 === i)
+            .withColumn("o_totalprice", col("o_totalprice") + 1000)))
+        TableServices(tbl).archive(keepMin = 2, keepMax = 3)
+        require(tbl.timeline.archivedTimes().contains(at),
+          "the time-travel target must be archived")
+        require(graft.core.Checkpoint.times(tbl.timeline).forall(_ > at),
+          "every retained checkpoint must postdate the target (gap replay, " +
+            "not checkpoint load, answers this read)")
+        val r = GraftReader(tbl)
+        summarize(r.dataOnly(r.snapshot(asOf = Some(at)))
+          .withColumnRenamed("o_totalprice", "price"))
+      },
+      Some("""
+        WITH state_at AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 10 IN (1, 2) THEN o_totalprice + 111
+                      ELSE o_totalprice END AS price
+          FROM orders WHERE o_orderkey % 10 < 5)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(price * 100)) AS BIGINT) AS price_c
+        FROM state_at GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
     // ---- q206: long-horizon chaos sequence — a deterministic 13-step
     //      mixed-operation run (the gate-sized cousin of ChaosSpec's
     //      seeded randomized suite, reference analog: the hudi-integ-test

@@ -874,6 +874,33 @@ class TableServices(table: GraftTable) {
     Checkpoint.times(timeline).filter(_ >= time)
       .foreach(Checkpoint.delete(timeline, _))
 
+  /** An undo may have dropped the only checkpoint covering the newest
+    * archived instant (reachable with plain public calls: checkpoint(),
+    * commits, archive() — which stamps its checkpoint AT the latest
+    * commit — then rollback of that latest commit). Resolution stays
+    * CORRECT regardless (Snapshot.resolve replays an archived gap from
+    * the archive's retained metadata), but every subsequent latest read
+    * would pay that O(archived-gap) replay until the next checkpoint —
+    * so undo paths re-mint a covering generation at the post-undo state.
+    * `trim=false`: retention ranks by stamp and on interleavings with
+    * surviving newer generations could otherwise evict the re-mint. */
+  private def remintCoveringCheckpoint(): Unit =
+    timeline.archivedTimes().lastOption.foreach { am =>
+      if (!Checkpoint.times(timeline).exists(_ >= am)) {
+        val at = timeline.completed()
+          .filter(i => Action.dataActions(i.action)).lastOption.map(_.time)
+          .orElse(timeline.archivedInstants()
+            .filter(x => Action.dataActions(x._1.action)).lastOption.map(_._1.time))
+        at.foreach { a =>
+          val snap = Snapshot.resolve(timeline, Some(a))
+          Checkpoint.write(timeline, SnapshotCheckpoint(
+            asOf = a,
+            schemaJson = table.readSchema(snap).json,
+            slices = snap.slices), trim = false)
+        }
+      }
+    }
+
   /** Undo the LATEST data instant (or a pending one): delete the files it
     * wrote, drop its timeline entry, record a `rollback` instant
     * (reference analog: BaseRollbackActionExecutor.java:53). */
@@ -892,42 +919,8 @@ class TableServices(table: GraftTable) {
       timeline.instants()
         .filter(i => !i.isCompleted && Action.dataActions(i.action) && i.time > time)
         .foreach(i => timeline.deletePending(i.time, i.action))
-      // Dropping checkpoints >= time may strand archived history:
-      // resolution replays only the ACTIVE timeline on top of a
-      // checkpoint, so if no SURVIVING checkpoint covers the newest
-      // archived instant, latest reads would silently miss the archived
-      // window — and with no survivor at all, resolution throws (a
-      // bricked table). Reachable with plain public calls: checkpoint(),
-      // commits, archive() (stamps a checkpoint AT the latest commit),
-      // then rollback of that latest commit. The archive keeps full
-      // commit metadata, so the recovery is local: re-mint a covering
-      // checkpoint at the post-rollback state by replaying the full
-      // history, BEFORE dropping the doomed generations (crash-safe
-      // order — the table is never left uncovered). restoreTo refuses
-      // instead of re-minting: its target may lie BELOW the archive
-      // boundary, where archived metadata above the target would poison
-      // a full replay; a rollback target is the LATEST instant, always
-      // above it.
-      timeline.archivedTimes().lastOption.foreach { am =>
-        val covered = Checkpoint.times(timeline).exists(t => t < time && t >= am)
-        if (!covered) {
-          val at = timeline.completed()
-            .filter(i => Action.dataActions(i.action) && i.time < time)
-            .lastOption.map(_.time)
-            .orElse(timeline.archivedInstants()
-              .filter(x => Action.dataActions(x._1.action)).lastOption.map(_._1.time))
-          at.foreach { a =>
-            val snap = Snapshot.resolveFull(timeline, a)
-            // trim=false: retention ranks by stamp and would evict this
-            // OLDER re-mint in favor of the doomed newer generations
-            Checkpoint.write(timeline, SnapshotCheckpoint(
-              asOf = a,
-              schemaJson = table.readSchema(snap).json,
-              slices = snap.slices), trim = false)
-          }
-        }
-      }
       dropCheckpointsFrom(time)
+      remintCoveringCheckpoint()
     } else {
       timeline.deletePending(target.time, target.action)
       fs.delete(new Path(table.basePath, s"${Timeline.MetaDir}/.tmp/${target.time}"), true)
@@ -1089,13 +1082,22 @@ class TableServices(table: GraftTable) {
     * clustering plans — are dropped too: their plans pin files the
     * restore removes, so executing them later would fail against
     * missing state (and a stale clustering plan would keep rejecting
-    * writers for groups that no longer exist). */
+    * writers for groups that no longer exist).
+    *
+    * The target may sit BELOW the archive boundary (even be archived
+    * itself): the undo then also deletes the data files of archived
+    * instants above it and PRUNES their archived metadata — left in
+    * place it would poison later archive-gap replays with instants
+    * whose files no longer exist. A covering checkpoint is re-minted
+    * when the drop removed the last one over the surviving archive. */
   def restoreTo(time: String): String = {
     // a malformatted target ('2025-08-14' sorts below every real
     // instant) would classify EVERY instant as doomed and wipe the
     // table — restore only to instants that actually exist
     require(timeline.completed()
-      .exists(i => Action.dataActions(i.action) && i.time == time),
+        .exists(i => Action.dataActions(i.action) && i.time == time) ||
+      timeline.archivedInstants(from = time, until = time)
+        .exists(x => Action.dataActions(x._1.action)),
       s"restore target is not a completed data instant: $time")
     // restoring BELOW a savepointed instant would delete the pinned
     // files and leave a dangling savepoint that pins nothing (the
@@ -1104,21 +1106,6 @@ class TableServices(table: GraftTable) {
     require(pinnedAbove.isEmpty,
       s"cannot restore below savepointed instant(s) ${pinnedAbove.mkString(", ")}" +
         s" — delete those savepoints first")
-    // the restore drops every checkpoint above `time` (they contain the
-    // undone state); when archived instants exist, some SURVIVING
-    // checkpoint must still cover them (stamp in [newest archived,
-    // time]) or the post-restore snapshot becomes unresolvable — the
-    // active timeline alone cannot replay archived history, and an
-    // older surviving checkpoint would silently SKIP it. Refuse before
-    // any deletion: this restore depth left the retention window.
-    timeline.archivedTimes().lastOption.foreach { am =>
-      val surviving = Checkpoint.times(timeline).filter(_ <= time)
-      require(surviving.exists(_ >= am),
-        s"cannot restore to $time: the archived history (through $am) is " +
-          "covered only by checkpoints this restore would drop, so the " +
-          "restored snapshot would be unresolvable — this restore depth " +
-          "is no longer available")
-    }
     val doomed = timeline.completed()
       .filter(i => Action.dataActions(i.action) && i.time > time)
       .reverse
@@ -1127,10 +1114,22 @@ class TableServices(table: GraftTable) {
         .foreach(st => GraftTable.deleteDataFile(fs, abs(st)))
       timeline.deleteCompleted(inst)
     }
+    // archived instants above the target go the same way: files first
+    // (their metadata still records them; clean may already have removed
+    // some — idempotent), then the metadata itself
+    val doomedArchived = timeline.archivedInstants(from = time)
+      .filter { case (i, _) => Action.dataActions(i.action) && i.time > time }
+    doomedArchived.reverse.foreach { case (_, meta) =>
+      meta.stats.filterNot(_.external)
+        .foreach(st => GraftTable.deleteDataFile(fs, abs(st)))
+    }
+    timeline.pruneArchivedAfter(time)
     timeline.instants()
       .filter(i => !i.isCompleted && Action.dataActions(i.action) && i.time > time)
       .foreach(i => timeline.deletePending(i.time, i.action))
-    doomed.lastOption.foreach(i => dropCheckpointsFrom(i.time))
+    (doomed.map(_.time) ++ doomedArchived.map(_._1.time)).minOption
+      .foreach(dropCheckpointsFrom)
+    remintCoveringCheckpoint()
     val t = timeline.start(Action.Restore)
     timeline.complete(t, Action.Restore,
       CommitMetadata("restore", extra = Map("target" -> time)))

@@ -209,7 +209,9 @@ class GraftDataSource
         heartbeatTtlMs =
           parameters.getOrElse("heartbeat.ttl.ms", "0").toLong,
         checkpointKeep =
-          parameters.getOrElse("checkpoint.keep", "0").toInt))
+          parameters.getOrElse("checkpoint.keep", "0").toInt,
+        lockAcquireTimeoutMs =
+          parameters.getOrElse("lock.acquire.timeout.ms", "0").toLong))
     }
   }
 }

@@ -29,7 +29,7 @@ object ChaosSpec {
   * hudi-integ-test/src/main/java/org/apache/hudi/integ/testsuite/ with
   * unit-test-cow-dag.yaml / unit-test-mor-dag.yaml — which composes long
   * randomized operation sequences with validation nodes). One seeded run
-  * per (tableType, commitStore) composes ~150 mixed operations:
+  * per matrix leg composes 110-250+ mixed operations:
   *
   *  - writes: upsert / delete / insert_overwrite / delete_partition
   *  - services: compaction (MOR) / clustering (COW) / clean / archive /
@@ -37,9 +37,14 @@ object ChaosSpec {
   *  - time travel the write path: savepoint → rollback → restore
   *  - a CONCURRENT second writer under OCC (tagged batches; the shadow
   *    is folded from the timeline's own serialization order afterwards)
-  *  - fault injection: publishes killed mid-flight (after the conflict
-  *    check, before the completing write — the worst instant), recovered
-  *    by the heartbeat-driven failed-write reaper
+  *    — on leg 1 under a REAL out-of-process ZooKeeper lock
+  *  - fault injection (kill legs, which run EVERY publish through the
+  *    distributed executor-side job): a publish killed at the driver
+  *    commit point (after the conflict check, before the completing
+  *    write) AND a distributed publish killed mid-job after K of N
+  *    executor-side moves landed at published names; both recovered by
+  *    the heartbeat-driven failed-write reaper, with the published-name
+  *    orphan census asserted empty afterwards
   *
   * against a driver-side SHADOW MODEL (a plain Map folded with plain
   * Scala — no engine code), asserted equal to a full snapshot read after
@@ -108,20 +113,31 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def drawIds(rng: scala.util.Random, n: Int): Seq[Long] =
     Seq.fill(n + 8)(rng.nextInt(400).toLong).distinct.take(n)
 
-  // the matrix spans both table types, both commit stores, AND both base
-  // formats (the MOR leg runs its delta/compaction chaos entirely on ORC)
-  for ((tt, store, format) <- Seq(
-         (TableType.MOR, CommitStore.Rename, "orc"),
-         (TableType.COW, CommitStore.Put, "parquet")))
-  test(s"seeded chaos sequence [$tt/$store/$format]: ~150 mixed ops + concurrent " +
-      "OCC writer + killed publishes match the shadow model throughout") {
-    val seed = 20260816L + (if (tt == TableType.MOR) 0 else 1)
+  // The matrix spans both table types, both commit stores, both base
+  // formats, a REAL out-of-process lock (embedded ZooKeeper, leg 1), the
+  // MOR × Put corner (leg 3), and — on the two kill legs — EVERY publish
+  // routed through the DISTRIBUTED (executor-side) job so the crash
+  // injection reaches partial executor-side moves under both stores.
+  // Leg 3 skips the kill phase (and with it the unavoidable 60 s
+  // heartbeat-TTL wait) — its job is the write/compaction/OCC surface of
+  // the remaining matrix corner, not crash recovery.
+  for (((tt, store, format, lockKey, kills, aSteps), legIdx) <- Seq(
+         (TableType.MOR, CommitStore.Rename, "orc", "zk", true, 90),
+         (TableType.COW, CommitStore.Put, "parquet", "inprocess", true, 90),
+         (TableType.MOR, CommitStore.Put, "parquet", "inprocess", false, 60))
+         .zipWithIndex)
+  test(s"seeded chaos [$tt/$store/$format/$lockKey" +
+      s"${if (kills) "/distributed+kills" else ""}]: long horizon + " +
+      "concurrent OCC writer match the shadow model throughout") {
+    val seed = 20260816L + legIdx
     val rng = new scala.util.Random(seed)
     val dir = Files.createTempDirectory(s"graft-chaos").toString
     val tbl = GraftTable.create(spark, dir, TableConfig(
       name = "chaos", tableType = tt, keyFields = Seq("id"),
       partitionFields = Seq("p"), orderingField = "", occ = true,
-      commitStore = store, lockProvider = "inprocess",
+      commitStore = store,
+      lockProvider = if (lockKey == "zk") s"zk:${zkConnect()}" else "inprocess",
+      publishMode = if (kills) "distributed" else "auto",
       failedWritesPolicy = "lazy", heartbeatTtlMs = 60000,
       targetFileRows = 200, baseFormat = format))
     val svc = TableServices(tbl)
@@ -163,8 +179,13 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
         shadow = fold(shadow, DropParts(Seq(part)))
       }
     }
-    def rewriteService(): Unit =
+    def rewriteService(): Unit = {
+      opsRun.incrementAndGet()
       if (tt == TableType.MOR) svc.compact() else svc.cluster(Seq("id"))
+    }
+    /** Table services count toward the composed-horizon budget too (the
+      * reference DAG framework's validation nodes are ops in the run). */
+    def serviceOp(body: => Unit): Unit = { opsRun.incrementAndGet(); body }
 
     // ---- seed load --------------------------------------------------------
     val seedRows = (0L until 300L).map(i => Doc(i, "seed", 0L, partOf(i)))
@@ -172,17 +193,17 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     shadow = fold(shadow, UpsertRows(seedRows))
     assertState(tbl, shadow, "after seed load")
 
-    // ---- phase A: 60 single-writer steps over the full op mix -------------
-    for (step <- 1 to 60) {
+    // ---- phase A: single-writer steps over the full op mix ----------------
+    for (step <- 1 to aSteps) {
       val roll = rng.nextInt(100)
       if (roll < 40) doUpsert()
       else if (roll < 55) doDelete()
       else if (roll < 63) doOverwrite()
       else if (roll < 68) doDropPartition()
       else if (roll < 76) { rewriteService(); assertState(tbl, shadow, s"A$step rewrite") }
-      else if (roll < 83) { svc.clean(8); assertState(tbl, shadow, s"A$step clean") }
-      else if (roll < 90) { svc.checkpoint(); assertState(tbl, shadow, s"A$step checkpoint") }
-      else if (roll < 95) { svc.archive(15, 25); assertState(tbl, shadow, s"A$step archive") }
+      else if (roll < 83) { serviceOp(svc.clean(8)); assertState(tbl, shadow, s"A$step clean") }
+      else if (roll < 90) { serviceOp(svc.checkpoint()); assertState(tbl, shadow, s"A$step checkpoint") }
+      else if (roll < 95) { serviceOp(svc.archive(15, 25)); assertState(tbl, shadow, s"A$step archive") }
       else doUpsert()
       if (step % 10 == 0) assertState(tbl, shadow, s"A$step")
     }
@@ -235,7 +256,7 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
         // race gives up loudly by contract — acceptable here, retry next
         try rewriteService()
         catch { case _: IllegalStateException => () }
-      } else if (step % 5 == 0) svc.checkpoint()
+      } else if (step % 5 == 0) serviceOp(svc.checkpoint())
       else taggedWrite(tbl, rng, deletes = rng.nextInt(10) < 3)
     }
     writer.join(300000)
@@ -297,50 +318,112 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"missing=${(shadow.keySet -- cdcShadow.keySet).take(5)}")
 
     // ---- phase C: crash injection + heartbeat recovery --------------------
-    for (k <- 1 to 2) {
-      tbl.onBeforeComplete = () => throw new RuntimeException("chaos-kill")
-      val rows = drawIds(rng, 10).map(i => Doc(i, s"k$k", 9000L + k, partOf(i)))
-      val killed = try { tbl.upsert(df(rows)); false }
-        catch { case e: RuntimeException if e.getMessage == "chaos-kill" => true }
-      tbl.onBeforeComplete = () => ()
-      assert(killed, "the injected kill must fire")
+    // two kill flavors, both leaving files at PUBLISHED names with no
+    // commit (the staged files were already moved):
+    //  C1. the driver commit point — after the OCC conflict check,
+    //      before the completing write (every move landed)
+    //  C2. the DISTRIBUTED publish mid-job — the task crashes after K of
+    //      N executor-side moves landed at final names (the messiest
+    //      real-world wreckage: half the commit's files final-named,
+    //      half still staged, a dead driver)
+    if (kills) {
+      val killedInstants = scala.collection.mutable.ArrayBuffer.empty[String]
       // the crashed writer's heartbeat stops refreshing; age the file so
       // the reaper's heartbeat gate opens (the instant-age gate still
       // holds recovery until the instant itself is ttl old)
-      val pend = tbl.timeline.instants().filterNot(_.isCompleted).map(_.time).max
-      val hb = Heartbeat.path(tbl.timeline, pend)
-      if (fs.exists(hb)) {
-        val old = System.currentTimeMillis() - 600000L
-        fs.setTimes(hb, old, old)
+      def ageKilledHeartbeat(): Unit = {
+        val pend = tbl.timeline.instants().filterNot(_.isCompleted).map(_.time).max
+        killedInstants += pend
+        val hb = Heartbeat.path(tbl.timeline, pend)
+        if (fs.exists(hb)) {
+          val old = System.currentTimeMillis() - 600000L
+          fs.setTimes(hb, old, old)
+        }
       }
-    }
-    val killWall = System.currentTimeMillis()
-    assert(tbl.timeline.instants().exists(i => !i.isCompleted),
-      "killed publishes must leave pending instants")
-    // killed effects were never applied to the shadow; the table must
-    // agree even while the pending wreckage is still on the timeline
-    assertState(tbl, shadow, "after kills (wreckage pending)")
+      def causeChain(t: Throwable): Boolean =
+        t != null && (Option(t.getMessage).exists(_.contains("chaos-kill")) ||
+          causeChain(t.getCause))
+      /** Published-name data files stamped with a killed instant,
+        * anywhere under the table tree (the wreckage census). */
+      def orphansOf(times: Seq[String]): Seq[String] = {
+        def walk(d: org.apache.hadoop.fs.Path): Seq[String] = {
+          val es = try fs.listStatus(d).toSeq
+            catch { case _: java.io.FileNotFoundException => Nil }
+          es.flatMap { st =>
+            if (st.isDirectory) {
+              if (st.getPath.getName == Timeline.MetaDir) Nil else walk(st.getPath)
+            } else Seq(st.getPath.getName)
+          }
+        }
+        walk(new org.apache.hadoop.fs.Path(dir))
+          .filter(n => times.exists(t => n.contains(s"_$t.")))
+      }
 
-    // more single-writer traffic with the wreckage in place (no
-    // compaction/clustering: their schedule guard by design waits out
-    // pending writers, which is exactly what a crashed writer never does)
-    for (step <- 1 to 8) {
-      if (rng.nextInt(10) < 7) doUpsert() else doDelete()
-      if (step % 4 == 0) assertState(tbl, shadow, s"C$step")
-    }
+      // C1: driver commit-point kill
+      tbl.onBeforeComplete = () => throw new RuntimeException("chaos-kill")
+      val rows1 = drawIds(rng, 10).map(i => Doc(i, "k1", 9001L, partOf(i)))
+      val killed1 = try { tbl.upsert(df(rows1)); false }
+        catch { case e: RuntimeException if e.getMessage == "chaos-kill" => true }
+      tbl.onBeforeComplete = () => ()
+      assert(killed1, "the injected driver kill must fire")
+      ageKilledHeartbeat()
 
-    // wait out the failed-write ttl (heartbeatTtlMs floor: the reaper
-    // refuses to presume a YOUNG instant crashed), then any write reaps
-    val ttlMs = 62000L
-    val waitMs = killWall + ttlMs - System.currentTimeMillis()
-    if (waitMs > 0) Thread.sleep(waitMs)
-    doUpsert()
-    assert(tbl.timeline.instants().forall(_.isCompleted),
-      "the heartbeat reaper must recover both killed publishes")
-    assert(tbl.timeline.completed().count(i => i.action == Action.Rollback &&
-        tbl.timeline.metadataOf(i).extra.get("reason").contains("failed_write")) >= 2,
-      "recovery must be audited as failed-write rollbacks")
-    assertState(tbl, shadow, "after crash recovery")
+      // C2: distributed-publish kill after 3 landed moves (>= 5 file
+      // groups staged across the 5 partitions, so 3 < N)
+      val moved = new java.util.concurrent.atomic.AtomicInteger(0)
+      GraftTable.onPublishedMove = _ =>
+        if (moved.incrementAndGet() == 3)
+          throw new RuntimeException("chaos-kill-dist")
+      val rows2 = drawIds(rng, 25).map(i => Doc(i, "k2", 9002L, partOf(i)))
+      val killed2 = try { tbl.upsert(df(rows2)); false }
+        catch { case scala.util.control.NonFatal(e) =>
+          assert(causeChain(e), s"unexpected publish failure: $e"); true }
+      GraftTable.onPublishedMove = _ => ()
+      assert(killed2 && moved.get >= 3,
+        s"the distributed kill must fire after >=3 moves (landed ${moved.get})")
+      ageKilledHeartbeat()
+      assert(orphansOf(Seq(killedInstants.last)).nonEmpty,
+        "the distributed kill must leave partial files at PUBLISHED names")
+
+      val killWall = System.currentTimeMillis()
+      assert(tbl.timeline.instants().exists(i => !i.isCompleted),
+        "killed publishes must leave pending instants")
+      // killed effects were never applied to the shadow; the table must
+      // agree even while the pending wreckage is still on the timeline
+      assertState(tbl, shadow, "after kills (wreckage pending)")
+
+      // heavy single-writer traffic with the wreckage in place (no
+      // compaction/clustering: their schedule guard by design waits out
+      // pending writers, which is exactly what a crashed writer never
+      // does). The failed-write TTL already forces a >=60 s wait, so
+      // this horizon is wall-clock-free — it rides inside the wait.
+      for (step <- 1 to 56) {
+        val roll = rng.nextInt(100)
+        if (roll < 55) doUpsert()
+        else if (roll < 75) doDelete()
+        else if (roll < 83) doOverwrite()
+        else if (roll < 91) serviceOp(svc.clean(8))
+        else serviceOp(svc.checkpoint())
+        if (step % 8 == 0) assertState(tbl, shadow, s"C$step")
+      }
+      assertState(tbl, shadow, "end of phase C traffic (wreckage pending)")
+
+      // wait out the failed-write ttl (heartbeatTtlMs floor: the reaper
+      // refuses to presume a YOUNG instant crashed), then any write reaps
+      val ttlMs = 62000L
+      val waitMs = killWall + ttlMs - System.currentTimeMillis()
+      if (waitMs > 0) Thread.sleep(waitMs)
+      doUpsert()
+      assert(tbl.timeline.instants().forall(_.isCompleted),
+        "the heartbeat reaper must recover both killed publishes")
+      assert(tbl.timeline.completed().count(i => i.action == Action.Rollback &&
+          tbl.timeline.metadataOf(i).extra.get("reason").contains("failed_write")) >= 2,
+        "recovery must be audited as failed-write rollbacks")
+      assert(orphansOf(killedInstants.toSeq).isEmpty,
+        "the reaper must reclaim every published-name orphan of both kills: " +
+          orphansOf(killedInstants.toSeq).take(5).toString)
+      assertState(tbl, shadow, "after crash recovery")
+    }
 
     // ---- phase D: savepoint → rollback → restore → TTL --------------------
     val spTarget = tbl.timeline.completed()
@@ -370,11 +453,12 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (_ <- 1 to 4) doUpsert()
     rewriteService()
     assertState(tbl, shadow, "final rewrite service")
-    svc.clean(8)
-    svc.archive(15, 25)
-    svc.checkpoint()
+    serviceOp(svc.clean(8))
+    serviceOp(svc.archive(15, 25))
+    serviceOp(svc.checkpoint())
     assertState(tbl, shadow, "final state after clean + archive + checkpoint")
-    assert(opsRun.get() >= 80,
-      s"the run must compose a long horizon (ran ${opsRun.get()} write ops)")
+    val minOps = if (kills) 200 else 110
+    assert(opsRun.get() >= minOps,
+      s"the run must compose a long horizon (>= $minOps ops; ran ${opsRun.get()})")
   }
 }
