@@ -189,12 +189,13 @@ class Timeline(val basePath: String, conf: Configuration) {
     * [[archiveCompleted]] — which also covers filesystems with coarse
     * (1 s) modtime granularity for the only writer that can race a read
     * in the same tick. */
-  @volatile private var archivedCache: (Long, Seq[String]) = null
+  @volatile private var archivedCache: (Long, Seq[Instant]) = null
   /** Test probe: physical archive-dir listings performed. */
   private[graft] val archivedListings = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Times of archived instants (sorted asc); cached per dir modtime. */
-  def archivedTimes(): Seq[String] = {
+  /** Archived instants (time asc, parsed from file names); cached per dir
+    * modtime. */
+  private def archivedListing(): Seq[Instant] = {
     val d = new Path(metaDir, Timeline.ArchiveDir)
     val mod =
       try fs.getFileStatus(d).getModificationTime
@@ -203,12 +204,15 @@ class Timeline(val basePath: String, conf: Configuration) {
     if (cached != null && cached._1 == mod) cached._2
     else {
       archivedListings.incrementAndGet()
-      val times = fs.listStatus(d).toSeq.map(_.getPath.getName)
-        .flatMap(parseFileName).map(_.time).sorted
-      archivedCache = (mod, times)
-      times
+      val insts = fs.listStatus(d).toSeq.map(_.getPath.getName)
+        .flatMap(parseFileName).sortBy(i => (i.time, i.action))
+      archivedCache = (mod, insts)
+      insts
     }
   }
+
+  /** Times of archived instants (sorted asc); cached per dir modtime. */
+  def archivedTimes(): Seq[String] = archivedListing().map(_.time)
 
   /** Remove archived instants with time > `t` — restore pruning: history
     * above the restore target ceases to exist, archived or not (keeping
@@ -219,24 +223,41 @@ class Timeline(val basePath: String, conf: Configuration) {
     if (fs.exists(d)) {
       fs.listStatus(d).toSeq.map(_.getPath)
         .filter(p => parseFileName(p.getName).exists(_.time > t))
-        .foreach(p => fs.delete(p, false))
+        .foreach { p =>
+          fs.delete(p, false)
+          archivedMetaCache.remove(p.toString)
+        }
       archivedCache = null
     }
   }
 
-  /** Load archived instants WITH their commit metadata back for audit /
-    * lineage inspection (reference analog:
-    * table/timeline/HoodieArchivedTimeline.java:61 — loadInstantDetails
-    * over the archive). Optional time bounds prune the reads. */
+  private def archivedMetaCache = Timeline.archivedMetaCache
+  /** Test probe: physical archived-metadata file reads performed. */
+  private[graft] def archivedMetaReads = Timeline.archivedMetaReads
+
+  /** Load archived instants WITH their commit metadata back — audit /
+    * lineage inspection, archive-gap time travel (Snapshot.resolve), and
+    * behind-retention incremental reads (Snapshot.commitsInRange)
+    * (reference analog: table/timeline/HoodieArchivedTimeline.java:61 —
+    * loadInstantDetails over the archive). Time bounds prune the READS,
+    * not just the result: only in-window files are opened, and repeat
+    * reads are served from the parse cache above. */
   def archivedInstants(
       from: String = "", until: String = "~"): Seq[(Instant, CommitMetadata)] = {
     val d = new Path(metaDir, Timeline.ArchiveDir)
-    if (!fs.exists(d)) return Nil
-    fs.listStatus(d).toSeq.map(_.getPath.getName)
-      .flatMap(parseFileName)
+    archivedListing()
       .filter(i => i.time >= from && i.time <= until)
-      .sortBy(i => (i.time, i.action))
-      .map(i => i -> Json.read(readFully(new Path(d, i.fileName)), classOf[CommitMetadata]))
+      .map { i =>
+        val p = new Path(d, i.fileName)
+        val key = p.toString
+        val cached = Option(archivedMetaCache.get(key)).flatMap(r => Option(r.get))
+        cached.getOrElse {
+          archivedMetaReads.incrementAndGet()
+          val parsed = i -> Json.read(readFully(p), classOf[CommitMetadata])
+          archivedMetaCache.put(key, new java.lang.ref.SoftReference(parsed))
+          parsed
+        }
+      }
   }
 
   def metadataOf(i: Instant): CommitMetadata =
@@ -274,4 +295,23 @@ object Timeline {
   val HeartbeatDir = ".heartbeat"
   private val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
   @volatile private var lastIssued: String = ""
+
+  /** absolute file path -> parsed commit metadata for ARCHIVED instants,
+    * shared JVM-wide (the DataSource read path constructs a fresh
+    * Timeline per query — like the snapshot memo, the cache must outlive
+    * the instance to serve repeat archive-gap time travels and
+    * behind-retention incremental reads). An archive file is immutable
+    * for its lifetime (archiveCompleted moves it in whole;
+    * pruneArchivedAfter deletes it and evicts here) and its absolute
+    * path is never reused (instant times are unique per table), so
+    * entries cannot go stale — deleted files drop out of the directory
+    * listing that drives archivedInstants. Values sit behind a
+    * SoftReference: a long history's parsed stats (per-file write stats
+    * per commit) can be large, and the JVM reclaims them under memory
+    * pressure rather than OOM — the next read re-parses. */
+  private val archivedMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.lang.ref.SoftReference[(Instant, CommitMetadata)]]()
+  /** Test probe: physical archived-metadata file reads performed. */
+  private[graft] val archivedMetaReads = new java.util.concurrent.atomic.AtomicLong(0L)
 }

@@ -449,6 +449,15 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     shadow = fold(shadow, DropParts(dropped))
     assertState(tbl, shadow, "after partition TTL")
 
+    // capture a historical (instant, shadow) pair: phase E archives this
+    // instant away and asserts time travel into the archived gap still
+    // reproduces it exactly. Safe w.r.t. cleaning: clean(8) runs once
+    // below and at most ~6 newer versions land per group, so the
+    // version live here stays within the retention window.
+    val histT = tbl.timeline.completed()
+      .filter(i => Action.dataActions(i.action)).last.time
+    val histShadow = shadow
+
     // repopulate and close out with every service green over the final state
     for (_ <- 1 to 4) doUpsert()
     rewriteService()
@@ -457,6 +466,21 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     serviceOp(svc.archive(15, 25))
     serviceOp(svc.checkpoint())
     assertState(tbl, shadow, "final state after clean + archive + checkpoint")
+
+    // ---- phase E: time travel into the archived gap -----------------------
+    serviceOp(svc.archive(2, 4))
+    assert(tbl.timeline.archivedTimes().contains(histT),
+      "the captured instant must be archived by the aggressive archive")
+    val rE = GraftReader(tbl)
+    val gotE = rE.dataOnly(rE.snapshot(asOf = Some(histT)))
+      .select("id", "v", "ts", "p").collect()
+      .map(x => Doc(x.getLong(0), x.getString(1), x.getLong(2), x.getString(3)))
+      .toSet
+    val wantE = histShadow.values.toSet
+    assert(gotE == wantE,
+      s"archived-gap time travel: extra=${(gotE -- wantE).take(5)} " +
+        s"missing=${(wantE -- gotE).take(5)} (got=${gotE.size}, want=${wantE.size})")
+    assertState(tbl, shadow, "latest reads unaffected by the gap replay")
     val minOps = if (kills) 200 else 110
     assert(opsRun.get() >= minOps,
       s"the run must compose a long horizon (>= $minOps ops; ran ${opsRun.get()})")

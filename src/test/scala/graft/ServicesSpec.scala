@@ -877,6 +877,13 @@ class ServicesSpec extends AnyFunSuite with BeforeAndAfterAll {
     tbl.upsert(orders.filter(col("o_orderkey") % 8 === 5))
     assert(svc.checkpoint().nonEmpty)
     assert(r.dataOnly(r.snapshot()).count() > 0, "restored table reads back")
+    // an incremental consumer pinned AT the restore target sees only the
+    // post-restore commit: the pruned history must not leak back into
+    // the boundary-spanning range read
+    assertSameRows(
+      r.incremental(archivedTarget).select(orders.columns.map(col): _*),
+      orders.filter(col("o_orderkey") % 8 === 5),
+      "incremental from the restore target must span only surviving history")
   }
 
   test("rollback re-mints a covering checkpoint when it drops the only one " +

@@ -128,8 +128,8 @@ class TimelineScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     syntheticCommits(tl, 9)
     val svc = TableServices(tbl)
     assert(svc.archive(keepMin = 2, keepMax = 3).nonEmpty)
-    // two commits ABOVE the archive checkpoint: as-of targets must sit
-    // at/after the covering stamp or the gap guard refuses by contract
+    // two commits ABOVE the archive checkpoint: their replay windows are
+    // archive-free, so these resolves pay only the boundary probe
     val Seq(t1, t2) = syntheticCommits(tl, 2)
     tl.archivedListings.set(0L)
     // alternating targets defeat the snapshot memo, so every resolve
@@ -149,5 +149,51 @@ class TimelineScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     Snapshot.resolve(tl, Some(t4))
     assert(tl.archivedListings.get == 1,
       s"the post-archive resolves must relist exactly once, saw ${tl.archivedListings.get}")
+  }
+
+  test("archive-gap replay opens only in-window metadata files, each at most once") {
+    // time travel across the archive boundary replays the gap from
+    // archived commit metadata; a backfill consumer pinned at historical
+    // instants must not re-read the files per query (parse cache) nor
+    // open files outside its replay window (the bounds prune the READS)
+    val tbl = GraftTable.create(spark, tmp(), cfg)
+    val commits = (1 to 8).map(i => tbl.upsert(rows(i.toLong)))
+    val svc = TableServices(tbl)
+    assert(svc.archive(keepMin = 2, keepMax = 3).nonEmpty)
+    val tl = tbl.timeline
+    val target = commits(3) // commit 4: archived, mid-gap
+    assert(tl.archivedTimes().contains(target), "probe needs an archived target")
+    val inWindow = tl.archivedTimes().count(_ <= target)
+    val total = tl.archivedTimes().size
+    assert(inWindow < total, "probe needs archived instants ABOVE the target")
+
+    tl.archivedMetaReads.set(0L)
+    val s1 = Snapshot.resolve(tl, Some(target))
+    assert(s1.slices.nonEmpty)
+    assert(tl.archivedMetaReads.get == inWindow,
+      s"the replay must open exactly the in-window archived files " +
+        s"($inWindow of $total), saw ${tl.archivedMetaReads.get}")
+
+    // one step deeper into the gap: exactly ONE new file is read — the
+    // rest serve from the parse cache (alternation also defeats the
+    // snapshot memo, so this isolates the metadata-read claim)
+    val target2 = commits(4)
+    Snapshot.resolve(tl, Some(target2))
+    assert(tl.archivedMetaReads.get == inWindow + 1,
+      s"only the newly-covered file may be opened, saw ${tl.archivedMetaReads.get}")
+    Snapshot.resolve(tl, Some(target))
+    Snapshot.resolve(tl, Some(target2))
+    assert(tl.archivedMetaReads.get == inWindow + 1,
+      s"repeat gap replays must be read-free, saw ${tl.archivedMetaReads.get}")
+
+    // restore pruning evicts: the pruned files' cache entries must not
+    // survive to answer a (hypothetical) same-name read, and the
+    // surviving window still resolves read-free from cache
+    svc.restoreTo(commits(5))
+    assert(tl.archivedTimes().forall(_ <= commits(5)))
+    tl.archivedMetaReads.set(0L)
+    Snapshot.resolve(tl, Some(target))
+    assert(tl.archivedMetaReads.get == 0,
+      s"surviving-window replay must serve from cache, saw ${tl.archivedMetaReads.get}")
   }
 }
