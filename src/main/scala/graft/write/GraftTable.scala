@@ -329,17 +329,31 @@ class GraftTable private (
       spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
     val tWrite0 = System.nanoTime()
     val stagingCols = if (mixed) Seq(GP, GF, GD) else Seq(GP, GF)
-    staged.write.mode("overwrite").partitionBy(stagingCols: _*)
-      .format(config.dataFormat).save(stagingDir.toString)
+    // Staged write runs through the direct per-group writer, NOT
+    // DataFrameWriter.partitionBy: the Hadoop commit protocol costs a
+    // temp dir + task-commit rename + job-commit merge walk PER FILE,
+    // which at a many-group commit (file-per-group layout) measured ~2.5×
+    // the actual parquet work (see GroupedFileWriter + the experiment
+    // record in OPTIMIZATION_r12.md). The staging DIRECTORY is already
+    // the transaction — a retried commit attempt must not inherit a
+    // previous attempt's files, so clear it first (same contract
+    // mode("overwrite") provided).
+    fs.delete(stagingDir, true)
+    fs.mkdirs(stagingDir)
+    val toStage =
+      if (mixed) staged.withColumn(GD, col(GD).cast("string")) else staged
+    org.apache.spark.sql.graft.GroupedFileWriter.write(
+      spark, toStage, stagingCols, stagingDir.toString, config.dataFormat)
     val tWrite = (System.nanoTime() - tWrite0) / 1e9
 
-    // empty input leaves only _SUCCESS behind; nothing to publish.
+    // empty input stages no files at all; nothing to publish.
     // ONE glob pass resolves every staged part file (at thousands of
     // groups, a per-group second listing was measurable publish tail)
     val tList0 = System.nanoTime()
     val partGlob =
       if (mixed) s"$GP=*/$GF=*/$GD=*/part-*" else s"$GP=*/$GF=*/part-*"
-    val partFiles = fs.globStatus(new Path(stagingDir, partGlob)).toSeq
+    val partFiles = Option(fs.globStatus(new Path(stagingDir, partGlob)))
+      .map(_.toSeq).getOrElse(Nil)
     if (partFiles.isEmpty) {
       fs.delete(stagingDir, true)
       return Nil
