@@ -103,13 +103,20 @@ object RenameCommitStore extends CommitStore {
     catch { case e: Throwable => fs.delete(tmp, false); throw e }
   }
 
-  override def moveFile(fs: FileSystem, src: Path, dest: Path): Unit =
-    if (!fs.rename(src, dest)) {
+  override def moveFile(fs: FileSystem, src: Path, dest: Path): Unit = {
+    // rename-on-missing-src surfaces differently per FS (HDFS returns
+    // false; LocalFileSystem's copy fallback throws FileNotFound) —
+    // normalize both to the idempotency check below
+    val renamed =
+      try fs.rename(src, dest)
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!renamed) {
       // idempotent re-run (task retry/speculation after the original
       // attempt's rename landed): src gone + dest present = already moved
       if (fs.exists(src) || !fs.exists(dest))
         throw new IllegalStateException(s"publish rename failed: $src -> $dest")
     }
+  }
 }
 
 /** Simulated object-store profile: moves are copies, exclusivity is a
