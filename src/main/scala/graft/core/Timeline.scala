@@ -166,15 +166,20 @@ class Timeline(val basePath: String, conf: Configuration) {
     fs.delete(new Path(metaDir, s"$time.$action.${State.Inflight}"), false)
 
   /** Remove a completed instant from the active timeline (clean/archive). */
-  def deleteCompleted(i: Instant): Unit =
-    fs.delete(new Path(metaDir, i.fileName), false)
+  def deleteCompleted(i: Instant): Unit = {
+    val p = new Path(metaDir, i.fileName)
+    fs.delete(p, false)
+    Timeline.completedMetaCache.remove(p.toString) // hygiene, not staleness
+  }
 
   /** Move a completed instant into the archive dir (metadata retained for
     * audit; the active listing no longer sees it). */
   def archiveCompleted(i: Instant): Unit = {
     val d = new Path(metaDir, Timeline.ArchiveDir)
     fs.mkdirs(d)
-    commitStore.moveFile(fs, new Path(metaDir, i.fileName), new Path(d, i.fileName))
+    val src = new Path(metaDir, i.fileName)
+    commitStore.moveFile(fs, src, new Path(d, i.fileName))
+    Timeline.completedMetaCache.remove(src.toString)
     archivedCache = null // same-JVM archivers invalidate exactly
   }
 
@@ -234,6 +239,8 @@ class Timeline(val basePath: String, conf: Configuration) {
   private def archivedMetaCache = Timeline.archivedMetaCache
   /** Test probe: physical archived-metadata file reads performed. */
   private[graft] def archivedMetaReads = Timeline.archivedMetaReads
+  /** Test probe: physical completed-metadata file reads performed. */
+  private[graft] def completedMetaReads = Timeline.completedMetaReads
 
   /** Load archived instants WITH their commit metadata back — audit /
     * lineage inspection, archive-gap time travel (Snapshot.resolve), and
@@ -260,8 +267,36 @@ class Timeline(val basePath: String, conf: Configuration) {
       }
   }
 
-  def metadataOf(i: Instant): CommitMetadata =
-    Json.read(readFully(new Path(metaDir, i.fileName)), classOf[CommitMetadata])
+  /** Commit metadata of an instant. COMPLETED instants' files are
+    * written once (create-exclusive publish) and never modified in
+    * place, so their parse is cached JVM-wide behind a (modtime, length)
+    * guard — one stat replaces a full read + JSON parse on every
+    * re-resolve. The guard closes the cross-process rollback +
+    * same-millisecond re-commit alias (the r11 snapshot-memo hole): a
+    * re-minted instant file is a NEW file with a new mtime. Pending
+    * instants (requested service plans) are deleted and re-minted in
+    * normal operation — always read fresh. At 100 TB this is the
+    * steady-state driver saving: a commit's metadata at ~1M file groups
+    * is hundreds of MB of JSON, and every post-commit snapshot resolve
+    * previously re-parsed the whole active window of them. */
+  def metadataOf(i: Instant): CommitMetadata = {
+    val p = new Path(metaDir, i.fileName)
+    if (!i.isCompleted)
+      return Json.read(readFully(p), classOf[CommitMetadata])
+    val st = fs.getFileStatus(p)
+    val key = p.toString
+    val cached = Option(Timeline.completedMetaCache.get(key)).flatMap(r => Option(r.get))
+    cached match {
+      case Some((m, l, parsed)) if m == st.getModificationTime && l == st.getLen =>
+        parsed
+      case _ =>
+        Timeline.completedMetaReads.incrementAndGet()
+        val parsed = Json.read(readFully(p), classOf[CommitMetadata])
+        Timeline.completedMetaCache.put(key, new java.lang.ref.SoftReference(
+          (st.getModificationTime, st.getLen, parsed)))
+        parsed
+    }
+  }
 
   // ---- raw FS helpers ----------------------------------------------------
 
@@ -314,4 +349,14 @@ object Timeline {
       String, java.lang.ref.SoftReference[(Instant, CommitMetadata)]]()
   /** Test probe: physical archived-metadata file reads performed. */
   private[graft] val archivedMetaReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** absolute file path -> (modtime, length, parsed metadata) for
+    * COMPLETED active-timeline instants, JVM-wide and SoftReference'd
+    * like [[archivedMetaCache]] (see [[Timeline.metadataOf]] for the
+    * staleness argument). */
+  private val completedMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.lang.ref.SoftReference[(Long, Long, CommitMetadata)]]()
+  /** Test probe: physical completed-metadata file reads performed. */
+  private[graft] val completedMetaReads = new java.util.concurrent.atomic.AtomicLong(0L)
 }

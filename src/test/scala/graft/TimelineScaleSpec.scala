@@ -196,4 +196,38 @@ class TimelineScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tl.archivedMetaReads.get == 0,
       s"surviving-window replay must serve from cache, saw ${tl.archivedMetaReads.get}")
   }
+
+  test("completed-instant metadata parses once per file across re-resolves") {
+    // each commit breaks the snapshot memo (digest over the timeline),
+    // so resolve #k re-folds the whole active window — the parse cache
+    // must hold per-file reads at ONE even as the window re-reads, and a
+    // replaced instant file (rollback + same-time re-commit surgery, the
+    // r11 memo-alias shape) must be re-read because its mtime changed
+    val tbl = GraftTable.create(spark, tmp(), cfg)
+    tbl.bulkInsert(rows(1L to 10L: _*))
+    val tl = tbl.timeline
+    tl.completedMetaReads.set(0L)
+    val times = syntheticCommits(tl, 10)
+    (1 to times.size).foreach(_ => Snapshot.resolve(tl))
+    // alternating as-ofs defeat the memo too: still one read per file
+    Snapshot.resolve(tl, Some(times(3)))
+    Snapshot.resolve(tl, Some(times(7)))
+    Snapshot.resolve(tl, Some(times(3)))
+    val reads = tl.completedMetaReads.get
+    val files = tl.completed().size
+    assert(reads <= files,
+      s"$files completed instants but $reads physical metadata reads — the parse cache is not holding")
+    // timeline-file surgery: overwrite one completed instant's metadata
+    // in place (new mtime/length) — the next resolve MUST see new content
+    val victim = tl.completed().last
+    val p = new org.apache.hadoop.fs.Path(
+      tbl.basePath + "/" + Timeline.MetaDir, victim.fileName)
+    Thread.sleep(5) // ensure a distinct mtime even on coarse clocks
+    val out = tl.fileSystem.create(p, true)
+    out.write(Json.write(CommitMetadata("upsert",
+      extra = Map("surgery" -> "yes"))).getBytes("UTF-8"))
+    out.close()
+    assert(tl.metadataOf(victim).extra.get("surgery").contains("yes"),
+      "a replaced metadata file (new mtime) must be re-parsed, not served stale")
+  }
 }
