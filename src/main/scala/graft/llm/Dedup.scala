@@ -491,17 +491,21 @@ object Dedup {
     * spans occur at least `minCount` times corpus-wide (same-doc repeats
     * included). Emits (doc_id, n_spans, n_dup_spans, dup_frac) for every
     * doc with ≥1 full span; a high dup_frac marks boilerplate to drop or
-    * trim. Scale shape: explode → hash-aggregate on the span hash → join
-    * back by hash → per-doc aggregate; span hashes are 32-char md5
+    * trim. Scale shape: explode → per-hash count as a WINDOW over the
+    * span stream → per-doc aggregate; span hashes are 32-char md5
     * strings, so the exchanges carry id-sized rows and never the raw
-    * text. */
+    * text. The window form (count over partition-by-hash) replaces the
+    * former aggregate-then-join-back: identical per-row counts, but ONE
+    * scan+explode of the corpus and ONE full exchange of the span
+    * stream instead of two of each (guide §2.4 — the join's shuffle
+    * already sorted by hash, so the window adds no new work). */
   def spanStats(df: DataFrame, idCol: String, textCol: String,
       width: Int, minCount: Int = 2): DataFrame = {
     require(width > 0, "span width must be positive")
     val exploded = df.select(col(idCol).as("doc_id"),
       explode(spanHashes(wsTokens(col(textCol)), width)).as("h"))
-    val counts = exploded.groupBy(col("h")).agg(count(lit(1)).as("c"))
-    exploded.join(counts, "h")
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    exploded.withColumn("c", count(lit(1)).over(byHash))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("c") >= minCount, 1L).otherwise(0L)).as("n_dup_spans"))
