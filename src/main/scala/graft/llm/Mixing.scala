@@ -398,19 +398,32 @@ object Mixing {
       perDoc: DataFrame, domainCol: String, lossCol: String,
       rounds: Int = 3, eta: Double = 1.0, smoothing: Double = 0.2,
       baselinePerDomain: Option[Map[String, Double]] = None): DataFrame = {
-    val census = perDoc
+    val filtered = perDoc
       .filter(col(domainCol).isNotNull && col(lossCol).isNotNull)
-      .groupBy(col(domainCol).cast("string").as("domain"))
-      .agg(count(lit(1)).as("n_docs"),
-        avg(col(lossCol)).as("mean_loss"))
-    val globalMean = baselinePerDomain match {
-      case Some(_) => 0.0 // unused
+    // default-baseline mode needs the corpus-wide mean TOO: a ROLLUP
+    // computes the per-domain census and the grand-total group (the
+    // same avg-over-all-docs the former separate aggregate produced,
+    // from the same raw rows) in ONE job — the per-doc loss pipeline
+    // upstream (at 100 TB, the corpus scan) previously executed twice,
+    // once per collect (guide §1.2 step 1: don't compute things twice)
+    val (rows, globalMean) = baselinePerDomain match {
+      case Some(_) =>
+        val census = filtered
+          .groupBy(col(domainCol).cast("string").as("domain"))
+          .agg(count(lit(1)).as("n_docs"), avg(col(lossCol)).as("mean_loss"))
+        (census.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))), 0.0)
       case None =>
-        perDoc.filter(col(domainCol).isNotNull && col(lossCol).isNotNull)
-          .agg(avg(col(lossCol))).collect()(0).getDouble(0)
+        // the filter above excludes null domains, so the one null-domain
+        // row rollup emits IS the grand-total group
+        val all = filtered
+          .rollup(col(domainCol).cast("string").as("domain"))
+          .agg(count(lit(1)).as("n_docs"), avg(col(lossCol)).as("mean_loss"))
+          .collect()
+        val (totalRow, domainRows) = all.partition(_.isNullAt(0))
+        (domainRows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))),
+          totalRow.headOption.map(_.getDouble(2)).getOrElse(0.0))
     }
-    val rows = census.collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     val excess = rows.toSeq.map { case (dom, _, m) =>
       val base = baselinePerDomain.map(_.getOrElse(dom, m)).getOrElse(globalMean)
       dom -> math.max(0.0, m - base)
